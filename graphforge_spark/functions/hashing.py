@@ -1,0 +1,101 @@
+"""Portable deterministic hashing primitives.
+
+Everything here is built on md5/sha2 column expressions because those produce
+byte-identical hex strings in Spark, DuckDB, and Python — which makes MinHash
+signatures, LSH band buckets, and fingerprints *oracle-checkable* (the driver
+compares our Spark results against DuckDB SQL) and stable across engine
+versions (unlike ``F.hash``'s murmur3 seed behavior).
+
+MinHash with k permutations is approximated the standard way: the i-th hash
+function is ``md5(i || ':' || shingle)`` and the signature component is the
+lexicographic MIN of those hex strings over the shingle set. min-of-md5-hex
+is a uniform min-hash in the same sense as min-of-int-hash; collision
+probability between two sets equals their Jaccard similarity per component.
+
+All of this is pure column algebra — JVM-side, codegen-able, no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def md5_seeded(seed: int, value: Column) -> Column:
+    """Hex digest of ``md5(seed || ':' || value)`` — the i-th hash family."""
+    return F.md5(F.concat(F.lit(f"{seed}:"), value))
+
+
+def md5_minhash_cols(shingle_array: Column, num_hashes: int) -> list[Column]:
+    """MinHash signature as ``num_hashes`` columns over an array<string>.
+
+    ``array_min(transform(shingles, s -> md5(i || s)))`` per component:
+    entirely inside whole-stage codegen, no explode, no shuffle.
+    """
+    return [
+        F.array_min(F.transform(shingle_array, lambda s, i=i: md5_seeded(i, s))).alias(
+            f"mh_{i}"
+        )
+        for i in range(num_hashes)
+    ]
+
+
+def band_key(minhash_cols: list[Column | str], band: int, rows_per_band: int) -> Column:
+    """LSH band bucket key: md5 of the concatenated band slice of the signature."""
+    cols = [F.col(c) if isinstance(c, str) else c for c in minhash_cols]
+    lo = band * rows_per_band
+    slice_cols = cols[lo : lo + rows_per_band]
+    return F.md5(F.concat_ws("|", F.lit(str(band)), *slice_cols))
+
+
+def portable_bucket(value: Column, num_buckets: int) -> Column:
+    """Deterministic bucket id in [0, num_buckets): first 8 md5 hex chars mod n.
+
+    Identical arithmetic is expressible in DuckDB
+    (``('0x' || substr(md5(v),1,8))::BIGINT % n`` via from_hex) and Python —
+    used for salting and for partition-stable fixtures.
+    """
+    return (F.conv(F.substring(F.md5(value), 1, 8), 16, 10).cast("long") % num_buckets).cast(
+        "int"
+    )
+
+
+def simhash64(token_array: Column) -> Column:
+    """64-bit SimHash of a token array, JVM-side.
+
+    Each token hashes to 64 bits via the first 16 hex chars of its md5;
+    the fingerprint's bit b is 1 iff more tokens have bit b set than not.
+    Implemented as bit algebra over an aggregate of per-bit counters using
+    higher-order functions — no Python.
+    """
+    def tok_hash(t):
+        return F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
+
+    # per-bit vote counts: aggregate tokens into an array of 60 counters
+    counters = F.aggregate(
+        token_array,
+        F.array_repeat(F.lit(0).cast("long"), 60),
+        lambda acc, t: F.zip_with(
+            acc,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(59)),
+                lambda b: F.shiftright(tok_hash(t), b).bitwiseAND(F.lit(1)),
+            ),
+            lambda a, bit: a + bit,
+        ),
+    )
+    n = F.size(token_array)
+    bits = F.transform(
+        F.sequence(F.lit(0), F.lit(59)),
+        lambda b: F.when(counters[b] * 2 > n, F.lit(1).cast("long")).otherwise(F.lit(0)),
+    )
+    return F.aggregate(
+        F.zip_with(bits, F.sequence(F.lit(0), F.lit(59)), lambda bit, i: F.shiftleft(bit, i)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc.bitwiseOR(x),
+    )
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two 64-bit fingerprints (bit_count of xor)."""
+    return F.bit_count(a.bitwiseXOR(b))

@@ -1,0 +1,115 @@
+"""Text primitives for dedup / linking / quality scoring — all JVM-side.
+
+Tokenize/shingle/stats are column expressions so they stay inside
+whole-stage codegen; at 100 TB the tokenizer IS the hot path and must not
+cross into Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Small multilingual stopword profiles for the n-gram/stopword language-ID
+# heuristic. Deliberately tiny and hard-coded: language ID here is a
+# deterministic scoring rule, not a model.
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is", "in", "that", "it"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "zu"],
+    "es": ["el", "la", "de", "que", "los", "una", "por", "con"],
+    "fr": ["le", "la", "les", "des", "est", "une", "dans", "pour"],
+    "zh": ["的", "是", "了", "在", "我", "有", "和", "不"],
+}
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace/punctuation tokenizer → array<string>, lowercased."""
+    return F.filter(F.split(F.lower(text), r"[^\p{L}\p{N}]+"), lambda t: t != "")
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Token-count estimate with a BPE-ish regex: words, digits runs,
+    and residual punctuation each count as tokens; long words count
+    ceil(len/6) to approximate subword splits."""
+    words = tokens(text)
+    word_tokens = F.aggregate(
+        words,
+        F.lit(0).cast("long"),
+        lambda acc, w: acc + F.ceil(F.length(w) / F.lit(6.0)).cast("long"),
+    )
+    punct = F.size(F.filter(F.split(text, ""), lambda c: c.rlike(r"[\p{P}\p{S}]")))
+    return (word_tokens + punct).alias("token_count")
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingles as array<string> (space-joined), for MinHash."""
+    toks = tokens(text)
+    return F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+
+
+def char_ngrams(text: Column, n: int = 3) -> Column:
+    """Character n-grams of the lowercased text."""
+    t = F.lower(text)
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(t) - (n - 1), F.lit(1))),
+        lambda i: t.substr(i, F.lit(n)),
+    )
+
+
+def stopword_ratio(text: Column, lang: str = "en") -> Column:
+    sw = F.array(*[F.lit(w) for w in LANG_STOPWORDS[lang]])
+    toks = tokens(text)
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return (hits / F.greatest(F.size(toks), F.lit(1))).alias("stopword_ratio")
+
+
+def quality_features(text: Column) -> list[Column]:
+    """Deterministic quality-scoring features (length, word stats,
+    punctuation density, uppercase ratio, stopword ratio)."""
+    toks = tokens(text)
+    n_chars = F.length(text)
+    n_words = F.size(toks)
+    mean_word_len = (
+        F.aggregate(toks, F.lit(0).cast("long"), lambda a, w: a + F.length(w))
+        / F.greatest(n_words, F.lit(1))
+    ).cast("double")
+    punct_count = F.length(F.regexp_replace(text, r"[^\p{P}\p{S}]", ""))
+    return [
+        n_chars.alias("n_chars"),
+        n_words.cast("long").alias("n_words"),
+        F.round(mean_word_len, 4).alias("mean_word_len"),
+        F.round((punct_count / F.greatest(n_chars, F.lit(1))).cast("double"), 4).alias(
+            "punct_ratio"
+        ),
+        F.round(stopword_ratio(text, "en"), 4).alias("stopword_ratio"),
+    ]
+
+
+def langid_scores(text: Column) -> Column:
+    """Language-ID heuristic: argmax over per-language stopword hit counts.
+
+    Returns the winning language code; 'und' when no profile scores > 0.
+    Ties break by language code order (deterministic).
+    """
+    toks = tokens(text)
+    best_lang = F.lit("und")
+    best_score = F.lit(0)
+    for code in sorted(LANG_STOPWORDS):
+        sw = F.array(*[F.lit(w) for w in LANG_STOPWORDS[code]])
+        score = F.size(F.filter(toks, lambda t, sw=sw: F.array_contains(sw, t)))
+        better = score > best_score
+        best_lang = F.when(better, F.lit(code)).otherwise(best_lang)
+        best_score = F.when(better, score).otherwise(best_score)
+    return best_lang.alias("lang_pred")
+
+
+def rolling_fingerprint(text: Column, n: int = 5, keep: int = 4) -> Column:
+    """Document fingerprint: the ``keep`` lexicographically smallest md5 hex
+    digests of word n-gram shingles (winnowing-style min-sampling),
+    concatenated. Deterministic, portable, order-insensitive."""
+    sh = shingles(text, n)
+    hashed = F.array_sort(F.transform(sh, lambda s: F.md5(s)))
+    return F.concat_ws("", F.slice(hashed, 1, keep)).alias("fingerprint")

@@ -1,0 +1,187 @@
+"""Extraction parity tests: the engine must reproduce the reference's
+emitted triples (graphProcessor.js:203-304 semantics) at P/R ≥ 0.95 on the
+mapping fixtures — the BASELINE.json headline correctness metric."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphforge_spark.fixtures import gen_transcripts
+from graphforge_spark.operators.extract import (
+    _walk_rdfxml,
+    dedup_triples,
+    extract_all,
+    extract_ntriples,
+    extract_patterns,
+    extract_rdfxml,
+)
+
+RDF_HDR = (
+    '<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#" '
+    'xmlns:rdfs="http://www.w3.org/2000/01/rdf-schema#" '
+    'xmlns:owl="http://www.w3.org/2002/07/owl#">'
+)
+
+
+class TestWalkRdfXml:
+    """Unit tests of the pure-Python walker against hand-derived reference
+    behavior (each case keyed to graphProcessor.js lines)."""
+
+    def test_owl_class_label_literal(self):
+        # literals emitted only under owl:Class (:233-241)
+        xml = RDF_HDR + '<owl:Class rdf:about="http://x/C"><rdfs:label>Hi</rdfs:label></owl:Class></rdf:RDF>'
+        assert _walk_rdfxml(xml) == [("http://x/C", "rdfs:label", "Hi", True)]
+
+    def test_owl_class_resource_object(self):
+        xml = (
+            RDF_HDR
+            + '<owl:Class rdf:about="http://x/C"><rdfs:subClassOf rdf:resource="http://x/P"/></owl:Class></rdf:RDF>'
+        )
+        assert _walk_rdfxml(xml) == [("http://x/C", "rdfs:subClassOf", "http://x/P", False)]
+
+    def test_equivalent_class_oneof_expansion(self):
+        # handleEquivalentClass (:265-282): members → (member, rdf:type, class)
+        xml = (
+            RDF_HDR
+            + '<owl:Class rdf:about="http://x/C"><owl:equivalentClass><owl:Class><owl:oneOf>'
+            '<rdf:Description rdf:about="http://x/m1"/><rdf:Description rdf:about="http://x/m2"/>'
+            "</owl:oneOf></owl:Class></owl:equivalentClass></owl:Class></rdf:RDF>"
+        )
+        assert _walk_rdfxml(xml) == [
+            ("http://x/m1", "rdf:type", "http://x/C", False),
+            ("http://x/m2", "rdf:type", "http://x/C", False),
+        ]
+
+    def test_non_class_emits_only_resource_children(self):
+        # striped text property under non-owl:Class yields NOTHING (:247-252)
+        xml = (
+            RDF_HDR
+            + '<owl:ObjectProperty rdf:about="http://x/p">'
+            '<rdfs:domain rdf:resource="http://x/D"/>'
+            "<rdfs:comment>swallowed</rdfs:comment>"
+            "</owl:ObjectProperty></rdf:RDF>"
+        )
+        assert _walk_rdfxml(xml) == [("http://x/p", "rdfs:domain", "http://x/D", False)]
+
+    def test_blank_subject_repair(self):
+        # empty subject → '_:blank' (:218)
+        xml = RDF_HDR + "<owl:Class><rdfs:label>anon</rdfs:label></owl:Class></rdf:RDF>"
+        assert _walk_rdfxml(xml) == [("_:blank", "rdfs:label", "anon", True)]
+
+    def test_literal_typing_rule(self):
+        # startsWith('http') is the ONLY typing rule (:222) — 'https' too,
+        # but also junk like 'httpfoo' (faithfully quirky)
+        xml = RDF_HDR + '<owl:Class rdf:about="http://x/C"><p>httpfoo</p></owl:Class></rdf:RDF>'
+        assert _walk_rdfxml(xml) == [("http://x/C", "p", "httpfoo", False)]
+
+    def test_rdf_description_is_transparent(self):
+        # rdf:Description recurses with inherited subject (:256-260); its
+        # resource-carrying leaf children emit nothing (recursion quirk)
+        xml = (
+            RDF_HDR
+            + '<rdf:Description rdf:about="http://x/d">'
+            '<rdf:type rdf:resource="http://x/T"/>'
+            "</rdf:Description></rdf:RDF>"
+        )
+        assert _walk_rdfxml(xml) == []
+
+    def test_subject_inheritance_through_nesting(self):
+        # inner element without rdf:about inherits outer subject (:231)
+        xml = (
+            RDF_HDR
+            + '<ex:Thing xmlns:ex="http://e/" rdf:about="http://x/t">'
+            '<ex:rel><ex:inner rdf:resource="http://x/o"/></ex:rel>'
+            "</ex:Thing></rdf:RDF>"
+        )
+        # ex:rel has children → recurse; inside, inner has rdf:resource → emit
+        assert _walk_rdfxml(xml) == [("http://x/t", "ex:inner", "http://x/o", False)]
+
+    def test_malformed_xml_yields_nothing(self):
+        assert _walk_rdfxml("<not closed") == []
+
+
+@pytest.fixture(scope="module")
+def fixture_corpus():
+    return gen_transcripts(seed=42, n_convs=30, turns_per_conv=12)
+
+
+@pytest.fixture(scope="module")
+def extracted(spark, fixture_corpus):
+    tdf = fixture_corpus.transcripts_df(spark)
+    return extract_all(tdf).cache()
+
+
+def _pr(spark, extracted, golden_df):
+    got = extracted.select("subj", "pred", "obj", "obj_is_literal").distinct()
+    want = golden_df.select("subj", "pred", "obj", "obj_is_literal").distinct()
+    tp = got.intersect(want).count()
+    n_got = got.count()
+    n_want = want.count()
+    precision = tp / n_got if n_got else 0.0
+    recall = tp / n_want if n_want else 0.0
+    return precision, recall, got, want
+
+
+def test_extraction_precision_recall(spark, fixture_corpus, extracted):
+    golden = fixture_corpus.golden_df(spark)
+    precision, recall, got, want = _pr(spark, extracted, golden)
+    if precision < 1.0 or recall < 1.0:
+        print("FALSE POSITIVES:")
+        got.exceptAll(want.intersect(got)).show(50, False)
+        print("MISSED:")
+        want.exceptAll(got.intersect(want)).show(50, False)
+    assert precision >= 0.95, f"precision {precision}"
+    assert recall >= 0.95, f"recall {recall}"
+
+
+def test_extraction_provenance_and_graph(extracted):
+    # every triple carries provenance; graph == src conversation
+    assert extracted.filter(F.col("src_conv_id").isNull()).count() == 0
+    assert extracted.filter(F.col("graph") != F.col("src_conv_id")).count() == 0
+
+
+def test_extraction_deterministic_under_row_order(spark, fixture_corpus):
+    tdf = fixture_corpus.transcripts_df(spark)
+    shuffled = tdf.orderBy(F.md5(F.concat_ws("|", "conv_id", F.col("turn_idx").cast("string"))))
+    a = extract_all(tdf).select("subj", "pred", "obj").distinct()
+    b = extract_all(shuffled).select("subj", "pred", "obj").distinct()
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_dedup_set_semantics(spark, extracted):
+    deduped = dedup_triples(extracted)
+    n = deduped.count()
+    assert deduped.select("subj", "pred", "obj", "obj_is_literal", "graph").distinct().count() == n
+    # idempotent
+    assert dedup_triples(deduped).count() == n
+
+
+def test_ntriples_roundtrip(spark):
+    from graphforge_spark.functions.terms import ntriples_line
+
+    rows = [
+        ("conv-0", 0, "tool", '<http://a> <http://p> "lit with \\"quote\\"" .', "ntriples", None),
+        ("conv-0", 1, "tool", "<http://a> <http://p> <http://b> .", "ntriples", None),
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp")
+    parsed = extract_ntriples(df)
+    out = parsed.select(
+        ntriples_line(
+            F.col("subj"), F.col("pred"), F.col("obj"), F.col("obj_is_literal")
+        ).alias("line")
+    ).collect()
+    lines = sorted(r.line for r in out)
+    assert lines == sorted(
+        ['<http://a> <http://p> "lit with \\"quote\\"" .', "<http://a> <http://p> <http://b> ."]
+    )
+
+
+def test_pattern_extraction_blank_subject(spark):
+    df = spark.createDataFrame(
+        [("c1", 0, "user", "see http://ex.org/x now", None, None)],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    rows = extract_patterns(df).collect()
+    assert len(rows) == 1
+    assert rows[0].subj == "_:b_c1_0"
+    assert rows[0].obj == "http://ex.org/x"
+    assert rows[0].obj_is_literal is False
