@@ -1,38 +1,579 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` smoke-runs the full forge spine on sf0.001.
+``queries()`` exposes one entry per implemented operator from SURVEY.md §2
+(plus the training-data curation operators); ``oracle_sql()`` gives the
+DuckDB-equivalent ANSI SQL for each, evaluated over the same parquet
+tables.
+
+Because the engine's authoritative input is a transcripts table
+(BASELINE.json input_hint) and the driver's testdata is TPC-H-shaped,
+each query first *derives* a deterministic transcripts-shaped table from
+customer/nation/region/supplier/part with pure column algebra
+(graphforge_spark/corpus.py); the oracle SQL performs the byte-identical
+derivation, so triple extraction, dedup, joins, closure, windowing, and
+the per-turn text-equality invariant are all checked end-to-end against
+an independent engine.
+
+All hash-bearing operators use md5 (portable across Spark/DuckDB), and
+floating-point outputs are produced by identical sequential double folds
+on both sides, so value hashes match bit-for-bit.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from graphforge_spark import corpus
+from graphforge_spark.functions.terms import ntriples_line
+from graphforge_spark.functions.text import LANG_STOPWORDS
+from graphforge_spark.operators import docops, similarity
+from graphforge_spark.operators.canonicalize import canonical_mapping, rewrite_triples
+from graphforge_spark.operators.closure import transitive_closure
+from graphforge_spark.operators.extract import (
+    dedup_triples,
+    extract_ntriples,
+    extract_patterns,
+    extract_rdfxml,
+)
+from graphforge_spark.operators.link import link_entities
+from graphforge_spark.plans.bgp import Var, bgp, optional
+
+WORKS_AT = "http://ex.org/p/worksAt"
+LOCATED_IN = "http://ex.org/p/locatedIn"
+
+
+# ---------------------------------------------------------------------------
+# Spark-side query callables
+# ---------------------------------------------------------------------------
+
+def _pattern_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return extract_patterns(corpus.derive_transcripts(spark, sf_dir))
+
+
+def _set_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-semantic triple store (A12/B10): distinct (subj, pred, obj)."""
+    return _pattern_triples(spark, sf_dir).dropDuplicates(["subj", "pred", "obj"])
+
+
+def q_extract_patterns(spark, sf_dir):
+    return _pattern_triples(spark, sf_dir).select(
+        "subj", "pred", "obj", "obj_is_literal", "src_conv_id", "src_turn_idx"
+    )
+
+
+def q_dedup_triples(spark, sf_dir):
+    t = _pattern_triples(spark, sf_dir).withColumn("graph", F.lit("g"))
+    return dedup_triples(t)
+
+
+def q_extract_ntriples(spark, sf_dir):
+    return extract_ntriples(corpus.derive_nt_transcripts(spark, sf_dir))
+
+
+def q_ntriples_export(spark, sf_dir):
+    t = extract_ntriples(corpus.derive_nt_transcripts(spark, sf_dir))
+    return t.select(
+        ntriples_line(
+            F.col("subj"), F.col("pred"), F.col("obj"), F.col("obj_is_literal")
+        ).alias("line")
+    )
+
+
+def q_extract_rdfxml(spark, sf_dir):
+    return extract_rdfxml(corpus.derive_rdfxml_transcripts(spark, sf_dir))
+
+
+def q_bgp_join(spark, sf_dir):
+    g = _set_graph(spark, sf_dir)
+    return bgp(
+        g,
+        [
+            (Var("person"), WORKS_AT, Var("org")),
+            (Var("org"), LOCATED_IN, Var("region")),
+        ],
+    )
+
+
+def q_optional(spark, sf_dir):
+    g = _set_graph(spark, sf_dir)
+    base = bgp(g, [(Var("person"), WORKS_AT, Var("org"))])
+    opt = bgp(g, [(Var("org"), LOCATED_IN, Var("region"))])
+    return optional(base, opt)
+
+
+def q_path_alternation(spark, sf_dir):
+    g = _set_graph(spark, sf_dir)
+    return g.filter(F.col("pred").isin([WORKS_AT, LOCATED_IN])).select(
+        F.col("subj").alias("s"), F.col("obj").alias("o")
+    )
+
+
+def q_path_closure(spark, sf_dir):
+    edges = corpus.nation_chain_edges(spark, sf_dir)
+    return transitive_closure(edges, include_zero_step=True)
+
+
+def q_group_count_by_pred(spark, sf_dir):
+    return _pattern_triples(spark, sf_dir).groupBy("pred").agg(F.count("*").alias("n"))
+
+
+def q_topk_orgs(spark, sf_dir):
+    t = _pattern_triples(spark, sf_dir).filter(F.col("pred") == WORKS_AT)
+    return (
+        t.groupBy(F.col("obj").alias("org"))
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("org"))
+        .limit(5)
+    )
+
+
+def q_window_turn_order(spark, sf_dir):
+    tr = corpus.derive_transcripts(spark, sf_dir)
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    return tr.select(
+        "conv_id",
+        "turn_idx",
+        F.row_number().over(w).alias("rn"),
+        F.md5("text").alias("text_md5"),
+        F.lag(F.md5("text")).over(w).alias("prev_text_md5"),
+    )
+
+
+def q_anti_join_resume(spark, sf_dir):
+    tr = corpus.derive_transcripts(spark, sf_dir)
+    done = (
+        tr.filter((F.substring("conv_id", 6, 6).cast("int") % 3) == 0)
+        .select("conv_id")
+        .distinct()
+    )
+    return tr.join(done, "conv_id", "left_anti").select("conv_id", "turn_idx")
+
+
+def q_cc_canonicalize(spark, sf_dir):
+    return canonical_mapping(corpus.customer_alias_edges(spark, sf_dir))
+
+
+def q_rewrite_canonical(spark, sf_dir):
+    t = (
+        _pattern_triples(spark, sf_dir)
+        .filter(F.col("pred") == WORKS_AT)
+        .dropDuplicates(["subj", "obj"])
+        .select("subj", "pred", "obj", "obj_is_literal")
+    )
+    mapping = canonical_mapping(corpus.customer_alias_edges(spark, sf_dir))
+    return rewrite_triples(t, mapping).groupBy("subj", "obj").agg(F.count("*").alias("n"))
+
+
+def q_doc_exact_dedup(spark, sf_dir):
+    return docops.exact_dedup_groups(corpus.load(spark, sf_dir, "documents"))
+
+
+def q_doc_stats(spark, sf_dir):
+    return docops.doc_stats(corpus.load(spark, sf_dir, "documents"))
+
+
+def q_doc_minhash(spark, sf_dir):
+    return docops.minhash_signatures(
+        corpus.load(spark, sf_dir, "documents"), num_hashes=4, shingle_n=3
+    )
+
+
+def q_lsh_neardup(spark, sf_dir):
+    return docops.lsh_neardup_pairs(
+        corpus.load(spark, sf_dir, "documents"), num_hashes=8, bands=4, shingle_n=3
+    )
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    return docops.ngram_jaccard_pairs(
+        corpus.load(spark, sf_dir, "documents"), shingle_n=3, num_hashes=8, bands=4
+    )
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    vecs = corpus.load(spark, sf_dir, "embeddings")
+    queries = vecs.filter(F.col("vec_id") < 8)
+    return similarity.cosine_topk(vecs, queries, k=3)
+
+
+# ---- rows-only checks (non-SQL-expressible: iterative / Python-side) ------
+
+def q_simhash_neardup(spark, sf_dir):
+    return docops.simhash_neardup_pairs(
+        corpus.load(spark, sf_dir, "documents"), max_hamming=20
+    )
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    vecs = corpus.load(spark, sf_dir, "embeddings")
+    queries = vecs.filter(F.col("vec_id") < 8)
+    return similarity.lsh_bucketed_topk(vecs, queries, dim=64, k=3, n_planes=4)
+
+
+def q_link_entities(spark, sf_dir):
+    cust = corpus.load(spark, sf_dir, "customer").limit(200)
+    base = F.replace(F.col("c_name"), F.lit("#"), F.lit("_"))
+    surfaces = (
+        cust.select(base.alias("surface"))
+        .union(cust.select(F.replace(base, F.lit("_"), F.lit(" ")).alias("surface")))
+        .union(cust.select(F.concat(base, F.lit(" Inc")).alias("surface")))
+    )
+    return link_entities(surfaces, threshold=0.5).select("src", "dst")
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full forge spine on sf0.001 — derive transcripts in all
+    three formats, extract (pattern rules + N-Triples parse + RDF/XML
+    DOM-walk), dedup to set semantics, aggregate by predicate."""
+    sf_dir = "/root/testdata/sf0.001"
+    tr = (
+        corpus.derive_transcripts(spark, sf_dir)
+        .unionByName(corpus.derive_nt_transcripts(spark, sf_dir))
+        .unionByName(corpus.derive_rdfxml_transcripts(spark, sf_dir))
+    )
+    from graphforge_spark.operators.extract import extract_all
+
+    triples = dedup_triples(extract_all(tr))
+    return triples.groupBy("pred").agg(F.count("*").alias("n")).orderBy(F.desc("n"), "pred")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "extract_patterns": q_extract_patterns,
+        "dedup_triples": q_dedup_triples,
+        "extract_ntriples": q_extract_ntriples,
+        "ntriples_export": q_ntriples_export,
+        "extract_rdfxml": q_extract_rdfxml,
+        "bgp_join": q_bgp_join,
+        "optional_left_join": q_optional,
+        "path_alternation": q_path_alternation,
+        "path_closure": q_path_closure,
+        "group_count_by_pred": q_group_count_by_pred,
+        "topk_orgs": q_topk_orgs,
+        "window_turn_order": q_window_turn_order,
+        "anti_join_resume": q_anti_join_resume,
+        "cc_canonicalize": q_cc_canonicalize,
+        "rewrite_canonical": q_rewrite_canonical,
+        "doc_exact_dedup": q_doc_exact_dedup,
+        "doc_stats": q_doc_stats,
+        "doc_minhash": q_doc_minhash,
+        "lsh_neardup_pairs": q_lsh_neardup,
+        "ngram_jaccard": q_ngram_jaccard,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "simhash_neardup": q_simhash_neardup,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "link_entities": q_link_entities,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle SQL
+# ---------------------------------------------------------------------------
+
+# Transcripts derivation — byte-identical to corpus.derive_transcripts.
+_T = """
+t AS (
+  SELECT
+    'conv-' || lpad(CAST(c_custkey % 50 AS VARCHAR), 6, '0') AS conv_id,
+    CAST(c_custkey // 50 AS INT) AS turn_idx,
+    replace(c_name, '#', '_') AS cname,
+    n_name, r_name, n_nationkey,
+    replace(c_name, '#', '_') || ' works at ' || n_name || '.' ||
+      CASE WHEN n_nationkey % 5 <> 0
+           THEN ' ' || n_name || ' is located in ' || r_name || '.'
+           ELSE '' END AS text
+  FROM customer
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+)
+"""
+
+# Expected pattern-extraction triples over the derived transcripts.
+_PT = (
+    _T
+    + """,
+pt AS (
+  SELECT 'http://ex.org/e/' || cname AS subj,
+         'http://ex.org/p/worksAt' AS pred,
+         'http://ex.org/e/' || n_name AS obj,
+         FALSE AS obj_is_literal,
+         conv_id AS src_conv_id, turn_idx AS src_turn_idx
+  FROM t
+  UNION ALL
+  SELECT 'http://ex.org/e/' || n_name,
+         'http://ex.org/p/locatedIn',
+         'http://ex.org/e/' || replace(r_name, ' ', '_'),
+         FALSE, conv_id, turn_idx
+  FROM t WHERE n_nationkey % 5 <> 0
+)
+"""
+)
+
+# N-Triples turns derived from supplier.
+_NT = """
+nt AS (
+  SELECT
+    'http://ex.org/e/Supplier_' || CAST(s_suppkey AS VARCHAR) AS subj,
+    CAST(s_suppkey AS VARCHAR) AS k,
+    CAST(s_suppkey % 100 AS VARCHAR) AS pk,
+    'nt-' || lpad(CAST(s_suppkey % 10 AS VARCHAR), 3, '0') AS conv_id,
+    CAST(s_suppkey // 10 AS INT) AS turn_idx
+  FROM supplier
+)
+"""
+
+# Word tokens of a documents row (matches functions.text.tokens).
+_TOKS = r"list_filter(regexp_split_to_array(lower(text), '[^\pL\pN]+'), x -> x <> '')"
+
+# Word 3-gram shingles, distinct (matches functions.text.shingles + array_distinct).
+_SH3 = (
+    "list_distinct(list_transform("
+    "range(0, greatest(len({toks}) - 3, 0) + 1), "
+    "i -> array_to_string(({toks})[i+1:i+3], ' ')))"
+).format(toks="toks")
+
+_DOCS_TOKS = f"d AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents)"
+
+_SIGS8 = (
+    f"WITH {_DOCS_TOKS}, s AS (SELECT doc_id, {_SH3} AS sh FROM d), "
+    "sig AS (SELECT doc_id, "
+    + ", ".join(
+        f"list_min(list_transform(sh, g -> md5('{i}:' || g))) AS mh_{i}" for i in range(8)
+    )
+    + " FROM s), "
+    "banded AS ("
+    + " UNION ALL ".join(
+        f"SELECT doc_id, md5('{b}' || '|' || mh_{2*b} || '|' || mh_{2*b+1}) AS bucket FROM sig"
+        for b in range(4)
+    )
+    + ")"
+)
+
+_FOLD = (
+    "list_reduce(list_transform(range(1, 65), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (acc, x) -> acc + x)"
+)
+
+
+def _langid_sql() -> str:
+    codes = sorted(LANG_STOPWORDS)
+    scores = []
+    for c in codes:
+        words = ", ".join(f"'{w}'" for w in LANG_STOPWORDS[c])
+        scores.append(f"len(list_filter(toks, x -> x IN ({words}))) AS s_{c}")
+    m = "greatest(" + ", ".join(f"s_{c}" for c in codes) + ")"
+    case = "CASE WHEN " + m + " = 0 THEN 'und' "
+    for c in codes:
+        case += f"WHEN s_{c} = {m} THEN '{c}' "
+    case += "END"
+    return ", ".join(scores), case
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    en_words = ", ".join(f"'{w}'" for w in LANG_STOPWORDS["en"])
+    lang_scores, lang_case = _langid_sql()
+    return {
+        "extract_patterns": f"WITH {_PT} SELECT * FROM pt",
+        "dedup_triples": f"""
+            WITH {_PT}
+            SELECT subj, pred, obj, obj_is_literal, 'g' AS graph,
+                   src_conv_id, src_turn_idx
+            FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY subj, pred, obj
+                ORDER BY src_conv_id, src_turn_idx) AS rn
+              FROM pt)
+            WHERE rn = 1
+        """,
+        "extract_ntriples": f"""
+            WITH {_NT}
+            SELECT subj, 'http://ex.org/p/supplies' AS pred,
+                   'http://ex.org/e/Part_' || pk AS obj, FALSE AS obj_is_literal,
+                   conv_id AS graph, conv_id AS src_conv_id, turn_idx AS src_turn_idx
+            FROM nt
+            UNION ALL
+            SELECT subj, 'http://ex.org/p/note', 'unit ' || k, TRUE,
+                   conv_id, conv_id, turn_idx
+            FROM nt
+        """,
+        "ntriples_export": f"""
+            WITH {_NT}
+            SELECT '<' || subj || '> <http://ex.org/p/supplies> <http://ex.org/e/Part_'
+                   || pk || '> .' AS line FROM nt
+            UNION ALL
+            SELECT '<' || subj || '> <http://ex.org/p/note> "unit ' || k || '" .' FROM nt
+        """,
+        "extract_rdfxml": """
+            WITH p AS (
+              SELECT CAST(p_partkey AS VARCHAR) AS k, p_name,
+                     'http://ex.org/c/Part_' || CAST(p_partkey AS VARCHAR) AS class_iri,
+                     'http://ex.org/b/' || replace(p_brand, '#', '_') AS brand_iri,
+                     'xml-' || lpad(CAST(p_partkey % 20 AS VARCHAR), 4, '0') AS conv_id,
+                     CAST(p_partkey // 20 AS INT) AS turn_idx
+              FROM part
+            )
+            SELECT class_iri AS subj, 'rdfs:label' AS pred, p_name AS obj,
+                   TRUE AS obj_is_literal, conv_id AS graph,
+                   conv_id AS src_conv_id, turn_idx AS src_turn_idx FROM p
+            UNION ALL
+            SELECT class_iri, 'rdfs:subClassOf', brand_iri, FALSE,
+                   conv_id, conv_id, turn_idx FROM p
+            UNION ALL
+            SELECT 'http://ex.org/m/Part_' || k || '_0', 'rdf:type', class_iri, FALSE,
+                   conv_id, conv_id, turn_idx FROM p
+            UNION ALL
+            SELECT 'http://ex.org/m/Part_' || k || '_1', 'rdf:type', class_iri, FALSE,
+                   conv_id, conv_id, turn_idx FROM p
+        """,
+        "bgp_join": f"""
+            WITH {_PT},
+            w AS (SELECT DISTINCT subj AS person, obj AS org FROM pt
+                  WHERE pred = 'http://ex.org/p/worksAt'),
+            l AS (SELECT DISTINCT subj AS org, obj AS region FROM pt
+                  WHERE pred = 'http://ex.org/p/locatedIn')
+            SELECT person, org, region FROM w JOIN l USING (org)
+        """,
+        "optional_left_join": f"""
+            WITH {_PT},
+            w AS (SELECT DISTINCT subj AS person, obj AS org FROM pt
+                  WHERE pred = 'http://ex.org/p/worksAt'),
+            l AS (SELECT DISTINCT subj AS org, obj AS region FROM pt
+                  WHERE pred = 'http://ex.org/p/locatedIn')
+            SELECT person, org, region FROM w LEFT JOIN l USING (org)
+        """,
+        "path_alternation": f"""
+            WITH {_PT}
+            SELECT subj AS s, obj AS o FROM (SELECT DISTINCT subj, pred, obj FROM pt)
+            WHERE pred IN ('http://ex.org/p/worksAt', 'http://ex.org/p/locatedIn')
+        """,
+        "path_closure": """
+            SELECT 'http://ex.org/n/' || CAST(a.n_nationkey AS VARCHAR) AS s,
+                   'http://ex.org/n/' || CAST(b.n_nationkey AS VARCHAR) AS o
+            FROM nation a JOIN nation b
+              ON a.n_nationkey // 5 = b.n_nationkey // 5
+             AND a.n_nationkey >= b.n_nationkey
+        """,
+        "group_count_by_pred": f"""
+            WITH {_PT}
+            SELECT pred, CAST(count(*) AS BIGINT) AS n FROM pt GROUP BY pred
+        """,
+        "topk_orgs": f"""
+            WITH {_PT}
+            SELECT obj AS org, CAST(count(*) AS BIGINT) AS n FROM pt
+            WHERE pred = 'http://ex.org/p/worksAt'
+            GROUP BY obj ORDER BY n DESC, org LIMIT 5
+        """,
+        "window_turn_order": f"""
+            WITH {_T}
+            SELECT conv_id, turn_idx,
+                   CAST(row_number() OVER w AS INT) AS rn,
+                   md5(text) AS text_md5,
+                   lag(md5(text)) OVER w AS prev_text_md5
+            FROM t WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+        """,
+        "anti_join_resume": f"""
+            WITH {_T}
+            SELECT conv_id, turn_idx FROM t
+            WHERE CAST(substr(conv_id, 6, 6) AS INT) % 3 <> 0
+        """,
+        "cc_canonicalize": """
+            SELECT 'http://ex.org/e/' || replace(c_name, '#', '_') AS alias_id,
+                   'http://ex.org/e/Customer_' ||
+                     lpad(CAST((c_custkey // 5) * 5 AS VARCHAR), 9, '0') AS canonical_id
+            FROM customer
+        """,
+        "rewrite_canonical": """
+            SELECT 'http://ex.org/e/Customer_' ||
+                     lpad(CAST((c_custkey // 5) * 5 AS VARCHAR), 9, '0') AS subj,
+                   'http://ex.org/e/' || n_name AS obj,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY 1, 2
+        """,
+        "doc_exact_dedup": """
+            SELECT md5(lower(trim(text))) AS text_hash,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   min(doc_id) AS min_doc_id
+            FROM documents GROUP BY 1
+        """,
+        "doc_stats": f"""
+            WITH {_DOCS_TOKS},
+            q AS (
+              SELECT doc_id, text, toks,
+                     length(regexp_replace(text, '[^\\pP\\pS]', '', 'g')) AS punct,
+                     {lang_scores}
+              FROM d
+            )
+            SELECT doc_id,
+                   CAST(len(toks) AS BIGINT) AS n_tokens,
+                   CAST(coalesce(list_sum(list_transform(
+                        toks, w -> CAST(ceil(length(w) / 6.0) AS BIGINT))), 0)
+                        + punct AS BIGINT) AS bpe_tokens,
+                   CAST(length(text) AS INT) AS n_chars,
+                   CAST(len(toks) AS BIGINT) AS n_words,
+                   round(CAST(coalesce(list_sum(list_transform(toks, w -> length(w))), 0)
+                         AS DOUBLE) / greatest(len(toks), 1), 4) AS mean_word_len,
+                   round(punct / CAST(greatest(length(text), 1) AS DOUBLE), 4)
+                     AS punct_ratio,
+                   round(len(list_filter(toks, x -> x IN ({en_words})))
+                         / CAST(greatest(len(toks), 1) AS DOUBLE), 4) AS stopword_ratio,
+                   {lang_case} AS lang_pred,
+                   array_to_string((list_sort(list_transform(
+                     list_transform(range(0, greatest(len(toks) - 5, 0) + 1),
+                                    i -> array_to_string(toks[i+1:i+5], ' ')),
+                     s -> md5(s))))[1:4], '') AS fingerprint
+            FROM q
+        """,
+        "doc_minhash": f"""
+            WITH {_DOCS_TOKS}, s AS (SELECT doc_id, {_SH3} AS sh FROM d)
+            SELECT doc_id,
+                   {", ".join(f"list_min(list_transform(sh, g -> md5('{i}:' || g))) AS mh_{i}" for i in range(4))}
+            FROM s
+        """,
+        "lsh_neardup_pairs": f"""
+            {_SIGS8}
+            SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+            FROM banded x JOIN banded y
+              ON x.bucket = y.bucket AND x.doc_id < y.doc_id
+        """,
+        "ngram_jaccard": f"""
+            {_SIGS8},
+            pairs AS (
+              SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+              FROM banded x JOIN banded y
+                ON x.bucket = y.bucket AND x.doc_id < y.doc_id)
+            SELECT id_a, id_b,
+                   len(list_intersect(sa.sh, sb.sh)) /
+                   CAST(greatest(len(sa.sh) + len(sb.sh)
+                        - len(list_intersect(sa.sh, sb.sh)), 1) AS DOUBLE) AS jaccard
+            FROM pairs
+            JOIN s sa ON sa.doc_id = id_a
+            JOIN s sb ON sb.doc_id = id_b
+        """,
+        "ann_cosine_topk": f"""
+            WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8),
+            scored AS (
+              SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+                     {_FOLD.format(a="q.embedding", b="n.embedding")} /
+                     (sqrt({_FOLD.format(a="q.embedding", b="q.embedding")}) *
+                      sqrt({_FOLD.format(a="n.embedding", b="n.embedding")})) AS sim
+              FROM embeddings n, q WHERE n.vec_id <> q.vec_id
+            )
+            SELECT query_id, neighbor_id, sim, CAST(rn AS INT) AS rank
+            FROM (SELECT *, row_number() OVER (
+                    PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
+                  FROM scored)
+            WHERE rn <= 3
+        """,
+        # simhash_neardup, ann_lsh_topk, link_entities: rows-only
+        # (iterative / Python-batched / seeded-hyperplane logic — documented
+        # as non-SQL-expressible; the driver records the weaker check).
+    }

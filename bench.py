@@ -1,0 +1,267 @@
+#!/usr/bin/env python
+"""Benchmark harness for graphforge_spark.
+
+Default mode (what the driver runs per round): execute the headline
+queries at ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and print ONE JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {...}, "sf": ..., "triples_per_sec": ...}
+
+Extra modes (the BASELINE.json two-cluster-size protocol — no real
+cluster in this sandbox, so parallelism levels stand in for executor
+counts):
+
+    python bench.py --throughput --master local[8]
+        extraction-spine throughput on a fixed deterministic corpus;
+        prints {"throughput_triples_per_sec": ..., ...}
+
+    python bench.py --scaling
+        runs --throughput at local[8] and local[32] in fresh
+        subprocesses (fresh JVMs — no shared-warmup bias), computes
+        scaling efficiency = (thr_32/thr_8)/(32/8), writes
+        BENCH/BASELINE.md, prints a JSON summary line.
+
+All progress goes to stderr; stdout carries exactly one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+# Fixed corpus for the scaling protocol: 600k turns → ~1.2M raw triples.
+SCALE_CONVS, SCALE_TURNS = 60_000, 10
+
+
+def _log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def _spark(master: str):
+    from graphforge_spark.session import get_spark
+
+    return get_spark(
+        master=master,
+        app_name="graphforge-bench",
+        shuffle_partitions=int(master.split("[")[1].rstrip("]")) if "[" in master else 32,
+    )
+
+
+def _extraction_spine(spark, n_convs: int, turns: int):
+    """The throughput workload: distributed transcript gen → pattern
+    extraction (JVM regex) → global dedup. Returns distinct-triple count."""
+    from pyspark.sql import functions as F
+
+    from graphforge_spark.fixtures import gen_transcripts_dist
+    from graphforge_spark.operators.extract import dedup_triples, extract_patterns
+
+    tr = gen_transcripts_dist(spark, n_convs, turns).repartition(128)
+    triples = dedup_triples(extract_patterns(tr))
+    return triples.count(), n_convs * turns
+
+
+# ---------------------------------------------------------------------------
+# headline queries (default mode)
+# ---------------------------------------------------------------------------
+
+def _headline_queries():
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entry
+    from graphforge_spark import corpus
+    from graphforge_spark.operators import docops, similarity
+    from graphforge_spark.operators.canonicalize import canonical_mapping
+    from graphforge_spark.operators.closure import transitive_closure
+    from graphforge_spark.operators.extract import dedup_triples, extract_all
+
+    def forge_extract_dedup(spark, sf_dir):
+        tr = (
+            corpus.derive_transcripts(spark, sf_dir)
+            .unionByName(corpus.derive_nt_transcripts(spark, sf_dir))
+            .unionByName(corpus.derive_rdfxml_transcripts(spark, sf_dir))
+        )
+        return dedup_triples(extract_all(tr)).count()
+
+    def pattern_extract_200k(spark, sf_dir):
+        n, _ = _extraction_spine(spark, 20_000, 10)
+        return n
+
+    def entity_link(spark, sf_dir):
+        return entry.q_link_entities(spark, sf_dir).count()
+
+    def canonicalize_cc(spark, sf_dir):
+        return canonical_mapping(corpus.customer_alias_edges(spark, sf_dir)).count()
+
+    def path_closure_20k(spark, sf_dir):
+        ids = spark.range(20_000)
+        edges = ids.filter(F.col("id") % 20 != 0).select(
+            F.concat(F.lit("n"), F.col("id").cast("string")).alias("s"),
+            F.concat(F.lit("n"), (F.col("id") - 1).cast("string")).alias("o"),
+        )
+        return transitive_closure(edges, include_zero_step=False).count()
+
+    def bgp_optional_topk(spark, sf_dir):
+        a = entry.q_bgp_join(spark, sf_dir).count()
+        b = entry.q_optional(spark, sf_dir).count()
+        c = entry.q_topk_orgs(spark, sf_dir).count()
+        return a + b + c
+
+    def doc_curation(spark, sf_dir):
+        docs = corpus.load(spark, sf_dir, "documents")
+        n = docops.doc_stats(docs).count()
+        n += docops.lsh_neardup_pairs(docs).count()
+        n += docops.ngram_jaccard_pairs(docs).count()
+        n += docops.simhash_neardup_pairs(docs, max_hamming=10).count()
+        return n
+
+    def ann_topk(spark, sf_dir):
+        vecs = corpus.load(spark, sf_dir, "embeddings")
+        queries = vecs.filter(F.col("vec_id") < 32)
+        return similarity.cosine_topk(vecs, queries, k=10).count()
+
+    def window_order(spark, sf_dir):
+        return entry.q_window_turn_order(spark, sf_dir).count()
+
+    return {
+        "forge_extract_dedup": forge_extract_dedup,
+        "pattern_extract_200k": pattern_extract_200k,
+        "entity_link": entity_link,
+        "canonicalize_cc": canonicalize_cc,
+        "path_closure_20k": path_closure_20k,
+        "bgp_optional_topk": bgp_optional_topk,
+        "doc_curation": doc_curation,
+        "ann_topk": ann_topk,
+        "window_order": window_order,
+    }
+
+
+def run_default() -> None:
+    spark = _spark(f"local[{CPUS}]")
+    # warm the JVM/codegen paths so per-query numbers reflect steady state
+    _extraction_spine(spark, 500, 4)
+
+    timings: dict[str, float] = {}
+    extracted_triples = 0
+    for name, fn in _headline_queries().items():
+        t0 = time.time()
+        n = fn(spark, SF_DIR)
+        dt = round(time.time() - t0, 3)
+        timings[name] = dt
+        if name == "pattern_extract_200k":
+            extracted_triples = n
+        _log(f"{name}: {n} rows in {dt:.2f}s")
+
+    total = round(sum(timings.values()), 3)
+    tps = (
+        round(extracted_triples / timings["pattern_extract_200k"], 1)
+        if timings.get("pattern_extract_200k")
+        else None
+    )
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "triples_per_sec": tps,
+                "cpus": CPUS,
+            }
+        )
+    )
+
+
+def run_throughput(master: str) -> None:
+    spark = _spark(master)
+    _extraction_spine(spark, 500, 4)  # warm-up
+    t0 = time.time()
+    n_triples, n_turns = _extraction_spine(spark, SCALE_CONVS, SCALE_TURNS)
+    wall = time.time() - t0
+    raw_triples = n_turns * 2  # two planted facts per turn pre-dedup
+    print(
+        json.dumps(
+            {
+                "master": master,
+                "turns": n_turns,
+                "distinct_triples": n_triples,
+                "raw_triples": raw_triples,
+                "wall_s": round(wall, 3),
+                "throughput_triples_per_sec": round(raw_triples / wall, 1),
+                "throughput_turns_per_sec": round(n_turns / wall, 1),
+            }
+        )
+    )
+
+
+def run_scaling() -> None:
+    results = {}
+    for n in (8, 32):
+        _log(f"--- scaling run: local[{n}] ---")
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--throughput", "--master", f"local[{n}]"],
+            capture_output=True,
+            text=True,
+            check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        results[n] = json.loads(out.stdout.strip().splitlines()[-1])
+        _log(f"local[{n}]: {results[n]}")
+
+    thr8 = results[8]["throughput_triples_per_sec"]
+    thr32 = results[32]["throughput_triples_per_sec"]
+    eff = round((thr32 / thr8) / (32 / 8), 3)
+    summary = {
+        "metric": "scaling_efficiency_8_to_32",
+        "value": eff,
+        "unit": "ratio",
+        "thr_local8_triples_per_sec": thr8,
+        "thr_local32_triples_per_sec": thr32,
+        "turns": results[8]["turns"],
+        "target": 0.8,
+    }
+
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/BASELINE.md", "w") as f:
+        f.write(
+            "# BENCH/BASELINE — measured throughput & scaling\n\n"
+            "Protocol (BASELINE.json north_rule; sandbox proxy for N vs 4N "
+            "executors): identical extraction-spine job (deterministic "
+            f"{SCALE_CONVS * SCALE_TURNS:,}-turn corpus → pattern extraction "
+            "→ global dedup) run in fresh JVMs at two parallelism levels on "
+            "the same input.\n\n"
+            "| master | turns | raw triples | wall s | triples/sec |\n"
+            "|---|---|---|---|---|\n"
+            f"| local[8] | {results[8]['turns']:,} | {results[8]['raw_triples']:,} | "
+            f"{results[8]['wall_s']} | {thr8:,} |\n"
+            f"| local[32] | {results[32]['turns']:,} | {results[32]['raw_triples']:,} | "
+            f"{results[32]['wall_s']} | {thr32:,} |\n\n"
+            f"**Scaling efficiency** = (thr_32 / thr_8) / (32/8) = **{eff}** "
+            "(target ≥ 0.8).\n\n"
+            "Throughput counts raw extracted triples (2 planted facts per "
+            "turn) against end-to-end wall time including the dedup "
+            "shuffle.\n"
+        )
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        run_scaling()
+    elif "--throughput" in sys.argv:
+        master = "local[8]"
+        if "--master" in sys.argv:
+            master = sys.argv[sys.argv.index("--master") + 1]
+        run_throughput(master)
+    else:
+        run_default()

@@ -31,13 +31,17 @@ def md5_minhash_cols(shingle_array: Column, num_hashes: int) -> list[Column]:
 
     ``array_min(transform(shingles, s -> md5(i || s)))`` per component:
     entirely inside whole-stage codegen, no explode, no shuffle.
+
+    NB: the seed must be bound via a closure factory, NOT a default-arg
+    (``lambda s, i=i``) — a second parameter makes PySpark pass the array
+    INDEX as ``i``, silently corrupting every signature.
     """
-    return [
-        F.array_min(F.transform(shingle_array, lambda s, i=i: md5_seeded(i, s))).alias(
-            f"mh_{i}"
-        )
-        for i in range(num_hashes)
-    ]
+    def _component(i: int):
+        return F.array_min(
+            F.transform(shingle_array, lambda s: md5_seeded(i, s))
+        ).alias(f"mh_{i}")
+
+    return [_component(i) for i in range(num_hashes)]
 
 
 def band_key(minhash_cols: list[Column | str], band: int, rows_per_band: int) -> Column:
@@ -71,29 +75,32 @@ def simhash64(token_array: Column) -> Column:
     def tok_hash(t):
         return F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
 
-    # per-bit vote counts: aggregate tokens into an array of 60 counters
+    # per-bit vote counts: aggregate tokens into an array of 60 counters.
+    # Bit positions are Python-level constants (shiftright needs an int,
+    # not a Column), so the per-token bit vector is a literal-indexed array.
     counters = F.aggregate(
         token_array,
         F.array_repeat(F.lit(0).cast("long"), 60),
         lambda acc, t: F.zip_with(
             acc,
-            F.transform(
-                F.sequence(F.lit(0), F.lit(59)),
-                lambda b: F.shiftright(tok_hash(t), b).bitwiseAND(F.lit(1)),
+            F.array(
+                *[
+                    F.shiftright(tok_hash(t), b).bitwiseAND(F.lit(1).cast("long"))
+                    for b in range(60)
+                ]
             ),
             lambda a, bit: a + bit,
         ),
     )
     n = F.size(token_array)
-    bits = F.transform(
-        F.sequence(F.lit(0), F.lit(59)),
-        lambda b: F.when(counters[b] * 2 > n, F.lit(1).cast("long")).otherwise(F.lit(0)),
-    )
-    return F.aggregate(
-        F.zip_with(bits, F.sequence(F.lit(0), F.lit(59)), lambda bit, i: F.shiftleft(bit, i)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc.bitwiseOR(x),
-    )
+    fp = F.lit(0).cast("long")
+    for b in range(60):
+        fp = fp.bitwiseOR(
+            F.when(counters[b] * 2 > n, F.lit(1 << b).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return fp
 
 
 def hamming64(a: Column, b: Column) -> Column:

@@ -60,9 +60,9 @@ def char_ngrams(text: Column, n: int = 3) -> Column:
 
 
 def stopword_ratio(text: Column, lang: str = "en") -> Column:
-    sw = F.array(*[F.lit(w) for w in LANG_STOPWORDS[lang]])
+    words = LANG_STOPWORDS[lang]
     toks = tokens(text)
-    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    hits = F.size(F.filter(toks, lambda t: t.isin(*words)))
     return (hits / F.greatest(F.size(toks), F.lit(1))).alias("stopword_ratio")
 
 
@@ -97,9 +97,14 @@ def langid_scores(text: Column) -> Column:
     toks = tokens(text)
     best_lang = F.lit("und")
     best_score = F.lit(0)
+    def _score(code: str):
+        # bind via closure, not a default arg — a 2-param lambda would make
+        # PySpark pass the array index as the second variable
+        words = LANG_STOPWORDS[code]
+        return F.size(F.filter(toks, lambda t: t.isin(*words)))
+
     for code in sorted(LANG_STOPWORDS):
-        sw = F.array(*[F.lit(w) for w in LANG_STOPWORDS[code]])
-        score = F.size(F.filter(toks, lambda t, sw=sw: F.array_contains(sw, t)))
+        score = _score(code)
         better = score > best_score
         best_lang = F.when(better, F.lit(code)).otherwise(best_lang)
         best_score = F.when(better, score).otherwise(best_score)

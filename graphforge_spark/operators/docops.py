@@ -1,0 +1,211 @@
+"""Training-data pipeline operators over a documents table.
+
+These go beyond the reference's own operator set (SURVEY §2C notes the
+gaps): at 100 TB the same engine that forges the KG also has to curate
+its input corpus. Everything here is JVM-side column algebra built on the
+md5-portable primitives in functions/hashing.py and functions/text.py, so
+each operator is oracle-checkable in DuckDB and stays inside whole-stage
+codegen — no Python in any hot path.
+
+Operators:
+- exact_dedup_groups: hash-groupBy exact dedup (one shuffle, partial agg)
+- minhash_signatures: k-component MinHash over word shingles (narrow)
+- lsh_neardup_pairs:  banded-LSH candidate pairs (shuffle on band key)
+- ngram_jaccard_pairs: exact n-gram Jaccard over LSH candidates
+- simhash_fingerprints / simhash_neardup_pairs: 64-bit SimHash + banded
+  hamming join (bit algebra, no Python)
+- doc_stats: token count, quality features, language-ID, fingerprint
+
+Scale notes: every pairwise operator goes through LSH blocking first —
+the O(n²) cross product never materializes; band buckets are the shuffle
+key and degenerate buckets are capped (same pathology handling as
+operators/link.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from graphforge_spark.functions.hashing import (
+    band_key,
+    hamming64,
+    md5_minhash_cols,
+    simhash64,
+)
+from graphforge_spark.functions.text import (
+    bpe_ish_token_count,
+    langid_scores,
+    quality_features,
+    rolling_fingerprint,
+    shingles,
+    tokens,
+)
+
+
+def exact_dedup_groups(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact-duplicate groups: md5 of normalized text → (text_hash, n_docs,
+    min_doc_id). Normalization = lower + trim (whitespace-insensitive
+    variants are a caller concern). One shuffle with map-side combine."""
+    h = F.md5(F.lower(F.trim(F.col(text_col))))
+    return (
+        docs.select(F.col(id_col), h.alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(F.count("*").alias("n_docs"), F.min(id_col).alias("min_doc_id"))
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Per-document MinHash signature columns mh_0..mh_{k-1} over word
+    n-gram shingles. Entirely narrow (no explode, no shuffle): each
+    component is array_min(transform(shingles, md5(i||s)))."""
+    sh = F.array_distinct(shingles(F.col(text_col), shingle_n))
+    return docs.select(
+        F.col(id_col), *md5_minhash_cols(sh, num_hashes)
+    )
+
+
+def lsh_neardup_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Candidate near-duplicate pairs sharing ≥1 LSH band bucket.
+
+    rows_per_band = num_hashes / bands; the Jaccard S-curve midpoint is
+    ≈ (1/bands)^(bands/num_hashes). Output: distinct (id_a < id_b)."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(docs, id_col, text_col, num_hashes, shingle_n)
+    mh_cols = [f"mh_{i}" for i in range(num_hashes)]
+    banded = sig.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.array(*[band_key(mh_cols, b, rows_per_band) for b in range(bands)])
+        ).alias("bucket"),
+    )
+    sizes = banded.groupBy("bucket").agg(F.count("*").alias("_n"))
+    banded = banded.join(
+        F.broadcast(sizes.filter(F.col("_n") <= max_bucket).select("bucket")), "bucket"
+    )
+    a, b = banded.alias("x"), banded.alias("y")
+    return (
+        a.join(b, (F.col("x.bucket") == F.col("y.bucket")) & (F.col("x.id") < F.col("y.id")))
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    pairs: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.0,
+    num_hashes: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """Exact word-n-gram Jaccard similarity for candidate pairs.
+
+    ``pairs`` defaults to LSH blocking output — exact verification of
+    approximate candidates, the standard two-phase near-dup design. The
+    Jaccard itself is set algebra on shingle arrays (array_intersect /
+    array_union sizes), JVM-side."""
+    if pairs is None:
+        pairs = lsh_neardup_pairs(
+            docs, id_col, text_col, num_hashes=num_hashes, bands=bands, shingle_n=shingle_n
+        )
+    sh = docs.select(
+        F.col(id_col).alias("_id"),
+        F.array_distinct(shingles(F.col(text_col), shingle_n)).alias("_sh"),
+    )
+    out = (
+        pairs.join(sh.withColumnRenamed("_id", "id_a").withColumnRenamed("_sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed("_id", "id_b").withColumnRenamed("_sh", "sh_b"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.greatest(F.size(F.array_union("sh_a", "sh_b")), F.lit(1))
+            ).alias("jaccard"),
+        )
+    )
+    return out.filter(F.col("jaccard") >= threshold)
+
+
+def simhash_fingerprints(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """64-bit (60 effective) SimHash per document — bit algebra over token
+    arrays, no Python."""
+    return docs.select(F.col(id_col), simhash64(tokens(F.col(text_col))).alias("simhash"))
+
+
+def simhash_neardup_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 6,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance ≤ max_hamming.
+
+    Blocking: split the fingerprint into ``bands`` bit-bands; by pigeonhole
+    any pair within distance < bands shares at least one exact band, so a
+    band-equality self-join finds all such pairs without O(n²)."""
+    width = 60 // bands
+    fp = simhash_fingerprints(docs, id_col, text_col)
+    banded = fp.select(
+        F.col(id_col).alias("id"),
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        ":",
+                        F.lit(str(b)),
+                        F.shiftright(F.col("simhash"), b * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .cast("string"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bucket"),
+    )
+    a, b = banded.alias("x"), banded.alias("y")
+    return (
+        a.join(b, (F.col("x.bucket") == F.col("y.bucket")) & (F.col("x.id") < F.col("y.id")))
+        .select(
+            F.col("x.id").alias("id_a"),
+            F.col("y.id").alias("id_b"),
+            hamming64(F.col("x.simhash"), F.col("y.simhash")).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+def doc_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-document text analysis: token counts, quality features,
+    language-ID heuristic, winnowing fingerprint. One narrow projection."""
+    t = F.col(text_col)
+    return docs.select(
+        F.col(id_col),
+        F.size(tokens(t)).cast("long").alias("n_tokens"),
+        bpe_ish_token_count(t).alias("bpe_tokens"),
+        *quality_features(t),
+        langid_scores(t),
+        rolling_fingerprint(t),
+    )

@@ -1,0 +1,110 @@
+"""Tests for the training-data curation operators (docops) and
+similarity search — exact dedup, MinHash/LSH, SimHash, n-gram Jaccard,
+text analysis, brute-force + LSH-bucketed ANN."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphforge_spark.operators import docops, similarity
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (1, "the quick brown fox jumps over the lazy dog near the river bank"),  # exact dup of 0
+    (2, "the quick brown fox jumps over the lazy dog near the river delta"),  # near dup of 0
+    (3, "completely different content about spark shuffle partitions and executors"),
+    (4, "der hund und die katze ist nicht ein zu der haus und der garten"),  # german-ish
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_dedup(docs):
+    groups = {r.text_hash: r for r in docops.exact_dedup_groups(docs).collect()}
+    sizes = sorted(r.n_docs for r in groups.values())
+    assert sizes == [1, 1, 1, 2]
+    dup = [r for r in groups.values() if r.n_docs == 2][0]
+    assert dup.min_doc_id == 0
+
+
+def test_minhash_determinism_and_similarity(docs):
+    sig1 = {r.doc_id: (r.mh_0, r.mh_1, r.mh_2, r.mh_3) for r in
+            docops.minhash_signatures(docs, num_hashes=4).collect()}
+    sig2 = {r.doc_id: (r.mh_0, r.mh_1, r.mh_2, r.mh_3) for r in
+            docops.minhash_signatures(docs, num_hashes=4).collect()}
+    assert sig1 == sig2  # deterministic
+    assert sig1[0] == sig1[1]  # identical docs → identical signatures
+    # near-dup shares more components with 0 than the unrelated doc does
+    shared_near = sum(a == b for a, b in zip(sig1[0], sig1[2]))
+    shared_far = sum(a == b for a, b in zip(sig1[0], sig1[3]))
+    assert shared_near >= shared_far
+
+
+def test_lsh_and_jaccard(docs):
+    pairs = {(r.id_a, r.id_b) for r in docops.lsh_neardup_pairs(docs).collect()}
+    assert (0, 1) in pairs  # exact dups always collide in every band
+    jac = {(r.id_a, r.id_b): r.jaccard for r in
+           docops.ngram_jaccard_pairs(docs, threshold=0.0).collect()}
+    assert jac[(0, 1)] == 1.0
+    if (0, 2) in jac:
+        assert 0.0 < jac[(0, 2)] < 1.0
+
+
+def test_simhash(docs):
+    fp = {r.doc_id: r.simhash for r in docops.simhash_fingerprints(docs).collect()}
+    assert fp[0] == fp[1]
+    def ham(a, b):
+        return bin(a ^ b).count("1")
+    assert ham(fp[0], fp[2]) < ham(fp[0], fp[3])
+    pairs = {(r.id_a, r.id_b): r.hamming for r in
+             docops.simhash_neardup_pairs(docs, max_hamming=0).collect()}
+    assert pairs[(0, 1)] == 0
+
+
+def test_doc_stats(docs):
+    rows = {r.doc_id: r for r in docops.doc_stats(docs).collect()}
+    r0 = rows[0]
+    assert r0.n_tokens == 13
+    assert r0.n_words == 13
+    assert r0.lang_pred == "en"
+    assert rows[4].lang_pred == "de"
+    assert abs(r0.stopword_ratio - 3 / 13) < 1e-3
+    assert len(r0.fingerprint) == 4 * 32
+    # identical docs → identical fingerprints
+    assert rows[0].fingerprint == rows[1].fingerprint
+
+
+VECS = [
+    (0, [1.0, 0.0, 0.0, 0.0]),
+    (1, [0.9, 0.1, 0.0, 0.0]),   # closest to 0
+    (2, [0.0, 1.0, 0.0, 0.0]),
+    (3, [0.0, 0.95, 0.05, 0.0]),  # closest to 2
+    (4, [-1.0, 0.0, 0.0, 0.0]),   # opposite of 0
+]
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    return spark.createDataFrame(VECS, "vec_id long, embedding array<float>")
+
+
+def test_cosine_topk(vecs):
+    out = similarity.cosine_topk(vecs, vecs.filter(F.col("vec_id") == 0), k=2)
+    rows = sorted(out.collect(), key=lambda r: r.rank)
+    assert [r.neighbor_id for r in rows] == [1, 2]
+    assert rows[0].sim == pytest.approx(0.9 / math.sqrt(0.81 + 0.01), rel=1e-6)
+    # sims are monotone in rank and self-match excluded
+    assert all(r.neighbor_id != 0 for r in rows)
+
+
+def test_lsh_bucketed_topk_subset_of_exact(vecs):
+    exact = similarity.cosine_topk(vecs, vecs, k=4)
+    approx = similarity.lsh_bucketed_topk(vecs, vecs, dim=4, k=4, n_planes=2)
+    ex = {(r.query_id, r.neighbor_id): r.sim for r in exact.collect()}
+    for r in approx.collect():
+        assert (r.query_id, r.neighbor_id) in ex
+        assert r.sim == pytest.approx(ex[(r.query_id, r.neighbor_id)], abs=1e-12)
