@@ -75,17 +75,20 @@ def simhash64(token_array: Column) -> Column:
     def tok_hash(t):
         return F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
 
-    # per-bit vote counts: aggregate tokens into an array of 60 counters.
-    # Bit positions are Python-level constants (shiftright needs an int,
-    # not a Column), so the per-token bit vector is a literal-indexed array.
+    # Hash each token ONCE up front (folding over raw tokens would re-run
+    # the md5 inside every per-bit expression — 60× the hashing work),
+    # then fold the per-bit vote counters over the hash array. Bit
+    # positions are Python-level constants (shiftright needs an int, not a
+    # Column), so the per-token bit vector is a literal-indexed array.
+    hashes = F.transform(token_array, tok_hash)
     counters = F.aggregate(
-        token_array,
+        hashes,
         F.array_repeat(F.lit(0).cast("long"), 60),
-        lambda acc, t: F.zip_with(
+        lambda acc, h: F.zip_with(
             acc,
             F.array(
                 *[
-                    F.shiftright(tok_hash(t), b).bitwiseAND(F.lit(1).cast("long"))
+                    F.shiftright(h, b).bitwiseAND(F.lit(1).cast("long"))
                     for b in range(60)
                 ]
             ),

@@ -69,6 +69,15 @@ def connected_components(
             .groupBy("id")
             .agg(F.min("component").alias("component"))
         )
+        # pointer-jump (path halving): comp(v) := comp(comp(v)). Each round
+        # then shortens label chains by ~2×, so convergence is O(log
+        # diameter) rounds instead of O(diameter) — and round count is the
+        # cost model for iterative Spark jobs (a shuffle per round).
+        lk = prop.select(F.col("id").alias("_cid"), F.col("component").alias("_cc"))
+        prop = (
+            prop.join(lk, prop.component == lk._cid, "left")
+            .select("id", F.least("component", "_cc").alias("component"))
+        )
         if (i + 1) % checkpoint_every == 0:
             prop = _ckpt(prop)
         # convergence: no vertex changed label

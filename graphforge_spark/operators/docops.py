@@ -64,11 +64,16 @@ def minhash_signatures(
 ) -> DataFrame:
     """Per-document MinHash signature columns mh_0..mh_{k-1} over word
     n-gram shingles. Entirely narrow (no explode, no shuffle): each
-    component is array_min(transform(shingles, md5(i||s)))."""
-    sh = F.array_distinct(shingles(F.col(text_col), shingle_n))
-    return docs.select(
-        F.col(id_col), *md5_minhash_cols(sh, num_hashes)
+    component is array_min(transform(shingles, md5(i||s))).
+
+    The shingle array is materialized behind its own projection so the k
+    signature columns share ONE shingle construction — CollapseProject
+    keeps non-cheap expressions un-inlined, so inlining it k times (the
+    one-select version) costs k× the tokenize/shingle work per row."""
+    base = docs.select(
+        F.col(id_col), F.array_distinct(shingles(F.col(text_col), shingle_n)).alias("_sh")
     )
+    return base.select(F.col(id_col), *md5_minhash_cols(F.col("_sh"), num_hashes))
 
 
 def lsh_neardup_pairs(
@@ -93,16 +98,39 @@ def lsh_neardup_pairs(
             F.array(*[band_key(mh_cols, b, rows_per_band) for b in range(bands)])
         ).alias("bucket"),
     )
-    sizes = banded.groupBy("bucket").agg(F.count("*").alias("_n"))
-    banded = banded.join(
-        F.broadcast(sizes.filter(F.col("_n") <= max_bucket).select("bucket")), "bucket"
+    return bucket_pairs(banded, max_bucket)
+
+
+def bucket_pairs(banded: DataFrame, max_bucket: int, id_col: str = "id") -> DataFrame:
+    """Distinct (id_a < id_b) pairs sharing a bucket — ONE shuffle.
+
+    groupBy(bucket) + collect_list + in-array pair generation computes the
+    (expensive) bucket input exactly once, unlike a banded self-join which
+    re-evaluates it for the size cap and both join sides. Buckets larger
+    than ``max_bucket`` are dropped (the degenerate-hot-bucket guard);
+    within-bucket pair expansion is bounded by max_bucket² per group."""
+    buckets = (
+        banded.groupBy("bucket")
+        .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
     )
-    a, b = banded.alias("x"), banded.alias("y")
-    return (
-        a.join(b, (F.col("x.bucket") == F.col("y.bucket")) & (F.col("x.id") < F.col("y.id")))
-        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
-        .distinct()
+    pairs = buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ids"),
+                    lambda a, i: F.transform(
+                        # elements strictly after position i (1-based slice)
+                        F.slice(
+                            F.col("ids"), i + 2, F.greatest(F.size("ids") - i - 1, F.lit(0))
+                        ),
+                        lambda b: F.struct(a.alias("id_a"), b.alias("id_b")),
+                    ),
+                )
+            )
+        ).alias("p")
     )
+    return pairs.select(F.col("p.id_a"), F.col("p.id_b")).distinct()
 
 
 def ngram_jaccard_pairs(
@@ -129,17 +157,21 @@ def ngram_jaccard_pairs(
         F.col(id_col).alias("_id"),
         F.array_distinct(shingles(F.col(text_col), shingle_n)).alias("_sh"),
     )
-    out = (
-        pairs.join(sh.withColumnRenamed("_id", "id_a").withColumnRenamed("_sh", "sh_a"), "id_a")
-        .join(sh.withColumnRenamed("_id", "id_b").withColumnRenamed("_sh", "sh_b"), "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            (
-                F.size(F.array_intersect("sh_a", "sh_b"))
-                / F.greatest(F.size(F.array_union("sh_a", "sh_b")), F.lit(1))
-            ).alias("jaccard"),
-        )
+    # Join order matters at scale: the candidate-pair set (bounded by LSH
+    # banding + max_bucket) is the small side — broadcast it and STREAM the
+    # shingle table, so the per-document arrays are never shuffled. A
+    # sort-merge join here shuffles every shingle array twice and dominates
+    # the whole operator's runtime.
+    a = sh.join(F.broadcast(pairs), sh._id == pairs.id_a).select(
+        "id_a", "id_b", F.col("_sh").alias("sh_a")
+    )
+    out = sh.join(F.broadcast(a), sh._id == a.id_b).select(
+        "id_a",
+        "id_b",
+        (
+            F.size(F.array_intersect("sh_a", F.col("_sh")))
+            / F.greatest(F.size(F.array_union("sh_a", F.col("_sh"))), F.lit(1))
+        ).alias("jaccard"),
     )
     return out.filter(F.col("jaccard") >= threshold)
 

@@ -336,66 +336,73 @@ def _apply_template(col, template: str | None):
     return F.concat(F.lit(pre), slug, *( [F.lit(post)] if post else [] ))
 
 
+def _rule_matches(r: PatternRule, text_col: str):
+    """Array of (s, p, o) structs for one rule — templates applied inside
+    the transform so rule identity never needs to survive past this column.
+
+    Strategy: ONE full-text regex pass per rule (``regexp_extract_all(..., 0)``
+    for the whole match), then per-match group re-extraction on the short
+    match string — half the full-text regex work of extracting each group
+    separately. Leftmost non-overlapping match semantics, identical to the
+    DuckDB oracle's regexp_extract_all.
+    """
+    import re as _re
+
+    n_groups = _re.compile(r.pattern).groups
+    full = F.regexp_extract_all(F.col(text_col), F.lit(r.pattern), 0)
+    if n_groups >= 2:
+        return F.transform(
+            full,
+            lambda m: F.struct(
+                _apply_template(F.regexp_extract(m, r.pattern, 1), r.subj_template).alias("s"),
+                F.lit(r.pred).alias("p"),
+                _apply_template(F.regexp_extract(m, r.pattern, 2), r.obj_template).alias("o"),
+            ),
+        )
+    # single-group rules: the match is the OBJECT; subject is the turn's
+    # blank node (deterministic per-turn blank label, resolved post-explode).
+    return F.transform(
+        full,
+        lambda m: F.struct(
+            F.lit("").alias("s"),
+            F.lit(r.pred).alias("p"),
+            _apply_template(F.regexp_extract(m, r.pattern, 1), r.obj_template).alias("o"),
+        ),
+    )
+
+
 def extract_patterns(
     df: DataFrame, rules: list[PatternRule] | None = None, text_col: str = "text"
 ) -> DataFrame:
-    """Apply every rule to every turn, union the matches. JVM-only.
+    """Apply every rule to every turn in a SINGLE pass. JVM-only.
 
-    Each rule compiles to ``regexp_extract_all(text, pattern, k)`` for
-    k=1,2 zipped via arrays_zip — leftmost non-overlapping match semantics,
-    identical to the DuckDB oracle's regexp_extract_all. Subject of a
-    match missing a subject group value falls back to '_:blank'
+    All rules' match arrays are concatenated per row and exploded once —
+    one scan of the input, one generator, no per-rule union (the naive
+    union plan re-scans the input once per rule and multiplies every
+    upstream shuffle by the rule count). Subject of a match with no
+    subject group falls back to a deterministic per-turn blank label
     (graphProcessor.js:218 analog).
     """
     rules = rules or DEFAULT_RULES
-    parts = []
-    for r in rules:
-        n_groups = __import__("re").compile(r.pattern).groups
-        subj_raw = F.regexp_extract_all(F.col(text_col), F.lit(r.pattern), 1)
-        if n_groups >= 2:
-            obj_raw = F.regexp_extract_all(F.col(text_col), F.lit(r.pattern), 2)
-            zipped = F.arrays_zip(subj_raw.alias("s"), obj_raw.alias("o"))
-        else:
-            # single-group rules: the match is the OBJECT; subject is the
-            # turn's blank node (deterministic per-turn blank label).
-            zipped = F.transform(
-                subj_raw, lambda m: F.struct(F.lit("").alias("s"), m.alias("o"))
-            )
-        part = (
-            df.select(
-                F.col("conv_id").alias("src_conv_id"),
-                F.col("turn_idx").alias("src_turn_idx"),
-                F.explode(zipped).alias("m"),
-            )
-            .select(
-                "src_conv_id",
-                "src_turn_idx",
-                F.col("m.s").alias("_subj_raw"),
-                F.col("m.o").alias("_obj_raw"),
-            )
-            .select(
-                F.when(
-                    F.col("_subj_raw") == "",
-                    F.concat_ws(
-                        "", F.lit("_:b_"), F.col("src_conv_id"), F.lit("_"), F.col("src_turn_idx")
-                    ),
-                )
-                .otherwise(_apply_template(F.col("_subj_raw"), r.subj_template))
-                .alias("subj"),
-                F.lit(r.pred).alias("pred"),
-                _apply_template(F.col("_obj_raw"), r.obj_template).alias("obj"),
-                "src_conv_id",
-                "src_turn_idx",
-            )
+    arrays = [_rule_matches(r, text_col) for r in rules]
+    matches = F.concat(*arrays) if len(arrays) > 1 else arrays[0]
+    exploded = df.select(
+        F.col("conv_id").alias("src_conv_id"),
+        F.col("turn_idx").alias("src_turn_idx"),
+        F.explode(matches).alias("m"),
+    )
+    return exploded.select(
+        F.when(
+            F.col("m.s") == "",
+            F.concat_ws(
+                "", F.lit("_:b_"), F.col("src_conv_id"), F.lit("_"), F.col("src_turn_idx")
+            ),
         )
-        parts.append(part)
-
-    unioned = reduce(DataFrame.unionByName, parts)
-    return unioned.select(
-        "subj",
-        "pred",
-        "obj",
-        (~F.col("obj").startswith("http")).alias("obj_is_literal"),
+        .otherwise(F.col("m.s"))
+        .alias("subj"),
+        F.col("m.p").alias("pred"),
+        F.col("m.o").alias("obj"),
+        (~F.col("m.o").startswith("http")).alias("obj_is_literal"),
         F.col("src_conv_id").alias("graph"),
         "src_conv_id",
         "src_turn_idx",
