@@ -42,6 +42,12 @@ def get_spark(
         .config("spark.sql.constraintPropagation.enabled", "false")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # Throughput GC: G1 (the JDK17 default) costs this allocation-heavy
+        # string workload ~30% per-core and collapses multi-core scaling
+        # (measured: extraction scales 2.6x across 4x cores under G1,
+        # 3.75x under ParallelGC). Batch jobs don't need G1's pause goals.
+        .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
+        .config("spark.executor.extraJavaOptions", "-XX:+UseParallelGC")
     )
     if shuffle_partitions is not None:
         builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
