@@ -204,7 +204,67 @@ def q_ann_cosine_topk(spark, sf_dir):
     return similarity.cosine_topk(vecs, queries, k=3)
 
 
+def q_events_tumbling_window(spark, sf_dir):
+    ev = corpus.load(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("hour_epoch"),
+        "event_type",
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+    )
+
+
+def q_events_sessionize(spark, sf_dir):
+    ev = corpus.load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    base = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.lag(F.col("ts").cast("timestamp").cast("double")).over(w).alias("_prev_epoch"),
+    )
+    flagged = base.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.col("ts").cast("timestamp").cast("double") - F.col("_prev_epoch") > 1800, 1)
+        .otherwise(0)
+        .alias("flag"),
+    )
+    w2 = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return flagged.select(
+        "event_id", "user_id", F.sum("flag").over(w2).cast("int").alias("session_idx")
+    )
+
+
+def q_events_json_props(spark, sf_dir):
+    ev = corpus.load(spark, sf_dir, "events")
+    return ev.select(
+        "event_id", F.get_json_object("props", "$.k").cast("int").alias("k")
+    )
+
+
+def q_curie_expand(spark, sf_dir):
+    from graphforge_spark.functions.terms import expand_curie
+
+    t = extract_rdfxml(corpus.derive_rdfxml_transcripts(spark, sf_dir))
+    return t.select(
+        "subj", expand_curie(F.col("pred")).alias("pred"), "obj"
+    ).distinct()
+
+
 # ---- rows-only checks (non-SQL-expressible: iterative / Python-side) ------
+
+
+def q_select_star_limit(spark, sf_dir):
+    from graphforge_spark.plans.bgp import select_star_limit
+
+    return select_star_limit(_set_graph(spark, sf_dir), 50)
 
 def q_simhash_neardup(spark, sf_dir):
     return docops.simhash_neardup_pairs(
@@ -268,6 +328,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_neardup_pairs": q_lsh_neardup,
         "ngram_jaccard": q_ngram_jaccard,
         "ann_cosine_topk": q_ann_cosine_topk,
+        "events_tumbling_window": q_events_tumbling_window,
+        "events_sessionize": q_events_sessionize,
+        "events_json_props": q_events_json_props,
+        "curie_expand": q_curie_expand,
+        "select_star_limit": q_select_star_limit,
         "simhash_neardup": q_simhash_neardup,
         "ann_lsh_topk": q_ann_lsh_topk,
         "link_entities": q_link_entities,
@@ -573,7 +638,57 @@ def oracle_sql() -> dict[str, str]:
                   FROM scored)
             WHERE rn <= 3
         """,
-        # simhash_neardup, ann_lsh_topk, link_entities: rows-only
-        # (iterative / Python-batched / seeded-hyperplane logic — documented
-        # as non-SQL-expressible; the driver records the weaker check).
+        "events_tumbling_window": """
+            SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+                   event_type,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+            FROM events GROUP BY 1, 2
+        """,
+        "events_sessionize": """
+            WITH x AS (
+              SELECT event_id, user_id, ts,
+                     CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                          THEN 1 ELSE 0 END AS flag
+              FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            )
+            SELECT event_id, user_id,
+                   CAST(sum(flag) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS INT) AS session_idx
+            FROM x
+        """,
+        "events_json_props": """
+            SELECT event_id,
+                   CAST(json_extract_string(props, '$.k') AS INT) AS k
+            FROM events
+        """,
+        "curie_expand": """
+            WITH p AS (
+              SELECT CAST(p_partkey AS VARCHAR) AS k, p_name,
+                     'http://ex.org/c/Part_' || CAST(p_partkey AS VARCHAR) AS class_iri,
+                     'http://ex.org/b/' || replace(p_brand, '#', '_') AS brand_iri
+              FROM part
+            )
+            SELECT DISTINCT * FROM (
+              SELECT class_iri AS subj,
+                     'http://www.w3.org/2000/01/rdf-schema#label' AS pred,
+                     p_name AS obj FROM p
+              UNION ALL
+              SELECT class_iri,
+                     'http://www.w3.org/2000/01/rdf-schema#subClassOf',
+                     brand_iri FROM p
+              UNION ALL
+              SELECT 'http://ex.org/m/Part_' || k || '_0',
+                     'http://www.w3.org/1999/02/22-rdf-syntax-ns#type',
+                     class_iri FROM p
+              UNION ALL
+              SELECT 'http://ex.org/m/Part_' || k || '_1',
+                     'http://www.w3.org/1999/02/22-rdf-syntax-ns#type',
+                     class_iri FROM p)
+        """,
+        # select_star_limit, simhash_neardup, ann_lsh_topk, link_entities:
+        # rows-only (LIMIT-without-ORDER row content is engine-dependent;
+        # the rest are iterative / Python-batched / seeded-hyperplane logic
+        # — documented as non-SQL-expressible; driver records the weaker
+        # check).
     }

@@ -1,0 +1,152 @@
+"""Multimodal columns: image/audio/video as opaque binary with typed
+metadata, processed by Arrow-batched Pandas functions.
+
+At 100 TB a training-data pipeline carries media alongside text. The
+Spark-side design here is fully real — schemas, partitioning, mapInPandas
+batch shape, deterministic outputs — while the actual codec step is
+gated: decoders (PIL / soundfile / av) are not available in this
+container, so ``decode_*`` fall back to a clearly-marked deterministic
+fake derived from the payload bytes (and raise ``NotImplementedError``
+when ``strict=True``). Swapping in a real codec changes ONE function
+body, none of the distributed plumbing.
+
+Layout rules that matter at scale:
+- media rows are WIDE (payload bytes) — keep them in their own table,
+  join features back by id; never groupBy/shuffle payload columns;
+- decode runs in ``mapInPandas`` so each Arrow batch amortizes the
+  Python crossing; batch size is bounded by
+  ``spark.sql.execution.arrow.maxRecordsPerBatch`` (set in session.py)
+  to keep executor-side Python memory flat;
+- feature vectors come out as ``array<float>`` ready for
+  operators/similarity.py (ANN top-k) — media dedup = embedding
+  near-dup search.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),  # image | audio | video
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("meta", T.MapType(T.StringType(), T.StringType())),
+    ]
+)
+
+FEATURE_DIM = 16
+
+
+def synth_media(spark: SparkSession, n: int, kinds=("image", "audio", "video")) -> DataFrame:
+    """Deterministic synthetic media table: payload = repeated md5 bytes of
+    the id (opaque, incompressible-ish, seed-free), metadata typed per
+    kind. JVM-side generation — no Python, any scale."""
+    kind = F.element_at(
+        F.array(*[F.lit(k) for k in kinds]), (F.col("id") % len(kinds) + 1).cast("int")
+    )
+    payload = F.unhex(
+        F.concat(*[F.md5(F.concat(F.lit(f"{i}:"), F.col("id").cast("string"))) for i in range(8)])
+    )  # 8 × 16 bytes = 128-byte payload
+    meta = F.map_from_arrays(
+        F.array(F.lit("width"), F.lit("height"), F.lit("duration_ms")),
+        F.array(
+            ((F.col("id") % 64) * 16 + 64).cast("string"),
+            ((F.col("id") % 48) * 16 + 64).cast("string"),
+            ((F.col("id") % 1000) * 40).cast("string"),
+        ),
+    )
+    return spark.range(n).select(
+        F.col("id").alias("media_id"), kind.alias("kind"), payload.alias("payload"), meta.alias("meta")
+    )
+
+
+def _fake_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
+    """Deterministic stand-in for a real encoder: dim floats in [-1, 1)
+    derived from the payload digest. STUB — replace with a real model
+    forward pass when codecs/weights are available."""
+    out: list[float] = []
+    ctr = 0
+    while len(out) < dim:
+        h = hashlib.md5(payload + ctr.to_bytes(2, "big")).digest()
+        out.extend(int.from_bytes(h[i : i + 2], "big") / 32768.0 - 1.0 for i in range(0, 16, 2))
+        ctr += 1
+    return out[:dim]
+
+
+def decode_and_featurize(
+    media: DataFrame, dim: int = FEATURE_DIM, strict: bool = False
+) -> DataFrame:
+    """media → (media_id, kind, n_bytes, features array<float>).
+
+    The decode step is stubbed (see module docstring): ``strict=True``
+    raises NotImplementedError exactly where a real decoder would run,
+    proving the gate; default mode emits deterministic fake features so
+    the full distributed path (Arrow batches → features → ANN) is
+    testable end-to-end."""
+    schema = f"media_id long, kind string, n_bytes long, features array<float>"
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            if strict:
+                raise NotImplementedError(
+                    "real image/audio/video decoders are not available in "
+                    "this environment; deterministic fake features are the "
+                    "default path"
+                )
+            rows = {
+                "media_id": pdf["media_id"],
+                "kind": pdf["kind"],
+                "n_bytes": pdf["payload"].map(len),
+                "features": pdf["payload"].map(lambda b: _fake_features(bytes(b), dim)),
+            }
+            yield pd.DataFrame(rows)
+
+    return media.select("media_id", "kind", "payload").mapInPandas(batches, schema=schema)
+
+
+def frame_sample(media: DataFrame, every: int = 32, max_frames: int = 8) -> DataFrame:
+    """Video frame sampling, Spark-side: slice the payload into fixed
+    strides and emit one row per sampled 'frame' chunk. With a real
+    container format the stride becomes a PTS step inside the decode UDF;
+    the explode/row-shape contract stays identical."""
+    frames = F.transform(
+        F.sequence(
+            F.lit(0),
+            F.least(
+                F.floor((F.length("payload") - 1) / every).cast("int"), F.lit(max_frames - 1)
+            ),
+        ),
+        lambda i: F.struct(
+            i.cast("int").alias("frame_idx"),
+            F.substring(F.col("payload"), i * every + 1, every).alias("frame_bytes"),
+        ),
+    )
+    return (
+        media.filter(F.col("kind") == "video")
+        .select("media_id", F.explode(frames).alias("f"))
+        .select("media_id", F.col("f.frame_idx"), F.col("f.frame_bytes"))
+    )
+
+
+def resize_meta(media: DataFrame, max_side: int = 256) -> DataFrame:
+    """Image resize planning: compute target dims from metadata JVM-side
+    (the byte-level resample lives in the decode UDF). Demonstrates typed
+    metadata access over the map column."""
+    w = F.col("meta")["width"].cast("int")
+    h = F.col("meta")["height"].cast("int")
+    scale = F.least(F.lit(1.0), F.lit(max_side) / F.greatest(w, h))
+    return media.filter(F.col("kind") == "image").select(
+        "media_id",
+        w.alias("width"),
+        h.alias("height"),
+        F.round(w * scale).cast("int").alias("target_width"),
+        F.round(h * scale).cast("int").alias("target_height"),
+    )

@@ -1,0 +1,72 @@
+"""Multimodal plumbing: synthetic media table, Arrow-batched
+decode/featurize (deterministic fake), frame sampling, resize planning,
+and the features → ANN integration."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphforge_spark.operators import multimodal, similarity
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    return multimodal.synth_media(spark, 60)
+
+
+def test_synth_media_shape(media):
+    rows = media.collect()
+    assert len(rows) == 60
+    r = rows[0]
+    assert r.kind in ("image", "audio", "video")
+    assert len(bytes(r.payload)) == 128
+    assert set(r.meta) == {"width", "height", "duration_ms"}
+    # deterministic across evaluations
+    assert media.collect() == rows
+
+
+def test_decode_and_featurize(media):
+    feats = multimodal.decode_and_featurize(media).collect()
+    assert len(feats) == 60
+    by_id = {r.media_id: r for r in feats}
+    assert by_id[0].n_bytes == 128
+    assert len(by_id[0].features) == multimodal.FEATURE_DIM
+    assert all(-1.0 <= v < 1.0 for v in by_id[0].features)
+    # determinism: same payload → same features
+    again = {r.media_id: r.features for r in multimodal.decode_and_featurize(media).collect()}
+    assert again == {r.media_id: r.features for r in feats}
+
+
+def test_strict_mode_gates_real_decoder(media):
+    from py4j.protocol import Py4JJavaError
+
+    with pytest.raises(Exception) as ei:
+        multimodal.decode_and_featurize(media, strict=True).collect()
+    assert "NotImplementedError" in str(ei.value) or "decoders" in str(ei.value)
+
+
+def test_frame_sample(media):
+    frames = multimodal.frame_sample(media, every=32, max_frames=4).collect()
+    vids = {r.media_id for r in frames}
+    assert vids  # some videos exist
+    per = [r for r in frames if r.media_id == min(vids)]
+    assert [r.frame_idx for r in sorted(per, key=lambda r: r.frame_idx)] == list(range(4))
+    assert all(len(bytes(r.frame_bytes)) == 32 for r in per)
+
+
+def test_resize_meta(media):
+    rows = multimodal.resize_meta(media, max_side=256).collect()
+    for r in rows:
+        assert max(r.target_width, r.target_height) <= 256
+        # aspect ratio preserved within rounding
+        if r.width >= r.height:
+            assert r.target_width == min(r.width, 256)
+
+
+def test_features_feed_ann(media, spark):
+    feats = multimodal.decode_and_featurize(media).select(
+        F.col("media_id").alias("vec_id"), F.col("features").alias("embedding")
+    )
+    out = similarity.cosine_topk(feats, feats.filter(F.col("vec_id") < 3), k=2)
+    rows = out.collect()
+    assert len(rows) == 6  # 3 queries × k=2
+    assert all(r.neighbor_id != r.query_id for r in rows)
