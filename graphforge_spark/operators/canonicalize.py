@@ -39,6 +39,7 @@ def connected_components(
     dst: str = "dst",
     max_iterations: int = 25,
     checkpoint_every: int = 1,
+    salt: int = 0,
 ) -> DataFrame:
     """Return (id, component) where component is the lexicographic min
     member id of each connected component — the canonical id.
@@ -60,11 +61,20 @@ def connected_components(
     )
     labels = _ckpt(labels)
 
+    from graphforge_spark.functions.skew import salted_join
+
     for i in range(max_iterations):
-        # propagate: candidate label for b is label(a) for every edge (a,b)
+        # propagate: candidate label for b is label(a) for every edge (a,b).
+        # Edge side is the skewed one (a hub vertex appears in millions of
+        # edge rows; labels has exactly one row per vertex) → salt it when
+        # requested; AQE skew-split covers the moderate cases.
+        joined = (
+            salted_join(sym, labels, "a", "id", salt)
+            if salt > 1
+            else sym.join(labels, sym.a == labels.id, "inner")
+        )
         prop = (
-            sym.join(labels, sym.a == labels.id, "inner")
-            .select(F.col("b").alias("id"), F.col("component"))
+            joined.select(F.col("b").alias("id"), F.col("component"))
             .union(labels.select("id", "component"))
             .groupBy("id")
             .agg(F.min("component").alias("component"))
@@ -72,12 +82,15 @@ def connected_components(
         # pointer-jump (path halving): comp(v) := comp(comp(v)). Each round
         # then shortens label chains by ~2×, so convergence is O(log
         # diameter) rounds instead of O(diameter) — and round count is the
-        # cost model for iterative Spark jobs (a shuffle per round).
+        # cost model for iterative Spark jobs (a shuffle per round). The
+        # component key grows hot as clusters converge (every member joins
+        # on the same component id) → same salting treatment.
         lk = prop.select(F.col("id").alias("_cid"), F.col("component").alias("_cc"))
         prop = (
-            prop.join(lk, prop.component == lk._cid, "left")
-            .select("id", F.least("component", "_cc").alias("component"))
-        )
+            salted_join(prop, lk, "component", "_cid", salt, "left")
+            if salt > 1
+            else prop.join(lk, prop.component == lk._cid, "left")
+        ).select("id", F.least("component", "_cc").alias("component"))
         if (i + 1) % checkpoint_every == 0:
             prop = _ckpt(prop)
         # convergence: no vertex changed label
@@ -97,11 +110,13 @@ def connected_components(
 def canonical_mapping(edges: DataFrame, salt: int = 0) -> DataFrame:
     """(alias_id → canonical_id) mapping from equivalence edges.
 
-    ``salt`` is accepted for API completeness; min-label aggregation is
-    already map-side combinable so explicit salting is only needed for
-    the edge-join side, which AQE skew-split covers in practice.
+    ``salt`` > 1 turns on explicit key-salting for the two skewed joins
+    inside the CC loop (functions/skew.salted_join) — for the
+    single-pathological-hot-entity case the north_star calls out; the
+    min-label aggregation itself is map-side combinable and needs no
+    salting.
     """
-    cc = connected_components(edges)
+    cc = connected_components(edges, salt=salt)
     return cc.select(F.col("id").alias("alias_id"), F.col("component").alias("canonical_id"))
 
 
