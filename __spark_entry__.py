@@ -204,6 +204,11 @@ def q_ann_cosine_topk(spark, sf_dir):
     return similarity.cosine_topk(vecs, queries, k=3)
 
 
+def q_embedding_neardup(spark, sf_dir):
+    vecs = corpus.load(spark, sf_dir, "embeddings")
+    return similarity.cosine_neardup_pairs(vecs, threshold=0.35, max_ids=200)
+
+
 def q_events_tumbling_window(spark, sf_dir):
     ev = corpus.load(spark, sf_dir, "events")
     return ev.groupBy(
@@ -328,6 +333,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_neardup_pairs": q_lsh_neardup,
         "ngram_jaccard": q_ngram_jaccard,
         "ann_cosine_topk": q_ann_cosine_topk,
+        "embedding_neardup": q_embedding_neardup,
         "events_tumbling_window": q_events_tumbling_window,
         "events_sessionize": q_events_sessionize,
         "events_json_props": q_events_json_props,
@@ -637,6 +643,17 @@ def oracle_sql() -> dict[str, str]:
                     PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
                   FROM scored)
             WHERE rn <= 3
+        """,
+        "embedding_neardup": f"""
+            WITH v AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200),
+            scored AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     {_FOLD.format(a="a.embedding", b="b.embedding")} /
+                     (sqrt({_FOLD.format(a="a.embedding", b="a.embedding")}) *
+                      sqrt({_FOLD.format(a="b.embedding", b="b.embedding")})) AS sim
+              FROM v a JOIN v b ON a.vec_id < b.vec_id
+            )
+            SELECT * FROM scored WHERE sim >= 0.35
         """,
         "events_tumbling_window": """
             SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,

@@ -101,6 +101,35 @@ def lsh_bucket(vec_col, dim: int, n_planes: int = 8, seed: int = 42):
     return bucket
 
 
+def cosine_neardup_pairs(
+    vectors: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_ids: int | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a < id_b, sim ≥ threshold).
+
+    Exact O(n²/2) variant — correct baseline and the oracle-checkable one;
+    at corpus scale use ``lsh_bucket`` to block first (same scoring column,
+    bucket-equality join instead of the triangular cross join). ``max_ids``
+    bounds the id range for the exact pass."""
+    v = vectors.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    if max_ids is not None:
+        v = v.filter(F.col("_id") < max_ids)
+    a = v.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va"))
+    b = v.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            cosine_similarity(F.col("_va"), F.col("_vb")).alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+    )
+
+
 def lsh_bucketed_topk(
     vectors: DataFrame,
     queries: DataFrame,
