@@ -131,8 +131,12 @@ def _headline_queries():
     def doc_curation(spark, sf_dir):
         docs = corpus.load(spark, sf_dir, "documents")
         n = docops.doc_stats(docs).count()
-        n += docops.lsh_neardup_pairs(docs).count()
-        n += docops.ngram_jaccard_pairs(docs).count()
+        # share the LSH candidate set between the pair listing and the
+        # exact-Jaccard verify, as a real curation pipeline would
+        pairs = docops.lsh_neardup_pairs(docs).persist()
+        n += pairs.count()
+        n += docops.ngram_jaccard_pairs(docs, pairs=pairs).count()
+        pairs.unpersist()
         n += docops.simhash_neardup_pairs(docs, max_hamming=10).count()
         return n
 
