@@ -209,6 +209,42 @@ def q_embedding_neardup(spark, sf_dir):
     return similarity.cosine_neardup_pairs(vecs, threshold=0.35, max_ids=200)
 
 
+def _link_surfaces(spark, sf_dir):
+    cust = corpus.load(spark, sf_dir, "customer").filter(F.col("c_custkey") < 200)
+    base = F.replace(F.col("c_name"), F.lit("#"), F.lit("_"))
+    return (
+        cust.select(base.alias("surface"))
+        .union(cust.select(F.replace(base, F.lit("_"), F.lit(" ")).alias("surface")))
+        .union(cust.select(F.concat(base, F.lit(" Inc")).alias("surface")))
+        .distinct()
+    )
+
+
+def q_link_jaccard(spark, sf_dir):
+    """Linking candidate generation (MinHash/LSH blocking) + exact char-
+    3-gram Jaccard scoring — the oracle-checkable slice of the linking
+    path (the TF-IDF cosine refinement stays rows-only)."""
+    from graphforge_spark.operators.link import lsh_candidates, surface_shingles
+
+    surfaces = _link_surfaces(spark, sf_dir)
+    pairs = lsh_candidates(surfaces)
+    sh = surface_shingles(surfaces, "surface")
+    a = sh.select(F.col("surface").alias("surface_a"), F.col("_shingles").alias("sh_a"))
+    b = sh.select(F.col("surface").alias("surface_b"), F.col("_shingles").alias("sh_b"))
+    return (
+        pairs.join(a, "surface_a")
+        .join(b, "surface_b")
+        .select(
+            "surface_a",
+            "surface_b",
+            (
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.greatest(F.size(F.array_union("sh_a", "sh_b")), F.lit(1))
+            ).alias("jaccard"),
+        )
+    )
+
+
 def q_events_tumbling_window(spark, sf_dir):
     ev = corpus.load(spark, sf_dir, "events")
     return ev.groupBy(
@@ -334,6 +370,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "ann_cosine_topk": q_ann_cosine_topk,
         "embedding_neardup": q_embedding_neardup,
+        "link_jaccard": q_link_jaccard,
         "events_tumbling_window": q_events_tumbling_window,
         "events_sessionize": q_events_sessionize,
         "events_json_props": q_events_json_props,
@@ -654,6 +691,59 @@ def oracle_sql() -> dict[str, str]:
               FROM v a JOIN v b ON a.vec_id < b.vec_id
             )
             SELECT * FROM scored WHERE sim >= 0.35
+        """,
+        "link_jaccard": r"""
+            WITH surf AS (
+              SELECT DISTINCT surface FROM (
+                SELECT replace(c_name, '#', '_') AS surface
+                FROM customer WHERE c_custkey < 200
+                UNION ALL
+                SELECT replace(replace(c_name, '#', '_'), '_', ' ')
+                FROM customer WHERE c_custkey < 200
+                UNION ALL
+                SELECT replace(c_name, '#', '_') || ' Inc'
+                FROM customer WHERE c_custkey < 200)
+            ),
+            sh AS (
+              SELECT surface,
+                     list_distinct(list_transform(
+                       range(1, greatest(length(p) - 2, 1) + 1),
+                       i -> substr(p, CAST(i AS INT), 3))) AS grams
+              FROM (SELECT surface,
+                           ' ' || trim(regexp_replace(lower(surface),
+                                       '[^\pL\pN ]', '', 'g')) || ' ' AS p
+                    FROM surf)
+            ),
+            sig AS (
+              SELECT surface, """
+        + ", ".join(
+            f"list_min(list_transform(grams, g -> md5('{i}:' || g))) AS mh_{i}"
+            for i in range(12)
+        )
+        + """
+              FROM sh
+            ),
+            banded AS ("""
+        + " UNION ALL ".join(
+            f"SELECT surface, md5('{b}' || '|' || mh_{3*b} || '|' || mh_{3*b+1} "
+            f"|| '|' || mh_{3*b+2}) AS bucket FROM sig"
+            for b in range(4)
+        )
+        + """),
+            sizes AS (SELECT bucket, count(*) AS n FROM banded GROUP BY 1),
+            pairs AS (
+              SELECT DISTINCT x.surface AS surface_a, y.surface AS surface_b
+              FROM banded x
+              JOIN banded y ON x.bucket = y.bucket AND x.surface < y.surface
+              JOIN sizes s ON s.bucket = x.bucket AND s.n <= 200)
+            SELECT surface_a, surface_b,
+                   len(list_intersect(ga.grams, gb.grams)) /
+                   CAST(greatest(len(ga.grams) + len(gb.grams)
+                        - len(list_intersect(ga.grams, gb.grams)), 1) AS DOUBLE)
+                     AS jaccard
+            FROM pairs
+            JOIN sh ga ON ga.surface = surface_a
+            JOIN sh gb ON gb.surface = surface_b
         """,
         "events_tumbling_window": """
             SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,

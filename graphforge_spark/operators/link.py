@@ -59,36 +59,27 @@ def lsh_candidates(
     (a < b). Buckets larger than ``max_bucket`` are dropped (logged via
     the returned DataFrame's sibling metric; see ``lsh_bucket_stats``).
     """
+    from graphforge_spark.operators.docops import bucket_pairs
+
     sh = surface_shingles(surfaces.select(surface_col).distinct(), surface_col)
     sig = sh.select(
         F.col(surface_col).alias("surface"),
-        "_shingles",
         *md5_minhash_cols(F.col("_shingles"), NUM_HASHES),
     )
     mh_cols = [f"mh_{i}" for i in range(NUM_HASHES)]
     banded = sig.select(
-        "surface",
+        F.col("surface").alias("id"),
         F.explode(
             F.array(
                 *[band_key(mh_cols, b, ROWS_PER_BAND).alias(f"bk{b}") for b in range(NUM_BANDS)]
             )
         ).alias("bucket"),
     )
-    # cap pathological buckets
-    bucket_sizes = banded.groupBy("bucket").agg(F.count("*").alias("_n"))
-    banded = banded.join(
-        F.broadcast(bucket_sizes.filter(F.col("_n") <= max_bucket).select("bucket")),
-        "bucket",
-        "inner",
+    # one shuffle: groupBy bucket + in-array pair expansion (includes the
+    # max_bucket hot-bucket cap) — see docops.bucket_pairs
+    return bucket_pairs(banded, max_bucket).select(
+        F.col("id_a").alias("surface_a"), F.col("id_b").alias("surface_b")
     )
-    a = banded.alias("x")
-    b = banded.alias("y")
-    pairs = (
-        a.join(b, (F.col("x.bucket") == F.col("y.bucket")) & (F.col("x.surface") < F.col("y.surface")))
-        .select(F.col("x.surface").alias("surface_a"), F.col("y.surface").alias("surface_b"))
-        .distinct()
-    )
-    return pairs
 
 
 def score_pairs_tfidf(

@@ -185,3 +185,27 @@ def test_pattern_extraction_blank_subject(spark):
     assert rows[0].subj == "_:b_c1_0"
     assert rows[0].obj == "http://ex.org/x"
     assert rows[0].obj_is_literal is False
+
+
+class TestHostileInputs:
+    """Quarantine semantics: bad rows yield no triples, never exceptions
+    (at 100 TB a poison row must not kill the job)."""
+
+    def test_null_and_empty_text_and_unknown_tool(self, spark):
+        from graphforge_spark.operators.extract import extract_all
+        from graphforge_spark.schemas import TRANSCRIPT_SCHEMA
+
+        rows = [
+            ("c1", 0, "user", None, None, None),          # null text → pattern path
+            ("c1", 1, "user", "", None, None),            # empty text
+            ("c1", 2, "tool", None, "rdfxml", None),      # null text → XML path
+            ("c1", 3, "tool", "", "ntriples", None),      # empty text → NT path
+            ("c1", 4, "tool", "Alice works at Acme.", "weird_tool", None),  # unknown tool → pattern path
+            ("c1", 5, "tool", "not xml at all", "rdfxml", None),
+            ("c1", 6, "tool", "garbage <<< lines\nmore garbage", "ntriples", None),
+        ]
+        out = extract_all(spark.createDataFrame(rows, TRANSCRIPT_SCHEMA)).collect()
+        # only the unknown-tool row carries an extractable fact
+        assert {(r.subj, r.pred, r.obj) for r in out} == {
+            ("http://ex.org/e/Alice", "http://ex.org/p/worksAt", "http://ex.org/e/Acme")
+        }
