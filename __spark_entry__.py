@@ -209,6 +209,48 @@ def q_embedding_neardup(spark, sf_dir):
     return similarity.cosine_neardup_pairs(vecs, threshold=0.35, max_ids=200)
 
 
+def q_sparql_aggregation(spark, sf_dir):
+    """The reference's COUNT/GROUP BY test query (SPARQL.html:269-283),
+    parsed from SPARQL text by plans/sparql.py."""
+    from graphforge_spark.plans.sparql import sparql_query
+
+    return sparql_query(
+        _pattern_triples(spark, sf_dir),
+        "SELECT (COUNT(?o) AS ?n) ?pred WHERE { ?s ?pred ?o } GROUP BY ?pred",
+    ).select("pred", "n")
+
+
+def q_sparql_optional(spark, sf_dir):
+    """The reference's OPTIONAL test query shape (SPARQL.html:241-254) via
+    the SPARQL front-end."""
+    from graphforge_spark.plans.sparql import sparql_query
+
+    return sparql_query(
+        _set_graph(spark, sf_dir),
+        """SELECT ?person ?org ?region WHERE {
+             ?person <http://ex.org/p/worksAt> ?org .
+             OPTIONAL { ?org <http://ex.org/p/locatedIn> ?region }
+           }""",
+    )
+
+
+def q_sparql_path(spark, sf_dir):
+    """The reference's property-path test query shape (SPARQL.html:256-267)
+    via the SPARQL front-end: ZeroOrMore closure over the nation chain."""
+    from graphforge_spark.plans.sparql import sparql_query
+
+    edges = corpus.nation_chain_edges(spark, sf_dir)
+    triples = edges.select(
+        F.col("s").alias("subj"),
+        F.lit("http://ex.org/p/chain").alias("pred"),
+        F.col("o").alias("obj"),
+        F.lit(False).alias("obj_is_literal"),
+    )
+    return sparql_query(
+        triples, "SELECT ?s ?o WHERE { ?s (<http://ex.org/p/chain>)* ?o . }"
+    )
+
+
 def _link_surfaces(spark, sf_dir):
     cust = corpus.load(spark, sf_dir, "customer").filter(F.col("c_custkey") < 200)
     base = F.replace(F.col("c_name"), F.lit("#"), F.lit("_"))
@@ -371,6 +413,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "embedding_neardup": q_embedding_neardup,
         "link_jaccard": q_link_jaccard,
+        "sparql_aggregation": q_sparql_aggregation,
+        "sparql_optional": q_sparql_optional,
+        "sparql_path": q_sparql_path,
         "events_tumbling_window": q_events_tumbling_window,
         "events_sessionize": q_events_sessionize,
         "events_json_props": q_events_json_props,
@@ -691,6 +736,25 @@ def oracle_sql() -> dict[str, str]:
               FROM v a JOIN v b ON a.vec_id < b.vec_id
             )
             SELECT * FROM scored WHERE sim >= 0.35
+        """,
+        "sparql_aggregation": f"""
+            WITH {_PT}
+            SELECT pred, CAST(count(*) AS BIGINT) AS n FROM pt GROUP BY pred
+        """,
+        "sparql_optional": f"""
+            WITH {_PT},
+            w AS (SELECT DISTINCT subj AS person, obj AS org FROM pt
+                  WHERE pred = 'http://ex.org/p/worksAt'),
+            l AS (SELECT DISTINCT subj AS org, obj AS region FROM pt
+                  WHERE pred = 'http://ex.org/p/locatedIn')
+            SELECT person, org, region FROM w LEFT JOIN l USING (org)
+        """,
+        "sparql_path": """
+            SELECT 'http://ex.org/n/' || CAST(a.n_nationkey AS VARCHAR) AS s,
+                   'http://ex.org/n/' || CAST(b.n_nationkey AS VARCHAR) AS o
+            FROM nation a JOIN nation b
+              ON a.n_nationkey // 5 = b.n_nationkey // 5
+             AND a.n_nationkey >= b.n_nationkey
         """,
         "link_jaccard": r"""
             WITH surf AS (

@@ -1,0 +1,115 @@
+"""SPARQL front-end parity: the reference's four canned queries run
+verbatim (docs/test HTML/SPARQL.html:241-283, docs/scripts/app.js:100-104)
+over a known graph, plus rewrite-rule coverage ('a' keyword, CURIE
+expansion, constants, ORDER BY)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphforge_spark.plans.sparql import sparql_query
+
+RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+RDFS = "http://www.w3.org/2000/01/rdf-schema#"
+
+TRIPLES = [
+    # subclass chain A ⊂ B ⊂ C and a type edge
+    ("http://ex.org/A", RDFS + "subClassOf", "http://ex.org/B", False),
+    ("http://ex.org/B", RDFS + "subClassOf", "http://ex.org/C", False),
+    ("http://ex.org/x", RDF + "type", "http://ex.org/A", False),
+    # a fact with an optional annotation on one subject only
+    ("http://ex.org/x", "http://ex.org/p/likes", "http://ex.org/y", False),
+    ("http://ex.org/y", "http://ex.org/p/likes", "http://ex.org/z", False),
+    ("http://ex.org/x", "http://example.org/optionalPredicate", "note", True),
+]
+
+
+@pytest.fixture(scope="module")
+def graph(spark):
+    return spark.createDataFrame(
+        TRIPLES, "subj string, pred string, obj string, obj_is_literal boolean"
+    )
+
+
+def test_default_query_select_star_limit(graph):
+    # docs/scripts/app.js:100-104, verbatim
+    q = """PREFIX rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#>
+SELECT *
+WHERE   {
+        ?s ?p ?o .
+        } LIMIT 50"""
+    out = sparql_query(graph, q)
+    assert set(out.columns) == {"s", "p", "o"}
+    assert out.count() == len(TRIPLES)  # < LIMIT
+
+
+def test_optional_query(graph):
+    # docs/test HTML/SPARQL.html:241-254, verbatim shape
+    q = """
+        PREFIX rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#>
+        SELECT ?s ?p ?o ?optional
+        WHERE {
+            ?s ?p ?o .
+            OPTIONAL { ?s <http://example.org/optionalPredicate> ?optional }
+        }
+    """
+    rows = sparql_query(graph, q).collect()
+    assert len(rows) == len(TRIPLES)
+    by_subj = {(r.s, r.p): r.optional for r in rows}
+    assert by_subj[("http://ex.org/x", "http://ex.org/p/likes")] == "note"
+    assert by_subj[("http://ex.org/y", "http://ex.org/p/likes")] is None
+
+
+def test_property_path_query(graph):
+    # docs/test HTML/SPARQL.html:256-267, verbatim
+    q = """
+PREFIX rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#>
+SELECT ?s ?o
+WHERE {
+?s (rdf:type|rdfs:subClassOf)* ?o .
+}
+    """
+    pairs = {(r.s, r.o) for r in sparql_query(graph, q).collect()}
+    # transitive: x →type A →sub B →sub C
+    assert ("http://ex.org/x", "http://ex.org/C") in pairs
+    assert ("http://ex.org/A", "http://ex.org/C") in pairs
+    # reflexive zero-step
+    assert ("http://ex.org/A", "http://ex.org/A") in pairs
+    # non-path predicates excluded
+    assert ("http://ex.org/x", "http://ex.org/y") not in pairs
+
+
+def test_aggregation_query(graph):
+    # docs/test HTML/SPARQL.html:269-283, verbatim shape
+    q = """
+        PREFIX rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#>
+        PREFIX ex: <http://example.org/>
+        SELECT (COUNT(?o) AS ?count) ?p
+        WHERE {
+            ?s ?p ?o
+        }
+        GROUP BY ?p
+    """
+    counts = {r.p: r["count"] for r in sparql_query(graph, q).collect()}
+    assert counts[RDFS + "subClassOf"] == 2
+    assert counts["http://ex.org/p/likes"] == 2
+    assert counts[RDF + "type"] == 1
+
+
+def test_a_keyword_and_constant_object(graph):
+    out = sparql_query(graph, "SELECT ?s WHERE { ?s a <http://ex.org/A> }")
+    assert [r.s for r in out.collect()] == ["http://ex.org/x"]
+
+
+def test_curie_constants_and_order_by(graph):
+    q = """
+        SELECT ?s ?o WHERE { ?s rdfs:subClassOf ?o } ORDER BY DESC(?s) LIMIT 1
+    """
+    rows = sparql_query(graph, q).collect()
+    assert rows == [rows[0]]
+    assert rows[0].s == "http://ex.org/B"
+
+
+def test_multi_pattern_join(graph):
+    q = "SELECT ?a ?c WHERE { ?a <http://ex.org/p/likes> ?b . ?b <http://ex.org/p/likes> ?c }"
+    rows = sparql_query(graph, q).collect()
+    assert {(r.a, r.c) for r in rows} == {("http://ex.org/x", "http://ex.org/z")}
