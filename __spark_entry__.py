@@ -91,6 +91,12 @@ def q_extract_rdfxml(spark, sf_dir):
     return extract_rdfxml(corpus.derive_rdfxml_transcripts(spark, sf_dir))
 
 
+def q_extract_turtle(spark, sf_dir):
+    from graphforge_spark.operators.extract import extract_turtle
+
+    return extract_turtle(corpus.derive_ttl_transcripts(spark, sf_dir))
+
+
 def q_bgp_join(spark, sf_dir):
     g = _set_graph(spark, sf_dir)
     return bgp(
@@ -395,6 +401,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_ntriples": q_extract_ntriples,
         "ntriples_export": q_ntriples_export,
         "extract_rdfxml": q_extract_rdfxml,
+        "extract_turtle": q_extract_turtle,
         "bgp_join": q_bgp_join,
         "optional_left_join": q_optional,
         "path_alternation": q_path_alternation,
@@ -585,6 +592,29 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'http://ex.org/m/Part_' || k || '_1', 'rdf:type', class_iri, FALSE,
                    conv_id, conv_id, turn_idx FROM p
+        """,
+        "extract_turtle": """
+            WITH o AS (
+              SELECT 'http://ex.org/order' || CAST(o_orderkey AS VARCHAR) AS subj,
+                     CAST(o_custkey AS VARCHAR) AS ck,
+                     o_orderstatus, o_orderpriority,
+                     'ttl-' || lpad(CAST(o_orderkey % 10 AS VARCHAR), 3, '0') AS conv_id,
+                     CAST(o_orderkey // 10 AS INT) AS turn_idx
+              FROM orders
+            )
+            SELECT subj, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS pred,
+                   'http://ex.org/Order' AS obj, FALSE AS obj_is_literal,
+                   conv_id AS graph, conv_id AS src_conv_id, turn_idx AS src_turn_idx
+            FROM o
+            UNION ALL
+            SELECT subj, 'http://ex.org/customer', 'http://ex.org/cust' || ck,
+                   FALSE, conv_id, conv_id, turn_idx FROM o
+            UNION ALL
+            SELECT subj, 'http://ex.org/status', o_orderstatus, TRUE,
+                   conv_id, conv_id, turn_idx FROM o
+            UNION ALL
+            SELECT subj, 'http://ex.org/status', o_orderpriority, TRUE,
+                   conv_id, conv_id, turn_idx FROM o
         """,
         "bgp_join": f"""
             WITH {_PT},

@@ -144,6 +144,30 @@ def derive_rdfxml_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def derive_ttl_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Turtle turns from orders: each turn is a Turtle document using
+    @prefix, the 'a' keyword, predicate lists (';') and object lists (',')
+    — the reference's .ttl path (N3.Parser, graphProcessor.js:151-163)."""
+    orders = load(spark, sf_dir, "orders")
+    k = F.col("o_orderkey").cast("string")
+    turn_idx = F.floor(F.col("o_orderkey") / 10).cast("int")
+    text = F.concat(
+        F.lit("@prefix ex: <http://ex.org/> .\n"),
+        F.lit("ex:order"), k, F.lit(" a ex:Order ;\n"),
+        F.lit("  ex:customer ex:cust"), F.col("o_custkey").cast("string"), F.lit(" ;\n"),
+        F.lit('  ex:status "'), F.col("o_orderstatus"), F.lit('" , "'),
+        F.col("o_orderpriority"), F.lit('" .'),
+    )
+    return orders.select(
+        F.format_string("ttl-%03d", F.col("o_orderkey") % 10).alias("conv_id"),
+        turn_idx.alias("turn_idx"),
+        _role(turn_idx).alias("role"),
+        text.alias("text"),
+        F.lit("turtle").alias("tool"),
+        _ts(turn_idx).alias("ts"),
+    )
+
+
 def nation_chain_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chain edges over nations: k → k-1 within blocks of 5 — the closure
     fixture (reachability = all same-block descending pairs)."""

@@ -266,6 +266,158 @@ def extract_ntriples(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# 2b. Turtle parser — Arrow-batched (reference: N3.Parser handles full
+#     Turtle for .ttl files, graphProcessor.js:151-163 dispatch + :185-200)
+# ---------------------------------------------------------------------------
+
+_TTL_TOKEN = None  # compiled lazily inside the Python worker
+
+
+def _parse_turtle(text: str) -> list[tuple[str, str, str, bool]]:
+    """Subset-Turtle parser: @prefix/PREFIX decls, prefixed names, 'a'
+    keyword, ';' predicate lists, ',' object lists, IRIs, blank-node
+    labels, plain/lang/typed literals. Unparseable statements are dropped
+    (quarantine, same policy as the N-Triples path). Returns
+    (subj, pred, obj, obj_is_literal)."""
+    import re as _re
+
+    global _TTL_TOKEN
+    if _TTL_TOKEN is None:
+        _TTL_TOKEN = _re.compile(
+            r"""\s*(?:
+                  (?P<comment>\#[^\n]*)
+                | (?P<prefix_decl>@prefix|@PREFIX|PREFIX)
+                | (?P<iri><[^>]*>)
+                | (?P<literal>"(?:[^"\\]|\\.)*"(?:@[\w-]+|\^\^\S+)?)
+                | (?P<punct>[.;,])
+                | (?P<a>a)(?=[\s<])
+                | (?P<pname>[\w.-]*:[\w./#-]*)
+                | (?P<bnode>_:[\w-]+)
+            )""",
+            _re.VERBOSE,
+        )
+
+    toks: list[tuple[str, str]] = []
+    pos = 0
+    while pos < len(text):
+        m = _TTL_TOKEN.match(text, pos)
+        if not m:
+            pos += 1  # skip garbage byte (quarantine, not raise)
+            continue
+        pos = m.end()
+        kind = m.lastgroup
+        if kind and kind != "comment":
+            toks.append((kind, m.group(kind)))
+
+    prefixes: dict[str, str] = {}
+    out: list[tuple[str, str, str, bool]] = []
+
+    def term(kind: str, val: str):
+        """→ (value, is_literal) or None."""
+        if kind == "iri":
+            return val[1:-1], False
+        if kind == "bnode":
+            return val, False
+        if kind == "a":
+            return "http://www.w3.org/1999/02/22-rdf-syntax-ns#type", False
+        if kind == "pname":
+            pfx, _, local = val.partition(":")
+            ns = prefixes.get(pfx)
+            return (ns + local, False) if ns is not None else (val, False)
+        if kind == "literal":
+            body = _re.match(r'"((?:[^"\\]|\\.)*)"', val).group(1)
+            body = (
+                body.replace(r"\t", "\t").replace(r"\n", "\n").replace(r"\r", "\r")
+                .replace('\\"', '"').replace("\\\\", "\\")
+            )
+            return body, True
+        return None
+
+    i = 0
+    n = len(toks)
+    while i < n:
+        kind, val = toks[i]
+        if kind == "prefix_decl":
+            # @prefix pfx: <iri> .   (trailing '.' optional for PREFIX)
+            if i + 2 < n and toks[i + 1][0] == "pname" and toks[i + 2][0] == "iri":
+                pfx = toks[i + 1][1].rstrip(":")
+                prefixes[pfx] = toks[i + 2][1][1:-1]
+                i += 3
+                if i < n and toks[i] == ("punct", "."):
+                    i += 1
+            else:
+                i += 1
+            continue
+        subj = term(kind, val)
+        i += 1
+        if subj is None or subj[1]:
+            continue  # literals can't be subjects; resync
+        # predicate-object list until '.'
+        while i < n:
+            if toks[i][0] == "punct":
+                i += 1
+                if toks[i - 1][1] == ".":
+                    break
+                continue
+            pred = term(*toks[i])
+            i += 1
+            if pred is None or pred[1]:
+                break
+            while i < n:
+                obj = term(*toks[i]) if toks[i][0] != "punct" else None
+                if obj is not None:
+                    out.append((subj[0], pred[0], obj[0], obj[1]))
+                    i += 1
+                if i < n and toks[i] == ("punct", ","):
+                    i += 1
+                    continue
+                break
+            if i < n and toks[i] == ("punct", ";"):
+                i += 1
+                continue
+            if i < n and toks[i] == ("punct", "."):
+                i += 1
+            break
+    return out
+
+
+def extract_turtle(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Arrow-batched Turtle extraction over transcript turns (one Turtle
+    document per turn). Same output shape as the other extractors."""
+    src = df.select(
+        F.col("conv_id").alias("src_conv_id"),
+        F.col("turn_idx").alias("src_turn_idx"),
+        F.col(text_col).alias("_text"),
+    )
+    out_schema = (
+        "subj string, pred string, obj string, obj_is_literal boolean, "
+        "graph string, src_conv_id string, src_turn_idx int"
+    )
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for conv, idx, text in zip(
+                pdf["src_conv_id"], pdf["src_turn_idx"], pdf["_text"]
+            ):
+                if not text:
+                    continue
+                for s, p, o, lit in _parse_turtle(text):
+                    rows.append((s, p, o, lit, conv, conv, idx))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "subj", "pred", "obj", "obj_is_literal",
+                    "graph", "src_conv_id", "src_turn_idx",
+                ],
+            )
+
+    return src.mapInPandas(batches, schema=out_schema)
+
+
+# ---------------------------------------------------------------------------
 # 3. Rule-table pattern extraction over free text — pure JVM regex
 # ---------------------------------------------------------------------------
 
@@ -425,13 +577,15 @@ def extract_all(
     generalized to transcript turns.
     """
     xml_turns = transcripts.filter(F.col("tool") == "rdfxml")
-    nt_turns = transcripts.filter(F.col("tool").isin("ntriples", "turtle"))
+    nt_turns = transcripts.filter(F.col("tool") == "ntriples")
+    ttl_turns = transcripts.filter(F.col("tool") == "turtle")
     text_turns = transcripts.filter(
         (F.col("tool").isNull()) | (~F.col("tool").isin("rdfxml", "ntriples", "turtle"))
     )
     return (
         extract_rdfxml(xml_turns)
         .unionByName(extract_ntriples(nt_turns))
+        .unionByName(extract_turtle(ttl_turns))
         .unionByName(extract_patterns(text_turns, rules))
     )
 

@@ -209,3 +209,51 @@ class TestHostileInputs:
         assert {(r.subj, r.pred, r.obj) for r in out} == {
             ("http://ex.org/e/Alice", "http://ex.org/p/worksAt", "http://ex.org/e/Acme")
         }
+
+
+class TestTurtleParser:
+    """Subset-Turtle parser (reference .ttl path via N3.Parser,
+    graphProcessor.js:151-163): prefixes, 'a', ';'/',' lists, lang/typed
+    literals, comments, garbage resync."""
+
+    def test_full_feature_document(self, spark):
+        from graphforge_spark.operators.extract import extract_turtle
+        from graphforge_spark.schemas import TRANSCRIPT_SCHEMA
+
+        ttl = "\n".join(
+            [
+                "@prefix ex: <http://ex.org/> .",
+                "# a comment line",
+                'ex:alice a ex:Person ;',
+                '  ex:name "Alice"@en , "Alicia" ;',
+                '  ex:age "30"^^<http://www.w3.org/2001/XMLSchema#int> ;',
+                "  ex:knows ex:bob , _:anon .",
+                "<http://ex.org/bob> ex:name \"Bob\" .",
+            ]
+        )
+        df = spark.createDataFrame(
+            [("c", 0, "tool", ttl, "turtle", None)], TRANSCRIPT_SCHEMA
+        )
+        got = {(r.subj, r.pred, r.obj, r.obj_is_literal) for r in extract_turtle(df).collect()}
+        EX = "http://ex.org/"
+        RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+        assert got == {
+            (EX + "alice", RDF_TYPE, EX + "Person", False),
+            (EX + "alice", EX + "name", "Alice", True),
+            (EX + "alice", EX + "name", "Alicia", True),
+            (EX + "alice", EX + "age", "30", True),
+            (EX + "alice", EX + "knows", EX + "bob", False),
+            (EX + "alice", EX + "knows", "_:anon", False),
+            (EX + "bob", EX + "name", "Bob", True),
+        }
+
+    def test_garbage_resync(self, spark):
+        from graphforge_spark.operators.extract import extract_turtle
+        from graphforge_spark.schemas import TRANSCRIPT_SCHEMA
+
+        ttl = "%%% !! garbage\n<http://a> <http://p> <http://b> ."
+        df = spark.createDataFrame(
+            [("c", 0, "tool", ttl, "turtle", None)], TRANSCRIPT_SCHEMA
+        )
+        got = {(r.subj, r.pred, r.obj) for r in extract_turtle(df).collect()}
+        assert got == {("http://a", "http://p", "http://b")}
