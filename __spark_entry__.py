@@ -380,13 +380,14 @@ def q_link_entities(spark, sf_dir):
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full forge spine on sf0.001 — derive transcripts in all
-    three formats, extract (pattern rules + N-Triples parse + RDF/XML
-    DOM-walk), dedup to set semantics, aggregate by predicate."""
+    four formats, extract (pattern rules + N-Triples parse + Turtle parse
+    + RDF/XML DOM-walk), dedup to set semantics, aggregate by predicate."""
     sf_dir = "/root/testdata/sf0.001"
     tr = (
         corpus.derive_transcripts(spark, sf_dir)
         .unionByName(corpus.derive_nt_transcripts(spark, sf_dir))
         .unionByName(corpus.derive_rdfxml_transcripts(spark, sf_dir))
+        .unionByName(corpus.derive_ttl_transcripts(spark, sf_dir))
     )
     from graphforge_spark.operators.extract import extract_all
 
