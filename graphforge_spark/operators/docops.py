@@ -198,6 +198,11 @@ def simhash_neardup_pairs(
     band-equality self-join finds all such pairs without O(n²)."""
     width = 60 // bands
     fp = simhash_fingerprints(docs, id_col, text_col)
+    # NB: a banded SELF-JOIN is the right shape here, unlike the MinHash
+    # path (bucket_pairs): simhash fingerprints are cheap to recompute
+    # (token hashes hoisted), hamming buckets run large, and the
+    # codegen'd join beats interpreted in-array pair expansion ~3x on
+    # big buckets (measured at sf0.1).
     banded = fp.select(
         F.col(id_col).alias("id"),
         "simhash",
