@@ -96,14 +96,17 @@ def score_pairs_tfidf(
     sides' shingle arrays (joined in beforehand, JVM-side), and the
     global IDF map rides in as two extra array columns.
     """
-    n_docs = surfaces.select(surface_col).distinct().count()
     sh = surface_shingles(surfaces.select(surface_col).distinct(), surface_col).select(
         F.col(surface_col).alias("s"), F.col("_shingles")
     )
+    # corpus size as a lazy broadcast scalar — an eager .count() here would
+    # run a full job at plan-construction time (a real cost at scale)
+    n_docs = sh.agg(F.count("*").alias("_n"))
     df_counts = (
         sh.select(F.explode("_shingles").alias("g"))
         .groupBy("g")
         .agg(F.count("*").alias("df"))
+        .crossJoin(F.broadcast(n_docs))
     )
     # attach idf to each shingle array: arrays of (gram, idf) structs
     sh_idf = (
@@ -112,9 +115,9 @@ def score_pairs_tfidf(
         .groupBy("s")
         .agg(
             F.collect_list("g").alias("grams"),
-            F.collect_list((F.log(F.lit(float(n_docs + 1)) / (F.col("df") + 1.0)) + 1.0)).alias(
-                "idfs"
-            ),
+            F.collect_list(
+                F.log((F.col("_n") + F.lit(1.0)) / (F.col("df") + 1.0)) + 1.0
+            ).alias("idfs"),
         )
     )
     joined = (
