@@ -147,6 +147,22 @@ def _ntriples_doc(facts: list[tuple[str, str, str, bool]]) -> tuple[str, list]:
     return "\n".join(lines), list(facts)
 
 
+def _turtle_doc(subject: str, facts: list[tuple[str, str, bool]]) -> tuple[str, list]:
+    """Turtle document with @prefix, 'a' keyword, and a ';' predicate list
+    (exercises the subset parser's prefixed-name and list handling)."""
+    RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    lines = ["@prefix ex: <http://ex.org/e/> ."]
+    body = []
+    for p, o, lit in facts:
+        if p == RDF_TYPE and not lit:
+            body.append(f"a <{o}>")
+        else:
+            body.append(f"<{p}> " + (f'"{o}"' if lit else f"<{o}>"))
+    lines.append(f"<{subject}> " + " ;\n  ".join(body) + " .")
+    golden = [(subject, p, o, lit) for p, o, lit in facts]
+    return "\n".join(lines), golden
+
+
 def gen_transcripts(seed: int = 42, n_convs: int = 40, turns_per_conv: int = 12) -> Fixture:
     """Small-scale corpus with golden triples. ~n_convs*turns_per_conv rows."""
     rng = random.Random(seed)
@@ -186,6 +202,21 @@ def gen_transcripts(seed: int = 42, n_convs: int = 40, turns_per_conv: int = 12)
                     )
                 else:
                     text, golden_here = _rdfxml_blank_doc(f"anon label {ci} {ti}")
+            elif role == "tool" and kind < 0.55:
+                tool = "turtle"
+                person = rng.choice(PEOPLE)
+                text, golden_here = _turtle_doc(
+                    _iri(person),
+                    [
+                        (
+                            "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+                            "http://ex.org/c/person",
+                            False,
+                        ),
+                        ("http://ex.org/p/bornIn", _iri(rng.choice(CITIES)), False),
+                        ("http://ex.org/p/note", f"ttl note {ci}-{ti}", True),
+                    ],
+                )
             elif role == "tool" and kind < 0.7:
                 tool = "ntriples"
                 facts = []
