@@ -47,7 +47,6 @@ shuffle is introduced until dedup.
 from __future__ import annotations
 
 from collections.abc import Iterator
-from functools import reduce
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
