@@ -1,9 +1,11 @@
 """Triple extraction — the core "forge" (reference:
 docs/scripts/graphProcessor.js:142-304).
 
-Three extractors, dispatched by format (reference dispatch: triplify(),
+Four extractors, dispatched by format (reference dispatch: triplify(),
 graphProcessor.js:151-163 routes .ttl → N3 parser, .owl/.rdf → custom
-DOM-walk parser):
+DOM-walk parser); ``extract_turtle`` (2b below) covers the full-Turtle
+side of the reference's .ttl path, ``extract_ntriples`` the line-oriented
+N-Triples/N-Quads side:
 
 1. ``extract_rdfxml`` — faithful reimplementation of the reference's
    hand-rolled RDF/XML walker ``parseWithRdfParser``/``traverseXML``/

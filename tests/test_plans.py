@@ -1,0 +1,57 @@
+"""Physical-plan regression tests — lock in the properties PLANS.md
+claims: dimension broadcasts, parquet filter pushdown, column pruning,
+no shuffle before dedup, candidate-side broadcast in jaccard."""
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphforge_spark import corpus
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df, mode="formatted"):
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def test_derive_transcripts_broadcasts_dims_and_prunes_columns(spark):
+    p = _plan(corpus.derive_transcripts(spark, SF))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    # only the used customer columns reach the scan
+    assert "struct<c_custkey:bigint,c_name:string,c_nationkey:int>" in p
+
+
+def test_filter_pushdown_reaches_parquet(spark):
+    df = (
+        corpus.load(spark, SF, "events")
+        .filter(F.col("event_type") == "click")
+        .select("event_id", "value")
+    )
+    p = _plan(df)
+    assert "PushedFilters: [" in p and "EqualTo(event_type,click)" in p
+
+
+def test_extraction_spine_has_no_shuffle_before_dedup(spark):
+    from graphforge_spark.operators.extract import dedup_triples, extract_patterns
+
+    raw = extract_patterns(corpus.derive_transcripts(spark, SF))
+    p_raw = _plan(raw, "simple")
+    # narrow pipeline: broadcast exchanges only (dim joins), no hash repartition
+    assert "Exchange hashpartitioning" not in p_raw
+    p_dedup = _plan(dedup_triples(raw), "simple")
+    assert "Exchange hashpartitioning" in p_dedup  # exactly the dedup shuffle
+
+
+def test_jaccard_broadcasts_candidate_pairs_not_shingles(spark):
+    from graphforge_spark.operators.docops import ngram_jaccard_pairs
+
+    docs = corpus.load(spark, SF, "documents")
+    p = _plan(ngram_jaccard_pairs(docs))
+    assert "BroadcastHashJoin" in p
