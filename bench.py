@@ -148,6 +148,14 @@ def _headline_queries():
     def window_order(spark, sf_dir):
         return entry.q_window_turn_order(spark, sf_dir).count()
 
+    def turtle_parse(spark, sf_dir):
+        return entry.q_extract_turtle(spark, sf_dir).count()
+
+    def sparql_surface(spark, sf_dir):
+        a = entry.q_sparql_aggregation(spark, sf_dir).count()
+        b = entry.q_sparql_optional(spark, sf_dir).count()
+        return a + b
+
     return {
         "forge_extract_dedup": forge_extract_dedup,
         "pattern_extract_200k": pattern_extract_200k,
@@ -158,6 +166,8 @@ def _headline_queries():
         "doc_curation": doc_curation,
         "ann_topk": ann_topk,
         "window_order": window_order,
+        "turtle_parse": turtle_parse,
+        "sparql_surface": sparql_surface,
     }
 
 
