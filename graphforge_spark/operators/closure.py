@@ -22,14 +22,24 @@ from pyspark.sql import functions as F
 
 
 def _ckpt(df: DataFrame) -> DataFrame:
-    """localCheckpoint with fresh attribute ids.
+    """localCheckpoint with fresh attribute ids, safe under any session.
 
-    Re-projecting through a cast breaks attribute-id reuse across loop
-    iterations, which otherwise trips Spark's LogicalRDD stats rewrite
-    ("key not found: x#N") when checkpointed plans reference earlier
-    checkpointed plans."""
+    Two defenses against Spark's LogicalRDD stats-rewrite bug ("key not
+    found: x#N") when checkpointed plans reference earlier checkpointed
+    plans: (1) re-project through a cast so attribute ids aren't reused
+    across loop iterations; (2) disable constraint propagation around the
+    checkpoint call itself — the rewrite crashes resolving constraint
+    references to pruned attributes, and the engine cannot assume the
+    caller's session (e.g. the evaluation driver's) has the conf set."""
     fresh = df.select([F.col(c).cast(t).alias(c) for c, t in df.dtypes])
-    return fresh.localCheckpoint(eager=True)
+    sess = df.sparkSession
+    key = "spark.sql.constraintPropagation.enabled"
+    old = sess.conf.get(key, "true")
+    sess.conf.set(key, "false")
+    try:
+        return fresh.localCheckpoint(eager=True)
+    finally:
+        sess.conf.set(key, old)
 
 
 def path_alternation(triples: DataFrame, preds: list[str]) -> DataFrame:
