@@ -295,8 +295,11 @@ def q_link_jaccard(spark, sf_dir):
 
 def q_events_tumbling_window(spark, sf_dir):
     ev = corpus.load(spark, sf_dir, "events")
+    # ts is TIMESTAMP_NTZ: format it directly (no epoch conversion, which
+    # would pass through the session timezone and break oracle parity on
+    # a non-UTC driver session)
     return ev.groupBy(
-        F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("hour_epoch"),
+        F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH").alias("hour"),
         "event_type",
     ).agg(
         F.count("*").alias("n"),
@@ -841,7 +844,7 @@ def oracle_sql() -> dict[str, str]:
             JOIN sh gb ON gb.surface = surface_b
         """,
         "events_tumbling_window": """
-            SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour,
                    event_type,
                    CAST(count(*) AS BIGINT) AS n,
                    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
