@@ -350,17 +350,31 @@ def q_curie_expand(spark, sf_dir):
     ).distinct()
 
 
-# ---- rows-only checks (non-SQL-expressible: iterative / Python-side) ------
-
-
 def q_select_star_limit(spark, sf_dir):
+    """B1+B9 (the app's default SELECT * LIMIT 50). LIMIT-without-ORDER row
+    *content* is engine-dependent, so the value-oracled semantics are the
+    two things LIMIT actually guarantees: cardinality (= min(50, |store|))
+    and membership (every returned row is a store row)."""
     from graphforge_spark.plans.bgp import select_star_limit
 
-    return select_star_limit(_set_graph(spark, sf_dir), 50)
+    g = _set_graph(spark, sf_dir)
+    lim = select_star_limit(g, 50)
+    store = g.select(
+        F.col("subj").alias("s"), F.col("pred").alias("p"), F.col("obj").alias("o")
+    )
+    outside = lim.join(store, ["s", "p", "o"], "left_anti")
+    return lim.agg(F.count("*").alias("n_rows")).crossJoin(
+        outside.agg(F.count("*").alias("n_outside"))
+    )
+
 
 def q_simhash_neardup(spark, sf_dir):
+    """Exact hamming-≤-6 pair set: bands default to max_hamming+1, so the
+    banded self-join is recall-complete by pigeonhole and the DuckDB
+    oracle can be the brute-force O(n²) pair set — the oracle check IS a
+    recall proof for the blocking."""
     return docops.simhash_neardup_pairs(
-        corpus.load(spark, sf_dir, "documents"), max_hamming=20
+        corpus.load(spark, sf_dir, "documents"), max_hamming=6
     )
 
 
@@ -371,7 +385,7 @@ def q_ann_lsh_topk(spark, sf_dir):
 
 
 def q_link_entities(spark, sf_dir):
-    cust = corpus.load(spark, sf_dir, "customer").limit(200)
+    cust = corpus.load(spark, sf_dir, "customer").filter(F.col("c_custkey") < 200)
     base = F.replace(F.col("c_name"), F.lit("#"), F.lit("_"))
     surfaces = (
         cust.select(base.alias("surface"))
@@ -524,6 +538,123 @@ _SIGS8 = (
 _FOLD = (
     "list_reduce(list_transform(range(1, 65), "
     "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (acc, x) -> acc + x)"
+)
+
+
+def _simhash_pairs_sql(max_hamming: int = 6) -> str:
+    """Brute-force DuckDB oracle for simhash_neardup_pairs: replicate the
+    60-bit fingerprint (per-bit token-hash majority vote, md5-portable),
+    then the EXACT O(n²) hamming-≤-k pair set. The Spark side answers via
+    banded blocking (bands = max_hamming+1), so a value match here is a
+    100%-recall proof for the banding, not just a score check."""
+    fp_bits = " + ".join(
+        f"(CASE WHEN 2*list_sum(list_transform(hs, x -> (x >> {b}) & 1)) > n "
+        f"THEN {1 << b} ELSE 0 END)"
+        for b in range(60)
+    )
+    return f"""
+        WITH {_DOCS_TOKS},
+        h AS (
+          SELECT doc_id,
+                 list_transform(toks,
+                   t -> CAST('0x' || substr(md5(t), 1, 15) AS BIGINT)) AS hs,
+                 len(toks) AS n
+          FROM d
+        ),
+        fp AS (SELECT doc_id, CAST({fp_bits} AS BIGINT) AS simhash FROM h)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+        FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+    """
+
+
+def _ann_lsh_sql(dim: int = 64, n_planes: int = 4, k: int = 3, seed: int = 42) -> str:
+    """DuckDB oracle for lsh_bucketed_topk: the seeded ±1 hyperplanes are
+    pure Python (md5 bit stream) — inline them as literal DOUBLE[] arrays,
+    so the bucket assignment, bucket join, and cosine fold all replicate
+    bit-for-bit (sequential double folds on both sides)."""
+    from graphforge_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim, n_planes, seed)
+
+    def proj(vec: str, p: list[float]) -> str:
+        lit = "[" + ", ".join(f"{v:.1f}" for v in p) + "]::DOUBLE[]"
+        return (
+            f"list_reduce(list_transform(range(1, {dim + 1}), "
+            f"i -> CAST({vec}[i] AS DOUBLE) * ({lit})[i]), (acc, x) -> acc + x)"
+        )
+
+    bucket = " + ".join(
+        f"(CASE WHEN {proj('embedding', p)} >= 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    return f"""
+        WITH b AS (SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings),
+        q AS (SELECT * FROM b WHERE vec_id < 8),
+        scored AS (
+          SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+                 {_FOLD.format(a="q.embedding", b="n.embedding")} /
+                 (sqrt({_FOLD.format(a="q.embedding", b="q.embedding")}) *
+                  sqrt({_FOLD.format(a="n.embedding", b="n.embedding")})) AS sim
+          FROM b n JOIN q ON n.bucket = q.bucket AND n.vec_id <> q.vec_id
+        )
+        SELECT query_id, neighbor_id, sim, CAST(rn AS INT) AS rank
+        FROM (SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
+              FROM scored)
+        WHERE rn <= {k}
+    """
+
+
+# Shared CTE chain for the linking oracles: distinct surfaces (3 variants
+# per customer, c_custkey < 200) → padded char-3-gram shingles → 12-hash
+# MinHash → 4 bands of 3 → bucket self-join with the max_bucket=200 cap.
+# Byte-identical derivation to operators/link.py (md5-portable hashing).
+_LINK_BLOCK = (
+    r"""surf AS (
+          SELECT DISTINCT surface FROM (
+            SELECT replace(c_name, '#', '_') AS surface
+            FROM customer WHERE c_custkey < 200
+            UNION ALL
+            SELECT replace(replace(c_name, '#', '_'), '_', ' ')
+            FROM customer WHERE c_custkey < 200
+            UNION ALL
+            SELECT replace(c_name, '#', '_') || ' Inc'
+            FROM customer WHERE c_custkey < 200)
+        ),
+        sh AS (
+          SELECT surface,
+                 list_distinct(list_transform(
+                   range(1, greatest(length(p) - 2, 1) + 1),
+                   i -> substr(p, CAST(i AS INT), 3))) AS grams
+          FROM (SELECT surface,
+                       ' ' || trim(regexp_replace(lower(surface),
+                                   '[^\pL\pN ]', '', 'g')) || ' ' AS p
+                FROM surf)
+        ),
+        sig AS (
+          SELECT surface, """
+    + ", ".join(
+        f"list_min(list_transform(grams, g -> md5('{i}:' || g))) AS mh_{i}"
+        for i in range(12)
+    )
+    + """
+          FROM sh
+        ),
+        banded AS ("""
+    + " UNION ALL ".join(
+        f"SELECT surface, md5('{b}' || '|' || mh_{3*b} || '|' || mh_{3*b+1} "
+        f"|| '|' || mh_{3*b+2}) AS bucket FROM sig"
+        for b in range(4)
+    )
+    + """),
+        sizes AS (SELECT bucket, count(*) AS n FROM banded GROUP BY 1),
+        pairs AS (
+          SELECT DISTINCT x.surface AS surface_a, y.surface AS surface_b
+          FROM banded x
+          JOIN banded y ON x.bucket = y.bucket AND x.surface < y.surface
+          JOIN sizes s ON s.bucket = x.bucket AND s.n <= 200)"""
 )
 
 
@@ -790,50 +921,8 @@ def oracle_sql() -> dict[str, str]:
               ON a.n_nationkey // 5 = b.n_nationkey // 5
              AND a.n_nationkey >= b.n_nationkey
         """,
-        "link_jaccard": r"""
-            WITH surf AS (
-              SELECT DISTINCT surface FROM (
-                SELECT replace(c_name, '#', '_') AS surface
-                FROM customer WHERE c_custkey < 200
-                UNION ALL
-                SELECT replace(replace(c_name, '#', '_'), '_', ' ')
-                FROM customer WHERE c_custkey < 200
-                UNION ALL
-                SELECT replace(c_name, '#', '_') || ' Inc'
-                FROM customer WHERE c_custkey < 200)
-            ),
-            sh AS (
-              SELECT surface,
-                     list_distinct(list_transform(
-                       range(1, greatest(length(p) - 2, 1) + 1),
-                       i -> substr(p, CAST(i AS INT), 3))) AS grams
-              FROM (SELECT surface,
-                           ' ' || trim(regexp_replace(lower(surface),
-                                       '[^\pL\pN ]', '', 'g')) || ' ' AS p
-                    FROM surf)
-            ),
-            sig AS (
-              SELECT surface, """
-        + ", ".join(
-            f"list_min(list_transform(grams, g -> md5('{i}:' || g))) AS mh_{i}"
-            for i in range(12)
-        )
-        + """
-              FROM sh
-            ),
-            banded AS ("""
-        + " UNION ALL ".join(
-            f"SELECT surface, md5('{b}' || '|' || mh_{3*b} || '|' || mh_{3*b+1} "
-            f"|| '|' || mh_{3*b+2}) AS bucket FROM sig"
-            for b in range(4)
-        )
-        + """),
-            sizes AS (SELECT bucket, count(*) AS n FROM banded GROUP BY 1),
-            pairs AS (
-              SELECT DISTINCT x.surface AS surface_a, y.surface AS surface_b
-              FROM banded x
-              JOIN banded y ON x.bucket = y.bucket AND x.surface < y.surface
-              JOIN sizes s ON s.bucket = x.bucket AND s.n <= 200)
+        "link_jaccard": f"""
+            WITH {_LINK_BLOCK}
             SELECT surface_a, surface_b,
                    len(list_intersect(ga.grams, gb.grams)) /
                    CAST(greatest(len(ga.grams) + len(gb.grams)
@@ -843,6 +932,38 @@ def oracle_sql() -> dict[str, str]:
             JOIN sh ga ON ga.surface = surface_a
             JOIN sh gb ON gb.surface = surface_b
         """,
+        "link_entities": f"""
+            WITH {_LINK_BLOCK},
+            expl AS (SELECT surface, unnest(grams) AS g FROM sh),
+            idf AS (
+              SELECT g, ln(((SELECT count(*) FROM sh) + 1.0) / (count(*) + 1.0))
+                        + 1.0 AS w
+              FROM expl GROUP BY g
+            ),
+            wvec AS (SELECT e.surface, e.g, idf.w FROM expl e JOIN idf USING (g)),
+            norms AS (SELECT surface, sqrt(sum(w * w)) AS nrm
+                      FROM wvec GROUP BY surface),
+            dots AS (
+              SELECT p.surface_a, p.surface_b, sum(wa.w * wb.w) AS dot
+              FROM pairs p
+              JOIN wvec wa ON wa.surface = p.surface_a
+              JOIN wvec wb ON wb.surface = p.surface_b AND wb.g = wa.g
+              GROUP BY 1, 2
+            )
+            SELECT d.surface_a AS src, d.surface_b AS dst
+            FROM dots d
+            JOIN norms na ON na.surface = d.surface_a
+            JOIN norms nb ON nb.surface = d.surface_b
+            WHERE na.nrm > 0 AND nb.nrm > 0
+              AND d.dot / (na.nrm * nb.nrm) >= 0.5
+        """,
+        "select_star_limit": f"""
+            WITH {_PT}, g AS (SELECT DISTINCT subj, pred, obj FROM pt)
+            SELECT CAST(least(50, (SELECT count(*) FROM g)) AS BIGINT) AS n_rows,
+                   CAST(0 AS BIGINT) AS n_outside
+        """,
+        "simhash_neardup": _simhash_pairs_sql(max_hamming=6),
+        "ann_lsh_topk": _ann_lsh_sql(dim=64, n_planes=4, k=3, seed=42),
         "events_tumbling_window": """
             SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour,
                    event_type,
@@ -891,9 +1012,12 @@ def oracle_sql() -> dict[str, str]:
                      'http://www.w3.org/1999/02/22-rdf-syntax-ns#type',
                      class_iri FROM p)
         """,
-        # select_star_limit, simhash_neardup, ann_lsh_topk, link_entities:
-        # rows-only (LIMIT-without-ORDER row content is engine-dependent;
-        # the rest are iterative / Python-batched / seeded-hyperplane logic
-        # — documented as non-SQL-expressible; driver records the weaker
-        # check).
+        # Every queries() entry now has a value-level oracle. Notes on the
+        # formerly rows-only four: select_star_limit oracles LIMIT's actual
+        # guarantees (cardinality + membership); simhash_neardup's oracle
+        # is the brute-force exact pair set, so the match doubles as a
+        # recall proof for the banding; ann_lsh_topk inlines the seeded
+        # hyperplanes as literal arrays; link_entities reproduces the
+        # TF-IDF cosine in SQL (threshold-compare only — the score column
+        # is excluded because cross-engine float summation order differs).
     }

@@ -137,7 +137,9 @@ def _headline_queries():
         n += pairs.count()
         n += docops.ngram_jaccard_pairs(docs, pairs=pairs).count()
         pairs.unpersist()
-        n += docops.simhash_neardup_pairs(docs, max_hamming=10).count()
+        # max_hamming=6 → 7 auto-derived bands (recall-complete pigeonhole
+        # blocking; radii much beyond that need band keys too short to block)
+        n += docops.simhash_neardup_pairs(docs, max_hamming=6).count()
         return n
 
     def ann_topk(spark, sf_dir):

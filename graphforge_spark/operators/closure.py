@@ -17,8 +17,15 @@ O(rounds · |closure|).
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+# The conf toggle below is a session-global read-modify-restore; without a
+# lock, two concurrent fixpoint loops on one SparkSession can interleave
+# their finallys and restore the conf mid-iteration (non-reentrant).
+_CKPT_LOCK = threading.Lock()
 
 
 def _ckpt(df: DataFrame) -> DataFrame:
@@ -30,16 +37,22 @@ def _ckpt(df: DataFrame) -> DataFrame:
     across loop iterations; (2) disable constraint propagation around the
     checkpoint call itself — the rewrite crashes resolving constraint
     references to pruned attributes, and the engine cannot assume the
-    caller's session (e.g. the evaluation driver's) has the conf set."""
+    caller's session (e.g. the evaluation driver's) has the conf set.
+    Sessions built by graphforge_spark.session.get_spark already run with
+    the conf off; in that case nothing is toggled (no race window), and
+    when toggling is needed it happens under a process-wide lock."""
     fresh = df.select([F.col(c).cast(t).alias(c) for c, t in df.dtypes])
     sess = df.sparkSession
     key = "spark.sql.constraintPropagation.enabled"
-    old = sess.conf.get(key, "true")
-    sess.conf.set(key, "false")
-    try:
+    if sess.conf.get(key, "true") == "false":
         return fresh.localCheckpoint(eager=True)
-    finally:
-        sess.conf.set(key, old)
+    with _CKPT_LOCK:
+        old = sess.conf.get(key, "true")
+        sess.conf.set(key, "false")
+        try:
+            return fresh.localCheckpoint(eager=True)
+        finally:
+            sess.conf.set(key, old)
 
 
 def path_alternation(triples: DataFrame, preds: list[str]) -> DataFrame:

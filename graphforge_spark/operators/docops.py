@@ -158,14 +158,16 @@ def ngram_jaccard_pairs(
         F.array_distinct(shingles(F.col(text_col), shingle_n)).alias("_sh"),
     )
     # Join order matters at scale: the candidate-pair set (bounded by LSH
-    # banding + max_bucket) is the small side — broadcast it and STREAM the
-    # shingle table, so the per-document arrays are never shuffled. A
-    # sort-merge join here shuffles every shingle array twice and dominates
-    # the whole operator's runtime.
+    # banding + max_bucket) is bare ids — broadcast it and STREAM the
+    # shingle table, so the first join never shuffles per-document arrays.
+    # The second join's left side carries shingle ARRAYS (pairs × avg
+    # array size — can blow the broadcast ceiling at corpus scale), so no
+    # explicit hint: AQE size-gates a runtime broadcast by actual bytes
+    # and falls back to a shuffle join that moves each array once.
     a = sh.join(F.broadcast(pairs), sh._id == pairs.id_a).select(
         "id_a", "id_b", F.col("_sh").alias("sh_a")
     )
-    out = sh.join(F.broadcast(a), sh._id == a.id_b).select(
+    out = sh.join(a, sh._id == a.id_b).select(
         "id_a",
         "id_b",
         (
@@ -184,19 +186,48 @@ def simhash_fingerprints(
     return docs.select(F.col(id_col), simhash64(tokens(F.col(text_col))).alias("simhash"))
 
 
+def simhash_band_layout(max_hamming: int, bands: int | None = None) -> list[tuple[int, int]]:
+    """(start_bit, width) per band over the 60-bit fingerprint.
+
+    Recall guarantee is pigeonhole: a pair at hamming distance d differs in
+    at most d bands, so with ``bands > max_hamming`` at least one band is
+    bit-identical and the band-equality join finds the pair. ``bands``
+    defaults to ``max_hamming + 1`` — the fewest bands (widest keys, best
+    blocking selectivity) that still guarantee 100% recall. An explicit
+    ``bands <= max_hamming`` is a silent-recall-loss configuration and is
+    rejected loudly."""
+    if bands is None:
+        bands = max_hamming + 1
+    if bands <= max_hamming:
+        raise ValueError(
+            f"bands={bands} cannot guarantee recall at max_hamming={max_hamming}: "
+            f"a pair may differ in every band (need bands > max_hamming)"
+        )
+    if bands > 60:
+        raise ValueError(f"bands={bands} exceeds the 60 fingerprint bits")
+    base, extra = divmod(60, bands)
+    layout, start = [], 0
+    for b in range(bands):
+        width = base + (1 if b < extra else 0)
+        layout.append((start, width))
+        start += width
+    return layout
+
+
 def simhash_neardup_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 6,
-    bands: int = 4,
+    bands: int | None = None,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash hamming distance ≤ max_hamming.
-
-    Blocking: split the fingerprint into ``bands`` bit-bands; by pigeonhole
-    any pair within distance < bands shares at least one exact band, so a
-    band-equality self-join finds all such pairs without O(n²)."""
-    width = 60 // bands
+    """Near-dup pairs by SimHash hamming distance ≤ max_hamming — EXACT
+    (100% recall): ``bands`` defaults to ``max_hamming + 1`` so by
+    pigeonhole every qualifying pair shares at least one bit-identical
+    band (see ``simhash_band_layout``); the band-equality self-join is
+    pure blocking, and the post-join hamming filter makes the result the
+    exact distance-≤-k pair set."""
+    layout = simhash_band_layout(max_hamming, bands)
     fp = simhash_fingerprints(docs, id_col, text_col)
     # NB: a banded SELF-JOIN is the right shape here, unlike the MinHash
     # path (bucket_pairs): simhash fingerprints are cheap to recompute
@@ -212,11 +243,11 @@ def simhash_neardup_pairs(
                     F.concat_ws(
                         ":",
                         F.lit(str(b)),
-                        F.shiftright(F.col("simhash"), b * width)
+                        F.shiftright(F.col("simhash"), start)
                         .bitwiseAND(F.lit((1 << width) - 1))
                         .cast("string"),
                     )
-                    for b in range(bands)
+                    for b, (start, width) in enumerate(layout)
                 ]
             )
         ).alias("bucket"),

@@ -241,18 +241,31 @@ def extract_ntriples(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.when(g(4) != "", g(4))
         .when(g(5) != "", g(5))
         .otherwise(
-            # unescape the captured literal body
+            # Unescape the captured literal body. Single logical pass via a
+            # \x00 sentinel: '\\' is consumed FIRST so an escaped backslash
+            # followed by t/n/r decodes to backslash+'t', not backslash+TAB
+            # (ordered replaces get this wrong); \x00 cannot appear in the
+            # capture because the literal regex never matches a raw NUL
+            # inside quotes in N-Triples source.
             F.replace(
                 F.replace(
                     F.replace(
-                        F.replace(F.replace(g(6), F.lit(r"\t"), F.lit("\t")), F.lit(r"\n"), F.lit("\n")),
+                        F.replace(
+                            F.replace(
+                                F.replace(g(6), F.lit("\\\\"), F.lit("\x00")),
+                                F.lit(r"\t"),
+                                F.lit("\t"),
+                            ),
+                            F.lit(r"\n"),
+                            F.lit("\n"),
+                        ),
                         F.lit(r"\r"),
                         F.lit("\r"),
                     ),
                     F.lit('\\"'),
                     F.lit('"'),
                 ),
-                F.lit("\\\\"),
+                F.lit("\x00"),
                 F.lit("\\"),
             )
         )
@@ -504,10 +517,20 @@ def _rule_matches(r: PatternRule, text_col: str):
     n_groups = _re.compile(r.pattern).groups
     full = F.regexp_extract_all(F.col(text_col), F.lit(r.pattern), 0)
     if n_groups >= 2:
+        def _subj(m):
+            # Emptiness is tested on the RAW capture, before subj_template
+            # wraps it — a custom rule whose group 1 matches empty must fall
+            # back to the per-turn blank node ('' sentinel resolved
+            # post-explode), not emit a templated empty IRI.
+            raw = F.regexp_extract(m, r.pattern, 1)
+            return F.when(raw == "", F.lit("")).otherwise(
+                _apply_template(raw, r.subj_template)
+            )
+
         return F.transform(
             full,
             lambda m: F.struct(
-                _apply_template(F.regexp_extract(m, r.pattern, 1), r.subj_template).alias("s"),
+                _subj(m).alias("s"),
                 F.lit(r.pred).alias("p"),
                 _apply_template(F.regexp_extract(m, r.pattern, 2), r.obj_template).alias("o"),
             ),

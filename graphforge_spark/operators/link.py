@@ -87,6 +87,7 @@ def score_pairs_tfidf(
     surfaces: DataFrame,
     surface_col: str = "surface",
     ngram: int = 3,
+    n_groups: int | None = None,
 ) -> DataFrame:
     """TF-IDF cosine similarity per candidate pair, computed inside
     applyInPandas groups (north_star requirement), vectorized with numpy.
@@ -95,6 +96,10 @@ def score_pairs_tfidf(
     bounded and parallel); each group receives the pair list plus both
     sides' shingle arrays (joined in beforehand, JVM-side), and the
     global IDF map rides in as two extra array columns.
+
+    ``n_groups`` controls scoring-stage parallelism and defaults to
+    4 × defaultParallelism — on a 1000-executor cluster the stage fans
+    out with the cluster instead of capping at a constant task count.
     """
     sh = surface_shingles(surfaces.select(surface_col).distinct(), surface_col).select(
         F.col(surface_col).alias("s"), F.col("_shingles")
@@ -120,6 +125,8 @@ def score_pairs_tfidf(
             ).alias("idfs"),
         )
     )
+    if n_groups is None:
+        n_groups = max(64, pairs.sparkSession.sparkContext.defaultParallelism * 4)
     joined = (
         pairs.join(sh_idf.withColumnRenamed("s", "surface_a"), "surface_a")
         .withColumnRenamed("grams", "grams_a")
@@ -127,27 +134,48 @@ def score_pairs_tfidf(
         .join(sh_idf.withColumnRenamed("s", "surface_b"), "surface_b")
         .withColumnRenamed("grams", "grams_b")
         .withColumnRenamed("idfs", "idfs_b")
-        .withColumn("_grp", F.pmod(F.xxhash64("surface_a", "surface_b"), F.lit(64)))
+        .withColumn("_grp", F.pmod(F.xxhash64("surface_a", "surface_b"), F.lit(n_groups)))
     )
 
     def score(pdf):
+        # Fully vectorized within the Arrow batch: flatten both sides'
+        # (gram, idf) arrays into long frames keyed by pair index, take the
+        # sparse dot via a merge on (pair, gram) + unbuffered np.add.at,
+        # and the norms via the same scatter-add. No Python-per-pair loop.
         import numpy as np
         import pandas as pd
 
-        sims = np.zeros(len(pdf))
-        for i, (ga, ia, gb, ib) in enumerate(
-            zip(pdf["grams_a"], pdf["idfs_a"], pdf["grams_b"], pdf["idfs_b"])
-        ):
-            wa = dict(zip(ga, ia))
-            wb = dict(zip(gb, ib))
-            common = set(wa) & set(wb)
-            dot = sum(wa[g] * wb[g] for g in common)
-            na = np.sqrt(sum(v * v for v in wa.values()))
-            nb = np.sqrt(sum(v * v for v in wb.values()))
-            sims[i] = dot / (na * nb) if na > 0 and nb > 0 else 0.0
-        return pd.DataFrame(
-            {"surface_a": pdf["surface_a"], "surface_b": pdf["surface_b"], "score": sims}
-        )
+        k = len(pdf)
+        out = pd.DataFrame({"surface_a": pdf["surface_a"], "surface_b": pdf["surface_b"]})
+        if k == 0:
+            out["score"] = pd.Series(dtype="float64")
+            return out
+
+        def _long(col_g, col_w):
+            lens = pdf[col_g].str.len().to_numpy()
+            if lens.sum() == 0:
+                return pd.DataFrame(
+                    {"i": np.array([], dtype="int64"),
+                     "g": np.array([], dtype=object),
+                     "w": np.array([], dtype="float64")}
+                )
+            return pd.DataFrame(
+                {
+                    "i": np.repeat(np.arange(k), lens),
+                    "g": np.concatenate([np.asarray(x, dtype=object) for x in pdf[col_g]]),
+                    "w": np.concatenate([np.asarray(x, dtype="float64") for x in pdf[col_w]]),
+                }
+            )
+
+        a, b = _long("grams_a", "idfs_a"), _long("grams_b", "idfs_b")
+        na2, nb2, dot = np.zeros(k), np.zeros(k), np.zeros(k)
+        np.add.at(na2, a["i"].to_numpy(), a["w"].to_numpy() ** 2)
+        np.add.at(nb2, b["i"].to_numpy(), b["w"].to_numpy() ** 2)
+        m = a.merge(b, on=["i", "g"], suffixes=("_a", "_b"))
+        np.add.at(dot, m["i"].to_numpy(), (m["w_a"].to_numpy() * m["w_b"].to_numpy()))
+        denom = np.sqrt(na2) * np.sqrt(nb2)
+        out["score"] = np.where(denom > 0, dot / np.where(denom > 0, denom, 1.0), 0.0)
+        return out
 
     return joined.groupBy("_grp").applyInPandas(
         score, schema="surface_a string, surface_b string, score double"

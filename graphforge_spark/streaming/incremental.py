@@ -47,18 +47,30 @@ def incremental_forge(
     await_termination: bool = True,
 ):
     """Continuously extract triples from arriving transcript files and
-    append them to a parquet triple log, exactly-once.
+    land them in a parquet triple log, exactly-once.
 
-    Dedup here is per-micro-batch (the reference's per-upload append
-    semantics, documentQueryTest.html:417-430); global set semantics are
-    applied by the downstream materialize (A12), same as the batch path.
-    Returns the terminated StreamingQuery.
+    Exactly-once mechanics: the streaming checkpoint (WAL + file-source
+    offsets) guarantees each input file is assigned to exactly one
+    batch_id, and the sink is IDEMPOTENT per batch_id — each micro-batch
+    overwrites its own ``batch=<id>`` partition directory, so a batch
+    replayed after a mid-write failure rewrites the same partition instead
+    of appending duplicates (a blind append here would be at-least-once).
+
+    Dedup is per-micro-batch (the reference's per-upload append semantics,
+    documentQueryTest.html:417-430); global set semantics are applied by
+    the downstream materialize (A12), same as the batch path. Readers of
+    ``output_dir`` see the ``batch`` partition column; drop it for the
+    triple log proper. Returns the terminated StreamingQuery.
     """
     stream = stream_transcripts(spark, input_dir)
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        import os
+
         triples = dedup_triples(extract_patterns(batch_df))
-        triples.write.mode("append").parquet(output_dir)
+        triples.write.mode("overwrite").parquet(
+            os.path.join(output_dir, f"batch={batch_id}")
+        )
 
     q = (
         stream.writeStream.foreachBatch(process_batch)
