@@ -257,6 +257,32 @@ def q_sparql_path(spark, sf_dir):
     )
 
 
+def q_sparql_distinct(spark, sf_dir):
+    """SELECT DISTINCT (set projection) through the SPARQL text front-end —
+    the pattern-triples input carries duplicates, so a bag projection here
+    would be value-wrong, not just differently ordered."""
+    from graphforge_spark.plans.sparql import sparql_query
+
+    return sparql_query(
+        _pattern_triples(spark, sf_dir),
+        "SELECT DISTINCT ?org WHERE { ?person <http://ex.org/p/worksAt> ?org }",
+    )
+
+
+def q_sparql_filter(spark, sf_dir):
+    """FILTER compilation (STRSTARTS + var/var comparison conjunction)
+    through the SPARQL text front-end."""
+    from graphforge_spark.plans.sparql import sparql_query
+
+    return sparql_query(
+        _set_graph(spark, sf_dir),
+        """SELECT ?person ?org WHERE {
+             ?person <http://ex.org/p/worksAt> ?org .
+             FILTER(STRSTARTS(?org, "http://ex.org/e/NATION_1") && ?person != ?org)
+           }""",
+    )
+
+
 def _link_surfaces(spark, sf_dir):
     cust = corpus.load(spark, sf_dir, "customer").filter(F.col("c_custkey") < 200)
     base = F.replace(F.col("c_name"), F.lit("#"), F.lit("_"))
@@ -441,6 +467,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_aggregation": q_sparql_aggregation,
         "sparql_optional": q_sparql_optional,
         "sparql_path": q_sparql_path,
+        "sparql_distinct": q_sparql_distinct,
+        "sparql_filter": q_sparql_filter,
         "events_tumbling_window": q_events_tumbling_window,
         "events_sessionize": q_events_sessionize,
         "events_json_props": q_events_json_props,
@@ -964,6 +992,17 @@ def oracle_sql() -> dict[str, str]:
         """,
         "simhash_neardup": _simhash_pairs_sql(max_hamming=6),
         "ann_lsh_topk": _ann_lsh_sql(dim=64, n_planes=4, k=3, seed=42),
+        "sparql_distinct": f"""
+            WITH {_PT}
+            SELECT DISTINCT obj AS org FROM pt
+            WHERE pred = 'http://ex.org/p/worksAt'
+        """,
+        "sparql_filter": f"""
+            WITH {_PT}, g AS (SELECT DISTINCT subj, pred, obj FROM pt)
+            SELECT subj AS person, obj AS org FROM g
+            WHERE pred = 'http://ex.org/p/worksAt'
+              AND starts_with(obj, 'http://ex.org/e/NATION_1') AND subj <> obj
+        """,
         "events_tumbling_window": """
             SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour,
                    event_type,

@@ -284,115 +284,363 @@ def extract_ntriples(df: DataFrame, text_col: str = "text") -> DataFrame:
 #     Turtle for .ttl files, graphProcessor.js:151-163 dispatch + :185-200)
 # ---------------------------------------------------------------------------
 
-_TTL_TOKEN = None  # compiled lazily inside the Python worker
+_RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+
+
+class _TurtleError(Exception):
+    pass
+
+
+class _TurtleParser:
+    """Recursive-descent Turtle parser covering the grammar slice real
+    ontologies (the reference's own demo corpus is BFO + pizza,
+    docs/scripts/fileSystem.js:280-281) actually use: @prefix/@base +
+    SPARQL-style PREFIX/BASE directives, prefixed names, the 'a' keyword,
+    ';' predicate lists, ',' object lists, blank-node labels AND property
+    lists ``[...]``, collections ``(...)`` (expanded to rdf:first/rest/
+    nil), numeric/boolean literals, short+long ('\"\"\"') strings in both
+    quote styles with single-pass escape decoding (\\t \\n \\r \\" \\'
+    \\\\ \\uXXXX \\UXXXXXXXX). Language tags and datatype suffixes are
+    parsed and dropped (the quad schema stores the lexical form only —
+    same policy as the previous subset parser and the N-Triples path).
+
+    Quarantine policy: triples are buffered per statement and committed
+    only when the whole statement parses; on error the parser resyncs at
+    the next top-level '.' or newline, so a garbage line never poisons
+    its neighbors and no partial statement ever emits.
+    """
+
+    _ESC = {"t": "\t", "n": "\n", "r": "\r", "b": "\b", "f": "\f",
+            '"': '"', "'": "'", "\\": "\\"}
+
+    def __init__(self, text: str):
+        import re as _re
+
+        self.re = _re
+        self.t = text
+        self.n = len(text)
+        self.pos = 0
+        self.prefixes: dict[str, str] = {}
+        self.base = ""
+        self.out: list[tuple[str, str, str, bool]] = []
+        self.stmt: list[tuple[str, str, str, bool]] = []
+        self.anon = 0
+        self._scheme = _re.compile(r"^[A-Za-z][A-Za-z0-9+.\-]*:")
+        self._esc = _re.compile(r"\\(U[0-9a-fA-F]{8}|u[0-9a-fA-F]{4}|.)")
+        self._pname = _re.compile(r"([A-Za-z0-9_.\-]*):([A-Za-z0-9_.\-/#%]*)")
+        self._bnode = _re.compile(r"_:[A-Za-z0-9_.\-]+")
+        self._number = _re.compile(
+            r"[+-]?(?:\d+\.\d+(?:[eE][+-]?\d+)?|\.\d+(?:[eE][+-]?\d+)?"
+            r"|\d+[eE][+-]?\d+|\d+)"
+        )
+        self._langtag = _re.compile(r"@[A-Za-z]+(?:-[A-Za-z0-9]+)*")
+        self._word = _re.compile(r"[A-Za-z]+")
+
+    # ---- lexing -----------------------------------------------------------
+    def _skip_ws(self) -> None:
+        while self.pos < self.n:
+            c = self.t[self.pos]
+            if c in " \t\r\n":
+                self.pos += 1
+            elif c == "#":
+                j = self.t.find("\n", self.pos)
+                self.pos = self.n if j < 0 else j + 1
+            else:
+                return
+
+    def _peek(self) -> str:
+        self._skip_ws()
+        return self.t[self.pos] if self.pos < self.n else ""
+
+    def _err(self, msg: str):
+        raise _TurtleError(f"{msg} at offset {self.pos}")
+
+    def _expect(self, ch: str) -> None:
+        if self._peek() != ch:
+            self._err(f"expected {ch!r}")
+        self.pos += 1
+
+    def _unescape(self, s: str) -> str:
+        def rep(m):
+            g = m.group(1)
+            if g[0] in "uU":
+                return chr(int(g[1:], 16))
+            return self._ESC.get(g, g)
+
+        return self._esc.sub(rep, s)
+
+    # ---- terms ------------------------------------------------------------
+    def _fresh_bnode(self) -> str:
+        self.anon += 1
+        return f"_:gb{self.anon}"
+
+    def _read_iri(self) -> str:
+        j = self.t.find(">", self.pos + 1)
+        if j < 0:
+            self._err("unterminated IRI")
+        val = self._unescape(self.t[self.pos + 1 : j])
+        self.pos = j + 1
+        # relative IRI → resolve against @base by prefixing (no dot-segment
+        # normalization — matches the stringly-typed store's needs)
+        if self.base and not self._scheme.match(val):
+            return self.base + val
+        return val
+
+    def _read_string(self) -> tuple[str, bool]:
+        q = self.t[self.pos]
+        if self.t.startswith(q * 3, self.pos):
+            i = self.pos + 3
+            while True:
+                j = self.t.find(q * 3, i)
+                if j < 0:
+                    self._err("unterminated long string")
+                k, nb = j, 0
+                while k > 0 and self.t[k - 1] == "\\":
+                    nb += 1
+                    k -= 1
+                if nb % 2 == 0:
+                    body = self.t[self.pos + 3 : j]
+                    self.pos = j + 3
+                    break
+                i = j + 1
+        else:
+            i = self.pos + 1
+            while i < self.n:
+                c = self.t[i]
+                if c == "\\":
+                    i += 2
+                    continue
+                if c == q:
+                    break
+                if c == "\n":
+                    self._err("newline in short string")
+                i += 1
+            if i >= self.n:
+                self._err("unterminated string")
+            body = self.t[self.pos + 1 : i]
+            self.pos = i + 1
+        # optional @lang or ^^datatype — parsed, annotation dropped
+        m = self._langtag.match(self.t, self.pos)
+        if m:
+            self.pos = m.end()
+        elif self.t.startswith("^^", self.pos):
+            self.pos += 2
+            if self._peek() == "<":
+                self._read_iri()
+            else:
+                self._read_pname()
+        return self._unescape(body), True
+
+    def _read_pname(self) -> str:
+        m = self._pname.match(self.t, self.pos)
+        if not m:
+            self._err("expected prefixed name")
+        pfx, local = m.group(1), m.group(2)
+        self.pos = m.end()
+        # PN_LOCAL cannot end with '.' — trailing dots are statement
+        # terminators the regex over-consumed
+        while local.endswith("."):
+            local = local[:-1]
+            self.pos -= 1
+        ns = self.prefixes.get(pfx)
+        # unknown prefix stays as written (stringly-typed store policy)
+        return ns + local if ns is not None else f"{pfx}:{local}"
+
+    def _is_word_end(self, end: int) -> bool:
+        """True iff position ``end`` terminates a bare keyword (not a
+        prefixed-name continuation)."""
+        nxt = self.t[end : end + 1]
+        return not self.re.match(r"[A-Za-z0-9_.\-:]", nxt) if nxt else True
+
+    def _read_predicate(self) -> str:
+        c = self._peek()
+        if c == "<":
+            return self._read_iri()
+        if c == "a" and self._is_word_end(self.pos + 1):
+            self.pos += 1
+            return _RDF_NS + "type"
+        if self._bnode.match(self.t, self.pos) or c in "\"'[(" or c.isdigit():
+            self._err("invalid predicate term")
+        return self._read_pname()
+
+    def _read_term(self) -> tuple[str, bool]:
+        c = self._peek()
+        if c == "":
+            self._err("unexpected end of input")
+        if c == "<":
+            return self._read_iri(), False
+        if c in "\"'":
+            return self._read_string()
+        m = self._bnode.match(self.t, self.pos)
+        if m:
+            label = m.group(0)
+            self.pos = m.end()
+            while label.endswith("."):
+                label = label[:-1]
+                self.pos -= 1
+            return label, False
+        if c == "[":
+            self.pos += 1
+            node = self._fresh_bnode()
+            if self._peek() != "]":
+                self._predicate_object_list(node, closer="]")
+            self._expect("]")
+            return node, False
+        if c == "(":
+            return self._read_collection()
+        m = self._number.match(self.t, self.pos)
+        if m and (c.isdigit() or c in "+-."):
+            self.pos = m.end()
+            return m.group(0), True
+        w = self._word.match(self.t, self.pos)
+        if w and w.group(0) in ("true", "false") and self._is_word_end(w.end()):
+            self.pos = w.end()
+            return w.group(0), True
+        if w and w.group(0) == "a" and self._is_word_end(w.end()):
+            self.pos = w.end()
+            return _RDF_NS + "type", False
+        return self._read_pname(), False
+
+    def _read_collection(self) -> tuple[str, bool]:
+        self._expect("(")
+        items: list[tuple[str, bool]] = []
+        while self._peek() != ")":
+            if self.pos >= self.n:
+                self._err("unterminated collection")
+            items.append(self._read_term())
+        self.pos += 1
+        if not items:
+            return _RDF_NS + "nil", False
+        nodes = [self._fresh_bnode() for _ in items]
+        for i, (node, (val, lit)) in enumerate(zip(nodes, items)):
+            self.stmt.append((node, _RDF_NS + "first", val, lit))
+            rest = nodes[i + 1] if i + 1 < len(nodes) else _RDF_NS + "nil"
+            self.stmt.append((node, _RDF_NS + "rest", rest, False))
+        return nodes[0], False
+
+    # ---- statements -------------------------------------------------------
+    def _predicate_object_list(self, subj: str, closer: str = ".") -> None:
+        while True:
+            pred = self._read_predicate()
+            while True:
+                val, lit = self._read_term()
+                self.stmt.append((subj, pred, val, lit))
+                if self._peek() == ",":
+                    self.pos += 1
+                    continue
+                break
+            if self._peek() == ";":
+                self.pos += 1
+                # tolerate trailing ';' before the closer
+                if self._peek() in (closer, ""):
+                    return
+                continue
+            return
+
+    def _directive(self) -> bool:
+        """Consume a @prefix/@base/PREFIX/BASE directive if present."""
+        for kw, sparql_style in (
+            ("@prefix", False), ("@base", False), ("PREFIX", True), ("BASE", True)
+        ):
+            matched = self.t.startswith(kw, self.pos) or (
+                sparql_style and self.t[self.pos : self.pos + len(kw)].upper() == kw
+            )
+            # directive keyword must end the word — 'base:thing' is a pname
+            if matched and not self._is_word_end(self.pos + len(kw)):
+                matched = False
+            if matched:
+                self.pos += len(kw)
+                if kw.endswith("prefix") or kw == "PREFIX":
+                    self._skip_ws()
+                    m = self.re.compile(r"([A-Za-z0-9_.\-]*):").match(self.t, self.pos)
+                    if not m:
+                        self._err("expected prefix name")
+                    self.pos = m.end()
+                    self._skip_ws()
+                    if self._peek() != "<":
+                        self._err("expected namespace IRI")
+                    self.prefixes[m.group(1)] = self._read_iri()
+                else:
+                    self._skip_ws()
+                    if self._peek() != "<":
+                        self._err("expected base IRI")
+                    self.base = self._read_iri()
+                if self._peek() == ".":
+                    self.pos += 1  # trailing '.' required for @-style, optional here
+                return True
+        return False
+
+    def _statement(self) -> None:
+        if self._directive():
+            return
+        c = self._peek()
+        if c == "[":
+            # bnode property list as subject; a following POL is optional
+            subj, _ = self._read_term()
+            if self._peek() != ".":
+                self._predicate_object_list(subj)
+        else:
+            subj, is_lit = self._read_term()
+            if is_lit:
+                self._err("literal cannot be a subject")
+            self._predicate_object_list(subj)
+        self._expect(".")
+
+    def _resync(self, start: int) -> None:
+        """Skip to just past the next top-level '.' or newline (whichever
+        comes first), honoring quotes and IRI brackets."""
+        i = max(self.pos, start + 1)
+        q: str | None = None  # "'"/'"' short quote, "'''"/'"""' long quote
+        in_iri = False
+        while i < self.n:
+            c = self.t[i]
+            if q:
+                if c == "\\":
+                    i += 2
+                    continue
+                if len(q) == 3 and self.t.startswith(q, i):
+                    q = None
+                    i += 3
+                    continue
+                if len(q) == 1 and c == q:
+                    q = None
+                elif len(q) == 1 and c == "\n":
+                    # a newline inside a short quote means the string was
+                    # unterminated — that IS the malformed spot; sync here
+                    self.pos = i + 1
+                    return
+            elif c in "\"'":
+                q = c * 3 if self.t.startswith(c * 3, i) else c
+                i += len(q)
+                continue
+            elif c == "<":
+                in_iri = True
+            elif c == ">":
+                in_iri = False
+            elif (c == "." or c == "\n") and not in_iri:
+                self.pos = i + 1
+                return
+            i += 1
+        self.pos = self.n
+
+    def parse(self) -> list[tuple[str, str, str, bool]]:
+        while True:
+            self._skip_ws()
+            if self.pos >= self.n:
+                return self.out
+            start = self.pos
+            self.stmt = []
+            try:
+                self._statement()
+                self.out.extend(self.stmt)
+            except _TurtleError:
+                self._resync(start)
 
 
 def _parse_turtle(text: str) -> list[tuple[str, str, str, bool]]:
-    """Subset-Turtle parser: @prefix/PREFIX decls, prefixed names, 'a'
-    keyword, ';' predicate lists, ',' object lists, IRIs, blank-node
-    labels, plain/lang/typed literals. Unparseable statements are dropped
-    (quarantine, same policy as the N-Triples path). Returns
-    (subj, pred, obj, obj_is_literal)."""
-    import re as _re
-
-    global _TTL_TOKEN
-    if _TTL_TOKEN is None:
-        _TTL_TOKEN = _re.compile(
-            r"""\s*(?:
-                  (?P<comment>\#[^\n]*)
-                | (?P<prefix_decl>@prefix|@PREFIX|PREFIX)
-                | (?P<iri><[^>]*>)
-                | (?P<literal>"(?:[^"\\]|\\.)*"(?:@[\w-]+|\^\^\S+)?)
-                | (?P<punct>[.;,])
-                | (?P<a>a)(?=[\s<])
-                | (?P<pname>[\w.-]*:[\w./#-]*)
-                | (?P<bnode>_:[\w-]+)
-            )""",
-            _re.VERBOSE,
-        )
-
-    toks: list[tuple[str, str]] = []
-    pos = 0
-    while pos < len(text):
-        m = _TTL_TOKEN.match(text, pos)
-        if not m:
-            pos += 1  # skip garbage byte (quarantine, not raise)
-            continue
-        pos = m.end()
-        kind = m.lastgroup
-        if kind and kind != "comment":
-            toks.append((kind, m.group(kind)))
-
-    prefixes: dict[str, str] = {}
-    out: list[tuple[str, str, str, bool]] = []
-
-    def term(kind: str, val: str):
-        """→ (value, is_literal) or None."""
-        if kind == "iri":
-            return val[1:-1], False
-        if kind == "bnode":
-            return val, False
-        if kind == "a":
-            return "http://www.w3.org/1999/02/22-rdf-syntax-ns#type", False
-        if kind == "pname":
-            pfx, _, local = val.partition(":")
-            ns = prefixes.get(pfx)
-            return (ns + local, False) if ns is not None else (val, False)
-        if kind == "literal":
-            body = _re.match(r'"((?:[^"\\]|\\.)*)"', val).group(1)
-            body = (
-                body.replace(r"\t", "\t").replace(r"\n", "\n").replace(r"\r", "\r")
-                .replace('\\"', '"').replace("\\\\", "\\")
-            )
-            return body, True
-        return None
-
-    i = 0
-    n = len(toks)
-    while i < n:
-        kind, val = toks[i]
-        if kind == "prefix_decl":
-            # @prefix pfx: <iri> .   (trailing '.' optional for PREFIX)
-            if i + 2 < n and toks[i + 1][0] == "pname" and toks[i + 2][0] == "iri":
-                pfx = toks[i + 1][1].rstrip(":")
-                prefixes[pfx] = toks[i + 2][1][1:-1]
-                i += 3
-                if i < n and toks[i] == ("punct", "."):
-                    i += 1
-            else:
-                i += 1
-            continue
-        subj = term(kind, val)
-        i += 1
-        if subj is None or subj[1]:
-            continue  # literals can't be subjects; resync
-        # predicate-object list until '.'
-        while i < n:
-            if toks[i][0] == "punct":
-                i += 1
-                if toks[i - 1][1] == ".":
-                    break
-                continue
-            pred = term(*toks[i])
-            i += 1
-            if pred is None or pred[1]:
-                break
-            while i < n:
-                obj = term(*toks[i]) if toks[i][0] != "punct" else None
-                if obj is not None:
-                    out.append((subj[0], pred[0], obj[0], obj[1]))
-                    i += 1
-                if i < n and toks[i] == ("punct", ","):
-                    i += 1
-                    continue
-                break
-            if i < n and toks[i] == ("punct", ";"):
-                i += 1
-                continue
-            if i < n and toks[i] == ("punct", "."):
-                i += 1
-            break
-    return out
+    """Parse one Turtle document → (subj, pred, obj, obj_is_literal) rows.
+    See _TurtleParser for grammar coverage and the quarantine policy."""
+    return _TurtleParser(text).parse()
 
 
 def extract_turtle(df: DataFrame, text_col: str = "text") -> DataFrame:

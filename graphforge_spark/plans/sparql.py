@@ -7,19 +7,28 @@ inline copies docs/scripts/document.js:930-946,
 docs/scripts/queryManager.js:90-113). Its exercised surface is pinned by
 its own canned queries (docs/test HTML/SPARQL.html:241-283, default
 query docs/scripts/app.js:100-104): BGP patterns, OPTIONAL, property-path
-alternation with ZeroOrMore, COUNT…GROUP BY, SELECT */vars, LIMIT. This
-module parses exactly that subset — a user of the reference can paste
-their queries unchanged — and compiles to the same Catalyst plans the
+alternation with ZeroOrMore, COUNT…GROUP BY, SELECT */vars, LIMIT — plus
+the DISTINCT/FILTER forms any Comunica user will paste. This module
+parses that subset and compiles to the same Catalyst plans the
 programmatic helpers (plans/bgp.py, operators/closure.py) produce.
+
+Anything OUTSIDE the grammar raises ``ValueError`` — the reference hands
+arbitrary SPARQL to a full engine, so silently dropping an unsupported
+clause (e.g. executing SELECT DISTINCT as a bag projection) would return
+*wrong* answers with no warning. Unsupported must be loud.
 
 Grammar (whitespace-insensitive, case-insensitive keywords):
 
-    query    := PREFIX* SELECT proj WHERE { stmt* } modifier*
+    query    := PREFIX* SELECT DISTINCT? proj WHERE { stmt* } modifier*
     proj     := '*' | (var | '(' COUNT '(' var ')' AS var ')')+
-    stmt     := pattern '.'? | OPTIONAL '{' pattern '.'? '}'
+    stmt     := pattern '.'? | OPTIONAL '{' pattern+ '}' | FILTER '(' cond ')'
     pattern  := term predpath term
     predpath := term | '(' term ('|' term)* ')' '*'? | term '*'
     term     := ?var | <iri> | curie | "literal" | 'a'
+    cond     := atom ('&&' atom)*
+    atom     := operand cmp operand | REGEX(var, "re") | CONTAINS(var, "s")
+              | STRSTARTS(var, "s") | BOUND(var) | !BOUND(var)
+    cmp      := '=' | '!=' | '<' | '<=' | '>' | '>='
     modifier := GROUP BY var | ORDER BY (var | ASC(var) | DESC(var)) | LIMIT n
 
 The reference's prepareQuery rewrites are applied first: 'a' → rdf:type,
@@ -31,8 +40,9 @@ from __future__ import annotations
 
 import re
 from dataclasses import dataclass, field
+from functools import reduce
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from graphforge_spark.functions.terms import DEFAULT_PREFIXES
@@ -50,13 +60,22 @@ _TERM_RE = re.compile(
     """,
     re.VERBOSE,
 )
+# Constructs we knowingly do NOT support — named here so the error says
+# "unsupported SPARQL feature X", not just "cannot parse".
+_UNSUPPORTED_KEYWORDS = re.compile(
+    r"\b(UNION|MINUS|BIND|VALUES|SERVICE|GRAPH|EXISTS|NOT\s+EXISTS|CONSTRUCT"
+    r"|ASK|DESCRIBE|HAVING|OFFSET|REDUCED)\b",
+    re.IGNORECASE,
+)
 
 
 @dataclass
 class _Parsed:
     projection: list = field(default_factory=list)  # ["*"] | vars | ("count", x, alias)
+    distinct: bool = False
     patterns: list = field(default_factory=list)  # (term, predpath, term)
-    optionals: list = field(default_factory=list)  # same shape
+    optionals: list = field(default_factory=list)  # list[list[pattern]]
+    filters: list = field(default_factory=list)  # raw condition strings
     group_by: str | None = None
     order_by: tuple | None = None  # (var, ascending)
     limit: int | None = None
@@ -114,8 +133,23 @@ def _parse_term(tok: re.Match, prefixes: dict):
     return _expand(tok.group("curie"), prefixes)
 
 
+def _residue(text: str, matches: list[re.Match]) -> str:
+    """Text left over after blanking every matched span — loud-error fuel:
+    any non-whitespace residue is syntax we did not understand."""
+    chars = list(text)
+    for m in matches:
+        for i in range(m.start(), m.end()):
+            chars[i] = " "
+    return "".join(chars).strip()
+
+
 def _parse_pattern(text: str, prefixes: dict):
     toks = list(_TERM_RE.finditer(text))
+    left = _residue(text, toks)
+    if left:
+        raise ValueError(
+            f"unsupported SPARQL syntax {left!r} in pattern {text.strip()!r}"
+        )
     if len(toks) != 3:
         raise ValueError(f"cannot parse triple pattern: {text!r}")
     s, p, o = (_parse_term(t, prefixes) for t in toks)
@@ -125,8 +159,38 @@ def _parse_pattern(text: str, prefixes: dict):
     return (s, p, o)
 
 
+def _take_paren_blocks(body: str, keyword: str) -> tuple[str, list[str]]:
+    """Remove every ``KEYWORD ( balanced )`` from body; return (rest, blocks)."""
+    out, blocks = [], []
+    pat = re.compile(rf"\b{keyword}\s*\(", re.IGNORECASE)
+    pos = 0
+    while True:
+        m = pat.search(body, pos)
+        if not m:
+            out.append(body[pos:])
+            break
+        out.append(body[pos : m.start()])
+        depth, i = 1, m.end()
+        while i < len(body) and depth:
+            if body[i] == "(":
+                depth += 1
+            elif body[i] == ")":
+                depth -= 1
+            i += 1
+        if depth:
+            raise ValueError(f"unbalanced parentheses after {keyword}")
+        blocks.append(body[m.end() : i - 1])
+        pos = i
+    return " ".join(out), blocks
+
+
 def parse_sparql(query: str, prefixes: dict[str, str] | None = None) -> _Parsed:
     q = _strip_comments(query)
+    # scan with string literals blanked so a literal containing e.g.
+    # "values" cannot false-positive as the VALUES clause
+    bad = _UNSUPPORTED_KEYWORDS.search(re.sub(r'"(?:[^"\\]|\\.)*"', '""', q))
+    if bad:
+        raise ValueError(f"unsupported SPARQL feature: {bad.group(0).upper()}")
     pmap = dict(DEFAULT_PREFIXES)
     if prefixes:
         pmap.update(prefixes)
@@ -134,9 +198,16 @@ def parse_sparql(query: str, prefixes: dict[str, str] | None = None) -> _Parsed:
         pmap[pfx] = iri
     q = _PREFIX_RE.sub(" ", q)
 
-    m = re.search(r"SELECT\s+(?P<proj>.*?)\s+WHERE\s*\{", q, re.IGNORECASE | re.DOTALL)
+    m = re.search(
+        r"SELECT\s+(?P<distinct>DISTINCT\s+)?(?P<proj>.*?)\s+WHERE\s*\{",
+        q,
+        re.IGNORECASE | re.DOTALL,
+    )
     if not m:
         raise ValueError("only SELECT ... WHERE { ... } queries are supported")
+    head_residue = q[: m.start()].strip()
+    if head_residue:
+        raise ValueError(f"unsupported SPARQL syntax before SELECT: {head_residue!r}")
     proj_text = m.group("proj")
     body_start = m.end()
     # brace-match the WHERE block (OPTIONAL nests one level)
@@ -147,43 +218,146 @@ def parse_sparql(query: str, prefixes: dict[str, str] | None = None) -> _Parsed:
         elif q[i] == "}":
             depth -= 1
         i += 1
+    if depth:
+        raise ValueError("unbalanced braces in WHERE block")
     body, tail = q[body_start : i - 1], q[i:]
 
     parsed = _Parsed()
+    parsed.distinct = bool(m.group("distinct"))
 
-    # projection
-    for agg in re.finditer(
-        r"\(\s*COUNT\s*\(\s*\?(\w+)\s*\)\s+AS\s+\?(\w+)\s*\)", proj_text, re.IGNORECASE
-    ):
+    # ---- projection (every token must be understood) ----------------------
+    agg_matches = list(
+        re.finditer(
+            r"\(\s*COUNT\s*\(\s*\?(\w+)\s*\)\s+AS\s+\?(\w+)\s*\)",
+            proj_text,
+            re.IGNORECASE,
+        )
+    )
+    for agg in agg_matches:
         parsed.projection.append(("count", agg.group(1), agg.group(2)))
-    proj_rest = re.sub(r"\([^)]*\)", " ", proj_text)
-    if "*" in proj_rest:
-        parsed.projection.append("*")
-    parsed.projection.extend(v for v in re.findall(r"\?(\w+)", proj_rest))
+    rest = _residue(proj_text, agg_matches)
+    plain = list(re.finditer(r"\*|\?(\w+)", rest))
+    for t in plain:
+        parsed.projection.append("*" if t.group(0) == "*" else t.group(1))
+    left = _residue(rest, plain)
+    if left:
+        raise ValueError(f"unsupported SELECT projection syntax: {left!r}")
+    if not parsed.projection:
+        raise ValueError("empty SELECT projection")
 
-    # body: extract OPTIONAL blocks first, then split remaining patterns on '.'
+    # ---- body: OPTIONAL blocks, FILTER conditions, then plain patterns ----
     def take_optional(mm: re.Match) -> str:
-        parsed.optionals.append(_parse_pattern(mm.group(1), pmap))
+        pats = [
+            _parse_pattern(chunk, pmap)
+            for chunk in _split_statements(mm.group(1))
+            if chunk.strip()
+        ]
+        if not pats:
+            raise ValueError("empty OPTIONAL block")
+        parsed.optionals.append(pats)
         return " "
 
-    body = re.sub(
-        r"OPTIONAL\s*\{([^{}]*)\}", take_optional, body, flags=re.IGNORECASE
-    )
+    body = re.sub(r"OPTIONAL\s*\{([^{}]*)\}", take_optional, body, flags=re.IGNORECASE)
+    if re.search(r"[{}]", body):
+        raise ValueError("unsupported nested group in WHERE block")
+    body, parsed.filters = _take_paren_blocks(body, "FILTER")
     for chunk in _split_statements(body):
         if chunk.strip():
             parsed.patterns.append(_parse_pattern(chunk, pmap))
 
-    # modifiers
+    # ---- modifiers (the tail must be fully consumed) ----------------------
+    consumed = []
     gm = re.search(r"GROUP\s+BY\s+\?(\w+)", tail, re.IGNORECASE)
     if gm:
         parsed.group_by = gm.group(1)
+        consumed.append(gm)
     om = re.search(r"ORDER\s+BY\s+(ASC|DESC)?\s*\(?\s*\?(\w+)\s*\)?", tail, re.IGNORECASE)
     if om:
         parsed.order_by = (om.group(2), (om.group(1) or "ASC").upper() == "ASC")
+        consumed.append(om)
     lm = re.search(r"LIMIT\s+(\d+)", tail, re.IGNORECASE)
     if lm:
         parsed.limit = int(lm.group(1))
+        consumed.append(lm)
+    left = _residue(tail, consumed)
+    if left:
+        raise ValueError(f"unsupported SPARQL syntax after WHERE block: {left!r}")
     return parsed, pmap
+
+
+# ---------------------------------------------------------------------------
+# FILTER compilation
+# ---------------------------------------------------------------------------
+
+_CMP_RE = re.compile(
+    r"""^\s*(?P<a>\?\w+|"(?:[^"\\]|\\.)*"|<[^>]*>|-?\d+(?:\.\d+)?|[\w-]*:[\w./#-]+)
+         \s*(?P<op>!=|<=|>=|=|<|>)
+         \s*(?P<b>\?\w+|"(?:[^"\\]|\\.)*"|<[^>]*>|-?\d+(?:\.\d+)?|[\w-]*:[\w./#-]+)\s*$""",
+    re.VERBOSE,
+)
+_FUNC_RE = re.compile(
+    r"""^\s*(?P<neg>!)?\s*(?P<fn>REGEX|CONTAINS|STRSTARTS|BOUND)\s*\(
+         \s*\?(?P<var>\w+)\s*(?:,\s*"(?P<arg>(?:[^"\\]|\\.)*)"\s*)?\)\s*$""",
+    re.VERBOSE | re.IGNORECASE,
+)
+
+_OPS = {
+    "=": lambda a, b: a == b,
+    "!=": lambda a, b: a != b,
+    "<": lambda a, b: a < b,
+    "<=": lambda a, b: a <= b,
+    ">": lambda a, b: a > b,
+    ">=": lambda a, b: a >= b,
+}
+
+
+def _operand(text: str, pmap: dict, numeric: bool):
+    if text.startswith("?"):
+        col = F.col(text[1:])
+        return col.cast("double") if numeric else col
+    if re.fullmatch(r"-?\d+(?:\.\d+)?", text):
+        return F.lit(float(text))
+    if text.startswith('"'):
+        return F.lit(text[1:-1])
+    if text.startswith("<"):
+        return F.lit(text[1:-1])
+    return F.lit(_expand(text, pmap))
+
+
+def _filter_atom(cond: str, pmap: dict) -> Column:
+    fm = _FUNC_RE.match(cond)
+    if fm:
+        var, arg, fn = fm.group("var"), fm.group("arg"), fm.group("fn").upper()
+        if fn == "BOUND":
+            col = F.col(var).isNotNull()
+        elif arg is None:
+            raise ValueError(f"{fn} requires a string argument: FILTER({cond.strip()})")
+        elif fn == "REGEX":
+            col = F.col(var).rlike(arg)
+        elif fn == "CONTAINS":
+            col = F.col(var).contains(arg)
+        else:  # STRSTARTS
+            col = F.col(var).startswith(arg)
+        return ~col if fm.group("neg") else col
+    cm = _CMP_RE.match(cond)
+    if cm:
+        a, op, b = cm.group("a"), cm.group("op"), cm.group("b")
+        # numeric comparison iff either side is a number literal (terms are
+        # strings in the store; SPARQL numeric compare needs the cast)
+        numeric = bool(
+            re.fullmatch(r"-?\d+(?:\.\d+)?", a) or re.fullmatch(r"-?\d+(?:\.\d+)?", b)
+        )
+        return _OPS[op](_operand(a, pmap, numeric), _operand(b, pmap, numeric))
+    raise ValueError(f"unsupported FILTER condition: {cond.strip()!r}")
+
+
+def _filter_col(cond: str, pmap: dict) -> Column:
+    """Compile a FILTER condition: '&&'-conjunction of comparison/function
+    atoms. Anything else is a loud error."""
+    if "||" in cond:
+        raise ValueError("FILTER '||' disjunction is not supported")
+    atoms = [c for c in cond.split("&&")]
+    return reduce(lambda x, y: x & y, (_filter_atom(a, pmap) for a in atoms))
 
 
 def _path_frame(triples: DataFrame, spec: str, s: Var, o: Var, pmap: dict) -> DataFrame:
@@ -212,7 +386,8 @@ def _path_frame(triples: DataFrame, spec: str, s: Var, o: Var, pmap: dict) -> Da
 def sparql_query(
     triples: DataFrame, query: str, prefixes: dict[str, str] | None = None
 ) -> DataFrame:
-    """Execute a SPARQL query (reference subset) over the triples store."""
+    """Execute a SPARQL query (reference subset) over the triples store.
+    Unsupported syntax raises ``ValueError`` — never a silently-wrong plan."""
     parsed, pmap = parse_sparql(query, prefixes)
 
     plain = [p for p in parsed.patterns if not (isinstance(p[1], tuple))]
@@ -230,8 +405,17 @@ def sparql_query(
         shared = [c for c in out.columns if c in f.columns]
         out = out.join(f, shared, "inner") if shared else out.crossJoin(f)
 
-    for opt_pattern in parsed.optionals:
-        out = optional(out, bgp(triples, [opt_pattern]))
+    for opt_patterns in parsed.optionals:
+        for p in opt_patterns:
+            if isinstance(p[1], tuple):
+                raise ValueError("property paths inside OPTIONAL are not supported")
+        out = optional(out, bgp(triples, opt_patterns))
+
+    # FILTER applies to the group's bindings (after optionals join in);
+    # comparisons on unbound (null) vars are null → dropped, matching
+    # SPARQL's error-eliminates-row semantics.
+    for cond in parsed.filters:
+        out = out.filter(_filter_col(cond, pmap))
 
     # projection / aggregation
     aggs = [p for p in parsed.projection if isinstance(p, tuple)]
@@ -242,7 +426,12 @@ def sparql_query(
         out = out.select(*(alias for (_, _, alias) in aggs), *keys)
     elif "*" not in parsed.projection:
         want = [v for v in parsed.projection if isinstance(v, str)]
-        out = out.select(*[c for c in want if c in out.columns])
+        missing = [v for v in want if v not in out.columns]
+        if missing:
+            raise ValueError(f"projected variables not bound in WHERE: {missing}")
+        out = out.select(*want)
+    if parsed.distinct:
+        out = out.distinct()
 
     if parsed.order_by:
         var, asc = parsed.order_by

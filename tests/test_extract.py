@@ -257,3 +257,68 @@ class TestTurtleParser:
         )
         got = {(r.subj, r.pred, r.obj) for r in extract_turtle(df).collect()}
         assert got == {("http://a", "http://p", "http://b")}
+
+    def test_full_grammar_forms(self):
+        """Golden round-trip of the Turtle forms real ontologies (BFO,
+        pizza — the reference's own demo corpus, fileSystem.js:280-281)
+        use beyond the easy subset: @base + relative IRIs, collections,
+        blank-node property lists (nested object + standalone subject),
+        numeric/boolean literals, long strings, escape decoding."""
+        from graphforge_spark.operators.extract import _parse_turtle
+
+        RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+        ttl = """
+            BASE <http://base.org/>
+            @prefix ex: <http://ex.org/> .
+            <rel> ex:p <#frag> .
+            ex:s ex:list (1 2.5 "three") .
+            ex:who ex:knows [ ex:name "Anon" ; ex:age 41 ] .
+            [ ex:label "standalone" ] .
+            ex:t ex:flag true , false .
+            ex:u ex:note \"\"\"multi
+            line \\"q\\" text\"\"\" .
+            ex:v ex:esc "tab\\there \\\\t kept \\u0041" .
+            ex:empty ex:l () .
+        """
+        got = set(_parse_turtle(ttl))
+        EX = "http://ex.org/"
+        assert ("http://base.org/rel", EX + "p", "http://base.org/#frag", False) in got
+        # collection spine: s → gb1 →first 1, →rest gb2 … → nil
+        assert (EX + "s", EX + "list", "_:gb1", False) in got
+        assert ("_:gb1", RDF + "first", "1", True) in got
+        assert ("_:gb2", RDF + "first", "2.5", True) in got
+        assert ("_:gb3", RDF + "first", "three", True) in got
+        assert ("_:gb3", RDF + "rest", RDF + "nil", False) in got
+        # bnode property list in object position
+        assert (EX + "who", EX + "knows", "_:gb4", False) in got
+        assert ("_:gb4", EX + "name", "Anon", True) in got
+        assert ("_:gb4", EX + "age", "41", True) in got
+        # standalone subject bnode list
+        assert ("_:gb5", EX + "label", "standalone", True) in got
+        # booleans keep their lexical form as literals
+        assert (EX + "t", EX + "flag", "true", True) in got
+        assert (EX + "t", EX + "flag", "false", True) in got
+        # long string with newline + escaped quotes
+        note = next(o for s, p, o, _ in got if p == EX + "note")
+        assert '"q"' in note and "\n" in note
+        # single-pass escapes: \\t stays backslash-t, \t decodes, A='A'
+        assert (EX + "v", EX + "esc", "tab\there \\t kept A", True) in got
+        # empty collection is rdf:nil
+        assert (EX + "empty", EX + "l", RDF + "nil", False) in got
+
+    def test_statement_quarantine_no_partial_emission(self):
+        """A statement that fails mid-parse contributes NOTHING (triples
+        buffer per statement); neighbors still parse."""
+        from graphforge_spark.operators.extract import _parse_turtle
+
+        ttl = (
+            "@prefix ex: <http://ex.org/> .\n"
+            "ex:good ex:p ex:q .\n"
+            'ex:bad ex:p "unterminated ;\n'
+            "ex:also_good ex:p ex:r .\n"
+        )
+        got = {(s, p, o) for s, p, o, _ in _parse_turtle(ttl)}
+        EX = "http://ex.org/"
+        assert (EX + "good", EX + "p", EX + "q") in got
+        assert (EX + "also_good", EX + "p", EX + "r") in got
+        assert not any(s == EX + "bad" for s, _, _ in got)

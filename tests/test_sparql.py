@@ -113,3 +113,87 @@ def test_multi_pattern_join(graph):
     q = "SELECT ?a ?c WHERE { ?a <http://ex.org/p/likes> ?b . ?b <http://ex.org/p/likes> ?c }"
     rows = sparql_query(graph, q).collect()
     assert {(r.a, r.c) for r in rows} == {("http://ex.org/x", "http://ex.org/z")}
+
+
+def test_select_distinct(graph):
+    q = "SELECT DISTINCT ?p WHERE { ?s ?p ?o }"
+    preds = [r.p for r in sparql_query(graph, q).collect()]
+    assert len(preds) == len(set(preds)) == 4
+    # bag projection without DISTINCT keeps duplicates
+    assert sparql_query(graph, "SELECT ?p WHERE { ?s ?p ?o }").count() == len(TRIPLES)
+
+
+def test_filter_comparison_and_functions(graph):
+    q = """SELECT ?s ?o WHERE {
+             ?s <http://ex.org/p/likes> ?o .
+             FILTER(STRSTARTS(?o, "http://ex.org/y") && ?s != ?o)
+           }"""
+    rows = sparql_query(graph, q).collect()
+    assert {(r.s, r.o) for r in rows} == {("http://ex.org/x", "http://ex.org/y")}
+
+    q2 = 'SELECT ?s WHERE { ?s ?p ?o . FILTER(REGEX(?o, "^note$")) }'
+    assert [r.s for r in sparql_query(graph, q2).collect()] == ["http://ex.org/x"]
+
+    q3 = 'SELECT ?s WHERE { ?s ?p ?o . FILTER(CONTAINS(?o, "ot") && ?p = <http://example.org/optionalPredicate>) }'
+    assert [r.s for r in sparql_query(graph, q3).collect()] == ["http://ex.org/x"]
+
+
+def test_filter_numeric_comparison(spark):
+    g = spark.createDataFrame(
+        [("a", "http://ex.org/p/age", "30", True), ("b", "http://ex.org/p/age", "7", True)],
+        "subj string, pred string, obj string, obj_is_literal boolean",
+    )
+    # numeric compare must cast (string '7' > '30' lexicographically!)
+    q = "SELECT ?s WHERE { ?s <http://ex.org/p/age> ?age . FILTER(?age > 10) }"
+    assert [r.s for r in sparql_query(g, q).collect()] == ["a"]
+
+
+def test_filter_on_unbound_optional_var_drops_row(graph):
+    # SPARQL error-eliminates-row: comparison on unbound var removes the row
+    q = """SELECT ?s ?note WHERE {
+             ?s <http://ex.org/p/likes> ?o .
+             OPTIONAL { ?s <http://example.org/optionalPredicate> ?note }
+             FILTER(?note = "note")
+           }"""
+    rows = sparql_query(graph, q).collect()
+    assert [r.s for r in rows] == ["http://ex.org/x"]
+    # BOUND works on the null-extended column
+    qb = """SELECT ?s WHERE {
+              ?s <http://ex.org/p/likes> ?o .
+              OPTIONAL { ?s <http://example.org/optionalPredicate> ?note }
+              FILTER(!BOUND(?note))
+            }"""
+    assert [r.s for r in sparql_query(graph, qb).collect()] == ["http://ex.org/y"]
+
+
+def test_multi_pattern_optional(graph):
+    # OPTIONAL with two patterns: both must match for the extension to bind
+    q = """SELECT ?s ?c WHERE {
+             ?s <http://ex.org/p/likes> ?o .
+             OPTIONAL { ?s rdf:type ?t . ?t rdfs:subClassOf ?c }
+           }"""
+    rows = {(r.s, r.c) for r in sparql_query(graph, q).collect()}
+    assert rows == {("http://ex.org/x", "http://ex.org/B"), ("http://ex.org/y", None)}
+
+
+@pytest.mark.parametrize(
+    "bad_query",
+    [
+        "SELECT ?s WHERE { ?s ?p ?o . ?s ?p2 ?o2 } UNION { ?a ?b ?c }",
+        "SELECT ?s WHERE { BIND(1 AS ?x) ?s ?p ?o }",
+        "SELECT ?s WHERE { VALUES ?s { <http://e/1> } ?s ?p ?o }",
+        "SELECT REDUCED ?s WHERE { ?s ?p ?o }",
+        "SELECT ?s WHERE { ?s ?p ?o } OFFSET 10",
+        "SELECT ?s WHERE { ?s ?p ?o } HAVING (?s > 1)",
+        "SELECT ?s WHERE { GRAPH ?g { ?s ?p ?o } }",
+        "SELECT ?s bogus WHERE { ?s ?p ?o }",
+        "SELECT ?s WHERE { ?s ?p ?o garbage garbage }",
+        "SELECT ?s WHERE { ?s ?p ?o . FILTER(?s IN (1,2)) }",
+        "SELECT ?s WHERE { ?s ?p ?o . FILTER(?a = 1 || ?b = 2) }",
+        "SELECT ?missing WHERE { ?s ?p ?o }",
+        "CONSTRUCT { ?s ?p ?o } WHERE { ?s ?p ?o }",
+    ],
+)
+def test_unsupported_syntax_is_loud(graph, bad_query):
+    with pytest.raises(ValueError):
+        sparql_query(graph, bad_query)
