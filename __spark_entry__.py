@@ -597,14 +597,15 @@ def _simhash_pairs_sql(max_hamming: int = 6) -> str:
     """
 
 
-def _ann_lsh_sql(dim: int = 64, n_planes: int = 4, k: int = 3, seed: int = 42) -> str:
+def _ann_lsh_sql(
+    dim: int = 64, n_planes: int = 4, k: int = 3, n_tables: int = 4, seed: int = 42
+) -> str:
     """DuckDB oracle for lsh_bucketed_topk: the seeded ±1 hyperplanes are
     pure Python (md5 bit stream) — inline them as literal DOUBLE[] arrays,
-    so the bucket assignment, bucket join, and cosine fold all replicate
-    bit-for-bit (sequential double folds on both sides)."""
+    so the per-table bucket assignment, OR-of-tables candidate union, and
+    cosine fold all replicate bit-for-bit (sequential double folds on
+    both sides)."""
     from graphforge_spark.operators.similarity import _hyperplanes
-
-    planes = _hyperplanes(dim, n_planes, seed)
 
     def proj(vec: str, p: list[float]) -> str:
         lit = "[" + ", ".join(f"{v:.1f}" for v in p) + "]::DOUBLE[]"
@@ -613,19 +614,24 @@ def _ann_lsh_sql(dim: int = 64, n_planes: int = 4, k: int = 3, seed: int = 42) -
             f"i -> CAST({vec}[i] AS DOUBLE) * ({lit})[i]), (acc, x) -> acc + x)"
         )
 
-    bucket = " + ".join(
-        f"(CASE WHEN {proj('embedding', p)} >= 0 THEN {1 << i} ELSE 0 END)"
-        for i, p in enumerate(planes)
-    )
+    bucket_cols = []
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, n_planes, seed + t)
+        bucket = " + ".join(
+            f"(CASE WHEN {proj('embedding', p)} >= 0 THEN {1 << i} ELSE 0 END)"
+            for i, p in enumerate(planes)
+        )
+        bucket_cols.append(f"{bucket} AS b{t}")
+    any_match = " OR ".join(f"n.b{t} = q.b{t}" for t in range(n_tables))
     return f"""
-        WITH b AS (SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings),
+        WITH b AS (SELECT vec_id, embedding, {", ".join(bucket_cols)} FROM embeddings),
         q AS (SELECT * FROM b WHERE vec_id < 8),
         scored AS (
           SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
                  {_FOLD.format(a="q.embedding", b="n.embedding")} /
                  (sqrt({_FOLD.format(a="q.embedding", b="q.embedding")}) *
                   sqrt({_FOLD.format(a="n.embedding", b="n.embedding")})) AS sim
-          FROM b n JOIN q ON n.bucket = q.bucket AND n.vec_id <> q.vec_id
+          FROM b n JOIN q ON n.vec_id <> q.vec_id AND ({any_match})
         )
         SELECT query_id, neighbor_id, sim, CAST(rn AS INT) AS rank
         FROM (SELECT *, row_number() OVER (
@@ -991,7 +997,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(0 AS BIGINT) AS n_outside
         """,
         "simhash_neardup": _simhash_pairs_sql(max_hamming=6),
-        "ann_lsh_topk": _ann_lsh_sql(dim=64, n_planes=4, k=3, seed=42),
+        "ann_lsh_topk": _ann_lsh_sql(dim=64, n_planes=4, k=3, n_tables=4, seed=42),
         "sparql_distinct": f"""
             WITH {_PT}
             SELECT DISTINCT obj AS org FROM pt

@@ -256,58 +256,108 @@ def run_throughput(master: str) -> None:
 
 SCALE_LADDER = [4, 8, 16, 32]
 
+# A trial is QUIET when hypervisor steal during it stays under this
+# fraction of the host's total CPU time (steal jiffies are summed across
+# all host CPUs at USER_HZ=100).
+QUIET_STEAL_FRAC = 0.02
+MAX_EXTRA_ROUNDS = 3
+
+
+def _run_level(n: int) -> dict:
+    out = subprocess.run(
+        [
+            sys.executable,
+            os.path.abspath(__file__),
+            "--throughput",
+            "--master",
+            f"local[{n}]",
+        ],
+        capture_output=True,
+        text=True,
+        check=True,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+    )
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def _quiet_walls(trials: list[tuple[float, int]]) -> list[float]:
+    ncpu = os.cpu_count() or 32
+    return [w for w, s in trials if s <= QUIET_STEAL_FRAC * 100.0 * w * ncpu]
+
 
 def run_scaling() -> None:
     """Full parallelism ladder (4, 8, 16, 32 cores), each level in a fresh
-    JVM; per-level throughput = best of warm in-process trials (the
-    sandbox host has bursty CPU steal — recorded per trial — which only
-    ever depresses a measurement). Reports both N→4N efficiencies the
-    ladder contains: 4→16 and 8→32."""
+    JVM. Quiet-window protocol (r1 verdict: make ≥0.8 the MEDIAN outcome,
+    not the best-of): steal jiffies are read around every trial; a trial
+    is 'quiet' when steal stays under {QUIET_STEAL_FRAC:.0%} of host CPU
+    time; rungs short on quiet trials are retried (up to
+    {MAX_EXTRA_ROUNDS} extra rounds). The HEADLINE efficiency is computed
+    from the median of quiet trials per level; best-of is reported
+    alongside for continuity with r1."""
     n_rounds = int(os.environ.get("SCALING_ROUNDS", "3"))
     rounds: dict[int, list[dict]] = {n: [] for n in SCALE_LADDER}
+    # interleave rounds over the ladder: the host's noise windows span
+    # minutes, so a single round can land entirely inside one
     for attempt in range(1, n_rounds + 1):
         for n in SCALE_LADDER:
             _log(f"--- scaling round {attempt}/{n_rounds}: local[{n}] ---")
-            out = subprocess.run(
-                [
-                    sys.executable,
-                    os.path.abspath(__file__),
-                    "--throughput",
-                    "--master",
-                    f"local[{n}]",
-                ],
-                capture_output=True,
-                text=True,
-                check=True,
-                cwd=os.path.dirname(os.path.abspath(__file__)),
-            )
-            r = json.loads(out.stdout.strip().splitlines()[-1])
+            r = _run_level(n)
             rounds[n].append(r)
             _log(f"local[{n}]: {r}")
 
-    # best round per level: the host's noise windows span minutes, so a
-    # single round can land entirely inside one — interleaving rounds over
-    # the ladder gives every level a shot at a quiet window
-    results = {
-        n: max(rs, key=lambda r: r["throughput_triples_per_sec"]) for n, rs in rounds.items()
-    }
-    for n in SCALE_LADDER:
-        results[n] = dict(results[n])
-        results[n]["wall_s_trials"] = [w for r in rounds[n] for w in r["wall_s_trials"]]
-        results[n]["steal_jiffies_trials"] = [
-            s for r in rounds[n] for s in r["steal_jiffies_trials"]
+    def trials_of(n: int) -> list[tuple[float, int]]:
+        return [
+            (w, s)
+            for r in rounds[n]
+            for w, s in zip(r["wall_s_trials"], r["steal_jiffies_trials"])
         ]
-    thr = {n: results[n]["throughput_triples_per_sec"] for n in SCALE_LADDER}
-    eff_4_16 = round((thr[16] / thr[4]) / 4, 3)
-    eff_8_32 = round((thr[32] / thr[8]) / 4, 3)
+
+    # retry rungs that never saw a quiet window
+    for extra in range(MAX_EXTRA_ROUNDS):
+        need = [n for n in SCALE_LADDER if len(_quiet_walls(trials_of(n))) < 2]
+        if not need:
+            break
+        for n in need:
+            _log(f"--- quiet-window retry {extra + 1}: local[{n}] ---")
+            rounds[n].append(_run_level(n))
+
+    import statistics
+
+    turns = rounds[SCALE_LADDER[0]][0]["turns"]
+    raw_triples = turns * 2
+    per_level: dict[int, dict] = {}
+    for n in SCALE_LADDER:
+        trials = trials_of(n)
+        quiet = _quiet_walls(trials)
+        used = quiet if quiet else [w for w, _ in trials]  # explicit fallback
+        med_wall = statistics.median(used)
+        best_wall = min(w for w, _ in trials)
+        per_level[n] = {
+            "walls": [round(w, 3) for w, _ in trials],
+            "steals": [s for _, s in trials],
+            "n_quiet": len(quiet),
+            "med_wall": round(med_wall, 3),
+            "thr_med": round(raw_triples / med_wall, 1),
+            "thr_best": round(raw_triples / best_wall, 1),
+        }
+
+    def eff(kind: str, lo: int, hi: int) -> float:
+        return round((per_level[hi][kind] / per_level[lo][kind]) / 4, 3)
+
+    eff_med = {"4_16": eff("thr_med", 4, 16), "8_32": eff("thr_med", 8, 32)}
+    eff_best = {"4_16": eff("thr_best", 4, 16), "8_32": eff("thr_best", 8, 32)}
     summary = {
         "metric": "scaling_efficiency_n_to_4n",
-        "value": max(eff_4_16, eff_8_32),
+        "value": max(eff_med.values()),
         "unit": "ratio",
-        "eff_4_to_16": eff_4_16,
-        "eff_8_to_32": eff_8_32,
-        "thr_triples_per_sec": thr,
-        "turns": results[SCALE_LADDER[0]]["turns"],
+        "protocol": "median-of-quiet-trials",
+        "eff_4_to_16": eff_med["4_16"],
+        "eff_8_to_32": eff_med["8_32"],
+        "eff_4_to_16_best": eff_best["4_16"],
+        "eff_8_to_32_best": eff_best["8_32"],
+        "thr_triples_per_sec": {n: per_level[n]["thr_med"] for n in SCALE_LADDER},
+        "n_quiet": {n: per_level[n]["n_quiet"] for n in SCALE_LADDER},
+        "turns": turns,
         "target": 0.8,
     }
 
@@ -319,23 +369,30 @@ def run_scaling() -> None:
             "executors — no real cluster is available here): identical "
             f"extraction-spine job (deterministic {SCALE_CONVS * SCALE_TURNS:,}"
             "-turn corpus → pattern extraction → global dedup) run across a "
-            "parallelism ladder on the same input. Each level runs in a "
-            f"fresh JVM; wall = best of {SCALE_TRIALS} warm in-process "
-            "trials. The host hypervisor steals CPU in bursts (recorded "
-            "per trial below as jiffies, 10 ms each), which only ever "
-            "depresses a measurement — best-of is the least-biased "
-            "capacity estimate.\n\n"
-            "| master | turns | wall s | triples/sec | trial walls (s) | trial steal (jiffies) |\n"
-            "|---|---|---|---|---|---|\n"
+            "parallelism ladder on the same input, each level in a fresh "
+            "JVM, rounds interleaved across levels.\n\n"
+            "**Quiet-window protocol**: hypervisor CPU steal is read from "
+            "/proc/stat around every trial; a trial is *quiet* when steal "
+            f"stays under {QUIET_STEAL_FRAC:.0%} of host CPU time for its "
+            "duration. Rungs with <2 quiet trials are retried (up to "
+            f"{MAX_EXTRA_ROUNDS} extra rounds). The headline efficiency "
+            "uses the MEDIAN of quiet trials per level — steal only ever "
+            "slows a trial, so quiet-median is an unbiased steady-state "
+            "estimate and, unlike best-of, not an outlier pick. Best-of "
+            "remains listed for continuity.\n\n"
+            "| master | turns | quiet med wall s | med triples/s | best triples/s | quiet/total trials | walls (s) | steal (jiffies) |\n"
+            "|---|---|---|---|---|---|---|---|\n"
             + "".join(
-                f"| local[{n}] | {results[n]['turns']:,} | {results[n]['wall_s']} | "
-                f"{thr[n]:,} | {results[n]['wall_s_trials']} | "
-                f"{results[n]['steal_jiffies_trials']} |\n"
+                f"| local[{n}] | {turns:,} | {per_level[n]['med_wall']} | "
+                f"{per_level[n]['thr_med']:,} | {per_level[n]['thr_best']:,} | "
+                f"{per_level[n]['n_quiet']}/{len(per_level[n]['walls'])} | "
+                f"{per_level[n]['walls']} | {per_level[n]['steals']} |\n"
                 for n in SCALE_LADDER
             )
-            + "\n**Scaling efficiency (N → 4N)**: "
-            f"4→16 cores = **{eff_4_16}**, 8→32 cores = **{eff_8_32}** "
-            "(target ≥ 0.8).\n\n"
+            + "\n**Scaling efficiency (N → 4N), median-of-quiet**: "
+            f"4→16 cores = **{eff_med['4_16']}**, 8→32 cores = "
+            f"**{eff_med['8_32']}** (target ≥ 0.8; best-of for reference: "
+            f"{eff_best['4_16']} / {eff_best['8_32']}).\n\n"
             "Throughput counts raw extracted triples (2 planted facts per "
             "turn) against end-to-end wall time including the dedup "
             "shuffle. Partitioning follows defaultParallelism (no fixed "

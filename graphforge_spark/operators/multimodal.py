@@ -3,12 +3,15 @@ metadata, processed by Arrow-batched Pandas functions.
 
 At 100 TB a training-data pipeline carries media alongside text. The
 Spark-side design here is fully real — schemas, partitioning, mapInPandas
-batch shape, deterministic outputs — while the actual codec step is
-gated: decoders (PIL / soundfile / av) are not available in this
-container, so ``decode_*`` fall back to a clearly-marked deterministic
-fake derived from the payload bytes (and raise ``NotImplementedError``
-when ``strict=True``). Swapping in a real codec changes ONE function
-body, none of the distributed plumbing.
+batch shape, deterministic outputs — and the codec step is a real,
+environment-gated code path: image payloads decode through PIL whenever
+it is importable (``_pil_image_features``: decode → grayscale 8×8 →
+intensity features). When the codec library is absent (this container
+ships none of PIL/soundfile/av) or a payload is undecodable, rows fall
+back to a clearly-marked deterministic fake derived from the payload
+bytes — or raise ``NotImplementedError`` under ``strict=True``, the
+production setting. Audio/video decode still awaits a library; adding
+one changes ``featurize`` only, none of the distributed plumbing.
 
 Layout rules that matter at scale:
 - media rows are WIDE (payload bytes) — keep them in their own table,
@@ -68,8 +71,8 @@ def synth_media(spark: SparkSession, n: int, kinds=("image", "audio", "video")) 
 
 def _fake_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
     """Deterministic stand-in for a real encoder: dim floats in [-1, 1)
-    derived from the payload digest. STUB — replace with a real model
-    forward pass when codecs/weights are available."""
+    derived from the payload digest. Fallback path used when no codec
+    library is importable (see decode_and_featurize)."""
     out: list[float] = []
     ctr = 0
     while len(out) < dim:
@@ -79,33 +82,65 @@ def _fake_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
     return out[:dim]
 
 
+def _pil_image_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float] | None:
+    """REAL image decode path: PIL decode → grayscale → 8×8 thumbnail →
+    pixel intensities scaled to [-1, 1), cycled/truncated to ``dim``.
+    Returns None when PIL is not importable OR the payload is not a
+    decodable image (caller decides fallback vs strict-raise). Runs per
+    row inside an Arrow batch — the import resolves once per worker."""
+    try:
+        import io
+
+        from PIL import Image
+    except ImportError:
+        return None
+    try:
+        img = Image.open(io.BytesIO(payload)).convert("L").resize((8, 8))
+        px = list(img.getdata())
+        feats = [v / 128.0 - 1.0 for v in px]
+        return [feats[i % len(feats)] for i in range(dim)]
+    except Exception:
+        return None
+
+
 def decode_and_featurize(
     media: DataFrame, dim: int = FEATURE_DIM, strict: bool = False
 ) -> DataFrame:
     """media → (media_id, kind, n_bytes, features array<float>).
 
-    The decode step is stubbed (see module docstring): ``strict=True``
-    raises NotImplementedError exactly where a real decoder would run,
-    proving the gate; default mode emits deterministic fake features so
-    the full distributed path (Arrow batches → features → ANN) is
-    testable end-to-end."""
-    schema = f"media_id long, kind string, n_bytes long, features array<float>"
+    Decode is a real, environment-gated code path: image payloads go
+    through PIL when it is importable (``_pil_image_features``); when the
+    codec library is absent or the payload undecodable, the row falls
+    back to deterministic digest-derived fake features so the distributed
+    path (Arrow batches → features → ANN) stays testable end-to-end.
+    ``strict=True`` raises NotImplementedError instead of falling back —
+    the production setting, guaranteeing no fake feature ever ships."""
+    schema = "media_id long, kind string, n_bytes long, features array<float>"
 
     def batches(it: Iterator) -> Iterator:
         import pandas as pd
 
-        for pdf in it:
+        def featurize(kind: str, b: bytes) -> list[float]:
+            real = _pil_image_features(b, dim) if kind == "image" else None
+            if real is not None:
+                return real
             if strict:
                 raise NotImplementedError(
-                    "real image/audio/video decoders are not available in "
-                    "this environment; deterministic fake features are the "
-                    "default path"
+                    f"no decoder available for kind={kind!r} in this "
+                    "environment (PIL/soundfile/av not importable or payload "
+                    "undecodable); strict mode refuses the fake-feature "
+                    "fallback"
                 )
+            return _fake_features(b, dim)
+
+        for pdf in it:
             rows = {
                 "media_id": pdf["media_id"],
                 "kind": pdf["kind"],
                 "n_bytes": pdf["payload"].map(len),
-                "features": pdf["payload"].map(lambda b: _fake_features(bytes(b), dim)),
+                "features": [
+                    featurize(k, bytes(b)) for k, b in zip(pdf["kind"], pdf["payload"])
+                ],
             }
             yield pd.DataFrame(rows)
 

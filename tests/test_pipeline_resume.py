@@ -73,3 +73,50 @@ def test_forge_with_linking(spark, corpus, warehouse):
     # canonicalization can only shrink or keep the distinct triple count
     assert canonical.count() <= read_triples(spark, warehouse).count()
     assert m["triples"] == canonical.count()
+
+
+def _stage_rows(spark, warehouse, stage):
+    return (
+        ckpt.read_checkpoints(spark, warehouse).filter(F.col("stage") == stage).count()
+    )
+
+
+def test_crash_after_linking_skips_linking_on_rerun(spark, corpus, warehouse):
+    """Simulated crash between stage 2 (link/canonicalize) and stage 3
+    (materialize/export): rerun must SKIP linking (no new stage-2
+    checkpoint row) and only redo materialize; final triples identical."""
+    forge(spark, corpus, warehouse, n_buckets=8, do_link=True)
+    t1 = _triple_set(spark, warehouse)
+    assert _stage_rows(spark, warehouse, "link_canonicalize") == 1
+    # crash simulation: stage-3 checkpoint lost + its outputs wiped
+    ckpt.delete_checkpoints(spark, warehouse, F.col("stage") != "materialize_export")
+    shutil.rmtree(f"{warehouse}/nodes", ignore_errors=True)
+    m = forge(spark, corpus, warehouse, n_buckets=8, do_link=True)
+    assert m["buckets_processed"] == 0  # extraction untouched
+    assert _stage_rows(spark, warehouse, "link_canonicalize") == 1  # NOT rerun
+    assert _stage_rows(spark, warehouse, "materialize_export") == 1  # redone
+    assert spark.read.parquet(f"{warehouse}/nodes").count() > 0
+    assert _triple_set(spark, warehouse) == t1
+
+
+def test_reextraction_invalidates_downstream_stages(spark, corpus, warehouse):
+    """Any extraction activity bumps the version (newest extract
+    checkpoint timestamp), forcing stages 2-3 to rerun — a stale
+    canonical graph can never survive a re-extraction."""
+    forge(spark, corpus, warehouse, n_buckets=8, do_link=False)
+    t1 = _triple_set(spark, warehouse)
+    # lose some extract checkpoints → rerun re-extracts those buckets
+    parts = sorted(
+        r.part_id for r in ckpt.completed_parts(spark, warehouse, "extract").collect()
+    )
+    keep = [p for p in parts if p % 2 == 1]
+    ckpt.delete_checkpoints(
+        spark, warehouse,
+        F.col("part_id").isin(keep) | (F.col("stage") != "extract"),
+    )
+    m = forge(spark, corpus, warehouse, n_buckets=8, do_link=False)
+    assert m["buckets_processed"] == len(parts) - len(keep)
+    # downstream stages reran against the new extraction version
+    assert _stage_rows(spark, warehouse, "canonical_passthrough") == 2
+    assert _stage_rows(spark, warehouse, "materialize_export") == 2
+    assert _triple_set(spark, warehouse) == t1  # content identical (same input)

@@ -1,0 +1,111 @@
+"""Recall measurement for every approximate operator — no approximate
+path ships unmeasured (VERDICT r1 #10). Each test computes the exact
+answer independently (driver-side Python over the collected small corpus)
+and asserts a stated recall floor; measured values are recorded in
+COVERAGE.md.
+
+- SimHash banding: recall must be EXACTLY 1.0 (bands = max_hamming+1 is
+  a pigeonhole guarantee, not a probabilistic one).
+- MinHash/LSH near-dup blocking: probabilistic; floor from the S-curve
+  (8 hashes / 4 bands: P[candidate] = 1-(1-s^2)^4 ≈ 0.93 at s=0.7).
+- ANN hyperplane-LSH top-k: probabilistic; 4 planes at dim=64 — the
+  bucket-collision rate for near-neighbors bounds recall@k.
+"""
+
+import itertools
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphforge_spark.operators import docops, similarity
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    from graphforge_spark import corpus
+
+    return corpus.load(spark, SF_DIR, "documents").cache()
+
+
+def test_simhash_banding_recall_is_exact(spark, docs):
+    """The banded self-join must find EVERY pair within the radius —
+    compare against brute force over the same fingerprints."""
+    fps = {
+        r.doc_id: r.simhash for r in docops.simhash_fingerprints(docs).collect()
+    }
+    max_h = 6
+    exact = {
+        (a, b)
+        for a, b in itertools.combinations(sorted(fps), 2)
+        if bin(fps[a] ^ fps[b]).count("1") <= max_h
+    }
+    banded = {
+        (r.id_a, r.id_b)
+        for r in docops.simhash_neardup_pairs(docs, max_hamming=max_h).collect()
+    }
+    assert exact, "corpus must contain near-dup pairs for the test to bite"
+    assert banded == exact  # recall == 1.0 AND precision == 1.0
+
+
+def test_minhash_lsh_blocking_recall(spark, docs):
+    """LSH candidate generation (8 hashes, 4 bands) vs exact 3-gram
+    Jaccard: every pair with s >= 0.7 should be a candidate with
+    P = 1-(1-s^2)^4 >= 0.93; assert measured corpus recall >= 0.85."""
+    rows = docs.select("doc_id", "text").collect()
+
+    def sh(text):
+        toks = [t for t in __import__("re").split(r"[^\w]+", text.lower()) if t]
+        return {" ".join(toks[i : i + 3]) for i in range(max(len(toks) - 3, 0) + 1)}
+
+    shingles = {r.doc_id: sh(r.text) for r in rows}
+    exact = {
+        (a, b)
+        for a, b in itertools.combinations(sorted(shingles), 2)
+        if shingles[a]
+        and shingles[b]
+        and len(shingles[a] & shingles[b]) / len(shingles[a] | shingles[b]) >= 0.7
+    }
+    cand = {
+        (r.id_a, r.id_b)
+        for r in docops.lsh_neardup_pairs(docs, num_hashes=8, bands=4).collect()
+    }
+    assert exact, "corpus must contain high-Jaccard pairs"
+    recall = len(exact & cand) / len(exact)
+    print(f"minhash-lsh blocking recall@J>=0.7: {recall:.3f} ({len(exact)} exact pairs)")
+    assert recall >= 0.85
+
+
+def test_ann_lsh_recall_vs_exact(spark):
+    """Hyperplane-LSH bucketed top-k vs exact cosine top-k, recall@3 over
+    8 queries. 4 planes ⇒ 16 buckets; same-bucket probability for a pair
+    at angle θ is (1-θ/π)^4 — assert the measured floor."""
+    from graphforge_spark import corpus
+
+    vecs = corpus.load(spark, SF_DIR, "embeddings").cache()
+    queries = vecs.filter(F.col("vec_id") < 8)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.cosine_topk(vecs, queries, k=3).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.lsh_bucketed_topk(
+            vecs, queries, dim=64, k=3, n_planes=4
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    print(f"ann-lsh recall@3 (4 planes): {recall:.3f}")
+    assert recall >= 0.25
+    # more planes trade recall for bucket selectivity — 2 planes must not
+    # do worse than 4 (coarser buckets ⇒ more candidates scored)
+    approx2 = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.lsh_bucketed_topk(
+            vecs, queries, dim=64, k=3, n_planes=2
+        ).collect()
+    }
+    recall2 = len(exact & approx2) / len(exact)
+    print(f"ann-lsh recall@3 (2 planes): {recall2:.3f}")
+    assert recall2 >= recall
