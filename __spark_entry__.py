@@ -283,6 +283,21 @@ def q_sparql_filter(spark, sf_dir):
     )
 
 
+def q_sparql_graph(spark, sf_dir):
+    """Named-graph constraint (GRAPH <g> { ... }) — the quads carry graph
+    end-to-end (graph := conv_id on the N-Quads path); this restricts a
+    pattern lookup to one named graph."""
+    from graphforge_spark.plans.sparql import sparql_query
+
+    t = extract_ntriples(corpus.derive_nt_transcripts(spark, sf_dir))
+    return sparql_query(
+        t,
+        """SELECT ?s ?part WHERE {
+             GRAPH <nt-003> { ?s <http://ex.org/p/supplies> ?part }
+           }""",
+    )
+
+
 def _link_surfaces(spark, sf_dir):
     cust = corpus.load(spark, sf_dir, "customer").filter(F.col("c_custkey") < 200)
     base = F.replace(F.col("c_name"), F.lit("#"), F.lit("_"))
@@ -469,6 +484,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_path": q_sparql_path,
         "sparql_distinct": q_sparql_distinct,
         "sparql_filter": q_sparql_filter,
+        "sparql_graph": q_sparql_graph,
         "events_tumbling_window": q_events_tumbling_window,
         "events_sessionize": q_events_sessionize,
         "events_json_props": q_events_json_props,
@@ -693,9 +709,20 @@ _LINK_BLOCK = (
 
 
 def _langid_sql() -> str:
+    from graphforge_spark.functions.text import CHAR_LANGS
+
     codes = sorted(LANG_STOPWORDS)
     scores = []
     for c in codes:
+        if c in CHAR_LANGS:
+            # unspaced script: count stopword-CHAR occurrences in the text
+            # (mirrors functions.text.langid_scores exactly)
+            expr = " + ".join(
+                f"(length(lower(text)) - length(replace(lower(text), '{w}', '')))"
+                for w in LANG_STOPWORDS[c]
+            )
+            scores.append(f"CAST({expr} AS INT) AS s_{c}")
+            continue
         words = ", ".join(f"'{w}'" for w in LANG_STOPWORDS[c])
         scores.append(f"len(list_filter(toks, x -> x IN ({words}))) AS s_{c}")
     m = "greatest(" + ", ".join(f"s_{c}" for c in codes) + ")"
@@ -998,6 +1025,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "simhash_neardup": _simhash_pairs_sql(max_hamming=6),
         "ann_lsh_topk": _ann_lsh_sql(dim=64, n_planes=4, k=3, n_tables=4, seed=42),
+        "sparql_graph": f"""
+            WITH {_NT}
+            SELECT subj AS s, 'http://ex.org/e/Part_' || pk AS part
+            FROM nt WHERE conv_id = 'nt-003'
+        """,
         "sparql_distinct": f"""
             WITH {_PT}
             SELECT DISTINCT obj AS org FROM pt

@@ -88,19 +88,35 @@ def quality_features(text: Column) -> list[Column]:
     ]
 
 
+# Languages written without word separators: token-equality matching can
+# never fire (the whole sentence is one token), so their profiles count
+# CHARACTER OCCURRENCES in the raw text instead.
+CHAR_LANGS = {"zh"}
+
+
 def langid_scores(text: Column) -> Column:
     """Language-ID heuristic: argmax over per-language stopword hit counts.
 
-    Returns the winning language code; 'und' when no profile scores > 0.
-    Ties break by language code order (deterministic).
-    """
+    Space-separated languages count token matches; unspaced scripts (zh)
+    count stopword-character occurrences in the text — a zh sentence is
+    ONE token under the whitespace tokenizer, so token equality would
+    score a constant 0 for it. Returns the winning language code; 'und'
+    when no profile scores > 0. Ties break by language code order
+    (deterministic)."""
     toks = tokens(text)
+    low = F.lower(text)
     best_lang = F.lit("und")
     best_score = F.lit(0)
+
     def _score(code: str):
         # bind via closure, not a default arg — a 2-param lambda would make
         # PySpark pass the array index as the second variable
         words = LANG_STOPWORDS[code]
+        if code in CHAR_LANGS:
+            n = F.lit(0)
+            for w in words:
+                n = n + (F.length(low) - F.length(F.replace(low, F.lit(w), F.lit(""))))
+            return n
         return F.size(F.filter(toks, lambda t: t.isin(*words)))
 
     for code in sorted(LANG_STOPWORDS):

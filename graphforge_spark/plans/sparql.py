@@ -22,6 +22,7 @@ Grammar (whitespace-insensitive, case-insensitive keywords):
     query    := PREFIX* SELECT DISTINCT? proj WHERE { stmt* } modifier*
     proj     := '*' | (var | '(' COUNT '(' var ')' AS var ')')+
     stmt     := pattern '.'? | OPTIONAL '{' pattern+ '}' | FILTER '(' cond ')'
+              | GRAPH (iri|curie) '{' pattern+ '}'
     pattern  := term predpath term
     predpath := term | '(' term ('|' term)* ')' '*'? | term '*'
     term     := ?var | <iri> | curie | "literal" | 'a'
@@ -63,7 +64,7 @@ _TERM_RE = re.compile(
 # Constructs we knowingly do NOT support — named here so the error says
 # "unsupported SPARQL feature X", not just "cannot parse".
 _UNSUPPORTED_KEYWORDS = re.compile(
-    r"\b(UNION|MINUS|BIND|VALUES|SERVICE|GRAPH|EXISTS|NOT\s+EXISTS|CONSTRUCT"
+    r"\b(UNION|MINUS|BIND|VALUES|SERVICE|EXISTS|NOT\s+EXISTS|CONSTRUCT"
     r"|ASK|DESCRIBE|HAVING|OFFSET|REDUCED)\b",
     re.IGNORECASE,
 )
@@ -75,6 +76,7 @@ class _Parsed:
     distinct: bool = False
     patterns: list = field(default_factory=list)  # (term, predpath, term)
     optionals: list = field(default_factory=list)  # list[list[pattern]]
+    graphs: list = field(default_factory=list)  # (graph_iri, list[pattern])
     filters: list = field(default_factory=list)  # raw condition strings
     group_by: str | None = None
     order_by: tuple | None = None  # (var, ascending)
@@ -257,6 +259,27 @@ def parse_sparql(query: str, prefixes: dict[str, str] | None = None) -> _Parsed:
         parsed.optionals.append(pats)
         return " "
 
+    # constant-graph GRAPH blocks first (GRAPH ?var stays unsupported and
+    # is caught loudly by the nested-group check below)
+    def take_graph(mm: re.Match) -> str:
+        g = mm.group(1)
+        g = g[1:-1] if g.startswith("<") else _expand(g, pmap)
+        pats = [
+            _parse_pattern(chunk, pmap)
+            for chunk in _split_statements(mm.group(2))
+            if chunk.strip()
+        ]
+        if not pats:
+            raise ValueError("empty GRAPH block")
+        parsed.graphs.append((g, pats))
+        return " "
+
+    body = re.sub(
+        r"GRAPH\s+(<[^>]*>|[\w.-]*:[\w./#-]+)\s*\{([^{}]*)\}",
+        take_graph,
+        body,
+        flags=re.IGNORECASE,
+    )
     body = re.sub(r"OPTIONAL\s*\{([^{}]*)\}", take_optional, body, flags=re.IGNORECASE)
     if re.search(r"[{}]", body):
         raise ValueError("unsupported nested group in WHERE block")
@@ -398,6 +421,14 @@ def sparql_query(
         frames.append(bgp(triples, plain))
     for s, (_, spec), o in paths:
         frames.append(_path_frame(triples, spec, s, o, pmap))
+    for g, pats in parsed.graphs:
+        # named-graph constraint: pattern lookup restricted to one graph —
+        # a filter on the quad's graph column, pushdown-friendly
+        if "graph" not in triples.columns:
+            raise ValueError("GRAPH query over a store with no graph column")
+        if any(isinstance(p[1], tuple) for p in pats):
+            raise ValueError("property paths inside GRAPH are not supported")
+        frames.append(bgp(triples.filter(F.col("graph") == g), pats))
     if not frames:
         raise ValueError("empty WHERE block")
     out = frames[0]

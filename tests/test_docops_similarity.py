@@ -78,6 +78,22 @@ def test_doc_stats(docs):
     assert rows[0].fingerprint == rows[1].fingerprint
 
 
+def test_langid_char_based_zh(spark):
+    """A zh sentence is ONE token under the whitespace tokenizer, so the
+    zh profile must match by character occurrence, not token equality."""
+    from graphforge_spark.functions.text import langid_scores
+
+    df = spark.createDataFrame(
+        [
+            (0, "我有一个苹果，它是红色的，我不知道为什么。"),
+            (1, "the cat and the dog and it is that"),
+        ],
+        "doc_id int, text string",
+    )
+    got = {r.doc_id: r.lang_pred for r in df.select("doc_id", langid_scores(F.col("text"))).collect()}
+    assert got == {0: "zh", 1: "en"}
+
+
 VECS = [
     (0, [1.0, 0.0, 0.0, 0.0]),
     (1, [0.9, 0.1, 0.0, 0.0]),   # closest to 0

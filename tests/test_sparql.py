@@ -176,6 +176,27 @@ def test_multi_pattern_optional(graph):
     assert rows == {("http://ex.org/x", "http://ex.org/B"), ("http://ex.org/y", None)}
 
 
+def test_graph_constant_constraint(spark):
+    quads = spark.createDataFrame(
+        [
+            ("http://e/a", "http://p/x", "http://e/b", False, "g1"),
+            ("http://e/c", "http://p/x", "http://e/d", False, "g2"),
+        ],
+        "subj string, pred string, obj string, obj_is_literal boolean, graph string",
+    )
+    q = "SELECT ?s ?o WHERE { GRAPH <g1> { ?s <http://p/x> ?o } }"
+    rows = sparql_query(quads, q).collect()
+    assert {(r.s, r.o) for r in rows} == {("http://e/a", "http://e/b")}
+    # GRAPH with a variable graph term stays loud
+    with pytest.raises(ValueError):
+        sparql_query(quads, "SELECT ?s WHERE { GRAPH ?g { ?s ?p ?o } }")
+    # GRAPH over a store lacking the graph column is loud, not wrong
+    with pytest.raises(ValueError):
+        sparql_query(
+            quads.drop("graph"), "SELECT ?s WHERE { GRAPH <g1> { ?s ?p ?o } }"
+        )
+
+
 @pytest.mark.parametrize(
     "bad_query",
     [
