@@ -192,6 +192,23 @@ def q_doc_minhash(spark, sf_dir):
     )
 
 
+def q_doc_sample(spark, sf_dir):
+    """Deterministic stratified sampling (dataset mixing): hash-membership
+    per stratum — stable under retries/repartitioning, unlike df.sample."""
+    return docops.stratified_sample(
+        corpus.load(spark, sf_dir, "documents"),
+        {"en": 0.5, "de": 0.25},
+        "lang",
+        default_fraction=0.1,
+    ).select("doc_id", "lang")
+
+
+def q_corpus_stats(spark, sf_dir):
+    """Per-language corpus rollup (docs, token volume, char means) — the
+    curation-run dashboard aggregate."""
+    return docops.corpus_stats(corpus.load(spark, sf_dir, "documents"))
+
+
 def q_lsh_neardup(spark, sf_dir):
     return docops.lsh_neardup_pairs(
         corpus.load(spark, sf_dir, "documents"), num_hashes=8, bands=4, shingle_n=3
@@ -474,6 +491,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_exact_dedup": q_doc_exact_dedup,
         "doc_stats": q_doc_stats,
         "doc_minhash": q_doc_minhash,
+        "doc_sample": q_doc_sample,
+        "corpus_stats": q_corpus_stats,
         "lsh_neardup_pairs": q_lsh_neardup,
         "ngram_jaccard": q_ngram_jaccard,
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -916,6 +935,41 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    {", ".join(f"list_min(list_transform(sh, g -> md5('{i}:' || g))) AS mh_{i}" for i in range(4))}
             FROM s
+        """,
+        "doc_sample": """
+            SELECT doc_id, lang FROM documents
+            WHERE CAST(('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8))
+                       AS BIGINT) % 10000
+                  < CAST(floor((CASE WHEN lang = 'de' THEN 0.25
+                                     WHEN lang = 'en' THEN 0.5
+                                     ELSE 0.1 END) * 10000) AS INT)
+        """,
+        "corpus_stats": f"""
+            WITH {_DOCS_TOKS},
+            q AS (
+              SELECT doc_id, text, toks,
+                     length(regexp_replace(text, '[^\\pP\\pS]', '', 'g')) AS punct,
+                     {lang_scores}
+              FROM d
+            ),
+            per AS (
+              SELECT doc_id,
+                     CAST(len(toks) AS BIGINT) AS n_tokens,
+                     CAST(coalesce(list_sum(list_transform(
+                          toks, w -> CAST(ceil(length(w) / 6.0) AS BIGINT))), 0)
+                          + punct AS BIGINT) AS bpe_tokens,
+                     CAST(length(text) AS BIGINT) AS n_chars,
+                     {lang_case} AS lang_pred
+              FROM q
+            )
+            SELECT lang_pred,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+                   CAST(sum(bpe_tokens) AS BIGINT) AS total_bpe_tokens,
+                   round(CAST(sum(n_chars) AS DOUBLE) / count(*), 4) AS mean_chars,
+                   CAST(min(n_tokens) AS BIGINT) AS min_tokens,
+                   CAST(max(n_tokens) AS BIGINT) AS max_tokens
+            FROM per GROUP BY 1
         """,
         "lsh_neardup_pairs": f"""
             {_SIGS8}

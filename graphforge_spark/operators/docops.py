@@ -31,6 +31,7 @@ from graphforge_spark.functions.hashing import (
     band_key,
     hamming64,
     md5_minhash_cols,
+    portable_bucket,
     simhash64,
 )
 from graphforge_spark.functions.text import (
@@ -262,6 +263,51 @@ def simhash_neardup_pairs(
         )
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
+    )
+
+
+def stratified_sample(
+    docs: DataFrame,
+    fractions: dict[str, float],
+    stratum_col: str,
+    id_col: str = "doc_id",
+    default_fraction: float = 0.0,
+    salt: str = "sample",
+) -> DataFrame:
+    """Deterministic per-stratum sampling — the dataset-mixing primitive
+    of a training-data pipeline (e.g. downsample low-quality language
+    buckets, upweight rare ones by keeping them whole).
+
+    Membership is a pure function of (salt, id): keep iff
+    ``md5-bucket(salt:id, 10000) < fraction*10000``. No RNG state, no
+    seed plumbing, reproducible across runs/engines (the DuckDB oracle
+    replicates it), and — unlike ``df.sample`` — stable under
+    repartitioning, retries, and speculative execution at cluster scale.
+    Narrow (no shuffle): one hash + one map lookup per row."""
+    frac = F.lit(default_fraction)
+    for key, f in sorted(fractions.items()):
+        frac = F.when(F.col(stratum_col) == key, F.lit(f)).otherwise(frac)
+    keep = portable_bucket(
+        F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string")), 10_000
+    ) < (frac * 10_000).cast("int")
+    return docs.filter(keep)
+
+
+def corpus_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-language corpus rollup over doc_stats: document counts, token
+    volume, mean/extremes — the dashboard aggregation a curation run
+    reports. One shuffle with map-side combine (sums/counts/min/max are
+    all partially aggregable)."""
+    per_doc = doc_stats(docs, id_col, text_col)
+    return per_doc.groupBy("lang_pred").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum("bpe_tokens").alias("total_bpe_tokens"),
+        # exact-integer sum divided once in double: bit-identical across
+        # engines, unlike a streaming double avg
+        F.round(F.sum("n_chars").cast("double") / F.count("*"), 4).alias("mean_chars"),
+        F.min("n_tokens").alias("min_tokens"),
+        F.max("n_tokens").alias("max_tokens"),
     )
 
 

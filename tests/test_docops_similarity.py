@@ -78,6 +78,36 @@ def test_doc_stats(docs):
     assert rows[0].fingerprint == rows[1].fingerprint
 
 
+def test_stratified_sample_deterministic_and_proportional(spark):
+    docs = spark.range(10_000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "en").otherwise("de").alias("lang"),
+        F.lit("x").alias("text"),
+    )
+    s = docops.stratified_sample(docs, {"en": 0.5, "de": 0.1}, "lang")
+    rows = s.groupBy("lang").count().collect()
+    got = {r.lang: r["count"] for r in rows}
+    assert abs(got["en"] / 5000 - 0.5) < 0.05
+    assert abs(got["de"] / 5000 - 0.1) < 0.03
+    # deterministic: same membership on re-evaluation
+    ids1 = {r.doc_id for r in s.select("doc_id").collect()}
+    ids2 = {r.doc_id for r in s.select("doc_id").collect()}
+    assert ids1 == ids2
+    # salt changes membership but not (much) the rate
+    s2 = docops.stratified_sample(docs, {"en": 0.5, "de": 0.1}, "lang", salt="other")
+    ids3 = {r.doc_id for r in s2.select("doc_id").collect()}
+    assert ids3 != ids1
+
+
+def test_corpus_stats_rollup(docs):
+    rows = {r.lang_pred: r for r in docops.corpus_stats(docs).collect()}
+    per_doc = {r.doc_id: r for r in docops.doc_stats(docs).collect()}
+    en_docs = [r for r in per_doc.values() if r.lang_pred == "en"]
+    assert rows["en"].n_docs == len(en_docs)
+    assert rows["en"].total_tokens == sum(r.n_tokens for r in en_docs)
+    assert rows["en"].min_tokens == min(r.n_tokens for r in en_docs)
+
+
 def test_langid_char_based_zh(spark):
     """A zh sentence is ONE token under the whitespace tokenizer, so the
     zh profile must match by character occurrence, not token equality."""

@@ -55,3 +55,42 @@ def test_jaccard_broadcasts_candidate_pairs_not_shingles(spark):
     docs = corpus.load(spark, SF, "documents")
     p = _plan(ngram_jaccard_pairs(docs))
     assert "BroadcastHashJoin" in p
+
+
+def test_jaccard_second_join_has_no_unconditional_broadcast_hint(spark):
+    """The r1 finding: the second join's build side carries shingle
+    ARRAYS — it must carry no explicit broadcast hint, so the planner/AQE
+    size-gates by bytes (broadcast while small, shuffle at scale). Lock
+    in the logical plan: exactly ONE ResolvedHint (the bare id-pair
+    frame), not two."""
+    from graphforge_spark.operators.docops import ngram_jaccard_pairs
+
+    docs = corpus.load(spark, SF, "documents")
+    df = ngram_jaccard_pairs(docs)
+    logical = df._jdf.queryExecution().analyzed().toString()
+    assert logical.count("ResolvedHint") == 1
+
+
+def test_tfidf_scoring_group_count_scales_with_parallelism(spark):
+    """The r1 scale-killer: applyInPandas grouping was pmod(hash, 64)
+    regardless of cluster size. Lock in: modulus = max(64,
+    4×defaultParallelism) by default, and caller-overridable."""
+    import re
+
+    from graphforge_spark.operators.link import lsh_candidates, score_pairs_tfidf
+
+    surfaces = (
+        corpus.load(spark, SF, "customer")
+        .filter(F.col("c_custkey") < 60)
+        .select(F.replace(F.col("c_name"), F.lit("#"), F.lit("_")).alias("surface"))
+    )
+    pairs = lsh_candidates(surfaces)
+
+    def modulus(df):
+        m = re.search(r"pmod\(xxhash64\([^)]*\), (\d+)\)", _plan(df, "simple"))
+        assert m, "grouping key not found in plan"
+        return int(m.group(1))
+
+    expect = max(64, spark.sparkContext.defaultParallelism * 4)
+    assert modulus(score_pairs_tfidf(pairs, surfaces)) == expect
+    assert modulus(score_pairs_tfidf(pairs, surfaces, n_groups=512)) == 512
