@@ -232,6 +232,16 @@ def q_embedding_neardup(spark, sf_dir):
     return similarity.cosine_neardup_pairs(vecs, threshold=0.35, max_ids=200)
 
 
+def q_embedding_neardup_lsh(spark, sf_dir):
+    """The SCALE path of embedding near-dup: multi-table LSH blocking +
+    exact cosine verify (vs the exact O(n²) baseline in
+    ``embedding_neardup``). Value-oracled with inlined plane literals."""
+    vecs = corpus.load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
+    return similarity.cosine_neardup_lsh_pairs(
+        vecs, dim=64, threshold=0.35, n_planes=4, n_tables=4
+    )
+
+
 def q_sparql_aggregation(spark, sf_dir):
     """The reference's COUNT/GROUP BY test query (SPARQL.html:269-283),
     parsed from SPARQL text by plans/sparql.py."""
@@ -497,6 +507,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "ann_cosine_topk": q_ann_cosine_topk,
         "embedding_neardup": q_embedding_neardup,
+        "embedding_neardup_lsh": q_embedding_neardup_lsh,
         "link_jaccard": q_link_jaccard,
         "sparql_aggregation": q_sparql_aggregation,
         "sparql_optional": q_sparql_optional,
@@ -673,6 +684,53 @@ def _ann_lsh_sql(
                 PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
               FROM scored)
         WHERE rn <= {k}
+    """
+
+
+def _plane_bucket_sql(dim: int, n_planes: int, n_tables: int, seed: int) -> tuple[str, str]:
+    """(bucket column defs 'b0..bL-1', OR-of-tables match predicate) for
+    the hyperplane-LSH oracles — plane literals inlined per table."""
+    from graphforge_spark.operators.similarity import _hyperplanes
+
+    def proj(p: list[float]) -> str:
+        lit = "[" + ", ".join(f"{v:.1f}" for v in p) + "]::DOUBLE[]"
+        return (
+            f"list_reduce(list_transform(range(1, {dim + 1}), "
+            f"i -> CAST(embedding[i] AS DOUBLE) * ({lit})[i]), (acc, x) -> acc + x)"
+        )
+
+    cols = []
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, n_planes, seed + t)
+        bucket = " + ".join(
+            f"(CASE WHEN {proj(p)} >= 0 THEN {1 << i} ELSE 0 END)"
+            for i, p in enumerate(planes)
+        )
+        cols.append(f"{bucket} AS b{t}")
+    match = " OR ".join(f"x.b{t} = y.b{t}" for t in range(n_tables))
+    return ", ".join(cols), match
+
+
+def _embedding_neardup_lsh_sql(
+    dim: int = 64,
+    n_planes: int = 4,
+    n_tables: int = 4,
+    seed: int = 42,
+    threshold: float = 0.35,
+    max_id: int = 500,
+) -> str:
+    cols, match = _plane_bucket_sql(dim, n_planes, n_tables, seed)
+    return f"""
+        WITH b AS (SELECT vec_id, embedding, {cols} FROM embeddings
+                   WHERE vec_id < {max_id}),
+        cand AS (
+          SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+                 {_FOLD.format(a="x.embedding", b="y.embedding")} /
+                 (sqrt({_FOLD.format(a="x.embedding", b="x.embedding")}) *
+                  sqrt({_FOLD.format(a="y.embedding", b="y.embedding")})) AS sim
+          FROM b x JOIN b y ON x.vec_id < y.vec_id AND ({match})
+        )
+        SELECT id_a, id_b, sim FROM cand WHERE sim >= {threshold}
     """
 
 
@@ -1077,6 +1135,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(least(50, (SELECT count(*) FROM g)) AS BIGINT) AS n_rows,
                    CAST(0 AS BIGINT) AS n_outside
         """,
+        "embedding_neardup_lsh": _embedding_neardup_lsh_sql(
+            dim=64, n_planes=4, n_tables=4, seed=42, threshold=0.35, max_id=500
+        ),
         "simhash_neardup": _simhash_pairs_sql(max_hamming=6),
         "ann_lsh_topk": _ann_lsh_sql(dim=64, n_planes=4, k=3, n_tables=4, seed=42),
         "sparql_graph": f"""

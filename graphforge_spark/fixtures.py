@@ -298,16 +298,23 @@ def gen_transcripts(seed: int = 42, n_convs: int = 40, turns_per_conv: int = 12)
 
 
 def gen_transcripts_dist(
-    spark: SparkSession, n_convs: int, turns_per_conv: int
+    spark: SparkSession, n_convs: int, turns_per_conv: int,
+    tasks_per_core: int = 4,
 ) -> DataFrame:
     """Distributed bench-scale transcripts: generated entirely JVM-side.
 
     Every turn is a free-text turn carrying exactly two pattern facts whose
     entities derive from the row id, so extraction yield = 2 triples/turn
     (plus overlap-driven dedup). Deterministic: no randomness at all.
+
+    Partitioning: ``tasks_per_core × defaultParallelism`` input splits —
+    tasks-per-core > 1 is how real clusters amortize stragglers (a stalled
+    core delays one small task, not 1/Nth of the stage); with exactly one
+    task per core a single noisy core sets the stage wall time.
     """
     n = n_convs * turns_per_conv
-    base = spark.range(n).select(
+    parts = max(1, spark.sparkContext.defaultParallelism * tasks_per_core)
+    base = spark.range(0, n, 1, parts).select(
         (F.col("id") / turns_per_conv).cast("long").alias("_conv"),
         (F.col("id") % turns_per_conv).cast("int").alias("turn_idx"),
         F.col("id"),

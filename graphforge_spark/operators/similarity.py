@@ -6,11 +6,16 @@ Two paths:
   sequential double-precision fold (F.aggregate) so results are
   bit-reproducible across engines (the DuckDB oracle uses list_reduce,
   the same left fold). Ranking ties break on neighbor id.
-- ``lsh_bucketed_topk``: the scale path — random-hyperplane LSH buckets
-  candidates first, so each query only scores its bucket's vectors.
-  Hyperplanes are deterministic (seeded md5 bit stream), making the
-  operator reproducible run-to-run; at 1000 executors the bucket join is
-  a shuffle on a short hash key instead of a broadcast nested loop.
+- ``lsh_bucketed_topk``: the scale path — MULTI-TABLE random-hyperplane
+  LSH (L independent plane sets) buckets candidates first, so each query
+  only scores vectors sharing any table's bucket. Hyperplanes are
+  deterministic (seeded md5 bit stream), making the operator reproducible
+  run-to-run AND value-oracle-able (the DuckDB oracle inlines the planes
+  as literals); at 1000 executors the bucket join is a shuffle on a short
+  (table, bucket) key instead of a broadcast nested loop.
+- ``cosine_neardup_pairs`` / ``cosine_neardup_lsh_pairs``: exact O(n²)
+  near-dup baseline and its LSH-blocked scale variant (exact verify on
+  candidates — precision 1.0, recall measured in tests/test_recall.py).
 
 All arithmetic is JVM-side column algebra (zip_with / aggregate); no
 Python, no UDFs. At 100 TB the vectors stay columnar in parquet; the
@@ -125,6 +130,52 @@ def cosine_neardup_pairs(
             "id_a",
             "id_b",
             cosine_similarity(F.col("_va"), F.col("_vb")).alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+    )
+
+
+def cosine_neardup_lsh_pairs(
+    vectors: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    n_planes: int = 6,
+    n_tables: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-dup at scale: multi-table hyperplane-LSH blocking
+    (pairs sharing ANY table's bucket, id_a < id_b) followed by exact
+    cosine verification of the candidates — the standard two-phase
+    near-dup design, same output contract as the exact
+    ``cosine_neardup_pairs`` minus the pairs LSH misses. Shuffle key is
+    (table, bucket); the O(n²) cross product never materializes."""
+
+    def with_buckets(df, out_id: str, v_alias: str):
+        return df.select(
+            F.col(id_col).alias(out_id),
+            F.col(vec_col).alias(v_alias),
+            F.posexplode(
+                F.array(
+                    *[
+                        lsh_bucket(F.col(vec_col), dim, n_planes, seed + t)
+                        for t in range(n_tables)
+                    ]
+                )
+            ).alias("_tbl", "_bucket"),
+        )
+
+    a = with_buckets(vectors, "id_a", "_va")
+    b = with_buckets(vectors, "id_b", "_vb")
+    cands = (
+        a.join(b, ["_tbl", "_bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cands.select(
+            "id_a", "id_b", cosine_similarity(F.col("_va"), F.col("_vb")).alias("sim")
         )
         .filter(F.col("sim") >= threshold)
     )

@@ -30,6 +30,11 @@ SUBSET = [
     "doc_minhash",
     "doc_stats",
     "ann_cosine_topk",
+    # round-2 additions: recall-proving simhash oracle, SPARQL FILTER
+    # compilation, deterministic sampling
+    "simhash_neardup",
+    "sparql_filter",
+    "doc_sample",
 ]
 
 

@@ -77,6 +77,29 @@ def test_minhash_lsh_blocking_recall(spark, docs):
     assert recall >= 0.85
 
 
+def test_embedding_neardup_lsh_recall(spark):
+    """LSH-blocked near-dup pairs vs the exact O(n²) pair set at the same
+    threshold — the scale path's candidate loss, measured."""
+    from graphforge_spark import corpus
+
+    vecs = corpus.load(spark, SF_DIR, "embeddings").filter(F.col("vec_id") < 300).cache()
+    exact = {
+        (r.id_a, r.id_b)
+        for r in similarity.cosine_neardup_pairs(vecs, threshold=0.35).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in similarity.cosine_neardup_lsh_pairs(
+            vecs, dim=64, threshold=0.35, n_planes=4, n_tables=4
+        ).collect()
+    }
+    assert exact, "corpus must contain near-dup pairs at this threshold"
+    assert lsh <= exact  # precision 1.0: verify step is exact
+    recall = len(lsh) / len(exact)
+    print(f"embedding-neardup lsh recall@sim>=0.35: {recall:.3f} ({len(exact)} exact)")
+    assert recall >= 0.5
+
+
 def test_ann_lsh_recall_vs_exact(spark):
     """Hyperplane-LSH bucketed top-k vs exact cosine top-k, recall@3 over
     8 queries. 4 planes ⇒ 16 buckets; same-bucket probability for a pair
