@@ -310,6 +310,72 @@ def q_sparql_filter(spark, sf_dir):
     )
 
 
+def q_sparql_union(spark, sf_dir):
+    """UNION of two pattern groups (bag semantics, null-extension on
+    mismatched variables)."""
+    from graphforge_spark.plans.sparql import sparql_query
+
+    return sparql_query(
+        _set_graph(spark, sf_dir),
+        """SELECT ?s ?o WHERE {
+             { ?s <http://ex.org/p/worksAt> ?o }
+             UNION { ?s <http://ex.org/p/locatedIn> ?o }
+           }""",
+    )
+
+
+def q_sparql_aggregates(spark, sf_dir):
+    """SUM/MIN/MAX/COUNT aggregate projection with GROUP BY — numeric
+    aggregation casts string terms, MIN/MAX use natural (string)
+    ordering per the stringly-typed store."""
+    from graphforge_spark.plans.sparql import sparql_query
+
+    n = corpus.load(spark, sf_dir, "nation")
+    triples = n.select(
+        F.concat(F.lit("http://ex.org/n/"), F.col("n_nationkey").cast("string")).alias(
+            "subj"
+        ),
+        F.lit("http://ex.org/p/key").alias("pred"),
+        F.col("n_nationkey").cast("string").alias("obj"),
+        F.lit(True).alias("obj_is_literal"),
+    )
+    return sparql_query(
+        triples,
+        """SELECT (COUNT(?o) AS ?n) (SUM(?o) AS ?total)
+                  (MIN(?o) AS ?lo) (MAX(?o) AS ?hi) ?p
+           WHERE { ?s ?p ?o } GROUP BY ?p""",
+    )
+
+
+def q_sparql_path_plus(spark, sf_dir):
+    """OneOrMore property path — closure without the reflexive pairs."""
+    from graphforge_spark.plans.sparql import sparql_query
+
+    edges = corpus.nation_chain_edges(spark, sf_dir)
+    triples = edges.select(
+        F.col("s").alias("subj"),
+        F.lit("http://ex.org/p/chain").alias("pred"),
+        F.col("o").alias("obj"),
+        F.lit(False).alias("obj_is_literal"),
+    )
+    return sparql_query(
+        triples, "SELECT ?s ?o WHERE { ?s (<http://ex.org/p/chain>)+ ?o . }"
+    )
+
+
+def q_sparql_path_seq(spark, sf_dir):
+    """Sequence property path worksAt/locatedIn — person to region in one
+    pattern (equivalent join exercised through path syntax)."""
+    from graphforge_spark.plans.sparql import sparql_query
+
+    return sparql_query(
+        _set_graph(spark, sf_dir),
+        """SELECT ?s ?o WHERE {
+             ?s (<http://ex.org/p/worksAt>/<http://ex.org/p/locatedIn>) ?o .
+           }""",
+    )
+
+
 def q_sparql_graph(spark, sf_dir):
     """Named-graph constraint (GRAPH <g> { ... }) — the quads carry graph
     end-to-end (graph := conv_id on the N-Quads path); this restricts a
@@ -515,6 +581,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_distinct": q_sparql_distinct,
         "sparql_filter": q_sparql_filter,
         "sparql_graph": q_sparql_graph,
+        "sparql_union": q_sparql_union,
+        "sparql_aggregates": q_sparql_aggregates,
+        "sparql_path_plus": q_sparql_path_plus,
+        "sparql_path_seq": q_sparql_path_seq,
         "events_tumbling_window": q_events_tumbling_window,
         "events_sessionize": q_events_sessionize,
         "events_json_props": q_events_json_props,
@@ -1140,6 +1210,36 @@ def oracle_sql() -> dict[str, str]:
         ),
         "simhash_neardup": _simhash_pairs_sql(max_hamming=6),
         "ann_lsh_topk": _ann_lsh_sql(dim=64, n_planes=4, k=3, n_tables=4, seed=42),
+        "sparql_union": f"""
+            WITH {_PT}, g AS (SELECT DISTINCT subj, pred, obj FROM pt)
+            SELECT subj AS s, obj AS o FROM g
+            WHERE pred = 'http://ex.org/p/worksAt'
+            UNION ALL
+            SELECT subj, obj FROM g WHERE pred = 'http://ex.org/p/locatedIn'
+        """,
+        "sparql_aggregates": """
+            SELECT 'http://ex.org/p/key' AS p,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(n_nationkey) AS DOUBLE) AS total,
+                   min(CAST(n_nationkey AS VARCHAR)) AS lo,
+                   max(CAST(n_nationkey AS VARCHAR)) AS hi
+            FROM nation
+        """,
+        "sparql_path_plus": """
+            SELECT 'http://ex.org/n/' || CAST(a.n_nationkey AS VARCHAR) AS s,
+                   'http://ex.org/n/' || CAST(b.n_nationkey AS VARCHAR) AS o
+            FROM nation a JOIN nation b
+              ON a.n_nationkey // 5 = b.n_nationkey // 5
+             AND a.n_nationkey > b.n_nationkey
+        """,
+        "sparql_path_seq": f"""
+            WITH {_PT},
+            w AS (SELECT DISTINCT subj, obj FROM pt
+                  WHERE pred = 'http://ex.org/p/worksAt'),
+            l AS (SELECT DISTINCT subj, obj FROM pt
+                  WHERE pred = 'http://ex.org/p/locatedIn')
+            SELECT w.subj AS s, l.obj AS o FROM w JOIN l ON w.obj = l.subj
+        """,
         "sparql_graph": f"""
             WITH {_NT}
             SELECT subj AS s, 'http://ex.org/e/Part_' || pk AS part

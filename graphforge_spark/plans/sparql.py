@@ -20,11 +20,15 @@ clause (e.g. executing SELECT DISTINCT as a bag projection) would return
 Grammar (whitespace-insensitive, case-insensitive keywords):
 
     query    := PREFIX* SELECT DISTINCT? proj WHERE { stmt* } modifier*
-    proj     := '*' | (var | '(' COUNT '(' var ')' AS var ')')+
+    proj     := '*' | (var | '(' AGG '(' var ')' AS var ')')+
+    AGG      := COUNT | SUM | MIN | MAX | AVG
     stmt     := pattern '.'? | OPTIONAL '{' pattern+ '}' | FILTER '(' cond ')'
               | GRAPH (iri|curie) '{' pattern+ '}'
+              | '{' pattern+ '}' (UNION '{' pattern+ '}')+
     pattern  := term predpath term
-    predpath := term | '(' term ('|' term)* ')' '*'? | term '*'
+    predpath := term | '(' leg ('|' leg)* ')' [*+?]? | '(' leg ('/' leg)+ ')'
+              | curie [*+?]? | '^' curie
+    leg      := '^'? (iri | curie)
     term     := ?var | <iri> | curie | "literal" | 'a'
     cond     := atom ('&&' atom)*
     atom     := operand cmp operand | REGEX(var, "re") | CONTAINS(var, "s")
@@ -55,8 +59,8 @@ _TERM_RE = re.compile(
     r"""\?(?P<var>\w+)
       | <(?P<iri>[^>]*)>
       | "(?P<lit>(?:[^"\\]|\\.)*)"
-      | (?P<path>\((?:[^()]*)\)\*?)
-      | (?P<curie>[\w-]*:[\w./#-]+\*?)
+      | (?P<path>\((?:[^()]*)\)[*+?]?)
+      | (?P<curie>\^?[\w-]*:[\w./#-]+[*+?]?)
       | (?<![\w?<"]) (?P<kw>a) (?=\s)
     """,
     re.VERBOSE,
@@ -64,7 +68,7 @@ _TERM_RE = re.compile(
 # Constructs we knowingly do NOT support — named here so the error says
 # "unsupported SPARQL feature X", not just "cannot parse".
 _UNSUPPORTED_KEYWORDS = re.compile(
-    r"\b(UNION|MINUS|BIND|VALUES|SERVICE|EXISTS|NOT\s+EXISTS|CONSTRUCT"
+    r"\b(MINUS|BIND|VALUES|SERVICE|EXISTS|NOT\s+EXISTS|CONSTRUCT"
     r"|ASK|DESCRIBE|HAVING|OFFSET|REDUCED)\b",
     re.IGNORECASE,
 )
@@ -77,6 +81,7 @@ class _Parsed:
     patterns: list = field(default_factory=list)  # (term, predpath, term)
     optionals: list = field(default_factory=list)  # list[list[pattern]]
     graphs: list = field(default_factory=list)  # (graph_iri, list[pattern])
+    unions: list = field(default_factory=list)  # list[list[list[pattern]]] (arms)
     filters: list = field(default_factory=list)  # raw condition strings
     group_by: str | None = None
     order_by: tuple | None = None  # (var, ascending)
@@ -155,9 +160,19 @@ def _parse_pattern(text: str, prefixes: dict):
     if len(toks) != 3:
         raise ValueError(f"cannot parse triple pattern: {text!r}")
     s, p, o = (_parse_term(t, prefixes) for t in toks)
-    # normalize pred slot: path tuple, starred curie, or plain term
-    if isinstance(p, str) and p.endswith("*") and not p.startswith("http"):
-        p = ("path", f"({p})")
+    # Normalize the pred slot into a path spec when the RAW token carries
+    # path syntax (suffix or inverse marker) — decided before CURIE
+    # expansion, because the expanded IRI text can no longer be told apart
+    # from an IRI that legitimately ends in '*'.
+    raw_pred = toks[1].group("curie")
+    if (
+        isinstance(p, str)
+        and raw_pred
+        and (raw_pred.endswith(("*", "+", "?")) or raw_pred.startswith("^"))
+    ):
+        suffix = raw_pred[-1] if raw_pred.endswith(("*", "+", "?")) else ""
+        body = raw_pred[: -1] if suffix else raw_pred
+        p = ("path", f"({body}){suffix}")
     return (s, p, o)
 
 
@@ -230,13 +245,15 @@ def parse_sparql(query: str, prefixes: dict[str, str] | None = None) -> _Parsed:
     # ---- projection (every token must be understood) ----------------------
     agg_matches = list(
         re.finditer(
-            r"\(\s*COUNT\s*\(\s*\?(\w+)\s*\)\s+AS\s+\?(\w+)\s*\)",
+            r"\(\s*(COUNT|SUM|MIN|MAX|AVG)\s*\(\s*\?(\w+)\s*\)\s+AS\s+\?(\w+)\s*\)",
             proj_text,
             re.IGNORECASE,
         )
     )
     for agg in agg_matches:
-        parsed.projection.append(("count", agg.group(1), agg.group(2)))
+        parsed.projection.append(
+            (agg.group(1).lower(), agg.group(2), agg.group(3))
+        )
     rest = _residue(proj_text, agg_matches)
     plain = list(re.finditer(r"\*|\?(\w+)", rest))
     for t in plain:
@@ -259,7 +276,36 @@ def parse_sparql(query: str, prefixes: dict[str, str] | None = None) -> _Parsed:
         parsed.optionals.append(pats)
         return " "
 
-    # constant-graph GRAPH blocks first (GRAPH ?var stays unsupported and
+    # UNION chains first: { arm } UNION { arm } [UNION { arm }]* — SPARQL
+    # bag union of the arms' bindings, null-extended to the common schema
+    def take_union(mm: re.Match) -> str:
+        span = mm.group(0)
+        seps = re.split(r"\{[^{}]*\}", span)
+        if any(s.strip() and not re.fullmatch(r"\s*UNION\s*", s, re.IGNORECASE) for s in seps):
+            raise ValueError(f"cannot parse UNION chain: {span!r}")
+        arms = []
+        for arm_body in re.findall(r"\{([^{}]*)\}", span):
+            pats = [
+                _parse_pattern(chunk, pmap)
+                for chunk in _split_statements(arm_body)
+                if chunk.strip()
+            ]
+            if not pats:
+                raise ValueError("empty UNION arm")
+            arms.append(pats)
+        parsed.unions.append(arms)
+        return " "
+
+    body = re.sub(
+        r"\{[^{}]*\}(?:\s*UNION\s*\{[^{}]*\})+",
+        take_union,
+        body,
+        flags=re.IGNORECASE,
+    )
+    if re.search(r"\bUNION\b", body, re.IGNORECASE):
+        raise ValueError("cannot parse UNION clause (arms must be braced groups)")
+
+    # constant-graph GRAPH blocks next (GRAPH ?var stays unsupported and
     # is caught loudly by the nested-group check below)
     def take_graph(mm: re.Match) -> str:
         g = mm.group(1)
@@ -384,18 +430,85 @@ def _filter_col(cond: str, pmap: dict) -> Column:
 
 
 def _path_frame(triples: DataFrame, spec: str, s: Var, o: Var, pmap: dict) -> DataFrame:
-    """Evaluate a predicate-path spec '(p1|p2)' or '(p1|p2)*' into a
-    bindings frame over the path's subject/object variables."""
-    starred = spec.endswith("*")
-    inner = spec.rstrip("*").strip("()")
-    preds = [_expand(p.strip().strip("<>"), pmap) for p in inner.split("|")]
-    pairs = (
-        transitive_closure(
-            path_alternation(triples, preds), include_zero_step=True
+    """Evaluate a predicate-path spec into a bindings frame over the
+    path's subject/object variables. Supported shapes:
+
+    - alternation ``(p1|p2|^p3)`` with optional inverse legs (``^p``
+      traverses object→subject),
+    - suffixes ``*`` (ZeroOrMore closure), ``+`` (OneOrMore closure),
+      ``?`` (zero-or-one) on an alternation group or bare predicate,
+    - sequence ``(p1/p2/p3)`` — join chain (no suffix on sequences).
+
+    Zero-length paths (for ``*``/``?``) bind every node APPEARING in the
+    path's edge set — the same scoping the reference's canned
+    ``(rdf:type|rdfs:subClassOf)*`` query exercises."""
+    suffix = spec[-1] if spec.endswith(("*", "+", "?")) else ""
+    inner = (spec[:-1] if suffix else spec).strip().strip("()").strip()
+
+    def split_top(text: str, sep: str) -> list[str]:
+        # split on sep only OUTSIDE <...> — IRIs carry '/' (and may carry
+        # '|') internally
+        parts, cur, in_iri = [], [], False
+        for ch in text:
+            if ch == "<":
+                in_iri = True
+            elif ch == ">":
+                in_iri = False
+            if ch == sep and not in_iri:
+                parts.append("".join(cur))
+                cur = []
+            else:
+                cur.append(ch)
+        parts.append("".join(cur))
+        return parts
+
+    seq_parts = split_top(inner, "/")
+    alt_parts = split_top(inner, "|")
+    if len(seq_parts) > 1 and len(alt_parts) > 1:
+        raise ValueError("mixing '/' and '|' in one property path is not supported")
+
+    def leg(term: str) -> DataFrame:
+        inv = term.startswith("^")
+        pred = _expand(term.lstrip("^").strip().strip("<>"), pmap)
+        e = path_alternation(triples, [pred])
+        return (
+            e.select(F.col("o").alias("s"), F.col("s").alias("o")) if inv else e
         )
-        if starred
-        else path_alternation(triples, preds)
-    )
+
+    if len(seq_parts) > 1:
+        if suffix:
+            raise ValueError("a suffix on a sequence path is not supported")
+        legs = [leg(t.strip()) for t in seq_parts]
+        pairs = legs[0]
+        for nxt in legs[1:]:
+            pairs = (
+                pairs.alias("a")
+                .join(nxt.alias("b"), F.col("a.o") == F.col("b.s"))
+                .select(F.col("a.s").alias("s"), F.col("b.o").alias("o"))
+            )
+    else:
+        terms = [t.strip() for t in alt_parts]
+        fwd = [t for t in terms if not t.startswith("^")]
+        inv = [t for t in terms if t.startswith("^")]
+        pairs = None
+        if fwd:
+            pairs = path_alternation(
+                triples, [_expand(t.strip("<>"), pmap) for t in fwd]
+            )
+        for t in inv:
+            e = leg(t)
+            pairs = e if pairs is None else pairs.unionByName(e)
+        if suffix == "*":
+            pairs = transitive_closure(pairs, include_zero_step=True)
+        elif suffix == "+":
+            pairs = transitive_closure(pairs, include_zero_step=False)
+        elif suffix == "?":
+            nodes = (
+                pairs.select("s").union(pairs.select(F.col("o").alias("s"))).distinct()
+            )
+            pairs = pairs.unionByName(
+                nodes.select("s", F.col("s").alias("o"))
+            ).distinct()
     out = pairs
     if not isinstance(s, Var):
         out = out.filter(F.col("s") == s)
@@ -429,6 +542,27 @@ def sparql_query(
         if any(isinstance(p[1], tuple) for p in pats):
             raise ValueError("property paths inside GRAPH are not supported")
         frames.append(bgp(triples.filter(F.col("graph") == g), pats))
+    for arms in parsed.unions:
+        # SPARQL bag union: arms evaluate independently, bindings align on
+        # the union of their variables (missing vars null-extend)
+        arm_frames = []
+        for pats in arms:
+            if any(isinstance(p[1], tuple) for p in pats):
+                raise ValueError("property paths inside UNION are not supported")
+            arm_frames.append(bgp(triples, pats))
+        allcols: list[str] = []
+        for f in arm_frames:
+            allcols += [c for c in f.columns if c not in allcols]
+        aligned = [
+            f.select(
+                *[
+                    F.col(c) if c in f.columns else F.lit(None).cast("string").alias(c)
+                    for c in allcols
+                ]
+            )
+            for f in arm_frames
+        ]
+        frames.append(reduce(lambda a, b: a.unionByName(b), aligned))
     if not frames:
         raise ValueError("empty WHERE block")
     out = frames[0]
@@ -452,7 +586,22 @@ def sparql_query(
     aggs = [p for p in parsed.projection if isinstance(p, tuple)]
     if aggs:
         keys = [parsed.group_by] if parsed.group_by else []
-        exprs = [F.count(x).alias(alias) for (_, x, alias) in aggs]
+
+        def agg_expr(fn: str, x: str, alias: str):
+            c = F.col(x)
+            if fn == "count":
+                return F.count(c).alias(alias)
+            if fn == "sum":
+                # terms are strings in the store; SPARQL numeric aggregation
+                # casts (non-numeric terms → null, ignored by the aggregate)
+                return F.sum(c.cast("double")).alias(alias)
+            if fn == "avg":
+                return F.avg(c.cast("double")).alias(alias)
+            if fn == "min":
+                return F.min(c).alias(alias)
+            return F.max(c).alias(alias)
+
+        exprs = [agg_expr(fn, x, alias) for (fn, x, alias) in aggs]
         out = out.groupBy(*keys).agg(*exprs)
         out = out.select(*(alias for (_, _, alias) in aggs), *keys)
     elif "*" not in parsed.projection:

@@ -176,6 +176,95 @@ def test_multi_pattern_optional(graph):
     assert rows == {("http://ex.org/x", "http://ex.org/B"), ("http://ex.org/y", None)}
 
 
+def test_union_two_arms(graph):
+    q = """SELECT ?s ?o WHERE {
+             { ?s rdfs:subClassOf ?o } UNION { ?s rdf:type ?o }
+           }"""
+    rows = {(r.s, r.o) for r in sparql_query(graph, q).collect()}
+    assert rows == {
+        ("http://ex.org/A", "http://ex.org/B"),
+        ("http://ex.org/B", "http://ex.org/C"),
+        ("http://ex.org/x", "http://ex.org/A"),
+    }
+
+
+def test_union_null_extends_mismatched_vars(graph):
+    q = """SELECT ?s ?o ?note WHERE {
+             { ?s <http://ex.org/p/likes> ?o }
+             UNION { ?s <http://example.org/optionalPredicate> ?note }
+           }"""
+    rows = sparql_query(graph, q).collect()
+    assert len(rows) == 3
+    notes = {r.note for r in rows}
+    assert "note" in notes and None in notes
+
+
+def test_union_three_arms_bag_semantics(graph):
+    q = """SELECT ?s WHERE {
+             { ?s rdf:type ?o } UNION { ?s rdf:type ?o } UNION { ?s rdfs:subClassOf ?o }
+           }"""
+    rows = [r.s for r in sparql_query(graph, q).collect()]
+    # bag union: the duplicated arm contributes twice
+    assert sorted(rows).count("http://ex.org/x") == 2
+    assert len(rows) == 4
+
+
+def test_aggregates_sum_min_max(spark):
+    g = spark.createDataFrame(
+        [
+            ("a", "http://p/v", "10", True),
+            ("a", "http://p/v", "3", True),
+            ("b", "http://p/v", "5", True),
+        ],
+        "subj string, pred string, obj string, obj_is_literal boolean",
+    )
+    q = """SELECT (SUM(?v) AS ?total) (MIN(?v) AS ?lo) (MAX(?v) AS ?hi)
+                  (COUNT(?v) AS ?n) ?s
+           WHERE { ?s <http://p/v> ?v } GROUP BY ?s"""
+    rows = {r.s: r for r in sparql_query(g, q).collect()}
+    assert rows["a"].total == 13.0 and rows["a"].n == 2
+    # MIN/MAX compare the STRING terms (SPARQL natural ordering on our
+    # stringly-typed store): '10' < '3' lexicographically
+    assert rows["a"].lo == "10" and rows["a"].hi == "3"
+    assert rows["b"].total == 5.0
+
+
+def test_path_one_or_more_and_zero_or_one(graph):
+    # + excludes the reflexive pairs * includes
+    q_plus = "SELECT ?s ?o WHERE { ?s (rdfs:subClassOf)+ ?o }"
+    plus = {(r.s, r.o) for r in sparql_query(graph, q_plus).collect()}
+    assert plus == {
+        ("http://ex.org/A", "http://ex.org/B"),
+        ("http://ex.org/B", "http://ex.org/C"),
+        ("http://ex.org/A", "http://ex.org/C"),
+    }
+    q_opt = "SELECT ?s ?o WHERE { ?s rdfs:subClassOf? ?o }"
+    zoo = {(r.s, r.o) for r in sparql_query(graph, q_opt).collect()}
+    assert ("http://ex.org/A", "http://ex.org/B") in zoo  # one step
+    assert ("http://ex.org/A", "http://ex.org/A") in zoo  # zero step
+    assert ("http://ex.org/A", "http://ex.org/C") not in zoo  # not two steps
+
+
+def test_path_inverse_and_sequence(graph):
+    # inverse: ^likes traverses object→subject
+    q_inv = "SELECT ?s ?o WHERE { ?s (^<http://ex.org/p/likes>) ?o }"
+    inv = {(r.s, r.o) for r in sparql_query(graph, q_inv).collect()}
+    assert ("http://ex.org/y", "http://ex.org/x") in inv
+    # sequence: type/subClassOf = superclass of x's class
+    q_seq = "SELECT ?s ?o WHERE { ?s (rdf:type/rdfs:subClassOf) ?o }"
+    seq = {(r.s, r.o) for r in sparql_query(graph, q_seq).collect()}
+    assert seq == {("http://ex.org/x", "http://ex.org/B")}
+
+
+def test_bare_starred_curie_is_a_path(graph):
+    # regression: a bare suffixed curie must compile as a path, not a
+    # constant predicate named '…#type*'
+    q = "SELECT ?s ?o WHERE { ?s rdf:type* ?o }"
+    pairs = {(r.s, r.o) for r in sparql_query(graph, q).collect()}
+    assert ("http://ex.org/x", "http://ex.org/A") in pairs
+    assert ("http://ex.org/x", "http://ex.org/x") in pairs  # reflexive
+
+
 def test_graph_constant_constraint(spark):
     quads = spark.createDataFrame(
         [
