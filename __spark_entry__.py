@@ -209,6 +209,15 @@ def q_corpus_stats(spark, sf_dir):
     return docops.corpus_stats(corpus.load(spark, sf_dir, "documents"))
 
 
+def q_doc_dedup_keep(spark, sf_dir):
+    """The corpus dedup DECISION: exact + verified-near-dup equivalence
+    graph → connected components → min-id representative + keep flag.
+    Oracled in DuckDB via WITH RECURSIVE closure over the same edges."""
+    return docops.neardup_keep_list(
+        corpus.load(spark, sf_dir, "documents"), jaccard_threshold=0.6
+    )
+
+
 def q_lsh_neardup(spark, sf_dir):
     return docops.lsh_neardup_pairs(
         corpus.load(spark, sf_dir, "documents"), num_hashes=8, bands=4, shingle_n=3
@@ -372,6 +381,33 @@ def q_sparql_path_seq(spark, sf_dir):
         _set_graph(spark, sf_dir),
         """SELECT ?s ?o WHERE {
              ?s (<http://ex.org/p/worksAt>/<http://ex.org/p/locatedIn>) ?o .
+           }""",
+    )
+
+
+def q_sparql_minus(spark, sf_dir):
+    """MINUS group — bindings compatible with the minus group on shared
+    variables are removed (left-anti join)."""
+    from graphforge_spark.plans.sparql import sparql_query
+
+    return sparql_query(
+        _set_graph(spark, sf_dir),
+        """SELECT ?s ?o WHERE {
+             ?s ?p ?o .
+             MINUS { ?s <http://ex.org/p/locatedIn> ?o }
+           }""",
+    )
+
+
+def q_sparql_values(spark, sf_dir):
+    """VALUES inline data joined against a pattern."""
+    from graphforge_spark.plans.sparql import sparql_query
+
+    return sparql_query(
+        _set_graph(spark, sf_dir),
+        """SELECT ?person ?org WHERE {
+             VALUES ?org { <http://ex.org/e/NATION_1> <http://ex.org/e/NATION_2> }
+             ?person <http://ex.org/p/worksAt> ?org .
            }""",
     )
 
@@ -569,6 +605,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_minhash": q_doc_minhash,
         "doc_sample": q_doc_sample,
         "corpus_stats": q_corpus_stats,
+        "doc_dedup_keep": q_doc_dedup_keep,
         "lsh_neardup_pairs": q_lsh_neardup,
         "ngram_jaccard": q_ngram_jaccard,
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -585,6 +622,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_aggregates": q_sparql_aggregates,
         "sparql_path_plus": q_sparql_path_plus,
         "sparql_path_seq": q_sparql_path_seq,
+        "sparql_minus": q_sparql_minus,
+        "sparql_values": q_sparql_values,
         "events_tumbling_window": q_events_tumbling_window,
         "events_sessionize": q_events_sessionize,
         "events_json_props": q_events_json_props,
@@ -1105,6 +1144,36 @@ def oracle_sql() -> dict[str, str]:
             FROM banded x JOIN banded y
               ON x.bucket = y.bucket AND x.doc_id < y.doc_id
         """,
+        "doc_dedup_keep": f"""
+            WITH RECURSIVE {_SIGS8.removeprefix("WITH ")},
+            cand AS (
+              SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+              FROM banded x JOIN banded y
+                ON x.bucket = y.bucket AND x.doc_id < y.doc_id),
+            near AS (
+              SELECT id_a, id_b FROM cand
+              JOIN s sa ON sa.doc_id = id_a
+              JOIN s sb ON sb.doc_id = id_b
+              WHERE len(list_intersect(sa.sh, sb.sh)) /
+                    CAST(greatest(len(sa.sh) + len(sb.sh)
+                         - len(list_intersect(sa.sh, sb.sh)), 1) AS DOUBLE) >= 0.6),
+            hx AS (SELECT doc_id, md5(lower(trim(text))) AS h FROM documents),
+            exact_rep AS (SELECT h, min(doc_id) AS rep FROM hx GROUP BY h),
+            exact_edges AS (
+              SELECT hx.doc_id AS id_a, r.rep AS id_b
+              FROM hx JOIN exact_rep r ON hx.h = r.h WHERE hx.doc_id <> r.rep),
+            edges AS (SELECT id_a, id_b FROM near
+                      UNION SELECT id_a, id_b FROM exact_edges),
+            sym AS (SELECT id_a AS a, id_b AS b FROM edges
+                    UNION SELECT id_b, id_a FROM edges
+                    UNION SELECT doc_id, doc_id FROM documents),
+            reach(a, b) AS (
+              SELECT a, b FROM sym
+              UNION
+              SELECT r.a, s2.b FROM reach r JOIN sym s2 ON r.b = s2.a)
+            SELECT a AS doc_id, min(b) AS rep_id, (a = min(b)) AS keep
+            FROM reach GROUP BY a
+        """,
         "ngram_jaccard": f"""
             {_SIGS8},
             pairs AS (
@@ -1239,6 +1308,19 @@ def oracle_sql() -> dict[str, str]:
             l AS (SELECT DISTINCT subj, obj FROM pt
                   WHERE pred = 'http://ex.org/p/locatedIn')
             SELECT w.subj AS s, l.obj AS o FROM w JOIN l ON w.obj = l.subj
+        """,
+        "sparql_minus": f"""
+            WITH {_PT}, g AS (SELECT DISTINCT subj, pred, obj FROM pt),
+            m AS (SELECT DISTINCT subj, obj FROM g
+                  WHERE pred = 'http://ex.org/p/locatedIn')
+            SELECT g.subj AS s, g.obj AS o FROM g
+            ANTI JOIN m ON g.subj = m.subj AND g.obj = m.obj
+        """,
+        "sparql_values": f"""
+            WITH {_PT}, g AS (SELECT DISTINCT subj, pred, obj FROM pt)
+            SELECT subj AS person, obj AS org FROM g
+            WHERE pred = 'http://ex.org/p/worksAt'
+              AND obj IN ('http://ex.org/e/NATION_1', 'http://ex.org/e/NATION_2')
         """,
         "sparql_graph": f"""
             WITH {_NT}

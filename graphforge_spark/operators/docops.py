@@ -266,6 +266,61 @@ def simhash_neardup_pairs(
     )
 
 
+def neardup_keep_list(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    jaccard_threshold: float = 0.6,
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """The dedup DECISION for a corpus: (doc_id, rep_id, keep).
+
+    Exact-duplicate groups (same normalized-text hash) and verified
+    near-dup pairs (LSH candidates whose exact n-gram Jaccard clears the
+    threshold) form one equivalence graph; connected components pick the
+    min doc_id per cluster as the representative, and ``keep`` marks it.
+    Docs in no cluster are their own representative. This is the operator
+    a curation pipeline actually filters on — candidates and similarity
+    scores are its internals, not its API.
+
+    Scale shape: LSH-blocked pair generation (no O(n²)), one hash-group
+    shuffle for exact dups, and the log-round pointer-jumping CC from
+    operators/canonicalize — near-dup clusters are tiny in practice, so
+    CC converges in 2-3 rounds."""
+    from graphforge_spark.operators.canonicalize import canonical_mapping
+
+    hashed = docs.select(
+        F.col(id_col).alias("_id"), F.md5(F.lower(F.trim(F.col(text_col)))).alias("_h")
+    )
+    exact_rep = hashed.groupBy("_h").agg(F.min("_id").alias("_rep"))
+    exact_edges = (
+        hashed.join(exact_rep, "_h")
+        .filter(F.col("_id") != F.col("_rep"))
+        .select(F.col("_id").alias("src"), F.col("_rep").alias("dst"))
+    )
+    near_edges = ngram_jaccard_pairs(
+        docs,
+        id_col=id_col,
+        text_col=text_col,
+        shingle_n=shingle_n,
+        threshold=jaccard_threshold,
+        num_hashes=num_hashes,
+        bands=bands,
+    ).select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    mapping = canonical_mapping(exact_edges.union(near_edges))
+    out = (
+        docs.select(F.col(id_col))
+        .join(mapping, F.col(id_col) == mapping.alias_id, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("canonical_id", F.col(id_col)).alias("rep_id"),
+        )
+    )
+    return out.withColumn("keep", F.col(id_col) == F.col("rep_id"))
+
+
 def stratified_sample(
     docs: DataFrame,
     fractions: dict[str, float],

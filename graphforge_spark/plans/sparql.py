@@ -25,6 +25,8 @@ Grammar (whitespace-insensitive, case-insensitive keywords):
     stmt     := pattern '.'? | OPTIONAL '{' pattern+ '}' | FILTER '(' cond ')'
               | GRAPH (iri|curie) '{' pattern+ '}'
               | '{' pattern+ '}' (UNION '{' pattern+ '}')+
+              | MINUS '{' pattern+ '}'
+              | VALUES (var | '(' var+ ')') '{' (term | '(' term+ ')')+ '}'
     pattern  := term predpath term
     predpath := term | '(' leg ('|' leg)* ')' [*+?]? | '(' leg ('/' leg)+ ')'
               | curie [*+?]? | '^' curie
@@ -68,7 +70,7 @@ _TERM_RE = re.compile(
 # Constructs we knowingly do NOT support — named here so the error says
 # "unsupported SPARQL feature X", not just "cannot parse".
 _UNSUPPORTED_KEYWORDS = re.compile(
-    r"\b(MINUS|BIND|VALUES|SERVICE|EXISTS|NOT\s+EXISTS|CONSTRUCT"
+    r"\b(BIND|SERVICE|EXISTS|NOT\s+EXISTS|CONSTRUCT"
     r"|ASK|DESCRIBE|HAVING|OFFSET|REDUCED)\b",
     re.IGNORECASE,
 )
@@ -82,6 +84,8 @@ class _Parsed:
     optionals: list = field(default_factory=list)  # list[list[pattern]]
     graphs: list = field(default_factory=list)  # (graph_iri, list[pattern])
     unions: list = field(default_factory=list)  # list[list[list[pattern]]] (arms)
+    minuses: list = field(default_factory=list)  # list[list[pattern]]
+    values: list = field(default_factory=list)  # (var_names, rows)
     filters: list = field(default_factory=list)  # raw condition strings
     group_by: str | None = None
     order_by: tuple | None = None  # (var, ascending)
@@ -276,7 +280,64 @@ def parse_sparql(query: str, prefixes: dict[str, str] | None = None) -> _Parsed:
         parsed.optionals.append(pats)
         return " "
 
-    # UNION chains first: { arm } UNION { arm } [UNION { arm }]* — SPARQL
+    # VALUES inline data: VALUES ?x { t1 t2 } or VALUES (?x ?y) { (a b) … }
+    def take_values(mm: re.Match) -> str:
+        head, rows_text = mm.group(1), mm.group(2)
+        names = re.findall(r"\?(\w+)", head)
+        if not names:
+            raise ValueError(f"cannot parse VALUES variables: {head!r}")
+
+        def term_of(tok: re.Match):
+            t = _parse_term(tok, pmap)
+            if isinstance(t, Var):
+                raise ValueError("variables are not terms inside VALUES data")
+            return t
+
+        rows = []
+        if len(names) == 1:
+            for tok in _TERM_RE.finditer(rows_text):
+                rows.append((term_of(tok),))
+            left = _residue(rows_text, list(_TERM_RE.finditer(rows_text)))
+            if left:
+                raise ValueError(f"unsupported VALUES data syntax: {left!r}")
+        else:
+            for row_m in re.finditer(r"\(([^()]*)\)", rows_text):
+                toks = list(_TERM_RE.finditer(row_m.group(1)))
+                if len(toks) != len(names):
+                    raise ValueError(
+                        f"VALUES row arity {len(toks)} != {len(names)} vars"
+                    )
+                rows.append(tuple(term_of(t) for t in toks))
+            left = _residue(rows_text, list(re.finditer(r"\([^()]*\)", rows_text)))
+            if left:
+                raise ValueError(f"unsupported VALUES data syntax: {left!r}")
+        if not rows:
+            raise ValueError("empty VALUES block")
+        parsed.values.append((names, rows))
+        return " "
+
+    body = re.sub(
+        r"VALUES\s+(\?\w+|\([^)]*\))\s*\{([^{}]*)\}",
+        take_values,
+        body,
+        flags=re.IGNORECASE,
+    )
+
+    # MINUS groups: MINUS { patterns } — anti-join on the shared variables
+    def take_minus(mm: re.Match) -> str:
+        pats = [
+            _parse_pattern(chunk, pmap)
+            for chunk in _split_statements(mm.group(1))
+            if chunk.strip()
+        ]
+        if not pats:
+            raise ValueError("empty MINUS block")
+        parsed.minuses.append(pats)
+        return " "
+
+    body = re.sub(r"MINUS\s*\{([^{}]*)\}", take_minus, body, flags=re.IGNORECASE)
+
+    # UNION chains: { arm } UNION { arm } [UNION { arm }]* — SPARQL
     # bag union of the arms' bindings, null-extended to the common schema
     def take_union(mm: re.Match) -> str:
         span = mm.group(0)
@@ -542,6 +603,13 @@ def sparql_query(
         if any(isinstance(p[1], tuple) for p in pats):
             raise ValueError("property paths inside GRAPH are not supported")
         frames.append(bgp(triples.filter(F.col("graph") == g), pats))
+    for names, rows in parsed.values:
+        # inline bindings table: joins with the rest on its variables
+        frames.append(
+            triples.sparkSession.createDataFrame(
+                rows, ", ".join(f"{n} string" for n in names)
+            )
+        )
     for arms in parsed.unions:
         # SPARQL bag union: arms evaluate independently, bindings align on
         # the union of their variables (missing vars null-extend)
@@ -575,6 +643,18 @@ def sparql_query(
             if isinstance(p[1], tuple):
                 raise ValueError("property paths inside OPTIONAL are not supported")
         out = optional(out, bgp(triples, opt_patterns))
+
+    for minus_patterns in parsed.minuses:
+        # SPARQL MINUS: drop bindings compatible with the minus group on
+        # their shared variables; with no shared variables MINUS removes
+        # nothing (per spec — disjoint domains are never compatible)
+        for p in minus_patterns:
+            if isinstance(p[1], tuple):
+                raise ValueError("property paths inside MINUS are not supported")
+        mframe = bgp(triples, minus_patterns)
+        shared = [c for c in out.columns if c in mframe.columns]
+        if shared:
+            out = out.join(mframe.select(*shared).distinct(), shared, "left_anti")
 
     # FILTER applies to the group's bindings (after optionals join in);
     # comparisons on unbound (null) vars are null → dropped, matching

@@ -78,6 +78,29 @@ def test_doc_stats(docs):
     assert rows[0].fingerprint == rows[1].fingerprint
 
 
+def test_neardup_keep_list(spark):
+    base = (
+        "the quick brown fox jumps over the lazy dog while the calm river "
+        "flows beneath the old stone bridge at dawn"
+    )
+    docs_rows = [
+        (0, base),
+        (1, base),  # exact dup of 0
+        (2, base.upper()),  # case-dup of 0
+        (3, "completely different text about spark and graphs here"),
+        (4, base + " today"),  # near-dup of 0 (Jaccard 0.95)
+    ]
+    docs = spark.createDataFrame(docs_rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in docops.neardup_keep_list(docs, jaccard_threshold=0.5).collect()}
+    assert len(out) == 5
+    # 0,1,2,4 cluster together (exact + case + near); 3 is a singleton
+    assert out[0].rep_id == out[1].rep_id == out[2].rep_id == out[4].rep_id == 0
+    assert out[0].keep and not out[1].keep and not out[2].keep and not out[4].keep
+    assert out[3].rep_id == 3 and out[3].keep
+    # exactly one keeper per cluster
+    assert sum(1 for r in out.values() if r.keep) == 2
+
+
 def test_stratified_sample_deterministic_and_proportional(spark):
     docs = spark.range(10_000).select(
         F.col("id").alias("doc_id"),

@@ -265,6 +265,54 @@ def test_bare_starred_curie_is_a_path(graph):
     assert ("http://ex.org/x", "http://ex.org/x") in pairs  # reflexive
 
 
+def test_minus_removes_compatible_bindings(graph):
+    q = """SELECT ?s ?o WHERE {
+             ?s ?p ?o .
+             MINUS { ?s rdfs:subClassOf ?o }
+           }"""
+    rows = {(r.s, r.o) for r in sparql_query(graph, q).collect()}
+    assert ("http://ex.org/A", "http://ex.org/B") not in rows
+    assert ("http://ex.org/x", "http://ex.org/y") in rows
+    assert len(rows) == len(TRIPLES) - 2
+
+
+def test_minus_no_shared_vars_is_noop(graph):
+    q = """SELECT ?s WHERE {
+             ?s <http://ex.org/p/likes> ?o .
+             MINUS { ?a rdfs:subClassOf ?b }
+           }"""
+    assert sparql_query(graph, q).count() == 2  # nothing removed
+
+
+def test_values_single_var(graph):
+    q = """SELECT ?s ?o WHERE {
+             VALUES ?s { <http://ex.org/x> <http://ex.org/nosuch> }
+             ?s <http://ex.org/p/likes> ?o .
+           }"""
+    rows = {(r.s, r.o) for r in sparql_query(graph, q).collect()}
+    assert rows == {("http://ex.org/x", "http://ex.org/y")}
+
+
+def test_values_multi_var(graph):
+    q = """SELECT ?s ?o WHERE {
+             VALUES (?s ?o) {
+               (<http://ex.org/x> <http://ex.org/y>)
+               (<http://ex.org/x> <http://ex.org/z>)
+             }
+             ?s <http://ex.org/p/likes> ?o .
+           }"""
+    rows = {(r.s, r.o) for r in sparql_query(graph, q).collect()}
+    assert rows == {("http://ex.org/x", "http://ex.org/y")}
+
+
+def test_values_bad_arity_is_loud(graph):
+    with pytest.raises(ValueError):
+        sparql_query(
+            graph,
+            'SELECT ?s WHERE { VALUES (?s ?o) { (<http://e/1>) } ?s ?p ?o }',
+        )
+
+
 def test_graph_constant_constraint(spark):
     quads = spark.createDataFrame(
         [
@@ -291,7 +339,6 @@ def test_graph_constant_constraint(spark):
     [
         "SELECT ?s WHERE { ?s ?p ?o . ?s ?p2 ?o2 } UNION { ?a ?b ?c }",
         "SELECT ?s WHERE { BIND(1 AS ?x) ?s ?p ?o }",
-        "SELECT ?s WHERE { VALUES ?s { <http://e/1> } ?s ?p ?o }",
         "SELECT REDUCED ?s WHERE { ?s ?p ?o }",
         "SELECT ?s WHERE { ?s ?p ?o } OFFSET 10",
         "SELECT ?s WHERE { ?s ?p ?o } HAVING (?s > 1)",
