@@ -209,6 +209,30 @@ def q_corpus_stats(spark, sf_dir):
     return docops.corpus_stats(corpus.load(spark, sf_dir, "documents"))
 
 
+def q_redact_pii(spark, sf_dir):
+    """PII scrubbing chain (email → ipv4 → phone), counts + redacted text
+    — deterministic synthetic PII appended so the patterns bite."""
+    docs = corpus.load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 192.168.0.1 or +1 555 123 4567"),
+        ).alias("text"),
+    )
+    return docops.redact_pii(docs)
+
+
+def q_contamination(spark, sf_dir):
+    """Train/eval decontamination: docs sharing an 8-gram with the eval
+    split (doc_id < 25) are flagged."""
+    docs = corpus.load(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") < 25)
+    train = docs.filter(F.col("doc_id") >= 25)
+    return docops.contamination_check(train, ev, shingle_n=8)
+
+
 def q_doc_dedup_keep(spark, sf_dir):
     """The corpus dedup DECISION: exact + verified-near-dup equivalence
     graph → connected components → min-id representative + keep flag.
@@ -606,6 +630,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_sample": q_doc_sample,
         "corpus_stats": q_corpus_stats,
         "doc_dedup_keep": q_doc_dedup_keep,
+        "redact_pii": q_redact_pii,
+        "contamination": q_contamination,
         "lsh_neardup_pairs": q_lsh_neardup,
         "ngram_jaccard": q_ngram_jaccard,
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -1143,6 +1169,58 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
             FROM banded x JOIN banded y
               ON x.bucket = y.bucket AND x.doc_id < y.doc_id
+        """,
+        "redact_pii": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+                     '@example.com or 192.168.0.1 or +1 555 123 4567' AS text
+              FROM documents
+            ),
+            s1 AS (
+              SELECT doc_id,
+                     CAST(len(regexp_extract_all(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT)
+                       AS n_email,
+                     regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                       '[PII]', 'g') AS r
+              FROM t
+            ),
+            s2 AS (
+              SELECT doc_id, n_email,
+                     CAST(len(regexp_extract_all(r,
+                       '\b(\d{1,3}\.){3}\d{1,3}\b')) AS INT) AS n_ipv4,
+                     regexp_replace(r, '\b(\d{1,3}\.){3}\d{1,3}\b',
+                       '[PII]', 'g') AS r
+              FROM s1
+            )
+            SELECT doc_id, n_email, n_ipv4,
+                   CAST(len(regexp_extract_all(r, '\+?\d[\d \-()]{7,}\d')) AS INT)
+                     AS n_phone,
+                   regexp_replace(r, '\+?\d[\d \-()]{7,}\d', '[PII]', 'g')
+                     AS redacted_text
+            FROM s2
+        """,
+        "contamination": f"""
+            WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+            sh AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       range(0, greatest(len(toks) - 8, 0) + 1),
+                       i -> array_to_string(toks[i+1:i+8], ' '))) AS sh
+              FROM d
+            ),
+            ev AS (SELECT DISTINCT unnest(sh) AS g FROM sh WHERE doc_id < 25),
+            evf AS (SELECT g FROM ev WHERE g <> ''),
+            tg AS (SELECT doc_id, unnest(sh) AS g FROM sh WHERE doc_id >= 25),
+            hits AS (SELECT doc_id, count(*) AS n FROM tg
+                     JOIN evf USING (g) GROUP BY doc_id)
+            SELECT t.doc_id,
+                   CAST(coalesce(n, 0) AS BIGINT) AS n_hits,
+                   coalesce(n, 0) > 0 AS contaminated
+            FROM (SELECT doc_id FROM documents WHERE doc_id >= 25) t
+            LEFT JOIN hits USING (doc_id)
         """,
         "doc_dedup_keep": f"""
             WITH RECURSIVE {_SIGS8.removeprefix("WITH ")},

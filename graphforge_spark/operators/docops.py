@@ -266,6 +266,84 @@ def simhash_neardup_pairs(
     )
 
 
+# PII patterns restricted to the regex subset shared by Java (Spark) and
+# RE2/DuckDB: no backrefs, no lookaround — so the redaction is
+# value-oracle-able. Order matters (ipv4 before phone: an IP's digit runs
+# would otherwise partially match the phone pattern).
+PII_PATTERNS: list[tuple[str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("ipv4", r"\b(\d{1,3}\.){3}\d{1,3}\b"),
+    ("phone", r"\+?\d[\d \-()]{7,}\d"),
+]
+
+
+def redact_pii(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    patterns: list[tuple[str, str]] | None = None,
+    token: str = "[PII]",
+) -> DataFrame:
+    """PII scrubbing: per-kind match counts + the redacted text.
+
+    Pure JVM regexp column algebra (codegen, narrow — the text never
+    shuffles); patterns apply in list order so counts are taken against
+    the already-partially-redacted text exactly as the replacement chain
+    sees it. Output: (id, n_<kind>..., redacted_text)."""
+    patterns = patterns or PII_PATTERNS
+    cur = F.col(text_col)
+    cols = [F.col(id_col)]
+    for kind, pat in patterns:
+        cols.append(F.size(F.regexp_extract_all(cur, F.lit(pat), 0)).alias(f"n_{kind}"))
+        cur = F.regexp_replace(cur, pat, token)
+    cols.append(cur.alias("redacted_text"))
+    return docs.select(*cols)
+
+
+def contamination_check(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 8,
+) -> DataFrame:
+    """Train/eval decontamination: flag training docs sharing any word
+    ``shingle_n``-gram with the evaluation set (the standard n-gram
+    overlap test run before training).
+
+    Scale shape: the eval side's distinct shingle set is the SMALL side —
+    broadcast it; the training side explodes shingles and aggregates hit
+    counts per doc (one shuffle, map-side combinable). The eval set is
+    bounded by construction (benchmarks are thousands of docs, not
+    billions), so the broadcast holds at any training-corpus scale.
+    Output: (id, n_hits, contaminated)."""
+    ev = (
+        eval_docs.select(
+            F.explode(F.array_distinct(shingles(F.col(text_col), shingle_n))).alias("g")
+        )
+        .filter(F.col("g") != "")
+        .distinct()
+    )
+    dg = docs.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingles(F.col(text_col), shingle_n))).alias("g"),
+    )
+    hits = (
+        dg.join(F.broadcast(ev), "g")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("_hits"))
+    )
+    return (
+        docs.select(F.col(id_col))
+        .join(hits, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("_hits"), F.lit(0)).cast("long").alias("n_hits"),
+            (F.coalesce(F.col("_hits"), F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
 def neardup_keep_list(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -78,6 +78,43 @@ def test_doc_stats(docs):
     assert rows[0].fingerprint == rows[1].fingerprint
 
 
+def test_redact_pii(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "reach me at jane.doe+spam@corp.example.org thanks"),
+            (1, "server 10.0.42.7 answered, call +44 20 7946 0958 now"),
+            (2, "nothing sensitive here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in docops.redact_pii(docs).collect()}
+    assert out[0].n_email == 1 and "[PII]" in out[0].redacted_text
+    assert "jane" not in out[0].redacted_text
+    assert out[1].n_ipv4 == 1 and out[1].n_phone == 1
+    assert "10.0.42.7" not in out[1].redacted_text
+    assert "7946" not in out[1].redacted_text
+    assert out[2].redacted_text == "nothing sensitive here"
+    assert out[2].n_email == out[2].n_ipv4 == out[2].n_phone == 0
+
+
+def test_contamination_check(spark):
+    ev = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta eta theta iota kappa")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            # contains the eval 8-gram window verbatim
+            (0, "intro words alpha beta gamma delta epsilon zeta eta theta more"),
+            (1, "totally unrelated training document with its own words here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in docops.contamination_check(train, ev, shingle_n=8).collect()}
+    assert out[0].contaminated and out[0].n_hits >= 1
+    assert not out[1].contaminated and out[1].n_hits == 0
+
+
 def test_neardup_keep_list(spark):
     base = (
         "the quick brown fox jumps over the lazy dog while the calm river "
