@@ -528,6 +528,23 @@ def q_events_sessionize(spark, sf_dir):
     )
 
 
+def q_events_asof_join(spark, sf_dir):
+    """As-of join (brief-mandated custom operator): each click picks up
+    the latest prior (or same-instant) view by the same user. Oracle:
+    DuckDB's native ASOF LEFT JOIN."""
+    from graphforge_spark.operators.temporal import asof_join
+
+    ev = corpus.load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    out = asof_join(clicks, views, ["user_id"], "ts", ["event_id", "value"])
+    return out.select("event_id", "user_id", "asof_event_id", "asof_value")
+
+
 def q_events_json_props(spark, sf_dir):
     ev = corpus.load(spark, sf_dir, "events")
     return ev.select(
@@ -653,6 +670,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_tumbling_window": q_events_tumbling_window,
         "events_sessionize": q_events_sessionize,
         "events_json_props": q_events_json_props,
+        "events_asof_join": q_events_asof_join,
         "curie_expand": q_curie_expand,
         "select_star_limit": q_select_star_limit,
         "simhash_neardup": q_simhash_neardup,
@@ -1439,6 +1457,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id,
                    CAST(json_extract_string(props, '$.k') AS INT) AS k
             FROM events
+        """,
+        "events_asof_join": """
+            WITH l AS (SELECT event_id, user_id, ts FROM events
+                       WHERE event_type = 'click'),
+            r AS (
+              SELECT user_id, ts, event_id AS asof_event_id,
+                     value AS asof_value
+              FROM events WHERE event_type = 'view'
+              QUALIFY row_number() OVER (
+                PARTITION BY user_id, ts ORDER BY event_id DESC) = 1
+            )
+            SELECT l.event_id, l.user_id, r.asof_event_id, r.asof_value
+            FROM l ASOF LEFT JOIN r
+              ON l.user_id = r.user_id AND l.ts >= r.ts
         """,
         "curie_expand": """
             WITH p AS (
