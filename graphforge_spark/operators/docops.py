@@ -12,9 +12,13 @@ Operators:
 - minhash_signatures: k-component MinHash over word shingles (narrow)
 - lsh_neardup_pairs:  banded-LSH candidate pairs (shuffle on band key)
 - ngram_jaccard_pairs: exact n-gram Jaccard over LSH candidates
-- simhash_fingerprints / simhash_neardup_pairs: 64-bit SimHash + banded
-  hamming join (bit algebra, no Python)
-- doc_stats: token count, quality features, language-ID, fingerprint
+  (shingles computed only for candidate docs)
+- simhash_fingerprints / simhash_neardup_pairs: 64-bit SimHash
+  (explode + codegen'd bit-vote aggregates) + recall-exact banded join
+- neardup_keep_list: exact+near-dup equivalence graph → CC → keep flag
+- stratified_sample: deterministic salted-hash per-stratum sampling
+- redact_pii / contamination_check: PII scrub; train/eval n-gram overlap
+- doc_stats / corpus_stats: per-doc text analysis + per-language rollup
 
 Scale notes: every pairwise operator goes through LSH blocking first —
 the O(n²) cross product never materializes; band buckets are the shuffle
