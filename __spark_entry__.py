@@ -528,6 +528,22 @@ def q_events_sessionize(spark, sf_dir):
     )
 
 
+def q_events_rollup(spark, sf_dir):
+    """Multi-resolution time rollup (hypertable-style continuous
+    aggregate): day×hour leaf cells + per-day subtotals + grand total in
+    ONE pass via ROLLUP grouping sets — Catalyst expands the sets and
+    keeps the aggregation map-side combinable."""
+    ev = corpus.load(spark, sf_dir, "events")
+    base = ev.select(
+        F.date_format(F.col("ts"), "yyyy-MM-dd").alias("day"),
+        F.date_format(F.col("ts"), "HH").alias("hour"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return base.rollup("day", "hour").agg(
+        F.count("*").alias("n"), F.sum("cents").alias("value_cents")
+    )
+
+
 def q_events_asof_join(spark, sf_dir):
     """As-of join (brief-mandated custom operator): each click picks up
     the latest prior (or same-instant) view by the same user. Oracle:
@@ -671,6 +687,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": q_events_sessionize,
         "events_json_props": q_events_json_props,
         "events_asof_join": q_events_asof_join,
+        "events_rollup": q_events_rollup,
         "curie_expand": q_curie_expand,
         "select_star_limit": q_select_star_limit,
         "simhash_neardup": q_simhash_neardup,
@@ -1457,6 +1474,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id,
                    CAST(json_extract_string(props, '$.k') AS INT) AS k
             FROM events
+        """,
+        "events_rollup": """
+            WITH b AS (
+              SELECT strftime(ts, '%Y-%m-%d') AS day,
+                     strftime(ts, '%H') AS hour,
+                     CAST(round(value * 100) AS BIGINT) AS cents
+              FROM events
+            )
+            SELECT day, hour, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(cents) AS BIGINT) AS value_cents
+            FROM b GROUP BY ROLLUP(day, hour)
         """,
         "events_asof_join": """
             WITH l AS (SELECT event_id, user_id, ts FROM events
