@@ -219,14 +219,15 @@ def test_aggregates_sum_min_max(spark):
         "subj string, pred string, obj string, obj_is_literal boolean",
     )
     q = """SELECT (SUM(?v) AS ?total) (MIN(?v) AS ?lo) (MAX(?v) AS ?hi)
-                  (COUNT(?v) AS ?n) ?s
+                  (COUNT(?v) AS ?n) (AVG(?v) AS ?mean) ?s
            WHERE { ?s <http://p/v> ?v } GROUP BY ?s"""
     rows = {r.s: r for r in sparql_query(g, q).collect()}
     assert rows["a"].total == 13.0 and rows["a"].n == 2
+    assert rows["a"].mean == 6.5
     # MIN/MAX compare the STRING terms (SPARQL natural ordering on our
     # stringly-typed store): '10' < '3' lexicographically
     assert rows["a"].lo == "10" and rows["a"].hi == "3"
-    assert rows["b"].total == 5.0
+    assert rows["b"].total == 5.0 and rows["b"].mean == 5.0
 
 
 def test_path_one_or_more_and_zero_or_one(graph):
