@@ -23,7 +23,9 @@ Grammar (whitespace-insensitive, case-insensitive keywords):
     proj     := '*' | (var | '(' AGG '(' var ')' AS var ')')+
     AGG      := COUNT | SUM | MIN | MAX | AVG
     stmt     := pattern '.'? | OPTIONAL '{' pattern+ '}' | FILTER '(' cond ')'
-              | GRAPH (iri|curie) '{' pattern+ '}'
+              | FILTER NOT? EXISTS '{' pattern+ '}'
+              | BIND '(' expr AS var ')'
+              | GRAPH (iri|curie|var) '{' pattern+ '}'
               | '{' pattern+ '}' (UNION '{' pattern+ '}')+
               | MINUS '{' pattern+ '}'
               | VALUES (var | '(' var+ ')') '{' (term | '(' term+ ')')+ '}'
@@ -32,11 +34,16 @@ Grammar (whitespace-insensitive, case-insensitive keywords):
               | curie [*+?]? | '^' curie
     leg      := '^'? (iri | curie)
     term     := ?var | <iri> | curie | "literal" | 'a'
-    cond     := atom ('&&' atom)*
-    atom     := operand cmp operand | REGEX(var, "re") | CONTAINS(var, "s")
-              | STRSTARTS(var, "s") | BOUND(var) | !BOUND(var)
+    expr     := term | STR(var) | CONCAT(expr (',' expr)*)
+    cond     := disj ; disj := conj ('||' conj)* ; conj := atom ('&&' atom)*
+    atom     := '(' cond ')' | operand cmp operand | REGEX(var, "re")
+              | CONTAINS(var, "s") | STRSTARTS(var, "s") | BOUND(var) | !BOUND(var)
     cmp      := '=' | '!=' | '<' | '<=' | '>' | '>='
     modifier := GROUP BY var | ORDER BY (var | ASC(var) | DESC(var)) | LIMIT n
+
+'&&'/'||' splitting, parenthesis balancing, and the unsupported-keyword
+scan are all string-literal-aware (and the keyword scan also blanks
+<IRI> spans), so quoted ')'/'&&'/keyword text cannot derail parsing.
 
 The reference's prepareQuery rewrites are applied first: 'a' → rdf:type,
 PREFIX extraction + re-injection of the global prefix map, bare-IRI
@@ -70,10 +77,54 @@ _TERM_RE = re.compile(
 # Constructs we knowingly do NOT support — named here so the error says
 # "unsupported SPARQL feature X", not just "cannot parse".
 _UNSUPPORTED_KEYWORDS = re.compile(
-    r"\b(BIND|SERVICE|EXISTS|NOT\s+EXISTS|CONSTRUCT"
-    r"|ASK|DESCRIBE|HAVING|OFFSET|REDUCED)\b",
+    r"\b(SERVICE|CONSTRUCT|ASK|DESCRIBE|HAVING|OFFSET|REDUCED)\b",
     re.IGNORECASE,
 )
+
+
+def _mask_strings(text: str) -> str:
+    """Same-length copy with string-literal CONTENTS blanked (the quote
+    characters survive). Structure scanning — paren balancing, '&&'/'||'
+    splitting, keyword search — runs over the mask so quoted ')' or '&&'
+    or keyword text cannot derail it; span indices map back 1:1."""
+    out = list(text)
+    in_str = esc = False
+    for i, ch in enumerate(text):
+        if in_str:
+            if esc:
+                esc = False
+                out[i] = " "
+            elif ch == "\\":
+                esc = True
+                out[i] = " "
+            elif ch == '"':
+                in_str = False
+            else:
+                out[i] = " "
+        elif ch == '"':
+            in_str = True
+    return "".join(out)
+
+
+def _split_top(text: str, masked: str, op: str) -> list[str]:
+    """Split ``text`` on top-level (paren-depth-0) occurrences of the
+    two-char operator ``op``, using the string-blanked ``masked`` copy for
+    structure. Returns [text] when op never occurs at the top level."""
+    parts, depth, last, i = [], 0, 0, 0
+    while i < len(masked) - 1:
+        ch = masked[i]
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0 and masked[i : i + 2] == op:
+            parts.append(text[last:i])
+            last = i + 2
+            i += 2
+            continue
+        i += 1
+    parts.append(text[last:])
+    return parts
 
 
 @dataclass
@@ -82,11 +133,13 @@ class _Parsed:
     distinct: bool = False
     patterns: list = field(default_factory=list)  # (term, predpath, term)
     optionals: list = field(default_factory=list)  # list[list[pattern]]
-    graphs: list = field(default_factory=list)  # (graph_iri, list[pattern])
+    graphs: list = field(default_factory=list)  # (graph_iri | Var, list[pattern])
     unions: list = field(default_factory=list)  # list[list[list[pattern]]] (arms)
     minuses: list = field(default_factory=list)  # list[list[pattern]]
     values: list = field(default_factory=list)  # (var_names, rows)
     filters: list = field(default_factory=list)  # raw condition strings
+    exists: list = field(default_factory=list)  # (negated, list[pattern])
+    binds: list = field(default_factory=list)  # (alias, raw expr string)
     group_by: str | None = None
     order_by: tuple | None = None  # (var, ascending)
     limit: int | None = None
@@ -181,21 +234,24 @@ def _parse_pattern(text: str, prefixes: dict):
 
 
 def _take_paren_blocks(body: str, keyword: str) -> tuple[str, list[str]]:
-    """Remove every ``KEYWORD ( balanced )`` from body; return (rest, blocks)."""
+    """Remove every ``KEYWORD ( balanced )`` from body; return (rest, blocks).
+    Keyword search and paren balancing run over the string-blanked mask so
+    a quoted ')' (e.g. REGEX(?x, "a)b")) cannot unbalance the scan."""
     out, blocks = [], []
+    masked = _mask_strings(body)
     pat = re.compile(rf"\b{keyword}\s*\(", re.IGNORECASE)
     pos = 0
     while True:
-        m = pat.search(body, pos)
+        m = pat.search(masked, pos)
         if not m:
             out.append(body[pos:])
             break
         out.append(body[pos : m.start()])
         depth, i = 1, m.end()
-        while i < len(body) and depth:
-            if body[i] == "(":
+        while i < len(masked) and depth:
+            if masked[i] == "(":
                 depth += 1
-            elif body[i] == ")":
+            elif masked[i] == ")":
                 depth -= 1
             i += 1
         if depth:
@@ -207,9 +263,11 @@ def _take_paren_blocks(body: str, keyword: str) -> tuple[str, list[str]]:
 
 def parse_sparql(query: str, prefixes: dict[str, str] | None = None) -> _Parsed:
     q = _strip_comments(query)
-    # scan with string literals blanked so a literal containing e.g.
-    # "values" cannot false-positive as the VALUES clause
-    bad = _UNSUPPORTED_KEYWORDS.search(re.sub(r'"(?:[^"\\]|\\.)*"', '""', q))
+    # scan with string literals AND <IRI> spans blanked: a literal
+    # containing "values" or an IRI like <http://ex.org/ASK> must not
+    # false-positive as a clause keyword
+    scan = re.sub(r"<[^>]*>", "<>", re.sub(r'"(?:[^"\\]|\\.)*"', '""', q))
+    bad = _UNSUPPORTED_KEYWORDS.search(scan)
     if bad:
         raise ValueError(f"unsupported SPARQL feature: {bad.group(0).upper()}")
     pmap = dict(DEFAULT_PREFIXES)
@@ -316,6 +374,26 @@ def parse_sparql(query: str, prefixes: dict[str, str] | None = None) -> _Parsed:
         parsed.values.append((names, rows))
         return " "
 
+    # FILTER [NOT] EXISTS { patterns } — extracted FIRST among the braced
+    # clauses so its group cannot be captured by the UNION-chain regex
+    def take_exists(mm: re.Match) -> str:
+        pats = [
+            _parse_pattern(chunk, pmap)
+            for chunk in _split_statements(mm.group(2))
+            if chunk.strip()
+        ]
+        if not pats:
+            raise ValueError("empty EXISTS block")
+        parsed.exists.append((bool(mm.group(1)), pats))
+        return " "
+
+    body = re.sub(
+        r"FILTER\s+(NOT\s+)?EXISTS\s*\{([^{}]*)\}",
+        take_exists,
+        body,
+        flags=re.IGNORECASE,
+    )
+
     body = re.sub(
         r"VALUES\s+(\?\w+|\([^)]*\))\s*\{([^{}]*)\}",
         take_values,
@@ -366,11 +444,14 @@ def parse_sparql(query: str, prefixes: dict[str, str] | None = None) -> _Parsed:
     if re.search(r"\bUNION\b", body, re.IGNORECASE):
         raise ValueError("cannot parse UNION clause (arms must be braced groups)")
 
-    # constant-graph GRAPH blocks next (GRAPH ?var stays unsupported and
-    # is caught loudly by the nested-group check below)
+    # GRAPH blocks: constant (<iri> / curie — filter on the graph column)
+    # or variable (GRAPH ?g — binds the graph column as ?g)
     def take_graph(mm: re.Match) -> str:
         g = mm.group(1)
-        g = g[1:-1] if g.startswith("<") else _expand(g, pmap)
+        if g.startswith("?"):
+            g = Var(g[1:])
+        else:
+            g = g[1:-1] if g.startswith("<") else _expand(g, pmap)
         pats = [
             _parse_pattern(chunk, pmap)
             for chunk in _split_statements(mm.group(2))
@@ -382,7 +463,7 @@ def parse_sparql(query: str, prefixes: dict[str, str] | None = None) -> _Parsed:
         return " "
 
     body = re.sub(
-        r"GRAPH\s+(<[^>]*>|[\w.-]*:[\w./#-]+)\s*\{([^{}]*)\}",
+        r"GRAPH\s+(\?\w+|<[^>]*>|[\w.-]*:[\w./#-]+)\s*\{([^{}]*)\}",
         take_graph,
         body,
         flags=re.IGNORECASE,
@@ -390,6 +471,12 @@ def parse_sparql(query: str, prefixes: dict[str, str] | None = None) -> _Parsed:
     body = re.sub(r"OPTIONAL\s*\{([^{}]*)\}", take_optional, body, flags=re.IGNORECASE)
     if re.search(r"[{}]", body):
         raise ValueError("unsupported nested group in WHERE block")
+    body, bind_blocks = _take_paren_blocks(body, "BIND")
+    for blk in bind_blocks:
+        bm = re.match(r"^(.*?)\s+AS\s+\?(\w+)\s*$", _mask_strings(blk), re.IGNORECASE | re.DOTALL)
+        if not bm:
+            raise ValueError(f"cannot parse BIND (expected 'expr AS ?var'): {blk!r}")
+        parsed.binds.append((bm.group(2), blk[: bm.end(1)]))
     body, parsed.filters = _take_paren_blocks(body, "FILTER")
     for chunk in _split_statements(body):
         if chunk.strip():
@@ -481,13 +568,151 @@ def _filter_atom(cond: str, pmap: dict) -> Column:
     raise ValueError(f"unsupported FILTER condition: {cond.strip()!r}")
 
 
+def _filter_term(cond: str, pmap: dict) -> Column:
+    """One operand of a '&&' conjunction: either a parenthesized
+    sub-condition (recurse) or an atom."""
+    c = cond.strip()
+    masked = _mask_strings(c)
+    # strip a paren pair only when it wraps the WHOLE term
+    while c.startswith("("):
+        depth = 0
+        for i, ch in enumerate(masked):
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+        if i != len(masked) - 1:
+            break
+        c = c[1:-1].strip()
+        masked = _mask_strings(c)
+        if "||" in masked or "&&" in masked:
+            return _filter_col(c, pmap)
+    return _filter_atom(c, pmap)
+
+
 def _filter_col(cond: str, pmap: dict) -> Column:
-    """Compile a FILTER condition: '&&'-conjunction of comparison/function
-    atoms. Anything else is a loud error."""
-    if "||" in cond:
-        raise ValueError("FILTER '||' disjunction is not supported")
-    atoms = [c for c in cond.split("&&")]
-    return reduce(lambda x, y: x & y, (_filter_atom(a, pmap) for a in atoms))
+    """Compile a FILTER condition: '||'-disjunction of '&&'-conjunctions
+    of atoms, with parenthesized grouping ('&&' binds tighter, per
+    SPARQL). Splitting is string-literal-aware and paren-depth-aware;
+    anything else is a loud error."""
+    masked = _mask_strings(cond)
+    disjuncts = _split_top(cond, masked, "||")
+
+    def conj(part: str) -> Column:
+        pm = _mask_strings(part)
+        return reduce(
+            lambda x, y: x & y,
+            (_filter_term(a, pmap) for a in _split_top(part, pm, "&&")),
+        )
+
+    return reduce(lambda x, y: x | y, (conj(p) for p in disjuncts))
+
+
+def _bind_col(expr: str, pmap: dict) -> Column:
+    """Compile a BIND expression: a term (?var, "literal", <iri>, curie,
+    number), STR(?var) (identity — the store is stringly typed), or
+    CONCAT(expr, ...). Anything else is a loud error."""
+    e = expr.strip()
+    masked = _mask_strings(e)
+    cm = re.match(r"^\s*CONCAT\s*\(", masked, re.IGNORECASE)
+    if cm:
+        if not masked.rstrip().endswith(")"):
+            raise ValueError(f"unbalanced CONCAT in BIND: {expr!r}")
+        inner = e[cm.end() : e.rstrip().rfind(")")]
+        inner_masked = _mask_strings(inner)
+        parts, depth, last = [], 0, 0
+        for i, ch in enumerate(inner_masked):
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif ch == "," and depth == 0:
+                parts.append(inner[last:i])
+                last = i + 1
+        parts.append(inner[last:])
+        return F.concat(*(_bind_col(p, pmap) for p in parts))
+    sm = re.match(r"^\s*STR\s*\(\s*\?(\w+)\s*\)\s*$", e, re.IGNORECASE)
+    if sm:
+        return F.col(sm.group(1)).cast("string")
+    if re.fullmatch(r"\?\w+", e):
+        return F.col(e[1:])
+    if re.fullmatch(r'"(?:[^"\\]|\\.)*"', e):
+        return F.lit(e[1:-1])
+    if re.fullmatch(r"<[^>]*>", e):
+        return F.lit(e[1:-1])
+    if re.fullmatch(r"-?\d+(?:\.\d+)?", e):
+        return F.lit(e)
+    if re.fullmatch(r"[\w-]*:[\w./#-]+", e):
+        return F.lit(_expand(e, pmap))
+    raise ValueError(f"unsupported BIND expression: {expr!r}")
+
+
+def _graph_var_bgp(triples: DataFrame, pats: list, gvar: Var) -> DataFrame:
+    """GRAPH ?g { patterns }: each pattern scan additionally binds the
+    quad's graph column as ?g, so the conjunction joins on ?g too and the
+    variable projects out — same plan shape as bgp() plus one column."""
+    frames = []
+    for s, p, o in pats:
+        df, cols = triples, []
+        for slot, col in ((s, "subj"), (p, "pred"), (o, "obj")):
+            if isinstance(slot, Var):
+                cols.append(F.col(col).alias(slot.name))
+            else:
+                df = df.filter(F.col(col) == slot)
+        cols.append(F.col("graph").alias(gvar.name))
+        frames.append(df.select(*cols))
+
+    def join(a: DataFrame, b: DataFrame) -> DataFrame:
+        shared = [c for c in a.columns if c in b.columns]
+        return a.join(b, shared, "inner")
+
+    return reduce(join, frames)
+
+
+def _join_compat(
+    a: DataFrame, a_null: set, b: DataFrame, b_null: set
+) -> tuple[DataFrame, set]:
+    """Join two bindings frames on their shared variables with SPARQL
+    compatible-mapping semantics: an UNBOUND (null-extended) value is
+    compatible with anything, and the joined binding takes the bound side
+    (coalesce). ``a_null``/``b_null`` name the columns that can carry
+    null-extended values (only UNION arms with mismatched variables
+    produce them), so the common all-bound case stays a plain equi-join —
+    the theta-join fallback is taken only when a nullable column is
+    actually shared."""
+    shared = [c for c in a.columns if c in b.columns]
+    if not shared:
+        return a.crossJoin(b), a_null | b_null
+    loose = [c for c in shared if c in a_null or c in b_null]
+    if not loose:
+        return a.join(b, shared, "inner"), a_null | b_null
+    left, right = a.alias("_l"), b.alias("_r")
+    cond = None
+    for c in shared:
+        lc, rc = F.col(f"_l.{c}"), F.col(f"_r.{c}")
+        t = (lc.isNull() | rc.isNull() | (lc == rc)) if c in loose else (lc == rc)
+        cond = t if cond is None else cond & t
+    sel = [
+        (
+            F.coalesce(F.col(f"_l.{c}"), F.col(f"_r.{c}"))
+            if c in shared
+            else F.col(f"_l.{c}")
+        ).alias(c)
+        for c in a.columns
+    ] + [F.col(f"_r.{c}").alias(c) for c in b.columns if c not in a.columns]
+    out = left.join(right, cond, "inner").select(*sel)
+    # a coalesced shared column stays nullable only if BOTH sides could
+    # be unbound; unshared columns keep their side's nullability
+    nullable = {
+        c
+        for c in out.columns
+        if (c in shared and c in a_null and c in b_null)
+        or (c not in shared and c in a.columns and c in a_null)
+        or (c not in a.columns and c in b_null)
+    }
+    return out, nullable
 
 
 def _path_frame(triples: DataFrame, spec: str, s: Var, o: Var, pmap: dict) -> DataFrame:
@@ -590,29 +815,38 @@ def sparql_query(
     plain = [p for p in parsed.patterns if not (isinstance(p[1], tuple))]
     paths = [p for p in parsed.patterns if isinstance(p[1], tuple)]
 
-    frames = []
+    frames: list[tuple[DataFrame, set]] = []  # (bindings, nullable columns)
     if plain:
-        frames.append(bgp(triples, plain))
+        frames.append((bgp(triples, plain), set()))
     for s, (_, spec), o in paths:
-        frames.append(_path_frame(triples, spec, s, o, pmap))
+        frames.append((_path_frame(triples, spec, s, o, pmap), set()))
     for g, pats in parsed.graphs:
-        # named-graph constraint: pattern lookup restricted to one graph —
-        # a filter on the quad's graph column, pushdown-friendly
+        # named-graph constraint: constant → filter on the quad's graph
+        # column (pushdown-friendly); variable → bind the graph column
         if "graph" not in triples.columns:
             raise ValueError("GRAPH query over a store with no graph column")
         if any(isinstance(p[1], tuple) for p in pats):
             raise ValueError("property paths inside GRAPH are not supported")
-        frames.append(bgp(triples.filter(F.col("graph") == g), pats))
+        if isinstance(g, Var):
+            frames.append((_graph_var_bgp(triples, pats, g), set()))
+        else:
+            frames.append((bgp(triples.filter(F.col("graph") == g), pats), set()))
     for names, rows in parsed.values:
         # inline bindings table: joins with the rest on its variables
         frames.append(
-            triples.sparkSession.createDataFrame(
-                rows, ", ".join(f"{n} string" for n in names)
+            (
+                triples.sparkSession.createDataFrame(
+                    rows, ", ".join(f"{n} string" for n in names)
+                ),
+                set(),
             )
         )
     for arms in parsed.unions:
         # SPARQL bag union: arms evaluate independently, bindings align on
-        # the union of their variables (missing vars null-extend)
+        # the union of their variables (missing vars null-extend). Columns
+        # absent from any arm are NULLABLE: joining them later must use
+        # compatible-mapping semantics (_join_compat), because SPARQL
+        # treats an unbound variable as join-compatible with any value.
         arm_frames = []
         for pats in arms:
             if any(isinstance(p[1], tuple) for p in pats):
@@ -630,13 +864,13 @@ def sparql_query(
             )
             for f in arm_frames
         ]
-        frames.append(reduce(lambda a, b: a.unionByName(b), aligned))
+        nullable = {c for c in allcols if any(c not in f.columns for f in arm_frames)}
+        frames.append((reduce(lambda a, b: a.unionByName(b), aligned), nullable))
     if not frames:
         raise ValueError("empty WHERE block")
-    out = frames[0]
-    for f in frames[1:]:
-        shared = [c for c in out.columns if c in f.columns]
-        out = out.join(f, shared, "inner") if shared else out.crossJoin(f)
+    out, out_null = frames[0]
+    for f, f_null in frames[1:]:
+        out, out_null = _join_compat(out, out_null, f, f_null)
 
     for opt_patterns in parsed.optionals:
         for p in opt_patterns:
@@ -656,6 +890,31 @@ def sparql_query(
         if shared:
             out = out.join(mframe.select(*shared).distinct(), shared, "left_anti")
 
+    # BIND(expr AS ?v): extend the bindings — the variable must be new
+    for alias, expr in parsed.binds:
+        if alias in out.columns:
+            raise ValueError(f"BIND target ?{alias} is already bound")
+        out = out.withColumn(alias, _bind_col(expr, pmap))
+
+    # FILTER [NOT] EXISTS { patterns }: left-semi / left-anti join on the
+    # shared variables. A correlated EXISTS with NO shared variable would
+    # degenerate to a constant test — raise rather than silently cross.
+    for negated, ex_patterns in parsed.exists:
+        for p in ex_patterns:
+            if isinstance(p[1], tuple):
+                raise ValueError("property paths inside EXISTS are not supported")
+        eframe = bgp(triples, ex_patterns)
+        shared = [c for c in out.columns if c in eframe.columns]
+        if not shared:
+            raise ValueError(
+                "FILTER EXISTS block shares no variable with the outer group"
+            )
+        out = out.join(
+            eframe.select(*shared).distinct(),
+            shared,
+            "left_anti" if negated else "left_semi",
+        )
+
     # FILTER applies to the group's bindings (after optionals join in);
     # comparisons on unbound (null) vars are null → dropped, matching
     # SPARQL's error-eliminates-row semantics.
@@ -666,6 +925,14 @@ def sparql_query(
     aggs = [p for p in parsed.projection if isinstance(p, tuple)]
     if aggs:
         keys = [parsed.group_by] if parsed.group_by else []
+        # a plain projected variable in an aggregate query must be the
+        # GROUP BY key — silently dropping it would be a wrong answer
+        for p in parsed.projection:
+            if isinstance(p, str) and p != parsed.group_by:
+                raise ValueError(
+                    f"projected variable ?{p} is neither the GROUP BY key "
+                    "nor an aggregate alias"
+                )
 
         def agg_expr(fn: str, x: str, alias: str):
             c = F.col(x)
