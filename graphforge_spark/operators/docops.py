@@ -105,6 +105,24 @@ def lsh_neardup_pairs(
     return bucket_pairs(banded, max_bucket)
 
 
+def lsh_bucket_stats(
+    banded: DataFrame, max_bucket: int, id_col: str = "id"
+) -> DataFrame:
+    """Per-bucket population metrics for any banded LSH frame
+    ((id, bucket) rows): (bucket, size, dropped). This is the metrics
+    frame backing the counted-drop claim of every bucket-capped blocking
+    path (``bucket_pairs``, ``simhash_neardup_pairs``,
+    ``link.lsh_candidates``): aggregate ``dropped`` to see how many
+    buckets — and via ``size`` how many candidate ids — the cap excluded.
+    One combinable shuffle; call it on the same banded frame the blocking
+    consumed."""
+    return (
+        banded.groupBy("bucket")
+        .agg(F.count(id_col).alias("size"))
+        .withColumn("dropped", F.col("size") > F.lit(max_bucket))
+    )
+
+
 def bucket_pairs(banded: DataFrame, max_bucket: int, id_col: str = "id") -> DataFrame:
     """Distinct (id_a < id_b) pairs sharing a bucket — ONE shuffle.
 
@@ -263,44 +281,106 @@ def simhash_band_layout(max_hamming: int, bands: int | None = None) -> list[tupl
     return layout
 
 
+def _simhash_block(start: int, width: int):
+    return (
+        F.shiftright(F.col("simhash"), start)
+        .bitwiseAND(F.lit((1 << width) - 1))
+        .cast("string")
+    )
+
+
+def simhash_banded(
+    fp: DataFrame,
+    id_col: str,
+    max_hamming: int,
+    bands: int | None = None,
+    wide_blocks: int | None = None,
+) -> DataFrame:
+    """(id, simhash, bucket) rows for the SimHash blocking self-join.
+
+    Two key schemes, both pigeonhole-EXACT for hamming ≤ max_hamming:
+
+    - default (``wide_blocks=None``): ``bands`` single-block keys
+      (bands > max_hamming ⇒ at least one band is bit-identical). Key
+      width ≈ 60/bands bits — at max_hamming=6 that is 8-9 bits, so
+      bucket population grows linearly with corpus size (n/2^width per
+      bucket): fine to ~10⁷ docs, degenerate at 10⁹.
+    - wide (Manku-style block combinations, ``wide_blocks=b`` with
+      b > max_hamming): split into b blocks and emit one key per
+      (b − max_hamming)-subset of blocks, concatenating those blocks'
+      values. A pair at distance ≤ k dirties at most k blocks, so at
+      least one enumerated subset is all-clean and its concatenated key
+      matches — recall stays exact. Keys are (b−k)× wider (b=8, k=6 →
+      C(8,2)=28 tables of ~15-bit keys vs 7 tables of 8-9 bits): bucket
+      population shrinks ~2^7×, at 4× the exploded rows — the scale
+      trade a 10⁹-doc corpus needs."""
+    layout = simhash_band_layout(max_hamming, wide_blocks or bands)
+    if wide_blocks is None:
+        keys = [
+            F.concat_ws(":", F.lit(str(b)), _simhash_block(start, width))
+            for b, (start, width) in enumerate(layout)
+        ]
+    else:
+        from itertools import combinations
+
+        take = wide_blocks - max_hamming
+        keys = [
+            F.concat_ws(
+                ":",
+                F.lit(f"w{ci}"),
+                *[_simhash_block(*layout[bi]) for bi in combo],
+            )
+            for ci, combo in enumerate(combinations(range(wide_blocks), take))
+        ]
+    return fp.select(
+        F.col(id_col).alias("id"),
+        "simhash",
+        F.explode(F.array(*keys)).alias("bucket"),
+    )
+
+
 def simhash_neardup_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 6,
     bands: int | None = None,
+    max_bucket: int | None = 10_000,
+    wide_blocks: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance ≤ max_hamming — EXACT
     (100% recall): ``bands`` defaults to ``max_hamming + 1`` so by
     pigeonhole every qualifying pair shares at least one bit-identical
     band (see ``simhash_band_layout``); the band-equality self-join is
     pure blocking, and the post-join hamming filter makes the result the
-    exact distance-≤-k pair set."""
-    layout = simhash_band_layout(max_hamming, bands)
+    exact distance-≤-k pair set.
+
+    Scale guards:
+
+    - ``max_bucket``: buckets whose population exceeds it are excluded
+      from the self-join — a degenerate fingerprint value (all-zero
+      fingerprints from empty/near-empty docs, boilerplate-dominated
+      corpora) would otherwise produce an unbounded O(n²) task. Drops
+      are counted, not silent: ``lsh_bucket_stats`` on the same banded
+      frame reports every dropped bucket and its size.
+    - ``wide_blocks``: switch to Manku block-combination keys (see
+      ``simhash_banded``) — ~2^7× better blocking selectivity at
+      max_hamming=6, the configuration to run at ≥10⁸ docs."""
     fp = simhash_fingerprints(docs, id_col, text_col)
     # NB: a banded SELF-JOIN is the right shape here, unlike the MinHash
     # path (bucket_pairs): simhash fingerprints are cheap to recompute
     # (token hashes hoisted), hamming buckets run large, and the
     # codegen'd join beats interpreted in-array pair expansion ~3x on
     # big buckets (measured at sf0.1).
-    banded = fp.select(
-        F.col(id_col).alias("id"),
-        "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.concat_ws(
-                        ":",
-                        F.lit(str(b)),
-                        F.shiftright(F.col("simhash"), start)
-                        .bitwiseAND(F.lit((1 << width) - 1))
-                        .cast("string"),
-                    )
-                    for b, (start, width) in enumerate(layout)
-                ]
-            )
-        ).alias("bucket"),
-    )
+    banded = simhash_banded(fp, id_col, max_hamming, bands, wide_blocks)
+    if max_bucket is not None:
+        ok = (
+            banded.groupBy("bucket")
+            .agg(F.count("*").alias("_sz"))
+            .filter(F.col("_sz") <= max_bucket)
+            .select("bucket")
+        )
+        banded = banded.join(ok, "bucket", "left_semi")
     a, b = banded.alias("x"), banded.alias("y")
     return (
         a.join(b, (F.col("x.bucket") == F.col("y.bucket")) & (F.col("x.id") < F.col("y.id")))

@@ -48,6 +48,26 @@ def surface_shingles(df: DataFrame, surface_col: str = "surface", n: int = 3) ->
     return df.withColumn("_shingles", F.array_distinct(char_ngrams(padded, n)))
 
 
+def surface_banded(surfaces: DataFrame, surface_col: str = "surface") -> DataFrame:
+    """(id, bucket) banded-LSH frame over distinct surfaces — the input
+    both ``lsh_candidates`` (pair generation) and
+    ``docops.lsh_bucket_stats`` (drop accounting) consume."""
+    sh = surface_shingles(surfaces.select(surface_col).distinct(), surface_col)
+    sig = sh.select(
+        F.col(surface_col).alias("surface"),
+        *md5_minhash_cols(F.col("_shingles"), NUM_HASHES),
+    )
+    mh_cols = [f"mh_{i}" for i in range(NUM_HASHES)]
+    return sig.select(
+        F.col("surface").alias("id"),
+        F.explode(
+            F.array(
+                *[band_key(mh_cols, b, ROWS_PER_BAND).alias(f"bk{b}") for b in range(NUM_BANDS)]
+            )
+        ).alias("bucket"),
+    )
+
+
 def lsh_candidates(
     surfaces: DataFrame,
     surface_col: str = "surface",
@@ -56,28 +76,15 @@ def lsh_candidates(
     """(surface_a, surface_b) candidate pairs sharing ≥1 LSH band bucket.
 
     Input: one row per distinct surface. Output: distinct unordered pairs
-    (a < b). Buckets larger than ``max_bucket`` are dropped (logged via
-    the returned DataFrame's sibling metric; see ``lsh_bucket_stats``).
-    """
+    (a < b). Buckets larger than ``max_bucket`` are dropped — counted,
+    not silent: ``docops.lsh_bucket_stats(surface_banded(surfaces),
+    max_bucket)`` reports each dropped bucket and its size (the pipeline
+    surfaces the aggregate as a metrics row)."""
     from graphforge_spark.operators.docops import bucket_pairs
 
-    sh = surface_shingles(surfaces.select(surface_col).distinct(), surface_col)
-    sig = sh.select(
-        F.col(surface_col).alias("surface"),
-        *md5_minhash_cols(F.col("_shingles"), NUM_HASHES),
-    )
-    mh_cols = [f"mh_{i}" for i in range(NUM_HASHES)]
-    banded = sig.select(
-        F.col("surface").alias("id"),
-        F.explode(
-            F.array(
-                *[band_key(mh_cols, b, ROWS_PER_BAND).alias(f"bk{b}") for b in range(NUM_BANDS)]
-            )
-        ).alias("bucket"),
-    )
     # one shuffle: groupBy bucket + in-array pair expansion (includes the
     # max_bucket hot-bucket cap) — see docops.bucket_pairs
-    return bucket_pairs(banded, max_bucket).select(
+    return bucket_pairs(surface_banded(surfaces, surface_col), max_bucket).select(
         F.col("id_a").alias("surface_a"), F.col("id_b").alias("surface_b")
     )
 

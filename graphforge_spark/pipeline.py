@@ -125,6 +125,7 @@ def forge(
     # ---- stage 2: entity linking + canonicalization (global) ----------
     stage2 = "link_canonicalize" if do_link else "canonical_passthrough"
     canonical_path = os.path.join(warehouse, "triples_canonical")
+    lsh_drops = {"dropped_buckets": 0, "dropped_ids": 0}
     if not _stage_done(stage2):
         t2 = time.time()
         if do_link:
@@ -138,6 +139,25 @@ def forge(
                 .filter(~F.col("surface").startswith("_:"))
                 .distinct()
             )
+            # counted-drop accounting for the LSH blocking cap: how many
+            # hot buckets (and candidate ids) the max_bucket guard
+            # excluded — one aggregation to two scalars, no collect loop
+            from graphforge_spark.operators.docops import lsh_bucket_stats
+            from graphforge_spark.operators.link import surface_banded
+
+            drop_row = (
+                lsh_bucket_stats(surface_banded(surfaces), max_bucket=200)
+                .filter(F.col("dropped"))
+                .agg(
+                    F.count("*").alias("nb"),
+                    F.coalesce(F.sum("size"), F.lit(0)).alias("ni"),
+                )
+                .collect()[0]
+            )
+            lsh_drops = {
+                "dropped_buckets": int(drop_row.nb),
+                "dropped_ids": int(drop_row.ni),
+            }
             alias_edges = link_entities(surfaces, threshold=link_threshold)
             mapping = canonical_mapping(alias_edges)
             canonical = dedup_triples(
@@ -172,5 +192,7 @@ def forge(
         "run_id": run_id,
         "buckets_processed": len(todo_ids),
         "triples": n_triples,
+        "lsh_dropped_buckets": lsh_drops["dropped_buckets"],
+        "lsh_dropped_ids": lsh_drops["dropped_ids"],
         "wall_s": time.time() - t0,
     }

@@ -108,17 +108,23 @@ def merge_upsert(
     """Exactly-once upsert via Iceberg MERGE INTO: rows matching on
     ``key_cols`` are replaced, new rows inserted — re-running the same
     batch is a no-op instead of an append-duplicate. Iceberg-only (MERGE
-    needs the Iceberg SQL extensions; plain parquet tables cannot)."""
-    updates.createOrReplaceTempView("_merge_src")
+    needs the Iceberg SQL extensions; plain parquet tables cannot).
+
+    The source view name is unique per call: two concurrent merges on one
+    SparkSession must not overwrite or drop each other's view mid-MERGE."""
+    import uuid as _uuid
+
+    view = f"_merge_src_{_uuid.uuid4().hex}"
+    updates.createOrReplaceTempView(view)
     on = " AND ".join(f"t.{c} = s.{c}" for c in key_cols)
     try:
         spark.sql(
-            f"MERGE INTO {target_table} t USING _merge_src s ON {on} "
+            f"MERGE INTO {target_table} t USING {view} s ON {on} "
             "WHEN MATCHED THEN UPDATE SET * "
             "WHEN NOT MATCHED THEN INSERT *"
         )
     finally:
-        spark.catalog.dropTempView("_merge_src")
+        spark.catalog.dropTempView(view)
 
 
 def write_nodes_edges(triples: DataFrame, warehouse: str) -> None:

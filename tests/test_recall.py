@@ -47,6 +47,42 @@ def test_simhash_banding_recall_is_exact(spark, docs):
     }
     assert exact, "corpus must contain near-dup pairs for the test to bite"
     assert banded == exact  # recall == 1.0 AND precision == 1.0
+    # the Manku wide-key variant (block-combination keys, the ≥10⁸-doc
+    # configuration) must produce the IDENTICAL pair set: the pigeonhole
+    # argument holds for any (b − k)-subset enumeration with b > k
+    wide = {
+        (r.id_a, r.id_b)
+        for r in docops.simhash_neardup_pairs(
+            docs, max_hamming=max_h, wide_blocks=8
+        ).collect()
+    }
+    assert wide == exact
+
+
+def test_simhash_degenerate_bucket_cap_is_counted(spark):
+    """A degenerate corpus (many identical docs → one fingerprint value)
+    must not go O(n²): the max_bucket guard excludes the hot buckets from
+    the self-join, and lsh_bucket_stats counts exactly what was dropped."""
+    rows = [(i, "same boilerplate text repeated everywhere") for i in range(60)]
+    rows += [(100 + i, f"unique document number {i} with its own words {i}") for i in range(5)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    capped = docops.simhash_neardup_pairs(docs, max_hamming=6, max_bucket=10)
+    pairs = {(r.id_a, r.id_b) for r in capped.collect()}
+    # every pair among the 60 identical docs lives in over-cap buckets →
+    # all excluded; nothing else is within hamming 6 of anything
+    assert pairs == set()
+
+    fp = docops.simhash_fingerprints(docs)
+    banded = docops.simhash_banded(fp, "doc_id", max_hamming=6)
+    stats = docops.lsh_bucket_stats(banded, max_bucket=10)
+    dropped = stats.filter(F.col("dropped")).collect()
+    # 7 bands × 1 degenerate fingerprint = 7 hot buckets of size 60
+    assert len(dropped) == 7
+    assert all(r.size == 60 for r in dropped)
+    # uncapped, the identical docs ARE all pairwise near-dups (sanity)
+    full = docops.simhash_neardup_pairs(docs, max_hamming=6, max_bucket=None)
+    assert full.count() == 60 * 59 // 2
 
 
 def test_minhash_lsh_blocking_recall(spark, docs):
@@ -132,3 +168,59 @@ def test_ann_lsh_recall_vs_exact(spark):
     recall2 = len(exact & approx2) / len(exact)
     print(f"ann-lsh recall@3 (2 planes): {recall2:.3f}")
     assert recall2 >= recall
+
+
+def test_keeplist_boundary_agreement(spark, docs):
+    """End-to-end keep-list vs a brute-force exact-Jaccard keep-list AT
+    the operator's default threshold J=0.6 — the boundary where the LSH
+    S-curve (8 hashes / 4 bands: P[candidate] ≈ 0.83 at s=0.6) actually
+    loses candidates. The value oracle replays the same LSH edges, so it
+    cannot see this loss; this test states the measured agreement."""
+    import re as _re
+
+    rows = docs.select("doc_id", "text").collect()
+
+    def sh(text):
+        toks = [t for t in _re.split(r"[^\w]+", text.lower()) if t]
+        return {" ".join(toks[i : i + 3]) for i in range(max(len(toks) - 3, 0) + 1)}
+
+    grams = {r.doc_id: sh(r.text) for r in rows}
+    norm = {r.doc_id: r.text.strip().lower() for r in rows}
+    ids = sorted(grams)
+
+    # brute-force equivalence graph: exact dups + all J >= 0.6 pairs
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in itertools.combinations(ids, 2):
+        if norm[a] == norm[b]:
+            union(a, b)
+            continue
+        u = grams[a] | grams[b]
+        if u and len(grams[a] & grams[b]) / len(u) >= 0.6:
+            union(a, b)
+    truth = {i: find(i) for i in ids}
+    # min-id representative requires full path compression to the root
+    truth = {i: find(i) for i in ids}
+
+    got = {
+        r.doc_id: r.rep_id
+        for r in docops.neardup_keep_list(docs, jaccard_threshold=0.6).collect()
+    }
+    keep_truth = {i for i in ids if truth[i] == i}
+    keep_got = {i for i in ids if got[i] == i}
+    sym = keep_truth ^ keep_got
+    agreement = 1 - len(sym) / len(ids)
+    print(f"keep-list agreement vs brute force at J=0.6: {agreement:.4f} "
+          f"({len(sym)} of {len(ids)} docs differ)")
+    assert agreement >= 0.95
