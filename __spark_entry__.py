@@ -606,9 +606,14 @@ def q_simhash_neardup(spark, sf_dir):
 
 
 def q_ann_lsh_topk(spark, sf_dir):
+    """Multi-table hyperplane LSH + query-side multiprobe (the measured
+    default: recall@3 0.958 vs 0.50 probe-less on the worst-case sf0.001
+    embeddings — COVERAGE.md tuning table)."""
     vecs = corpus.load(spark, sf_dir, "embeddings")
     queries = vecs.filter(F.col("vec_id") < 8)
-    return similarity.lsh_bucketed_topk(vecs, queries, dim=64, k=3, n_planes=4)
+    return similarity.lsh_bucketed_topk(
+        vecs, queries, dim=64, k=3, n_planes=4, multiprobe=True
+    )
 
 
 def q_link_entities(spark, sf_dir):
@@ -814,13 +819,20 @@ def _simhash_pairs_sql(max_hamming: int = 6) -> str:
 
 
 def _ann_lsh_sql(
-    dim: int = 64, n_planes: int = 4, k: int = 3, n_tables: int = 4, seed: int = 42
+    dim: int = 64,
+    n_planes: int = 4,
+    k: int = 3,
+    n_tables: int = 4,
+    seed: int = 42,
+    multiprobe: bool = False,
 ) -> str:
     """DuckDB oracle for lsh_bucketed_topk: the seeded ±1 hyperplanes are
     pure Python (md5 bit stream) — inline them as literal DOUBLE[] arrays,
     so the per-table bucket assignment, OR-of-tables candidate union, and
     cosine fold all replicate bit-for-bit (sequential double folds on
-    both sides)."""
+    both sides). ``multiprobe`` widens each table's match from bucket
+    equality to hamming distance ≤ 1 on the bucket bits — exactly the
+    query-side one-bit-flip probe set the Spark operator explodes."""
     from graphforge_spark.operators.similarity import _hyperplanes
 
     def proj(vec: str, p: list[float]) -> str:
@@ -838,7 +850,12 @@ def _ann_lsh_sql(
             for i, p in enumerate(planes)
         )
         bucket_cols.append(f"{bucket} AS b{t}")
-    any_match = " OR ".join(f"n.b{t} = q.b{t}" for t in range(n_tables))
+    if multiprobe:
+        any_match = " OR ".join(
+            f"bit_count(xor(n.b{t}, q.b{t})) <= 1" for t in range(n_tables)
+        )
+    else:
+        any_match = " OR ".join(f"n.b{t} = q.b{t}" for t in range(n_tables))
     return f"""
         WITH b AS (SELECT vec_id, embedding, {", ".join(bucket_cols)} FROM embeddings),
         q AS (SELECT * FROM b WHERE vec_id < 8),
@@ -1391,7 +1408,9 @@ def oracle_sql() -> dict[str, str]:
             dim=64, n_planes=4, n_tables=4, seed=42, threshold=0.35, max_id=500
         ),
         "simhash_neardup": _simhash_pairs_sql(max_hamming=6),
-        "ann_lsh_topk": _ann_lsh_sql(dim=64, n_planes=4, k=3, n_tables=4, seed=42),
+        "ann_lsh_topk": _ann_lsh_sql(
+            dim=64, n_planes=4, k=3, n_tables=4, seed=42, multiprobe=True
+        ),
         "sparql_union": f"""
             WITH {_PT}, g AS (SELECT DISTINCT subj, pred, obj FROM pt)
             SELECT subj AS s, obj AS o FROM g

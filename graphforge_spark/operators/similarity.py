@@ -191,6 +191,7 @@ def lsh_bucketed_topk(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    multiprobe: bool = False,
 ) -> DataFrame:
     """Approximate top-k via MULTI-TABLE hyperplane LSH — the standard
     recall lever: ``n_tables`` independent tables of ``n_planes`` planes
@@ -200,27 +201,44 @@ def lsh_bucketed_topk(
     Candidates dedup on (query, neighbor) BEFORE scoring, so each pair's
     cosine is computed once regardless of how many tables matched.
 
-    Measured on the sf0.001 embeddings (tests/test_recall.py): recall@3
-    = 0.167 with one 4-plane table → 0.5+ with 4 tables. Scale shape:
-    shuffle key = (table, bucket); candidate volume ≈ L × per-table
-    bucket load, tunable against recall per corpus."""
+    ``multiprobe=True`` additionally probes, per table, every bucket at
+    hamming distance 1 from the query's bucket (flip one plane's sign
+    bit) — the near-miss buckets a near-neighbor most likely fell into.
+    Probing happens on the QUERY side only (the small broadcast side), so
+    the vector table is still bucketed exactly once: candidate volume
+    rises ≈ (1 + n_planes)×/table, recall rises like adding tables
+    without re-hashing the corpus — the right knob at 100 TB, where the
+    corpus-side explode dominates cost.
 
-    def with_buckets(df, out_id: str, v_alias: str):
+    Measured on the sf0.001 embeddings (tests/test_recall.py, COVERAGE.md
+    tuning table): recall@3 = 0.167 with one 4-plane table → 0.5 with 4
+    tables → ≥0.8 with 4 tables + multiprobe. Scale shape: shuffle key =
+    (table, bucket); candidate volume ≈ L × per-table bucket load,
+    tunable against recall per corpus."""
+
+    def with_buckets(df, out_id: str, v_alias: str, probe: bool):
+        pairs = []
+        for t in range(n_tables):
+            base = lsh_bucket(F.col(vec_col), dim, n_planes, seed + t)
+            probes = [base]
+            if probe:
+                probes += [
+                    base.bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)
+                ]
+            pairs += [
+                F.struct(F.lit(t).alias("_tbl"), b.alias("_bucket"))
+                for b in probes
+            ]
         return df.select(
             F.col(id_col).alias(out_id),
             F.col(vec_col).alias(v_alias),
-            F.posexplode(
-                F.array(
-                    *[
-                        lsh_bucket(F.col(vec_col), dim, n_planes, seed + t)
-                        for t in range(n_tables)
-                    ]
-                )
-            ).alias("_tbl", "_bucket"),
+            F.explode(F.array(*pairs)).alias("_pb"),
+        ).select(
+            out_id, v_alias, F.col("_pb._tbl").alias("_tbl"), F.col("_pb._bucket").alias("_bucket")
         )
 
-    bq = with_buckets(queries, "query_id", "_qv")
-    bn = with_buckets(vectors, "neighbor_id", "_nv")
+    bq = with_buckets(queries, "query_id", "_qv", multiprobe)
+    bn = with_buckets(vectors, "neighbor_id", "_nv", False)
     cands = (
         bn.join(F.broadcast(bq), ["_tbl", "_bucket"])
         .filter(F.col("neighbor_id") != F.col("query_id"))

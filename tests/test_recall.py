@@ -168,6 +168,18 @@ def test_ann_lsh_recall_vs_exact(spark):
     recall2 = len(exact & approx2) / len(exact)
     print(f"ann-lsh recall@3 (2 planes): {recall2:.3f}")
     assert recall2 >= recall
+    # multiprobe (one-bit-flip query-side probes) is the measured default:
+    # recall@3 0.958 at 4 tables / 4 planes on this worst-case corpus
+    # (full sweep in COVERAGE.md) — assert the ≥0.8 floor
+    mp = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.lsh_bucketed_topk(
+            vecs, queries, dim=64, k=3, n_planes=4, multiprobe=True
+        ).collect()
+    }
+    recall_mp = len(exact & mp) / len(exact)
+    print(f"ann-lsh recall@3 (4 tables, 4 planes, multiprobe): {recall_mp:.3f}")
+    assert recall_mp >= 0.8
 
 
 def test_keeplist_boundary_agreement(spark, docs):
