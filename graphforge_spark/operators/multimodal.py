@@ -47,15 +47,29 @@ FEATURE_DIM = 16
 
 
 def synth_media(spark: SparkSession, n: int, kinds=("image", "audio", "video")) -> DataFrame:
-    """Deterministic synthetic media table: payload = repeated md5 bytes of
-    the id (opaque, incompressible-ish, seed-free), metadata typed per
-    kind. JVM-side generation — no Python, any scale."""
+    """Deterministic synthetic media table: image payloads are VALID
+    binary PPM (P6) files (4×4 RGB, pixel bytes from the id's md5 stream)
+    so the real stdlib decoder actually executes; audio/video payloads
+    are opaque md5 byte runs. Metadata typed per kind. JVM-side
+    generation — no Python, any scale."""
     kind = F.element_at(
         F.array(*[F.lit(k) for k in kinds]), (F.col("id") % len(kinds) + 1).cast("int")
     )
-    payload = F.unhex(
+    opaque = F.unhex(
         F.concat(*[F.md5(F.concat(F.lit(f"{i}:"), F.col("id").cast("string"))) for i in range(8)])
     )  # 8 × 16 bytes = 128-byte payload
+    ppm = F.concat(
+        F.encode(F.lit("P6\n4 4\n255\n"), "UTF-8"),
+        F.unhex(
+            F.concat(
+                *[
+                    F.md5(F.concat(F.lit(f"px{i}:"), F.col("id").cast("string")))
+                    for i in range(3)
+                ]
+            )
+        ),
+    )  # header + 4·4·3 = 48 raster bytes
+    payload = F.when(kind == "image", ppm).otherwise(opaque)
     meta = F.map_from_arrays(
         F.array(F.lit("width"), F.lit("height"), F.lit("duration_ms")),
         F.array(
@@ -80,6 +94,49 @@ def _fake_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
         out.extend(int.from_bytes(h[i : i + 2], "big") / 32768.0 - 1.0 for i in range(0, 16, 2))
         ctr += 1
     return out[:dim]
+
+
+def _ppm_image_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float] | None:
+    """REAL stdlib-only image decode for binary PPM (P6): parse the
+    header (magic, comments, width/height/maxval), read the raw RGB
+    raster, grayscale each pixel, sample onto an 8×8 grid, scale to
+    [-1, 1), cycle/truncate to ``dim`` — the same feature contract as the
+    PIL path, with zero third-party dependencies, so the driver's
+    container exercises a real decoder instead of the fallback. Returns
+    None for anything that is not a well-formed P6 payload."""
+    if not payload.startswith(b"P6"):
+        return None
+    try:
+        pos, fields = 2, []
+        while len(fields) < 3:
+            while pos < len(payload) and payload[pos : pos + 1].isspace():
+                pos += 1
+            if payload[pos : pos + 1] == b"#":
+                while pos < len(payload) and payload[pos] != 0x0A:
+                    pos += 1
+                continue
+            start = pos
+            while pos < len(payload) and not payload[pos : pos + 1].isspace():
+                pos += 1
+            fields.append(int(payload[start:pos]))
+        pos += 1  # exactly one whitespace byte separates maxval from data
+        w, h, maxval = fields
+        if not (0 < w and 0 < h and 0 < maxval < 256):
+            return None
+        need = w * h * 3
+        data = payload[pos : pos + need]
+        if len(data) < need:
+            return None
+        feats: list[float] = []
+        half = (maxval + 1) / 2.0
+        for gy in range(8):
+            for gx in range(8):
+                px = (min(h - 1, gy * h // 8) * w + min(w - 1, gx * w // 8)) * 3
+                gray = (data[px] + data[px + 1] + data[px + 2]) / 3.0
+                feats.append(gray / half - 1.0)
+        return [feats[i % len(feats)] for i in range(dim)]
+    except (ValueError, IndexError):
+        return None
 
 
 def _pil_image_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float] | None:
@@ -121,7 +178,11 @@ def decode_and_featurize(
         import pandas as pd
 
         def featurize(kind: str, b: bytes) -> list[float]:
-            real = _pil_image_features(b, dim) if kind == "image" else None
+            real = None
+            if kind == "image":
+                # PPM first (stdlib, always available — the in-sandbox
+                # real path), PIL for every other raster format
+                real = _ppm_image_features(b, dim) or _pil_image_features(b, dim)
             if real is not None:
                 return real
             if strict:

@@ -16,10 +16,13 @@ def media(spark):
 def test_synth_media_shape(media):
     rows = media.collect()
     assert len(rows) == 60
-    r = rows[0]
-    assert r.kind in ("image", "audio", "video")
-    assert len(bytes(r.payload)) == 128
-    assert set(r.meta) == {"width", "height", "duration_ms"}
+    by_kind = {r.kind: r for r in rows}
+    assert set(by_kind) == {"image", "audio", "video"}
+    # image payloads are real binary PPM; audio/video stay opaque bytes
+    assert bytes(by_kind["image"].payload).startswith(b"P6\n")
+    assert len(bytes(by_kind["image"].payload)) == 11 + 4 * 4 * 3
+    assert len(bytes(by_kind["audio"].payload)) == 128
+    assert set(rows[0].meta) == {"width", "height", "duration_ms"}
     # deterministic across evaluations
     assert media.collect() == rows
 
@@ -28,7 +31,8 @@ def test_decode_and_featurize(media):
     feats = multimodal.decode_and_featurize(media).collect()
     assert len(feats) == 60
     by_id = {r.media_id: r for r in feats}
-    assert by_id[0].n_bytes == 128
+    assert by_id[0].n_bytes == 59  # P6 header + 4×4 RGB raster
+    assert by_id[1].n_bytes == 128
     assert len(by_id[0].features) == multimodal.FEATURE_DIM
     assert all(-1.0 <= v < 1.0 for v in by_id[0].features)
     # determinism: same payload → same features
@@ -37,11 +41,35 @@ def test_decode_and_featurize(media):
 
 
 def test_strict_mode_gates_real_decoder(media):
-    from py4j.protocol import Py4JJavaError
-
+    # image rows now decode for real (PPM), but audio/video rows still
+    # have no codec in this container — strict must refuse their fallback
     with pytest.raises(Exception) as ei:
         multimodal.decode_and_featurize(media, strict=True).collect()
     assert "NotImplementedError" in str(ei.value) or "decoders" in str(ei.value)
+    # an image-only frame passes strict end-to-end: no fake ever needed
+    imgs = media.filter(F.col("kind") == "image")
+    rows = multimodal.decode_and_featurize(imgs, strict=True).collect()
+    assert rows and all(len(r.features) == multimodal.FEATURE_DIM for r in rows)
+
+
+def test_ppm_real_decode_path(spark):
+    """Drives the REAL stdlib decoder with a known raster — no skip, no
+    third-party codec: a uniform 4×4 PPM decodes to uniform intensities,
+    not digest noise."""
+    payload = b"P6\n# comment\n4 4\n255\n" + bytes([200] * 48)
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(payload), {"width": "4", "height": "4"})],
+        multimodal.MEDIA_SCHEMA,
+    )
+    row = multimodal.decode_and_featurize(media, strict=True).collect()[0]
+    expect = 200 / 128.0 - 1.0
+    assert all(abs(v - expect) < 1e-6 for v in row.features)
+    # malformed P6 payloads return None (fallback/strict path), not junk
+    from graphforge_spark.operators.multimodal import _ppm_image_features
+
+    assert _ppm_image_features(b"P6\n4 4\n255\n" + b"\x00" * 10) is None
+    assert _ppm_image_features(b"P5\n4 4\n255\n" + b"\x00" * 48) is None
+    assert _ppm_image_features(b"not a ppm") is None
 
 
 def test_pil_real_decode_path(spark):
