@@ -33,8 +33,13 @@ SUBSET = [
     # round-2 additions: recall-proving simhash oracle, SPARQL FILTER
     # compilation, deterministic sampling
     "simhash_neardup",
-    "sparql_filter",
+    "sparql_filter_distinct",
     "doc_sample",
+    # round-3 additions: wide-key simhash (same brute-force oracle),
+    # BIND/EXISTS surface, multiprobe ANN
+    "simhash_neardup_wide",
+    "sparql_bind_exists",
+    "ann_lsh_topk",
 ]
 
 
