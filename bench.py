@@ -300,7 +300,11 @@ SCALE_LADDER = [4, 8, 16, 32]
 # fraction of the host's total CPU time (steal jiffies are summed across
 # all host CPUs at USER_HZ=100).
 QUIET_STEAL_FRAC = 0.02
-MAX_EXTRA_ROUNDS = 3
+MAX_EXTRA_ROUNDS = 5
+# r2 verdict: the 32-rung had quiet coverage in only 11/24 trials — retry
+# every rung until it has at least this many quiet trials (or the extra-
+# round budget runs out), so the median is taken over a full quiet sample.
+MIN_QUIET_TRIALS = 8
 
 
 def _run_level(n: int) -> dict:
@@ -352,9 +356,13 @@ def run_scaling() -> None:
             for w, s in zip(r["wall_s_trials"], r["steal_jiffies_trials"])
         ]
 
-    # retry rungs that never saw a quiet window
+    # retry rungs until each has a full quiet sample (≥ MIN_QUIET_TRIALS)
     for extra in range(MAX_EXTRA_ROUNDS):
-        need = [n for n in SCALE_LADDER if len(_quiet_walls(trials_of(n))) < 2]
+        need = [
+            n
+            for n in SCALE_LADDER
+            if len(_quiet_walls(trials_of(n))) < MIN_QUIET_TRIALS
+        ]
         if not need:
             break
         for n in need:
