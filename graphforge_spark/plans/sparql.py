@@ -39,7 +39,12 @@ Grammar (whitespace-insensitive, case-insensitive keywords):
     atom     := '(' cond ')' | operand cmp operand | REGEX(var, "re")
               | CONTAINS(var, "s") | STRSTARTS(var, "s") | BOUND(var) | !BOUND(var)
     cmp      := '=' | '!=' | '<' | '<=' | '>' | '>='
-    modifier := GROUP BY var | ORDER BY (var | ASC(var) | DESC(var)) | LIMIT n
+    modifier := GROUP BY var | HAVING '(' cond ')' | LIMIT n | OFFSET n
+              | ORDER BY (var | ASC(var) | DESC(var))
+
+HAVING conditions may reference the projected aggregates either by their
+alias (?n) or by the aggregate call itself (COUNT(?o)); the call form is
+rewritten to the projection alias and anything unprojected raises.
 
 '&&'/'||' splitting, parenthesis balancing, and the unsupported-keyword
 scan are all string-literal-aware (and the keyword scan also blanks
@@ -77,7 +82,7 @@ _TERM_RE = re.compile(
 # Constructs we knowingly do NOT support — named here so the error says
 # "unsupported SPARQL feature X", not just "cannot parse".
 _UNSUPPORTED_KEYWORDS = re.compile(
-    r"\b(SERVICE|CONSTRUCT|ASK|DESCRIBE|HAVING|OFFSET|REDUCED)\b",
+    r"\b(SERVICE|CONSTRUCT|ASK|DESCRIBE|REDUCED)\b",
     re.IGNORECASE,
 )
 
@@ -141,8 +146,10 @@ class _Parsed:
     exists: list = field(default_factory=list)  # (negated, list[pattern])
     binds: list = field(default_factory=list)  # (alias, raw expr string)
     group_by: str | None = None
+    having: list = field(default_factory=list)  # raw condition strings
     order_by: tuple | None = None  # (var, ascending)
     limit: int | None = None
+    offset: int | None = None
 
 
 def _split_statements(body: str) -> list[str]:
@@ -483,6 +490,7 @@ def parse_sparql(query: str, prefixes: dict[str, str] | None = None) -> _Parsed:
             parsed.patterns.append(_parse_pattern(chunk, pmap))
 
     # ---- modifiers (the tail must be fully consumed) ----------------------
+    tail, parsed.having = _take_paren_blocks(tail, "HAVING")
     consumed = []
     gm = re.search(r"GROUP\s+BY\s+\?(\w+)", tail, re.IGNORECASE)
     if gm:
@@ -496,6 +504,10 @@ def parse_sparql(query: str, prefixes: dict[str, str] | None = None) -> _Parsed:
     if lm:
         parsed.limit = int(lm.group(1))
         consumed.append(lm)
+    fm = re.search(r"OFFSET\s+(\d+)", tail, re.IGNORECASE)
+    if fm:
+        parsed.offset = int(fm.group(1))
+        consumed.append(fm)
     left = _residue(tail, consumed)
     if left:
         raise ValueError(f"unsupported SPARQL syntax after WHERE block: {left!r}")
@@ -950,7 +962,33 @@ def sparql_query(
 
         exprs = [agg_expr(fn, x, alias) for (fn, x, alias) in aggs]
         out = out.groupBy(*keys).agg(*exprs)
+        # HAVING: rewrite AGG(?v) calls to their projection alias, then
+        # compile like any FILTER over the aggregated frame. An aggregate
+        # that is not projected (or HAVING without aggregation) raises.
+        alias_of = {(fn, x): alias for (fn, x, alias) in aggs}
+
+        def _rewrite_having(cond: str) -> str:
+            def sub(m: re.Match) -> str:
+                key = (m.group(1).lower(), m.group(2))
+                if key not in alias_of:
+                    raise ValueError(
+                        f"HAVING references {m.group(0)} which is not in the "
+                        "SELECT projection"
+                    )
+                return f"?{alias_of[key]}"
+
+            return re.sub(
+                r"(COUNT|SUM|MIN|MAX|AVG)\s*\(\s*\?(\w+)\s*\)",
+                sub,
+                cond,
+                flags=re.IGNORECASE,
+            )
+
+        for cond in parsed.having:
+            out = out.filter(_filter_col(_rewrite_having(cond), pmap))
         out = out.select(*(alias for (_, _, alias) in aggs), *keys)
+    elif parsed.having:
+        raise ValueError("HAVING requires an aggregate projection")
     elif "*" not in parsed.projection:
         want = [v for v in parsed.projection if isinstance(v, str)]
         missing = [v for v in want if v not in out.columns]
@@ -963,6 +1001,10 @@ def sparql_query(
     if parsed.order_by:
         var, asc = parsed.order_by
         out = out.orderBy(F.col(var).asc() if asc else F.col(var).desc())
+    if parsed.offset is not None:
+        # SPARQL slice: OFFSET skips into the (ordered) solution sequence
+        # before LIMIT truncates it — df.offset composes the same way
+        out = out.offset(parsed.offset)
     if parsed.limit is not None:
         out = out.limit(parsed.limit)
     return out

@@ -412,13 +412,38 @@ def test_aggregate_unprojectable_var_is_loud(graph):
         )
 
 
+def test_having(spark):
+    t = spark.createDataFrame(
+        [("a", "p1", "x"), ("b", "p1", "y"), ("c", "p2", "z")],
+        "subj string, pred string, obj string",
+    )
+    # aggregate-call form rewrites to the projection alias
+    q = """SELECT (COUNT(?o) AS ?n) ?p WHERE { ?s ?p ?o }
+           GROUP BY ?p HAVING (COUNT(?o) > 1)"""
+    rows = sparql_query(t, q).collect()
+    assert [(r.p, r.n) for r in rows] == [("p1", 2)]
+    # alias form works too
+    q2 = """SELECT (COUNT(?o) AS ?n) ?p WHERE { ?s ?p ?o }
+            GROUP BY ?p HAVING (?n = 1)"""
+    assert [(r.p, r.n) for r in sparql_query(t, q2).collect()] == [("p2", 1)]
+
+
+def test_offset_slices_ordered_solutions(spark):
+    t = spark.createDataFrame(
+        [(f"s{i}", "p", f"o{i}") for i in range(10)],
+        "subj string, pred string, obj string",
+    )
+    q = "SELECT ?s WHERE { ?s <p> ?o } ORDER BY ?s LIMIT 3 OFFSET 4"
+    assert [r.s for r in sparql_query(t, q).collect()] == ["s4", "s5", "s6"]
+
+
 @pytest.mark.parametrize(
     "bad_query",
     [
         "SELECT ?s WHERE { ?s ?p ?o . ?s ?p2 ?o2 } UNION { ?a ?b ?c }",
         "SELECT REDUCED ?s WHERE { ?s ?p ?o }",
-        "SELECT ?s WHERE { ?s ?p ?o } OFFSET 10",
         "SELECT ?s WHERE { ?s ?p ?o } HAVING (?s > 1)",
+        "SELECT (COUNT(?o) AS ?n) ?p WHERE { ?s ?p ?o } GROUP BY ?p HAVING (SUM(?o) > 1)",
         "SELECT ?s bogus WHERE { ?s ?p ?o }",
         "SELECT ?s WHERE { ?s ?p ?o garbage garbage }",
         "SELECT ?s WHERE { ?s ?p ?o . FILTER(?s IN (1,2)) }",
