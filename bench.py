@@ -39,10 +39,14 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
-# Fixed corpus for the scaling protocol: 6M turns → 12M raw triples.
-# Sized so even the local[32] rung runs several seconds per trial — short
-# trials let a single host-noise burst dominate the measurement.
-SCALE_CONVS, SCALE_TURNS = 600_000, 10
+# Fixed corpus for the scaling protocol: 24M turns → 48M raw triples.
+# Sized so even the local[32] rung runs ~25s+ per trial: the r3 600k-conv
+# ladder fit wall ≈ T/cores + ~4s — a constant per-job cost (stage
+# scheduling, codegen, final collect) that a 9-second rung cannot
+# amortize and that read as a scaling loss. Real cluster jobs run
+# minutes; the measured quantity must too. (The fixed cost itself does
+# NOT grow with cores — same corpus at every rung keeps N vs 4N honest.)
+SCALE_CONVS, SCALE_TURNS = 2_400_000, 10
 SCALE_TRIALS = 3
 
 

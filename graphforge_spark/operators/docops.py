@@ -8,6 +8,10 @@ each operator is oracle-checkable in DuckDB and stays inside whole-stage
 codegen — no Python in any hot path.
 
 Operators:
+- dedup_lines: corpus-level duplicate-line scrub (C4-style boilerplate
+  removal — one shuffle on the normalized-line hash)
+- repetition_ratios: within-doc repetition quality gates (dup-line and
+  modal-bigram fractions, Gopher-style; narrow)
 - exact_dedup_groups: hash-groupBy exact dedup (one shuffle, partial agg)
 - minhash_signatures: k-component MinHash over word shingles (narrow)
 - lsh_neardup_pairs:  banded-LSH candidate pairs (shuffle on band key)
@@ -45,6 +49,130 @@ from graphforge_spark.functions.text import (
     shingles,
     tokens,
 )
+
+
+def dedup_lines(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_repeats: int = 2,
+    min_chars: int = 10,
+) -> DataFrame:
+    """Corpus-level duplicate-LINE removal (the C4-style boilerplate
+    scrub): any line whose normalized form appears in ≥ ``min_repeats``
+    documents (nav bars, cookie banners, license footers) is dropped from
+    every document; short lines (< ``min_chars`` after trim) are kept
+    as-is — they are too generic to be meaningful boilerplate signals.
+
+    Output: (id, text, n_lines_in, n_lines_kept) with line order and
+    original line text preserved for the kept lines.
+
+    Scale shape: explode to (doc, line_no, line) — one shuffle on the
+    normalized-line hash with map-side combine to count distinct DOCS per
+    line (count(distinct id) per hash ≈ the hot path; boilerplate lines
+    are exactly the hot keys, and they aggregate to one row each), one
+    join back, one groupBy(doc) reassembly. No Python anywhere."""
+    norm = F.lower(F.trim(F.col("_line")))
+    lines = docs.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("_ln", "_line"),
+    )
+    eligible = lines.filter(F.length(F.trim(F.col("_line"))) >= min_chars)
+    hot = (
+        eligible.select(F.md5(norm).alias("_h"), "_id")
+        .groupBy("_h")
+        .agg(F.count_distinct("_id").alias("_docs"))
+        .filter(F.col("_docs") >= min_repeats)
+        .select("_h")
+    )
+    kept = lines.withColumn(
+        "_h",
+        F.when(F.length(F.trim(F.col("_line"))) >= min_chars, F.md5(norm)),
+    ).join(hot.withColumnRenamed("_h", "_hot"), F.col("_h") == F.col("_hot"), "left_anti")
+    return (
+        kept.groupBy("_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("_ln"), F.col("_line")))
+                    ),
+                    lambda s: s["_line"],
+                ),
+                "\n",
+            ).alias("text"),
+            F.count("*").alias("n_lines_kept"),
+        )
+        .join(
+            lines.groupBy("_id").agg(F.count("*").alias("n_lines_in")),
+            "_id",
+            "right",
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce("text", F.lit("")).alias("text"),
+            F.coalesce("n_lines_kept", F.lit(0)).alias("n_lines_kept"),
+            "n_lines_in",
+        )
+    )
+
+
+def repetition_ratios(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Within-document repetition signals (the Gopher/MassiveText-style
+    quality gates): duplicate-line fraction and top-2-gram fraction.
+    High values mark spam/boilerplate-heavy documents a curation run
+    filters out. Narrow column algebra — no shuffle, no Python:
+
+    - dup_line_frac: 1 − distinct(lines)/lines  (empty docs → 0.0)
+    - top_bigram_frac: occurrences of the most frequent word bigram over
+      total bigrams, via aggregate over the sorted bigram array (run-
+      length of the longest run after sort)."""
+    lines_arr = F.filter(
+        F.transform(F.split(F.col(text_col), "\n"), lambda s: F.trim(s)),
+        lambda s: s != "",
+    )
+    toks = tokens(F.col(text_col))
+    n_toks = F.size(toks)
+    bigrams = F.zip_with(
+        F.slice(toks, 1, F.greatest(n_toks - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(n_toks - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    sorted_bg = F.array_sort(bigrams)
+    # longest equal run in the sorted array = count of the modal bigram
+    run = F.aggregate(
+        sorted_bg,
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).alias("cur"),
+            F.lit(0).alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["cur"] + 1).otherwise(F.lit(1)).alias("cur"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["cur"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    n_lines = F.size(lines_arr)
+    n_bg = F.size(bigrams)
+    return docs.select(
+        F.col(id_col),
+        F.when(
+            n_lines > 0,
+            1.0 - F.size(F.array_distinct(lines_arr)) / n_lines.cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_line_frac"),
+        F.when(n_bg > 0, run / n_bg.cast("double"))
+        .otherwise(F.lit(0.0))
+        .alias("top_bigram_frac"),
+    )
 
 
 def exact_dedup_groups(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:

@@ -214,3 +214,43 @@ def test_lsh_bucketed_topk_subset_of_exact(vecs):
     for r in approx.collect():
         assert (r.query_id, r.neighbor_id) in ex
         assert r.sim == pytest.approx(ex[(r.query_id, r.neighbor_id)], abs=1e-12)
+
+
+def test_dedup_lines_removes_cross_doc_boilerplate(spark):
+    from graphforge_spark.operators.docops import dedup_lines
+
+    banner = "This site uses cookies to improve your experience"
+    docs = spark.createDataFrame(
+        [
+            (1, f"unique first line one\n{banner}\nclosing line one"),
+            (2, f"{banner}\nunique middle two"),
+            (3, "totally independent document three"),
+            (4, "hi\nhi\nunique line four"),  # short lines: kept as-is
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in dedup_lines(docs, min_repeats=2).collect()}
+    assert out[1].text == "unique first line one\nclosing line one"
+    assert out[1].n_lines_in == 3 and out[1].n_lines_kept == 2
+    assert out[2].text == "unique middle two"
+    assert out[3].text == "totally independent document three"
+    # 'hi' repeats within ONE doc only and is under min_chars — kept
+    assert out[4].text == "hi\nhi\nunique line four"
+
+
+def test_repetition_ratios(spark):
+    from graphforge_spark.operators.docops import repetition_ratios
+
+    docs = spark.createDataFrame(
+        [
+            (1, "same line\nsame line\nsame line\nother line"),
+            (2, "a b a b a b"),
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in repetition_ratios(docs).collect()}
+    assert abs(out[1].dup_line_frac - 0.5) < 1e-9  # 2 distinct of 4 lines
+    # bigrams of 'a b a b a b': [ab, ba, ab, ba, ab] -> modal 3/5
+    assert abs(out[2].top_bigram_frac - 0.6) < 1e-9
+    assert out[3].dup_line_frac == 0.0 and out[3].top_bigram_frac == 0.0
