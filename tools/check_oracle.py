@@ -99,8 +99,21 @@ def run_checks(sf_dir: str, names=None, spark=None, verbose: bool = True) -> lis
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    failures = run_checks(sf_dir, set(sys.argv[2:]) or None)
+    argv = [a for a in sys.argv[1:] if a != "--vanilla"]
+    spark = None
+    if "--vanilla" in sys.argv:
+        # replicate the DRIVER's environment: a stock SparkSession with no
+        # session.py tuning (the r1 constraint-propagation crash was only
+        # visible under exactly this configuration)
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .appName("check-oracle-vanilla")
+            .getOrCreate()
+        )
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.001"
+    failures = run_checks(sf_dir, set(argv[1:]) or None, spark=spark)
     print(f"\n{len(failures)} failures: {failures}" if failures else "\nall green")
     return 1 if failures else 0
 
