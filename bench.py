@@ -39,14 +39,16 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
-# Fixed corpus for the scaling protocol: 24M turns → 48M raw triples.
-# Sized so even the local[32] rung runs ~25s+ per trial: the r3 600k-conv
-# ladder fit wall ≈ T/cores + ~4s — a constant per-job cost (stage
-# scheduling, codegen, final collect) that a 9-second rung cannot
-# amortize and that read as a scaling loss. Real cluster jobs run
-# minutes; the measured quantity must too. (The fixed cost itself does
-# NOT grow with cores — same corpus at every rung keeps N vs 4N honest.)
-SCALE_CONVS, SCALE_TURNS = 2_400_000, 10
+# Fixed corpus for the scaling protocol: 6M turns → 12M raw triples.
+# Workload-size sensitivity was measured BOTH ways in r3 (see
+# BENCH/BASELINE.md appendix): smaller corpora under-read the big rungs
+# via a ~4s fixed per-job cost (wall ≈ T/cores + 4s fit), while a 4×
+# corpus amortizes that but saturates the single box's shared memory
+# channels past ~8 resident threads (per-core rate 80k at 4 cores vs
+# 34k at 32). 6M turns keeps both compared rungs inside the regime a
+# real per-executor slice would see; the 24M evidence run is recorded
+# in the appendix.
+SCALE_CONVS, SCALE_TURNS = 600_000, 10
 SCALE_TRIALS = 3
 
 
