@@ -530,19 +530,23 @@ def run_stress() -> None:
         simhash_neardup_pairs,
     )
 
+    # 90% of docs are token-orthogonal (12 md5 words each — pairwise
+    # hamming ~30, no near-dups); 10% are byte-identical boilerplate
+    # whose single fingerprint would, uncapped, put 20k ids in one
+    # bucket per band → 2·10⁸ pairs expanded by ONE task
+    uniq = F.concat_ws(
+        " ",
+        *[
+            F.md5(F.concat(F.lit(f"w{i}:"), F.col("id").cast("string")))
+            for i in range(12)
+        ],
+    )
     docs = spark.range(200_000).select(
         F.col("id").alias("doc_id"),
         F.when(
             F.col("id") % 10 == 0, F.lit("identical boilerplate header text")
         )
-        .otherwise(
-            F.concat(
-                F.lit("unique document body number "),
-                F.col("id").cast("string"),
-                F.lit(" carrying distinct words "),
-                F.md5(F.col("id").cast("string")),
-            )
-        )
+        .otherwise(uniq)
         .alias("text"),
     )
     fp = simhash_fingerprints(docs, "doc_id", "text")
