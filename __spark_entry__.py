@@ -771,6 +771,8 @@ _SH3 = (
 
 _DOCS_TOKS = f"d AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents)"
 
+
+
 _SIGS8 = (
     f"WITH {_DOCS_TOKS}, s AS (SELECT doc_id, {_SH3} AS sh FROM d), "
     "sig AS (SELECT doc_id, "

@@ -44,6 +44,21 @@ def md5_minhash_cols(shingle_array: Column, num_hashes: int) -> list[Column]:
     return [_component(i) for i in range(num_hashes)]
 
 
+# NB (r3 experiment, kept as a design note): deriving the k MinHash
+# components from ONE md5 via linear re-mixes ((a_i·h+b_i) mod p) was
+# value-oracle-able and no faster — shingle construction dominates, not
+# the md5 calls — and it cost 7.5× blocking precision: the re-mixed
+# argmins correlate through the shared h ordering, so LSH band keys
+# collide together and the candidate set (= verify cost at scale) blows
+# up. Components must use INDEPENDENT hash bits.
+
+
+def tok_hash64(value: Column) -> Column:
+    """60-bit integer hash of a string: first 15 md5 hex chars as a long
+    (the construction SimHash uses for token hashes)."""
+    return F.conv(F.substring(F.md5(value), 1, 15), 16, 10).cast("long")
+
+
 def band_key(minhash_cols: list[Column | str], band: int, rows_per_band: int) -> Column:
     """LSH band bucket key: md5 of the concatenated band slice of the signature."""
     cols = [F.col(c) if isinstance(c, str) else c for c in minhash_cols]

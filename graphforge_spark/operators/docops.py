@@ -40,6 +40,7 @@ from graphforge_spark.functions.hashing import (
     hamming64,
     md5_minhash_cols,
     portable_bucket,
+    tok_hash64,
 )
 from graphforge_spark.functions.text import (
     bpe_ish_token_count,
@@ -201,7 +202,16 @@ def minhash_signatures(
     The shingle array is materialized behind its own projection so the k
     signature columns share ONE shingle construction — CollapseProject
     keeps non-cheap expressions un-inlined, so inlining it k times (the
-    one-select version) costs k× the tokenize/shingle work per row."""
+    one-select version) costs k× the tokenize/shingle work per row.
+
+    Kept on k INDEPENDENT md5 families after an r3 experiment: deriving
+    k components from ONE hash via linear re-mixes ((a_i·h+b_i) mod p)
+    was value-oracled and no faster (shingle construction dominates, not
+    the md5s) but lost 7.5× blocking precision — the re-mixed argmins
+    correlate through the shared h ordering, so band keys collide
+    together and the candidate set blew up 826 → 6190 pairs at sf0.1.
+    Independent hash bits per component are what keep candidate volume
+    (= verify cost at 100 TB) at the S-curve's prediction."""
     base = docs.select(
         F.col(id_col), F.array_distinct(shingles(F.col(text_col), shingle_n)).alias("_sh")
     )
@@ -354,10 +364,9 @@ def simhash_fingerprints(
     hash-aggregate stays inside whole-stage codegen with map-side partial
     aggregation — the doc_id shuffle carries only 61 longs per document.
     Bit-identical to simhash64 (verified at sf0.1)."""
-    h = F.conv(F.substring(F.md5(F.col("_tok")), 1, 15), 16, 10).cast("long")
     ex = docs.select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("_tok")
-    ).select(id_col, h.alias("_h"))
+    ).select(id_col, tok_hash64(F.col("_tok")).alias("_h"))
     aggs = [
         F.sum(F.shiftright(F.col("_h"), b).bitwiseAND(F.lit(1).cast("long"))).alias(
             f"_c{b}"
@@ -494,12 +503,18 @@ def simhash_neardup_pairs(
     - ``wide_blocks``: switch to Manku block-combination keys (see
       ``simhash_banded``) — ~2^7× better blocking selectivity at
       max_hamming=6, the configuration to run at ≥10⁸ docs."""
-    fp = simhash_fingerprints(docs, id_col, text_col)
+    from graphforge_spark.operators.closure import _ckpt
+
+    # Materialize the fingerprints ONCE (tiny: id + one long per doc).
+    # Without this the token-explode + 60-bit-vote aggregation — the
+    # expensive part — re-executes for every consumer of the banded
+    # frame: both self-join sides plus the max_bucket size filter
+    # (measured 6.9 s → 3.9 s for the sf0.1 leg).
+    fp = _ckpt(simhash_fingerprints(docs, id_col, text_col))
     # NB: a banded SELF-JOIN is the right shape here, unlike the MinHash
-    # path (bucket_pairs): simhash fingerprints are cheap to recompute
-    # (token hashes hoisted), hamming buckets run large, and the
-    # codegen'd join beats interpreted in-array pair expansion ~3x on
-    # big buckets (measured at sf0.1).
+    # path (bucket_pairs): hamming buckets run large, and the codegen'd
+    # join beats interpreted in-array pair expansion ~3x on big buckets
+    # (measured at sf0.1).
     banded = simhash_banded(fp, id_col, max_hamming, bands, wide_blocks)
     if max_bucket is not None:
         ok = (
