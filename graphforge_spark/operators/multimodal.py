@@ -46,12 +46,28 @@ MEDIA_SCHEMA = T.StructType(
 FEATURE_DIM = 16
 
 
+def _wav_header(data_bytes: int) -> bytes:
+    """Canonical 44-byte PCM WAV header (mono, 16-bit, 8 kHz)."""
+    import struct
+
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + data_bytes)
+        + b"WAVEfmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+        + b"data"
+        + struct.pack("<I", data_bytes)
+    )
+
+
 def synth_media(spark: SparkSession, n: int, kinds=("image", "audio", "video")) -> DataFrame:
     """Deterministic synthetic media table: image payloads are VALID
-    binary PPM (P6) files (4×4 RGB, pixel bytes from the id's md5 stream)
-    so the real stdlib decoder actually executes; audio/video payloads
-    are opaque md5 byte runs. Metadata typed per kind. JVM-side
-    generation — no Python, any scale."""
+    binary PPM (P6) files (4×4 RGB, pixel bytes from the id's md5
+    stream) and audio payloads are VALID PCM WAV files (64 16-bit
+    samples from the same stream) — so BOTH real stdlib decoders
+    actually execute; video payloads stay opaque md5 byte runs (no
+    stdlib container parser exists — documented stub). Metadata typed
+    per kind. JVM-side generation — no Python, any scale."""
     kind = F.element_at(
         F.array(*[F.lit(k) for k in kinds]), (F.col("id") % len(kinds) + 1).cast("int")
     )
@@ -69,7 +85,10 @@ def synth_media(spark: SparkSession, n: int, kinds=("image", "audio", "video")) 
             )
         ),
     )  # header + 4·4·3 = 48 raster bytes
-    payload = F.when(kind == "image", ppm).otherwise(opaque)
+    wav = F.concat(F.lit(_wav_header(128)), opaque)  # 64 16-bit samples
+    payload = (
+        F.when(kind == "image", ppm).when(kind == "audio", wav).otherwise(opaque)
+    )
     meta = F.map_from_arrays(
         F.array(F.lit("width"), F.lit("height"), F.lit("duration_ms")),
         F.array(
@@ -139,6 +158,44 @@ def _ppm_image_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float] |
         return None
 
 
+def _wav_audio_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float] | None:
+    """REAL stdlib-only audio decode for PCM WAV: parse via the standard
+    ``wave`` module, decode 16-bit samples, and emit 8 per-segment RMS
+    energies + 8 per-segment zero-crossing rates scaled to [-1, 1),
+    cycled/truncated to ``dim``. Returns None for anything that is not a
+    decodable PCM WAV payload."""
+    if not payload.startswith(b"RIFF"):
+        return None
+    try:
+        import io
+        import struct
+        import wave
+
+        with wave.open(io.BytesIO(payload), "rb") as w:
+            if w.getsampwidth() != 2 or w.getnchannels() < 1:
+                return None
+            raw = w.readframes(w.getnframes())
+        n = len(raw) // 2
+        if n == 0:
+            return None
+        samples = struct.unpack(f"<{n}h", raw[: n * 2])
+        seg = max(n // 8, 1)
+        feats: list[float] = []
+        for s in range(8):
+            chunk = samples[s * seg : (s + 1) * seg] or (0,)
+            rms = (sum(x * x for x in chunk) / len(chunk)) ** 0.5
+            feats.append(min(rms / 16384.0, 1.999) - 1.0)
+        for s in range(8):
+            chunk = samples[s * seg : (s + 1) * seg] or (0, 0)
+            zc = sum(
+                1 for a, b in zip(chunk, chunk[1:]) if (a < 0) != (b < 0)
+            )
+            feats.append(2.0 * zc / max(len(chunk) - 1, 1) - 1.0)
+        return [feats[i % len(feats)] for i in range(dim)]
+    except Exception:
+        return None
+
+
 def _pil_image_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float] | None:
     """REAL image decode path: PIL decode → grayscale → 8×8 thumbnail →
     pixel intensities scaled to [-1, 1), cycled/truncated to ``dim``.
@@ -183,6 +240,9 @@ def decode_and_featurize(
                 # PPM first (stdlib, always available — the in-sandbox
                 # real path), PIL for every other raster format
                 real = _ppm_image_features(b, dim) or _pil_image_features(b, dim)
+            elif kind == "audio":
+                # PCM WAV via the stdlib wave module — real everywhere
+                real = _wav_audio_features(b, dim)
             if real is not None:
                 return real
             if strict:

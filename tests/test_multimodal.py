@@ -18,10 +18,13 @@ def test_synth_media_shape(media):
     assert len(rows) == 60
     by_kind = {r.kind: r for r in rows}
     assert set(by_kind) == {"image", "audio", "video"}
-    # image payloads are real binary PPM; audio/video stay opaque bytes
+    # image payloads are real binary PPM, audio real PCM WAV; video
+    # stays opaque bytes (no stdlib container parser)
     assert bytes(by_kind["image"].payload).startswith(b"P6\n")
     assert len(bytes(by_kind["image"].payload)) == 11 + 4 * 4 * 3
-    assert len(bytes(by_kind["audio"].payload)) == 128
+    assert bytes(by_kind["audio"].payload).startswith(b"RIFF")
+    assert len(bytes(by_kind["audio"].payload)) == 44 + 128
+    assert len(bytes(by_kind["video"].payload)) == 128
     assert set(rows[0].meta) == {"width", "height", "duration_ms"}
     # deterministic across evaluations
     assert media.collect() == rows
@@ -32,7 +35,8 @@ def test_decode_and_featurize(media):
     assert len(feats) == 60
     by_id = {r.media_id: r for r in feats}
     assert by_id[0].n_bytes == 59  # P6 header + 4×4 RGB raster
-    assert by_id[1].n_bytes == 128
+    assert by_id[1].n_bytes == 172  # WAV header + 64 16-bit samples
+    assert by_id[2].n_bytes == 128  # video: opaque
     assert len(by_id[0].features) == multimodal.FEATURE_DIM
     assert all(-1.0 <= v < 1.0 for v in by_id[0].features)
     # determinism: same payload → same features
@@ -41,15 +45,39 @@ def test_decode_and_featurize(media):
 
 
 def test_strict_mode_gates_real_decoder(media):
-    # image rows now decode for real (PPM), but audio/video rows still
-    # have no codec in this container — strict must refuse their fallback
+    # image (PPM) and audio (WAV) rows decode for real, but VIDEO rows
+    # still have no codec — strict must refuse their fallback
     with pytest.raises(Exception) as ei:
         multimodal.decode_and_featurize(media, strict=True).collect()
     assert "NotImplementedError" in str(ei.value) or "decoders" in str(ei.value)
-    # an image-only frame passes strict end-to-end: no fake ever needed
-    imgs = media.filter(F.col("kind") == "image")
-    rows = multimodal.decode_and_featurize(imgs, strict=True).collect()
+    # image+audio frames pass strict end-to-end: no fake ever needed
+    real = media.filter(F.col("kind") != "video")
+    rows = multimodal.decode_and_featurize(real, strict=True).collect()
     assert rows and all(len(r.features) == multimodal.FEATURE_DIM for r in rows)
+
+
+def test_wav_real_decode_path(spark):
+    """Drives the REAL stdlib WAV decoder with known samples — constant
+    amplitude 8192 ⇒ every RMS feature −0.5, zero crossings ⇒ −1.0."""
+    import struct
+
+    from graphforge_spark.operators.multimodal import _wav_header
+
+    samples = struct.pack("<64h", *([8192] * 64))
+    payload = _wav_header(len(samples)) + samples
+    media = spark.createDataFrame(
+        [(1, "audio", bytearray(payload), {"duration_ms": "8"})],
+        multimodal.MEDIA_SCHEMA,
+    )
+    row = multimodal.decode_and_featurize(media, strict=True).collect()[0]
+    # FEATURE_DIM=16 → 8 RMS features then 8 ZCR features
+    assert all(abs(v - (-0.5)) < 1e-3 for v in row.features[:8])
+    assert all(abs(v - (-1.0)) < 1e-9 for v in row.features[8:16])
+    # malformed payloads return None (fallback/strict), not junk
+    from graphforge_spark.operators.multimodal import _wav_audio_features
+
+    assert _wav_audio_features(b"RIFFgarbage") is None
+    assert _wav_audio_features(b"not audio at all") is None
 
 
 def test_ppm_real_decode_path(spark):
