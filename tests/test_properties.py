@@ -91,3 +91,69 @@ def test_ntriples_roundtrip(spark, facts):
         (s, p, o if lit else f"http://ex.org/o/{o}", lit) for s, p, o, lit in facts
     }
     assert parsed == expected
+
+
+# ---------------------------------------------------------------------------
+# FILTER compiler: random boolean trees with hostile literals
+# ---------------------------------------------------------------------------
+
+# characters that historically derail naive SPARQL parsing when they
+# appear inside string literals: parens, boolean operators, keywords
+_NASTY = ["o1", "a)b", "x&&y", "p||q", "BIND", "(", "))", "a.b", "VALUES x"]
+
+
+def _render_cond(tree) -> str:
+    """Render a condition AST to SPARQL FILTER text (always parenthesized)."""
+    kind = tree[0]
+    if kind == "cmp":
+        _, var, op, lit = tree
+        return f'?{var} {op} "{lit}"'
+    _, op, left, right = tree
+    return f"({_render_cond(left)}) {op} ({_render_cond(right)})"
+
+
+def _eval_cond(tree, row: dict) -> bool:
+    kind = tree[0]
+    if kind == "cmp":
+        _, var, op, lit = tree
+        v = row[var]
+        return {"=": v == lit, "!=": v != lit, "<": v < lit, ">": v > lit}[op]
+    # SPARQL || / && over non-null strings are plain boolean algebra
+    _, op, left, right = tree
+    a, b = _eval_cond(left, row), _eval_cond(right, row)
+    return (a or b) if op == "||" else (a and b)
+
+
+@st.composite
+def _cond_trees(draw, depth=0):
+    if depth >= 3 or draw(st.booleans()):
+        return (
+            "cmp",
+            draw(st.sampled_from(["s", "o"])),
+            draw(st.sampled_from(["=", "!=", "<", ">"])),
+            draw(st.sampled_from(_NASTY)),
+        )
+    return (
+        "bool",
+        draw(st.sampled_from(["&&", "||"])),
+        draw(_cond_trees(depth=depth + 1)),
+        draw(_cond_trees(depth=depth + 1)),
+    )
+
+
+@given(tree=_cond_trees())
+@settings(max_examples=30, deadline=None)
+def test_filter_compiler_matches_python_eval(spark, tree):
+    """Compile a random ||/&&/paren condition tree (with literals that
+    contain parens, '&&', '||', and keywords) and compare row-for-row
+    against a direct Python evaluation of the same tree."""
+    from graphforge_spark.plans.sparql import sparql_query
+
+    rows = [(v, "p", o) for v in ("a)b", "o1", "zz") for o in ("o1", "x&&y", "q")]
+    df = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    q = f"SELECT ?s ?o WHERE {{ ?s <p> ?o . FILTER({_render_cond(tree)}) }}"
+    got = {(r.s, r.o) for r in sparql_query(df, q).collect()}
+    want = {
+        (s, o) for s, _, o in rows if _eval_cond(tree, {"s": s, "o": o})
+    }
+    assert got == want
