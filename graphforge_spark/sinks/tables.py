@@ -99,6 +99,37 @@ def read_triples(
     return spark.read.parquet(os.path.join(warehouse, "triples"))
 
 
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_col: str,
+    n_buckets: int = 64,
+    mode: str = "overwrite",
+) -> None:
+    """Materialize as a BUCKETED catalog table: rows hash-clustered and
+    sorted by ``bucket_col`` into ``n_buckets`` files per partition.
+
+    This is the co-located-join strategy at 100 TB: two tables bucketed
+    the same way (same column, same bucket count) join with ZERO exchange
+    — no shuffle of either side, ever — because Spark's bucketing
+    metadata proves both sides are already hash-partitioned on the key.
+    For the forged graph that means edges bucketed by ``src`` joined to
+    nodes bucketed by ``id`` (the hot traversal join) touch only local
+    files. The price is paid once at write time (the bucketBy write
+    shuffles) and amortizes over every subsequent join; sortBy within
+    buckets additionally enables merge-join without a sort.
+
+    Bucketed tables require the session catalog (``saveAsTable``) —
+    path-only parquet cannot carry bucketing metadata."""
+    (
+        df.write.mode(mode)
+        .bucketBy(n_buckets, bucket_col)
+        .sortBy(bucket_col)
+        .format("parquet")
+        .saveAsTable(table_name)
+    )
+
+
 def merge_upsert(
     spark: SparkSession,
     target_table: str,

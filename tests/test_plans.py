@@ -94,3 +94,37 @@ def test_tfidf_scoring_group_count_scales_with_parallelism(spark):
     expect = max(64, spark.sparkContext.defaultParallelism * 4)
     assert modulus(score_pairs_tfidf(pairs, surfaces)) == expect
     assert modulus(score_pairs_tfidf(pairs, surfaces, n_groups=512)) == 512
+
+
+def test_bucketed_tables_join_with_zero_exchange(spark, tmp_path):
+    """Co-located join strategy: two tables bucketed on the join key with
+    the same bucket count must join with NO shuffle on either side — the
+    plan property that makes repeated graph-traversal joins affordable at
+    100 TB. Verified against the physical plan, with broadcast disabled
+    so the bucketing (not a broadcast) is what removes the exchanges."""
+    from graphforge_spark.sinks.tables import write_bucketed
+
+    edges = spark.range(5000).selectExpr(
+        "concat('n', id % 997) AS src", "concat('n', (id * 7) % 997) AS dst"
+    )
+    nodes = spark.range(997).selectExpr(
+        "concat('n', id) AS src", "id % 5 AS kind"
+    )
+    write_bucketed(edges, "t_edges_b", "src", n_buckets=8)
+    write_bucketed(nodes, "t_nodes_b", "src", n_buckets=8)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("t_edges_b").join(spark.table("t_nodes_b"), "src")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # bucketing metadata removed BOTH shuffles
+        assert joined.count() == 5000
+        # control: the same join over non-bucketed data DOES shuffle
+        ctrl = edges.join(nodes, "src")
+        ctrl_plan = ctrl._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" in ctrl_plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS t_edges_b")
+        spark.sql("DROP TABLE IF EXISTS t_nodes_b")
