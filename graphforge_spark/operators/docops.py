@@ -68,11 +68,13 @@ def dedup_lines(
     Output: (id, text, n_lines_in, n_lines_kept) with line order and
     original line text preserved for the kept lines.
 
-    Scale shape: explode to (doc, line_no, line) — one shuffle on the
-    normalized-line hash with map-side combine to count distinct DOCS per
-    line (count(distinct id) per hash ≈ the hot path; boilerplate lines
-    are exactly the hot keys, and they aggregate to one row each), one
-    join back, one groupBy(doc) reassembly. No Python anywhere."""
+    Scale shape: explode to (doc, line_no, line); count distinct DOCS per
+    normalized-line hash (two-phase distinct aggregate — boilerplate
+    lines are exactly the hot keys and collapse to one row each); the hot
+    set is SMALL by construction (lines repeated across many docs), so
+    the exclusion join broadcasts it; one groupBy(doc) reassembly; input
+    line counts come narrowly from the original text (no extra shuffle).
+    No Python anywhere."""
     norm = F.lower(F.trim(F.col("_line")))
     lines = docs.select(
         F.col(id_col).alias("_id"),
@@ -90,31 +92,29 @@ def dedup_lines(
         "_h",
         F.when(F.length(F.trim(F.col("_line"))) >= min_chars, F.md5(norm)),
     ).join(hot.withColumnRenamed("_h", "_hot"), F.col("_h") == F.col("_hot"), "left_anti")
-    return (
-        kept.groupBy("_id")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct(F.col("_ln"), F.col("_line")))
-                    ),
-                    lambda s: s["_line"],
+    reassembled = kept.groupBy("_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("_ln"), F.col("_line")))
                 ),
-                "\n",
-            ).alias("text"),
-            F.count("*").alias("n_lines_kept"),
-        )
-        .join(
-            lines.groupBy("_id").agg(F.count("*").alias("n_lines_in")),
-            "_id",
-            "right",
-        )
-        .select(
-            F.col("_id").alias(id_col),
-            F.coalesce("text", F.lit("")).alias("text"),
-            F.coalesce("n_lines_kept", F.lit(0)).alias("n_lines_kept"),
-            "n_lines_in",
-        )
+                lambda s: s["_line"],
+            ),
+            "\n",
+        ).alias("text"),
+        F.count("*").alias("n_lines_kept"),
+    )
+    # input line counts derive narrowly from the original text — no
+    # second explode+groupBy pass over the corpus
+    counts = docs.select(
+        F.col(id_col).alias("_id"),
+        F.size(F.split(F.col(text_col), "\n")).alias("n_lines_in"),
+    )
+    return counts.join(reassembled, "_id", "left").select(
+        F.col("_id").alias(id_col),
+        F.coalesce("text", F.lit("")).alias("text"),
+        F.coalesce("n_lines_kept", F.lit(0)).alias("n_lines_kept"),
+        "n_lines_in",
     )
 
 
