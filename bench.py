@@ -66,7 +66,19 @@ def _spark(master: str):
     # cluster local dirs are per-node NVMe — tmpfs is the local analog.)
     if os.path.isdir("/dev/shm"):
         extra["spark.local.dir"] = "/dev/shm/spark-scratch"
-    cores = int(master.split("[")[1].rstrip("]")) if "[" in master else 32
+    if master.startswith("local-cluster"):
+        # real multi-executor mode: local-cluster[n,c,mem_mb] spawns n
+        # separate executor JVMs of c cores each
+        n_exec, c_exec, _ = (int(x) for x in master.split("[")[1].rstrip("]").split(","))
+        cores = n_exec * c_exec
+        extra["spark.executor.memory"] = "3g"
+    elif "[" in master:
+        try:
+            cores = int(master.split("[")[1].rstrip("]"))
+        except ValueError:  # local[*]
+            cores = os.cpu_count() or 32
+    else:
+        cores = 32
     return get_spark(
         master=master,
         app_name="graphforge-bench",
@@ -313,21 +325,32 @@ MAX_EXTRA_ROUNDS = 5
 MIN_QUIET_TRIALS = 8
 
 
-def _run_level(n: int) -> dict:
+def _run_master(master: str) -> dict:
+    env = dict(os.environ)
+    if os.path.isdir("/dev/shm"):
+        # standalone (local-cluster) workers ignore spark.local.dir — the
+        # cluster manager sets executor scratch from SPARK_LOCAL_DIRS,
+        # which the in-process workers inherit from this environment
+        env["SPARK_LOCAL_DIRS"] = "/dev/shm/spark-scratch"
     out = subprocess.run(
         [
             sys.executable,
             os.path.abspath(__file__),
             "--throughput",
             "--master",
-            f"local[{n}]",
+            master,
         ],
         capture_output=True,
         text=True,
         check=True,
         cwd=os.path.dirname(os.path.abspath(__file__)),
+        env=env,
     )
     return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def _run_level(n: int) -> dict:
+    return _run_master(f"local[{n}]")
 
 
 def _quiet_walls(trials: list[tuple[float, int]]) -> list[float]:
@@ -460,6 +483,113 @@ def run_scaling() -> None:
             "both sit in the saturated regime, is the representative "
             "N→4N comparison; real executor NODES each bring their own "
             "memory channels and do not share this ceiling.\n"
+        )
+    print(json.dumps(summary))
+
+
+# True multi-executor N vs 4N: local-cluster[n, c, mem_mb] spawns n
+# SEPARATE executor JVMs of c cores each — real shuffle service, real
+# per-executor heaps/GC, Python workers per executor. The closest thing
+# to "N and 4N executors" a single sandbox box can run.
+EXEC_LADDER = [
+    ("local-cluster[1,8,3584]", 1, 8),
+    ("local-cluster[4,8,3584]", 4, 8),
+]
+
+
+def run_scaling_executors() -> None:
+    """BASELINE.json north_rule executor form: the SAME job on 1-executor
+    and 4-executor clusters (8 cores each, separate JVMs), quiet-window /
+    median-of-quiet protocol as the parallelism ladder. Writes
+    BENCH/EXECUTORS.md and prints one JSON summary line."""
+    import statistics
+
+    n_rounds = int(os.environ.get("SCALING_ROUNDS", "3"))
+    rounds: dict[str, list[dict]] = {m: [] for m, _, _ in EXEC_LADDER}
+    for attempt in range(1, n_rounds + 1):
+        for m, _, _ in EXEC_LADDER:
+            _log(f"--- executor-scaling round {attempt}/{n_rounds}: {m} ---")
+            r = _run_master(m)
+            rounds[m].append(r)
+            _log(f"{m}: {r}")
+
+    def trials_of(m: str) -> list[tuple[float, int]]:
+        return [
+            (w, s)
+            for r in rounds[m]
+            for w, s in zip(r["wall_s_trials"], r["steal_jiffies_trials"])
+        ]
+
+    for extra in range(MAX_EXTRA_ROUNDS):
+        need = [
+            m
+            for m, _, _ in EXEC_LADDER
+            if len(_quiet_walls(trials_of(m))) < MIN_QUIET_TRIALS
+        ]
+        if not need:
+            break
+        for m in need:
+            _log(f"--- executor quiet-window retry {extra + 1}: {m} ---")
+            rounds[m].append(_run_master(m))
+
+    turns = rounds[EXEC_LADDER[0][0]][0]["turns"]
+    raw_triples = turns * 2
+    per: dict[str, dict] = {}
+    for m, n_exec, c_exec in EXEC_LADDER:
+        trials = trials_of(m)
+        quiet = _quiet_walls(trials)
+        used = quiet if quiet else [w for w, _ in trials]
+        med = statistics.median(used)
+        per[m] = {
+            "executors": n_exec,
+            "cores_each": c_exec,
+            "walls": [round(w, 3) for w, _ in trials],
+            "steals": [s for _, s in trials],
+            "n_quiet": len(quiet),
+            "med_wall": round(med, 3),
+            "thr_med": round(raw_triples / med, 1),
+            "thr_best": round(raw_triples / min(w for w, _ in trials), 1),
+        }
+    lo, hi = EXEC_LADDER[0][0], EXEC_LADDER[1][0]
+    eff_med = round((per[hi]["thr_med"] / per[lo]["thr_med"]) / 4, 3)
+    eff_best = round((per[hi]["thr_best"] / per[lo]["thr_best"]) / 4, 3)
+    summary = {
+        "metric": "executor_scaling_efficiency_n_to_4n",
+        "value": eff_med,
+        "unit": "ratio",
+        "protocol": "median-of-quiet-trials, separate executor JVMs",
+        "eff_1x8_to_4x8": eff_med,
+        "eff_1x8_to_4x8_best": eff_best,
+        "thr_triples_per_sec": {m: per[m]["thr_med"] for m, _, _ in EXEC_LADDER},
+        "n_quiet": {m: per[m]["n_quiet"] for m, _, _ in EXEC_LADDER},
+        "turns": turns,
+        "target": 0.8,
+    }
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/EXECUTORS.md", "w") as f:
+        f.write(
+            "# BENCH/EXECUTORS — true multi-executor N → 4N scaling\n\n"
+            "Unlike the thread-ladder in BENCH/BASELINE.md, this protocol runs\n"
+            "the SAME extraction-spine job on REAL multi-executor clusters via\n"
+            "Spark's `local-cluster[n, cores, mem]` master: n separate executor\n"
+            "JVMs (own heaps, own ParallelGC, own Python workers), a real\n"
+            "shuffle over the block-transfer service — the closest N-vs-4N\n"
+            "executor measurement a single sandbox box supports. Same quiet-\n"
+            "window/median statistics as the thread ladder.\n\n"
+            "| cluster | executors × cores | turns | quiet med wall s | med triples/s | best triples/s | quiet/total | walls (s) | steal |\n"
+            "|---|---|---|---|---|---|---|---|---|\n"
+            + "".join(
+                f"| `{m}` | {per[m]['executors']} × {per[m]['cores_each']} | {turns:,} | "
+                f"{per[m]['med_wall']} | {per[m]['thr_med']:,} | {per[m]['thr_best']:,} | "
+                f"{per[m]['n_quiet']}/{len(per[m]['walls'])} | {per[m]['walls']} | {per[m]['steals']} |\n"
+                for m, _, _ in EXEC_LADDER
+            )
+            + f"\n**Executor scaling efficiency 1×8 → 4×8 (N → 4N), median-of-quiet: "
+            f"{eff_med}** (best-of: {eff_best}; target ≥ 0.8).\n\n"
+            "All executors still share one physical box (memory bandwidth,\n"
+            "hypervisor steal), so this remains a lower bound on real multi-\n"
+            "node scaling — but JVM-level effects (GC, allocator, code cache)\n"
+            "and shuffle mechanics are now the real multi-executor ones.\n"
         )
     print(json.dumps(summary))
 
@@ -603,6 +733,8 @@ def run_stress() -> None:
 if __name__ == "__main__":
     if "--stress" in sys.argv:
         run_stress()
+    elif "--scaling-executors" in sys.argv:
+        run_scaling_executors()
     elif "--scaling" in sys.argv:
         run_scaling()
     elif "--throughput" in sys.argv:
