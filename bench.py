@@ -490,11 +490,18 @@ def run_scaling() -> None:
 # True multi-executor N vs 4N: local-cluster[n, c, mem_mb] spawns n
 # SEPARATE executor JVMs of c cores each — real shuffle service, real
 # per-executor heaps/GC, Python workers per executor. The closest thing
-# to "N and 4N executors" a single sandbox box can run.
-EXEC_LADDER = [
-    ("local-cluster[1,8,3584]", 1, 8),
-    ("local-cluster[4,8,3584]", 4, 8),
-]
+# to "N and 4N executors" a single sandbox box can run. Configurable via
+# SPARK_GRAFT_EXEC_LADDER="1x4,4x4" (executors x cores, lo,hi).
+def _exec_ladder() -> list[tuple[str, int, int]]:
+    spec = os.environ.get("SPARK_GRAFT_EXEC_LADDER", "1x4,4x4")
+    out = []
+    for part in spec.split(","):
+        n, c = (int(x) for x in part.lower().split("x"))
+        out.append((f"local-cluster[{n},{c},3584]", n, c))
+    return out
+
+
+EXEC_LADDER = _exec_ladder()
 
 
 def run_scaling_executors() -> None:
@@ -551,6 +558,10 @@ def run_scaling_executors() -> None:
             "thr_best": round(raw_triples / min(w for w, _ in trials), 1),
         }
     lo, hi = EXEC_LADDER[0][0], EXEC_LADDER[1][0]
+    pair = (
+        f"{EXEC_LADDER[0][1]}x{EXEC_LADDER[0][2]}_to_"
+        f"{EXEC_LADDER[1][1]}x{EXEC_LADDER[1][2]}"
+    )
     eff_med = round((per[hi]["thr_med"] / per[lo]["thr_med"]) / 4, 3)
     eff_best = round((per[hi]["thr_best"] / per[lo]["thr_best"]) / 4, 3)
     summary = {
@@ -558,8 +569,8 @@ def run_scaling_executors() -> None:
         "value": eff_med,
         "unit": "ratio",
         "protocol": "median-of-quiet-trials, separate executor JVMs",
-        "eff_1x8_to_4x8": eff_med,
-        "eff_1x8_to_4x8_best": eff_best,
+        f"eff_{pair}": eff_med,
+        f"eff_{pair}_best": eff_best,
         "thr_triples_per_sec": {m: per[m]["thr_med"] for m, _, _ in EXEC_LADDER},
         "n_quiet": {m: per[m]["n_quiet"] for m, _, _ in EXEC_LADDER},
         "turns": turns,
@@ -584,7 +595,8 @@ def run_scaling_executors() -> None:
                 f"{per[m]['n_quiet']}/{len(per[m]['walls'])} | {per[m]['walls']} | {per[m]['steals']} |\n"
                 for m, _, _ in EXEC_LADDER
             )
-            + f"\n**Executor scaling efficiency 1×8 → 4×8 (N → 4N), median-of-quiet: "
+            + f"\n**Executor scaling efficiency {EXEC_LADDER[0][1]}×{EXEC_LADDER[0][2]} → "
+            f"{EXEC_LADDER[1][1]}×{EXEC_LADDER[1][2]} (N → 4N), median-of-quiet: "
             f"{eff_med}** (best-of: {eff_best}; target ≥ 0.8).\n\n"
             "All executors still share one physical box (memory bandwidth,\n"
             "hypervisor steal), so this remains a lower bound on real multi-\n"
