@@ -339,9 +339,11 @@ def q_sparql_union(spark, sf_dir):
 
 
 def q_sparql_aggregates(spark, sf_dir):
-    """SUM/MIN/MAX/COUNT aggregate projection with GROUP BY — numeric
-    aggregation casts string terms, MIN/MAX use natural (string)
-    ordering per the stringly-typed store."""
+    """SUM/MIN/MAX/COUNT plus GROUP_CONCAT/SAMPLE aggregate projection
+    with GROUP BY — numeric aggregation casts string terms, MIN/MAX use
+    natural (string) ordering per the stringly-typed store, GROUP_CONCAT
+    sorts elements for determinism (= string_agg ORDER BY), SAMPLE is
+    the deterministic MIN choice."""
     from graphforge_spark.plans.sparql import sparql_query
 
     n = corpus.load(spark, sf_dir, "nation")
@@ -356,7 +358,9 @@ def q_sparql_aggregates(spark, sf_dir):
     return sparql_query(
         triples,
         """SELECT (COUNT(?o) AS ?n) (SUM(?o) AS ?total)
-                  (MIN(?o) AS ?lo) (MAX(?o) AS ?hi) ?p
+                  (MIN(?o) AS ?lo) (MAX(?o) AS ?hi)
+                  (GROUP_CONCAT(?o; SEPARATOR=",") AS ?cat)
+                  (SAMPLE(?o) AS ?samp) ?p
            WHERE { ?s ?p ?o } GROUP BY ?p""",
     )
 
@@ -1423,7 +1427,10 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n,
                    CAST(sum(n_nationkey) AS DOUBLE) AS total,
                    min(CAST(n_nationkey AS VARCHAR)) AS lo,
-                   max(CAST(n_nationkey AS VARCHAR)) AS hi
+                   max(CAST(n_nationkey AS VARCHAR)) AS hi,
+                   string_agg(CAST(n_nationkey AS VARCHAR), ','
+                              ORDER BY CAST(n_nationkey AS VARCHAR)) AS cat,
+                   min(CAST(n_nationkey AS VARCHAR)) AS samp
             FROM nation
         """,
         "sparql_path_plus": """

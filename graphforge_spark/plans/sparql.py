@@ -19,9 +19,14 @@ clause (e.g. executing SELECT DISTINCT as a bag projection) would return
 
 Grammar (whitespace-insensitive, case-insensitive keywords):
 
-    query    := PREFIX* SELECT DISTINCT? proj WHERE { stmt* } modifier*
-    proj     := '*' | (var | '(' AGG '(' var ')' AS var ')')+
-    AGG      := COUNT | SUM | MIN | MAX | AVG
+    query    := PREFIX* (select | ask | construct)
+    select   := SELECT DISTINCT? proj WHERE { stmt* } modifier*
+    ask      := ASK WHERE? { stmt* }            → one row, boolean `ask`
+    construct:= CONSTRUCT { pattern+ } WHERE { stmt* } modifier*
+                                               → distinct subj/pred/obj rows
+    proj     := '*' | (var | '(' AGG '(' var ')' AS var ')'
+              | '(' GROUP_CONCAT '(' var (';' SEPARATOR '=' "s")? ')' AS var ')')+
+    AGG      := COUNT | SUM | MIN | MAX | AVG | SAMPLE
     stmt     := pattern '.'? | OPTIONAL '{' pattern+ '}' | FILTER '(' cond ')'
               | FILTER NOT? EXISTS '{' pattern+ '}'
               | BIND '(' expr AS var ')'
@@ -34,13 +39,24 @@ Grammar (whitespace-insensitive, case-insensitive keywords):
               | curie [*+?]? | '^' curie
     leg      := '^'? (iri | curie)
     term     := ?var | <iri> | curie | "literal" | 'a'
-    expr     := term | STR(var) | CONCAT(expr (',' expr)*)
+    expr     := term | STR(e) | CONCAT(e, ...) | UCASE(e) | LCASE(e)
+              | STRLEN(e) | SUBSTR(e, pos[, len]) | REPLACE(e, "re", "rep")
+              | COALESCE(e, ...) | IF(cond, e, e)
     cond     := disj ; disj := conj ('||' conj)* ; conj := atom ('&&' atom)*
     atom     := '(' cond ')' | operand cmp operand | REGEX(var, "re")
-              | CONTAINS(var, "s") | STRSTARTS(var, "s") | BOUND(var) | !BOUND(var)
+              | CONTAINS(var, "s") | STRSTARTS(var, "s") | STRENDS(var, "s")
+              | BOUND(var) | !BOUND(var) | var NOT? IN '(' term (',' term)* ')'
+    operand  := var | literal | number | iri | curie | expr-function-call
     cmp      := '=' | '!=' | '<' | '<=' | '>' | '>='
     modifier := GROUP BY var | HAVING '(' cond ')' | LIMIT n | OFFSET n
               | ORDER BY (var | ASC(var) | DESC(var))
+
+Determinism notes (both sides of the value oracle must agree):
+GROUP_CONCAT's element order is unspecified by SPARQL — this engine sorts
+elements lexicographically before joining, so results are deterministic
+and reproducible in ANSI SQL (``string_agg(x, sep ORDER BY x)``). SAMPLE
+may return any element — this engine returns MIN, the same determinism
+choice. REPLACE compiles to ``regexp_replace`` (Java regex semantics).
 
 HAVING conditions may reference the projected aggregates either by their
 alias (?n) or by the aggregate call itself (COUNT(?o)); the call form is
@@ -82,7 +98,7 @@ _TERM_RE = re.compile(
 # Constructs we knowingly do NOT support — named here so the error says
 # "unsupported SPARQL feature X", not just "cannot parse".
 _UNSUPPORTED_KEYWORDS = re.compile(
-    r"\b(SERVICE|CONSTRUCT|ASK|DESCRIBE|REDUCED)\b",
+    r"\b(SERVICE|DESCRIBE|REDUCED)\b",
     re.IGNORECASE,
 )
 
@@ -314,15 +330,26 @@ def parse_sparql(query: str, prefixes: dict[str, str] | None = None) -> _Parsed:
     # ---- projection (every token must be understood) ----------------------
     agg_matches = list(
         re.finditer(
-            r"\(\s*(COUNT|SUM|MIN|MAX|AVG)\s*\(\s*\?(\w+)\s*\)\s+AS\s+\?(\w+)\s*\)",
+            r"""\(\s*(?:
+                  (?P<fn>COUNT|SUM|MIN|MAX|AVG|SAMPLE)\s*\(\s*\?(?P<x>\w+)\s*\)
+                | (?P<gc>GROUP_CONCAT)\s*\(\s*\?(?P<gx>\w+)\s*
+                  (?:;\s*SEPARATOR\s*=\s*"(?P<sep>(?:[^"\\]|\\.)*)"\s*)?\)
+              )\s+AS\s+\?(?P<alias>\w+)\s*\)""",
             proj_text,
-            re.IGNORECASE,
+            re.IGNORECASE | re.VERBOSE,
         )
     )
     for agg in agg_matches:
-        parsed.projection.append(
-            (agg.group(1).lower(), agg.group(2), agg.group(3))
-        )
+        if agg.group("gc"):
+            # SPARQL's default separator is a single space
+            sep = agg.group("sep") if agg.group("sep") is not None else " "
+            parsed.projection.append(
+                ("group_concat", agg.group("gx"), agg.group("alias"), sep)
+            )
+        else:
+            parsed.projection.append(
+                (agg.group("fn").lower(), agg.group("x"), agg.group("alias"), None)
+            )
     rest = _residue(proj_text, agg_matches)
     plain = list(re.finditer(r"\*|\?(\w+)", rest))
     for t in plain:
@@ -518,16 +545,24 @@ def parse_sparql(query: str, prefixes: dict[str, str] | None = None) -> _Parsed:
 # FILTER compilation
 # ---------------------------------------------------------------------------
 
+# an operand may be an expression-function call (one paren-nesting level;
+# enough for STRLEN(STR(?x)) — deeper nesting raises at compile)
+_FN_CALL = r"""(?:STRLEN|UCASE|LCASE|STR|SUBSTR|REPLACE|COALESCE|IF|CONCAT)
+               \s*\((?:"(?:[^"\\]|\\.)*"|\([^()]*\)|[^()])*\)"""
 _CMP_RE = re.compile(
-    r"""^\s*(?P<a>\?\w+|"(?:[^"\\]|\\.)*"|<[^>]*>|-?\d+(?:\.\d+)?|[\w-]*:[\w./#-]+)
+    rf"""^\s*(?P<a>{_FN_CALL}|\?\w+|"(?:[^"\\]|\\.)*"|<[^>]*>|-?\d+(?:\.\d+)?|[\w-]*:[\w./#-]+)
          \s*(?P<op>!=|<=|>=|=|<|>)
-         \s*(?P<b>\?\w+|"(?:[^"\\]|\\.)*"|<[^>]*>|-?\d+(?:\.\d+)?|[\w-]*:[\w./#-]+)\s*$""",
-    re.VERBOSE,
+         \s*(?P<b>{_FN_CALL}|\?\w+|"(?:[^"\\]|\\.)*"|<[^>]*>|-?\d+(?:\.\d+)?|[\w-]*:[\w./#-]+)\s*$""",
+    re.VERBOSE | re.IGNORECASE,
 )
 _FUNC_RE = re.compile(
-    r"""^\s*(?P<neg>!)?\s*(?P<fn>REGEX|CONTAINS|STRSTARTS|BOUND)\s*\(
+    r"""^\s*(?P<neg>!)?\s*(?P<fn>REGEX|CONTAINS|STRSTARTS|STRENDS|BOUND)\s*\(
          \s*\?(?P<var>\w+)\s*(?:,\s*"(?P<arg>(?:[^"\\]|\\.)*)"\s*)?\)\s*$""",
     re.VERBOSE | re.IGNORECASE,
+)
+_IN_RE = re.compile(
+    r"^\s*\?(?P<var>\w+)\s+(?P<neg>NOT\s+)?IN\s*\((?P<terms>.*)\)\s*$",
+    re.IGNORECASE | re.DOTALL,
 )
 
 _OPS = {
@@ -541,6 +576,11 @@ _OPS = {
 
 
 def _operand(text: str, pmap: dict, numeric: bool):
+    if re.match(r"^\s*\w+\s*\(", text):
+        # expression-function operand (STRLEN(?x), UCASE(?x), …) — shares
+        # the BIND expression compiler
+        col = _bind_col(text, pmap)
+        return col.cast("double") if numeric else col
     if text.startswith("?"):
         col = F.col(text[1:])
         return col.cast("double") if numeric else col
@@ -565,9 +605,39 @@ def _filter_atom(cond: str, pmap: dict) -> Column:
             col = F.col(var).rlike(arg)
         elif fn == "CONTAINS":
             col = F.col(var).contains(arg)
+        elif fn == "STRENDS":
+            col = F.col(var).endswith(arg)
         else:  # STRSTARTS
             col = F.col(var).startswith(arg)
         return ~col if fm.group("neg") else col
+    im = _IN_RE.match(cond)
+    if im:
+        # ?x [NOT] IN (t1, t2, …): equality disjunction — each term uses
+        # the same numeric-casting rule as a standalone '=' comparison
+        terms_text = im.group("terms")
+        masked = _mask_strings(terms_text)
+        terms, depth, last = [], 0, 0
+        for i, ch in enumerate(masked):
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif ch == "," and depth == 0:
+                terms.append(terms_text[last:i])
+                last = i + 1
+        terms.append(terms_text[last:])
+        terms = [t.strip() for t in terms if t.strip()]
+        if not terms:
+            raise ValueError(f"empty IN list: FILTER({cond.strip()})")
+        var = im.group("var")
+        disj = None
+        for t in terms:
+            numeric = bool(re.fullmatch(r"-?\d+(?:\.\d+)?", t))
+            eq = _OPS["="](
+                _operand(f"?{var}", pmap, numeric), _operand(t, pmap, numeric)
+            )
+            disj = eq if disj is None else disj | eq
+        return ~disj if im.group("neg") else disj
     cm = _CMP_RE.match(cond)
     if cm:
         a, op, b = cm.group("a"), cm.group("op"), cm.group("b")
@@ -622,32 +692,102 @@ def _filter_col(cond: str, pmap: dict) -> Column:
     return reduce(lambda x, y: x | y, (conj(p) for p in disjuncts))
 
 
+def _split_args(inner: str) -> list[str]:
+    """Split a function-argument list on top-level commas (paren-depth-
+    and string-literal-aware)."""
+    masked = _mask_strings(inner)
+    parts, depth, last = [], 0, 0
+    for i, ch in enumerate(masked):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append(inner[last:i])
+            last = i + 1
+    parts.append(inner[last:])
+    return parts
+
+
 def _bind_col(expr: str, pmap: dict) -> Column:
-    """Compile a BIND expression: a term (?var, "literal", <iri>, curie,
-    number), STR(?var) (identity — the store is stringly typed), or
-    CONCAT(expr, ...). Anything else is a loud error."""
+    """Compile a scalar SPARQL expression (BIND bodies and expression
+    operands in FILTER comparisons): a term (?var, "literal", <iri>,
+    curie, number) or STR / CONCAT / UCASE / LCASE / STRLEN / SUBSTR /
+    REPLACE / COALESCE / IF over sub-expressions. Anything else is a
+    loud error."""
     e = expr.strip()
     masked = _mask_strings(e)
-    cm = re.match(r"^\s*CONCAT\s*\(", masked, re.IGNORECASE)
-    if cm:
+    fm = re.match(
+        r"^\s*(CONCAT|STR|UCASE|LCASE|STRLEN|SUBSTR|REPLACE|COALESCE|IF)\s*\(",
+        masked,
+        re.IGNORECASE,
+    )
+    if fm:
+        fn = fm.group(1).upper()
         if not masked.rstrip().endswith(")"):
-            raise ValueError(f"unbalanced CONCAT in BIND: {expr!r}")
-        inner = e[cm.end() : e.rstrip().rfind(")")]
-        inner_masked = _mask_strings(inner)
-        parts, depth, last = [], 0, 0
-        for i, ch in enumerate(inner_masked):
-            if ch == "(":
-                depth += 1
-            elif ch == ")":
-                depth -= 1
-            elif ch == "," and depth == 0:
-                parts.append(inner[last:i])
-                last = i + 1
-        parts.append(inner[last:])
-        return F.concat(*(_bind_col(p, pmap) for p in parts))
-    sm = re.match(r"^\s*STR\s*\(\s*\?(\w+)\s*\)\s*$", e, re.IGNORECASE)
-    if sm:
-        return F.col(sm.group(1)).cast("string")
+            raise ValueError(f"unbalanced {fn} in expression: {expr!r}")
+        inner = e[fm.end() : e.rstrip().rfind(")")]
+        args = _split_args(inner)
+
+        def need(lo: int, hi: int | None = None) -> None:
+            hi = lo if hi is None else hi
+            if not (lo <= len(args) <= hi):
+                raise ValueError(
+                    f"{fn} expects {lo}"
+                    + (f"-{hi}" if hi != lo else "")
+                    + f" arguments, got {len(args)}: {expr!r}"
+                )
+
+        def int_arg(i: int) -> int:
+            a = args[i].strip()
+            if not re.fullmatch(r"-?\d+", a):
+                raise ValueError(f"{fn} argument {i + 1} must be an integer: {expr!r}")
+            return int(a)
+
+        def str_arg(i: int) -> str:
+            a = args[i].strip()
+            if not re.fullmatch(r'"(?:[^"\\]|\\.)*"', a):
+                raise ValueError(
+                    f"{fn} argument {i + 1} must be a string literal: {expr!r}"
+                )
+            return a[1:-1]
+
+        if fn == "CONCAT":
+            need(1, 64)
+            return F.concat(*(_bind_col(p, pmap) for p in args))
+        if fn == "STR":
+            need(1)
+            return _bind_col(args[0], pmap).cast("string")
+        if fn == "UCASE":
+            need(1)
+            return F.upper(_bind_col(args[0], pmap))
+        if fn == "LCASE":
+            need(1)
+            return F.lower(_bind_col(args[0], pmap))
+        if fn == "STRLEN":
+            # long (not int) so results line up with ANSI-SQL length()
+            need(1)
+            return F.length(_bind_col(args[0], pmap)).cast("long")
+        if fn == "SUBSTR":
+            # SPARQL SUBSTR is 1-based with optional length, like SQL
+            need(2, 3)
+            c = _bind_col(args[0], pmap)
+            if len(args) == 2:
+                return F.substring(c, int_arg(1), 2147483647)
+            return F.substring(c, int_arg(1), int_arg(2))
+        if fn == "REPLACE":
+            # regex semantics (Java regex — stay in the Java∩RE2 subset
+            # for oracle-able queries, as redact_pii does)
+            need(3)
+            return F.regexp_replace(_bind_col(args[0], pmap), str_arg(1), str_arg(2))
+        if fn == "COALESCE":
+            need(1, 64)
+            return F.coalesce(*(_bind_col(p, pmap) for p in args))
+        if fn == "IF":
+            need(3)
+            return F.when(
+                _filter_col(args[0], pmap), _bind_col(args[1], pmap)
+            ).otherwise(_bind_col(args[2], pmap))
     if re.fullmatch(r"\?\w+", e):
         return F.col(e[1:])
     if re.fullmatch(r'"(?:[^"\\]|\\.)*"', e):
@@ -821,7 +961,112 @@ def sparql_query(
     triples: DataFrame, query: str, prefixes: dict[str, str] | None = None
 ) -> DataFrame:
     """Execute a SPARQL query (reference subset) over the triples store.
-    Unsupported syntax raises ``ValueError`` — never a silently-wrong plan."""
+    Dispatches on the query form: SELECT → bindings frame, ASK → one-row
+    boolean frame (column ``ask``), CONSTRUCT → distinct subj/pred/obj
+    triples. Unsupported syntax raises ``ValueError`` — never a
+    silently-wrong plan."""
+    q = _strip_comments(query)
+    scan = re.sub(
+        r"<[^>]*>", "<>", re.sub(r'"(?:[^"\\]|\\.)*"', '""', _PREFIX_RE.sub(" ", q))
+    )
+    m = re.search(r"\b(SELECT|ASK|CONSTRUCT)\b", scan, re.IGNORECASE)
+    form = m.group(1).upper() if m else "SELECT"
+    if form == "ASK":
+        return _ask_query(triples, q, prefixes)
+    if form == "CONSTRUCT":
+        return _construct_query(triples, q, prefixes)
+    return _select_query(triples, query, prefixes)
+
+
+def _ask_query(
+    triples: DataFrame, q: str, prefixes: dict[str, str] | None
+) -> DataFrame:
+    """ASK [WHERE] { … } → single row, boolean column ``ask`` (true iff
+    the group has at least one solution). Stays a distributed plan: the
+    group is evaluated LIMIT 1 and aggregated to count>0 — no driver-side
+    collect, and the limit stops the scan at the first match."""
+    rewritten, n = re.subn(
+        r"\bASK\s*(?:WHERE\s*)?\{",
+        "SELECT * WHERE {",
+        q,
+        count=1,
+        flags=re.IGNORECASE,
+    )
+    if not n:
+        raise ValueError("cannot parse ASK query (expected ASK [WHERE] { ... })")
+    sol = _select_query(triples, rewritten, prefixes)
+    return sol.limit(1).agg((F.count(F.lit(1)) > 0).alias("ask"))
+
+
+def _construct_query(
+    triples: DataFrame, q: str, prefixes: dict[str, str] | None
+) -> DataFrame:
+    """CONSTRUCT { template } WHERE { … } [modifiers] → the instantiated
+    template triples as a distinct subj/pred/obj frame (RDF-graph set
+    semantics). Solution modifiers (ORDER BY/LIMIT/OFFSET) slice the
+    solution sequence BEFORE instantiation, per spec. A template triple
+    with any unbound variable in a given solution produces no triple for
+    that solution (``na.drop``), also per spec."""
+    m = re.search(r"\bCONSTRUCT\s*\{", q, re.IGNORECASE)
+    if not m:
+        raise ValueError(
+            "cannot parse CONSTRUCT query (expected CONSTRUCT { template } WHERE { ... })"
+        )
+    depth, i = 1, m.end()
+    while i < len(q) and depth:
+        if q[i] == "{":
+            depth += 1
+        elif q[i] == "}":
+            depth -= 1
+        i += 1
+    if depth:
+        raise ValueError("unbalanced braces in CONSTRUCT template")
+    template_text, rest = q[m.end() : i - 1], q[i:]
+    head_residue = _PREFIX_RE.sub(" ", q[: m.start()]).strip()
+    if head_residue:
+        raise ValueError(
+            f"unsupported SPARQL syntax before CONSTRUCT: {head_residue!r}"
+        )
+    if not re.match(r"\s*WHERE\s*\{", rest, re.IGNORECASE):
+        raise ValueError("CONSTRUCT requires a WHERE { ... } block")
+    pmap = dict(DEFAULT_PREFIXES)
+    if prefixes:
+        pmap.update(prefixes)
+    for pfx, iri in _PREFIX_RE.findall(q):
+        pmap[pfx] = iri
+    templates = [
+        _parse_pattern(chunk, pmap)
+        for chunk in _split_statements(template_text)
+        if chunk.strip()
+    ]
+    if not templates:
+        raise ValueError("empty CONSTRUCT template")
+    for _, p, _ in templates:
+        if isinstance(p, tuple):
+            raise ValueError("property paths are not allowed in a CONSTRUCT template")
+    sol = _select_query(triples, "SELECT * " + rest, prefixes)
+
+    def tcol(slot) -> Column:
+        if isinstance(slot, Var):
+            if slot.name not in sol.columns:
+                raise ValueError(
+                    f"CONSTRUCT template variable ?{slot.name} is not bound in WHERE"
+                )
+            return F.col(slot.name)
+        return F.lit(slot)
+
+    frames = [
+        sol.select(
+            tcol(s).alias("subj"), tcol(p).alias("pred"), tcol(o).alias("obj")
+        ).na.drop()
+        for s, p, o in templates
+    ]
+    return reduce(lambda a, b: a.unionByName(b), frames).distinct()
+
+
+def _select_query(
+    triples: DataFrame, query: str, prefixes: dict[str, str] | None = None
+) -> DataFrame:
     parsed, pmap = parse_sparql(query, prefixes)
 
     plain = [p for p in parsed.patterns if not (isinstance(p[1], tuple))]
@@ -946,7 +1191,7 @@ def sparql_query(
                     "nor an aggregate alias"
                 )
 
-        def agg_expr(fn: str, x: str, alias: str):
+        def agg_expr(fn: str, x: str, alias: str, extra):
             c = F.col(x)
             if fn == "count":
                 return F.count(c).alias(alias)
@@ -958,14 +1203,26 @@ def sparql_query(
                 return F.avg(c.cast("double")).alias(alias)
             if fn == "min":
                 return F.min(c).alias(alias)
-            return F.max(c).alias(alias)
+            if fn == "max":
+                return F.max(c).alias(alias)
+            if fn == "sample":
+                # SPARQL SAMPLE may return any element; MIN is the
+                # deterministic choice (stable under retries/speculation)
+                return F.min(c).alias(alias)
+            if fn == "group_concat":
+                # element order is unspecified by SPARQL — sort for
+                # determinism (= string_agg(x, sep ORDER BY x) in SQL)
+                return F.array_join(
+                    F.array_sort(F.collect_list(c)), extra
+                ).alias(alias)
+            raise ValueError(f"unsupported aggregate {fn.upper()}")
 
-        exprs = [agg_expr(fn, x, alias) for (fn, x, alias) in aggs]
+        exprs = [agg_expr(fn, x, alias, extra) for (fn, x, alias, extra) in aggs]
         out = out.groupBy(*keys).agg(*exprs)
         # HAVING: rewrite AGG(?v) calls to their projection alias, then
         # compile like any FILTER over the aggregated frame. An aggregate
         # that is not projected (or HAVING without aggregation) raises.
-        alias_of = {(fn, x): alias for (fn, x, alias) in aggs}
+        alias_of = {(fn, x): alias for (fn, x, alias, _) in aggs}
 
         def _rewrite_having(cond: str) -> str:
             def sub(m: re.Match) -> str:
@@ -986,7 +1243,7 @@ def sparql_query(
 
         for cond in parsed.having:
             out = out.filter(_filter_col(_rewrite_having(cond), pmap))
-        out = out.select(*(alias for (_, _, alias) in aggs), *keys)
+        out = out.select(*(alias for (_, _, alias, _) in aggs), *keys)
     elif parsed.having:
         raise ValueError("HAVING requires an aggregate projection")
     elif "*" not in parsed.projection:

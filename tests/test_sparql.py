@@ -437,6 +437,147 @@ def test_offset_slices_ordered_solutions(spark):
     assert [r.s for r in sparql_query(t, q).collect()] == ["s4", "s5", "s6"]
 
 
+def test_ask_true_and_false(graph):
+    assert sparql_query(
+        graph, "ASK { ?s <http://ex.org/p/likes> ?o }"
+    ).collect()[0].ask is True
+    assert sparql_query(
+        graph, 'ASK WHERE { ?s <http://ex.org/p/nope> ?o }'
+    ).collect()[0].ask is False
+    # ASK over a full group (filter + optional) still boolean
+    assert sparql_query(
+        graph,
+        'ASK { ?s ?p ?o . FILTER(CONTAINS(?o, "ex.org")) }',
+    ).collect()[0].ask is True
+
+
+def test_construct_instantiates_template(graph):
+    q = """
+        PREFIX rdfs: <http://www.w3.org/2000/01/rdf-schema#>
+        CONSTRUCT {
+            ?sub <http://ex.org/p/ancestor> ?sup .
+            ?sub <http://ex.org/p/marked> "yes"
+        }
+        WHERE { ?sub rdfs:subClassOf ?sup }
+    """
+    rows = {(r.subj, r.pred, r.obj) for r in sparql_query(graph, q).collect()}
+    assert rows == {
+        ("http://ex.org/A", "http://ex.org/p/ancestor", "http://ex.org/B"),
+        ("http://ex.org/B", "http://ex.org/p/ancestor", "http://ex.org/C"),
+        ("http://ex.org/A", "http://ex.org/p/marked", "yes"),
+        ("http://ex.org/B", "http://ex.org/p/marked", "yes"),
+    }
+    out = sparql_query(graph, q)
+    assert out.columns == ["subj", "pred", "obj"]
+
+
+def test_construct_unbound_optional_var_emits_no_triple(graph):
+    # solutions where ?note is unbound must not produce a half-null triple
+    q = """
+        CONSTRUCT { ?s <http://ex.org/p/note> ?note }
+        WHERE {
+            ?s <http://ex.org/p/likes> ?o .
+            OPTIONAL { ?s <http://example.org/optionalPredicate> ?note }
+        }
+    """
+    rows = {(r.subj, r.obj) for r in sparql_query(graph, q).collect()}
+    assert rows == {("http://ex.org/x", "note")}
+
+
+def test_construct_distinct_set_semantics(graph):
+    # two solutions instantiate the SAME template triple → one output row
+    q = """
+        CONSTRUCT { ?s <http://ex.org/p/active> "true" }
+        WHERE { ?s ?p ?o . FILTER(?s = <http://ex.org/x>) }
+    """
+    rows = sparql_query(graph, q).collect()
+    assert len(rows) == 1
+
+
+def test_group_concat_and_sample(graph):
+    q = """
+        SELECT ?s (GROUP_CONCAT(?o; SEPARATOR="|") AS ?objs) (SAMPLE(?o) AS ?one)
+        WHERE { ?s <http://ex.org/p/likes> ?o } GROUP BY ?s ORDER BY ?s
+    """
+    rows = sparql_query(graph, q).collect()
+    assert [(r.s, r.objs, r.one) for r in rows] == [
+        ("http://ex.org/x", "http://ex.org/y", "http://ex.org/y"),
+        ("http://ex.org/y", "http://ex.org/z", "http://ex.org/z"),
+    ]
+    # default separator is a single space; elements sort lexicographically
+    q2 = """
+        SELECT (GROUP_CONCAT(?o) AS ?all) WHERE { ?s <http://ex.org/p/likes> ?o }
+    """
+    assert sparql_query(graph, q2).collect()[0].all == (
+        "http://ex.org/y http://ex.org/z"
+    )
+
+
+def test_filter_in_and_not_in(graph):
+    q = """
+        SELECT ?s WHERE {
+            ?s <http://ex.org/p/likes> ?o .
+            FILTER(?o IN (<http://ex.org/y>, "never"))
+        }
+    """
+    assert [r.s for r in sparql_query(graph, q).collect()] == ["http://ex.org/x"]
+    q2 = """
+        SELECT ?s WHERE {
+            ?s <http://ex.org/p/likes> ?o .
+            FILTER(?o NOT IN (<http://ex.org/y>))
+        }
+    """
+    assert [r.s for r in sparql_query(graph, q2).collect()] == ["http://ex.org/y"]
+
+
+def test_filter_expression_operands_and_strends(graph):
+    got = {
+        r.o
+        for r in sparql_query(
+            graph,
+            'SELECT ?o WHERE { ?s ?p ?o . FILTER(STRLEN(?o) = 4) }',
+        ).collect()
+    }
+    assert got == {"note"}
+    got = {
+        r.s
+        for r in sparql_query(
+            graph,
+            'SELECT ?s WHERE { ?s ?p ?o . FILTER(STRENDS(?o, "/z")) }',
+        ).collect()
+    }
+    assert got == {"http://ex.org/y"}
+    # nested call in an operand
+    got = {
+        r.o
+        for r in sparql_query(
+            graph,
+            'SELECT ?o WHERE { ?s ?p ?o . FILTER(STRLEN(STR(?o)) = 4) }',
+        ).collect()
+    }
+    assert got == {"note"}
+
+
+def test_bind_scalar_functions(graph):
+    q = """
+        SELECT ?u ?l ?sub ?rep ?fb ?cls WHERE {
+            ?s <http://ex.org/p/likes> ?o .
+            OPTIONAL { ?s <http://example.org/optionalPredicate> ?note }
+            BIND(UCASE(?note) AS ?u)
+            BIND(LCASE("MIXED") AS ?l)
+            BIND(SUBSTR(?o, 8, 6) AS ?sub)
+            BIND(REPLACE(?o, "http://", "") AS ?rep)
+            BIND(COALESCE(?note, "none") AS ?fb)
+            BIND(IF(BOUND(?note), "annotated", "bare") AS ?cls)
+        } ORDER BY ?s
+    """
+    rows = sparql_query(graph, q).collect()
+    assert [(r.u, r.l, r.sub, r.rep, r.fb, r.cls) for r in rows] == [
+        ("NOTE", "mixed", "ex.org", "ex.org/y", "note", "annotated"),
+        (None, "mixed", "ex.org", "ex.org/z", "none", "bare"),
+    ]
+
+
 @pytest.mark.parametrize(
     "bad_query",
     [
@@ -446,10 +587,17 @@ def test_offset_slices_ordered_solutions(spark):
         "SELECT (COUNT(?o) AS ?n) ?p WHERE { ?s ?p ?o } GROUP BY ?p HAVING (SUM(?o) > 1)",
         "SELECT ?s bogus WHERE { ?s ?p ?o }",
         "SELECT ?s WHERE { ?s ?p ?o garbage garbage }",
-        "SELECT ?s WHERE { ?s ?p ?o . FILTER(?s IN (1,2)) }",
         "SELECT ?s WHERE { ?s ?p ?o . BIND(NOW() AS ?t) }",
         "SELECT ?missing WHERE { ?s ?p ?o }",
-        "CONSTRUCT { ?s ?p ?o } WHERE { ?s ?p ?o }",
+        "DESCRIBE <http://ex.org/x>",
+        "SELECT ?s WHERE { SERVICE <http://remote/sparql> { ?s ?p ?o } }",
+        "CONSTRUCT { ?s ?p ?o } SELECT ?s",
+        "CONSTRUCT { } WHERE { ?s ?p ?o }",
+        "CONSTRUCT { ?s ?p ?missing } WHERE { ?s ?p ?o }",
+        "SELECT ?s WHERE { ?s ?p ?o . FILTER(?s IN ()) }",
+        "SELECT ?s WHERE { ?s ?p ?o . BIND(SUBSTR(?o) AS ?t) }",
+        "SELECT ?s WHERE { ?s ?p ?o . BIND(IF(?o) AS ?t) }",
+        "SELECT ?s WHERE { ?s ?p ?o . BIND(REPLACE(?o, ?o, ?o) AS ?t) }",
     ],
 )
 def test_unsupported_syntax_is_loud(graph, bad_query):
