@@ -216,6 +216,46 @@ def test_lsh_bucketed_topk_subset_of_exact(vecs):
         assert r.sim == pytest.approx(ex[(r.query_id, r.neighbor_id)], abs=1e-12)
 
 
+def test_ivf_full_probe_equals_exact(vecs):
+    """nprobe = n_centroids probes EVERY cell, so the IVF path must
+    reproduce the exact top-k — (query, neighbor) sets and sims equal."""
+    exact = similarity.cosine_topk(vecs, vecs, k=3)
+    approx = similarity.ivf_topk(
+        vecs, vecs, k=3, n_centroids=2, nprobe=2, iters=2
+    )
+    ex = {(r.query_id, r.neighbor_id): r.sim for r in exact.collect()}
+    got = {(r.query_id, r.neighbor_id): r.sim for r in approx.collect()}
+    assert set(got) == set(ex)
+    for key, sim in got.items():
+        assert sim == pytest.approx(ex[key], abs=1e-9)
+
+
+def test_ivf_candidates_are_subset_of_exact_scores(vecs):
+    """Partial probing returns correctly-scored pairs (sims match exact)
+    and one cell per corpus vector (no duplicate (query, neighbor))."""
+    exact = similarity.cosine_topk(vecs, vecs, k=4)
+    approx = similarity.ivf_topk(
+        vecs, vecs, k=4, n_centroids=2, nprobe=1, iters=2
+    )
+    ex = {(r.query_id, r.neighbor_id): r.sim for r in exact.collect()}
+    rows = approx.collect()
+    keys = [(r.query_id, r.neighbor_id) for r in rows]
+    assert len(keys) == len(set(keys))
+    for r in rows:
+        assert (r.query_id, r.neighbor_id) in ex
+        assert r.sim == pytest.approx(ex[(r.query_id, r.neighbor_id)], abs=1e-9)
+
+
+def test_ivf_train_shapes_and_determinism(vecs):
+    c1 = similarity.ivf_train(vecs, n_centroids=2, iters=2)
+    c2 = similarity.ivf_train(vecs, n_centroids=2, iters=2)
+    assert len(c1) == 2 and len(c1[0]) == 4
+    for a, b in zip(c1, c2):
+        assert a == pytest.approx(b)
+    with pytest.raises(ValueError):
+        similarity.ivf_train(vecs, n_centroids=100)
+
+
 def test_dedup_lines_removes_cross_doc_boilerplate(spark):
     from graphforge_spark.operators.docops import dedup_lines
 

@@ -182,6 +182,42 @@ def test_ann_lsh_recall_vs_exact(spark):
     assert recall_mp >= 0.8
 
 
+def test_ann_ivf_recall_vs_exact(spark):
+    """IVF (spherical k-means cells + nprobe) vs exact cosine top-k,
+    recall@3 over 8 queries. On this near-random corpus (worst case for
+    any space partitioning) recall tracks candidate fraction ≈
+    nprobe/n_centroids; measured 0.542 at 16/4 and 0.833 at 16/8 —
+    assert floors below the measured points, and that more probes never
+    lose recall."""
+    from graphforge_spark import corpus
+
+    vecs = corpus.load(spark, SF_DIR, "embeddings").cache()
+    queries = vecs.filter(F.col("vec_id") < 8)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.cosine_topk(vecs, queries, k=3).collect()
+    }
+    centroids = similarity.ivf_train(vecs, n_centroids=16, iters=3)
+    got4 = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.ivf_topk(
+            vecs, queries, k=3, n_centroids=16, nprobe=4, centroids=centroids
+        ).collect()
+    }
+    got8 = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.ivf_topk(
+            vecs, queries, k=3, n_centroids=16, nprobe=8, centroids=centroids
+        ).collect()
+    }
+    r4 = len(exact & got4) / len(exact)
+    r8 = len(exact & got8) / len(exact)
+    print(f"ann-ivf recall@3: nprobe=4 {r4:.3f}, nprobe=8 {r8:.3f}")
+    assert r4 >= 0.3
+    assert r8 >= 0.6
+    assert r8 >= r4
+
+
 def test_keeplist_boundary_agreement(spark, docs):
     """End-to-end keep-list vs a brute-force exact-Jaccard keep-list AT
     the operator's default threshold J=0.6 — the boundary where the LSH
