@@ -6,12 +6,16 @@ Spark-side design here is fully real — schemas, partitioning, mapInPandas
 batch shape, deterministic outputs — and the codec step is a real,
 environment-gated code path: image payloads decode through PIL whenever
 it is importable (``_pil_image_features``: decode → grayscale 8×8 →
-intensity features). When the codec library is absent (this container
-ships none of PIL/soundfile/av) or a payload is undecodable, rows fall
-back to a clearly-marked deterministic fake derived from the payload
-bytes — or raise ``NotImplementedError`` under ``strict=True``, the
-production setting. Audio/video decode still awaits a library; adding
-one changes ``featurize`` only, none of the distributed plumbing.
+intensity features). All three kinds also have REAL stdlib-only
+decoders that run in any environment: binary PPM for images
+(``_ppm_image_features``), PCM WAV for audio (``_wav_audio_features``),
+and uncompressed AVI for video (``_avi_video_features`` — RIFF chunk
+walk, frame sampling, intensity + motion features). Only when no
+decoder applies (exotic format and no codec library) or a payload is
+undecodable does a row fall back to a clearly-marked deterministic
+fake derived from the payload bytes — or raise ``NotImplementedError``
+under ``strict=True``, the production setting. Adding a richer codec
+changes ``featurize`` only, none of the distributed plumbing.
 
 Layout rules that matter at scale:
 - media rows are WIDE (payload bytes) — keep them in their own table,
@@ -60,14 +64,76 @@ def _wav_header(data_bytes: int) -> bytes:
     )
 
 
+def _avi_container(frames: list[bytes], w: int, h: int) -> bytes:
+    """Minimal VALID uncompressed AVI (RIFF): BI_RGB 24-bit bottom-up DIB
+    frames in '00db' chunks inside LIST('movi'), with the standard
+    avih/strh/strf headers. Every size field is correct — any RIFF-aware
+    tool parses this file."""
+    import struct
+
+    rowsize = (w * 3 + 3) & ~3
+    fsize = rowsize * h
+    for f in frames:
+        if len(f) != fsize:
+            raise ValueError(f"frame must be {fsize} bytes ({rowsize}×{h}), got {len(f)}")
+
+    def chunk(cid: bytes, data: bytes) -> bytes:
+        pad = b"\x00" if len(data) & 1 else b""
+        return cid + struct.pack("<I", len(data)) + data + pad
+
+    def lst(ltype: bytes, data: bytes) -> bytes:
+        return chunk(b"LIST", ltype + data)
+
+    strf = chunk(
+        b"strf",
+        struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, fsize, 0, 0, 0, 0),
+    )
+    strh = chunk(
+        b"strh",
+        b"vids"
+        + b"DIB "
+        + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1, 25, 0, len(frames), fsize, 0, 0)
+        + struct.pack("<hhhh", 0, 0, w, h),
+    )
+    avih = chunk(
+        b"avih",
+        struct.pack(
+            "<14I", 40000, fsize * 25, 0, 0, len(frames), 0, 1, fsize, w, h, 0, 0, 0, 0
+        ),
+    )
+    hdrl = lst(b"hdrl", avih + lst(b"strl", strh + strf))
+    movi = lst(b"movi", b"".join(chunk(b"00db", f) for f in frames))
+    return b"RIFF" + struct.pack("<I", 4 + len(hdrl) + len(movi)) + b"AVI " + hdrl + movi
+
+
+def _avi_parts(w: int = 4, h: int = 4, n_frames: int = 2) -> tuple[list[bytes], int]:
+    """Constant byte segments for JVM-side AVI synthesis: a valid AVI is
+    ``parts[0] + frame₀ + parts[1] + frame₁ + … + parts[n]`` — so
+    synth_media can concat literal header segments with id-derived frame
+    rasters entirely in column space."""
+    rowsize = (w * 3 + 3) & ~3
+    fsize = rowsize * h
+    sentinels = [bytes([0xA0 + i]) * fsize for i in range(n_frames)]
+    full = _avi_container(sentinels, w, h)
+    parts, pos = [], 0
+    for s in sentinels:
+        i = full.index(s, pos)
+        parts.append(full[pos:i])
+        pos = i + fsize
+    parts.append(full[pos:])
+    return parts, fsize
+
+
 def synth_media(spark: SparkSession, n: int, kinds=("image", "audio", "video")) -> DataFrame:
     """Deterministic synthetic media table: image payloads are VALID
     binary PPM (P6) files (4×4 RGB, pixel bytes from the id's md5
-    stream) and audio payloads are VALID PCM WAV files (64 16-bit
-    samples from the same stream) — so BOTH real stdlib decoders
-    actually execute; video payloads stay opaque md5 byte runs (no
-    stdlib container parser exists — documented stub). Metadata typed
-    per kind. JVM-side generation — no Python, any scale."""
+    stream), audio payloads are VALID PCM WAV files (64 16-bit samples
+    from the same stream), and video payloads are VALID uncompressed
+    AVI containers (two 4×4 BI_RGB frames, rasters from the same
+    stream) — so all THREE real stdlib decoders actually execute.
+    Metadata typed per kind. JVM-side generation — no Python, any
+    scale: the AVI header segments are constant literals and the frame
+    rasters are md5 column expressions, concatenated in column space."""
     kind = F.element_at(
         F.array(*[F.lit(k) for k in kinds]), (F.col("id") % len(kinds) + 1).cast("int")
     )
@@ -86,8 +152,23 @@ def synth_media(spark: SparkSession, n: int, kinds=("image", "audio", "video")) 
         ),
     )  # header + 4·4·3 = 48 raster bytes
     wav = F.concat(F.lit(_wav_header(128)), opaque)  # 64 16-bit samples
+    avi_parts, frame_bytes = _avi_parts(4, 4, 2)
+    frames = [
+        F.unhex(
+            F.concat(
+                *[
+                    F.md5(F.concat(F.lit(f"f{fi}p{i}:"), F.col("id").cast("string")))
+                    for i in range(frame_bytes // 16)
+                ]
+            )
+        )
+        for fi in range(2)
+    ]
+    avi = F.concat(
+        F.lit(avi_parts[0]), frames[0], F.lit(avi_parts[1]), frames[1], F.lit(avi_parts[2])
+    )
     payload = (
-        F.when(kind == "image", ppm).when(kind == "audio", wav).otherwise(opaque)
+        F.when(kind == "image", ppm).when(kind == "audio", wav).when(kind == "video", avi).otherwise(opaque)
     )
     meta = F.map_from_arrays(
         F.array(F.lit("width"), F.lit("height"), F.lit("duration_ms")),
@@ -196,6 +277,91 @@ def _wav_audio_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float] |
         return None
 
 
+def _avi_parse(payload: bytes) -> tuple[int, int, list[bytes]] | None:
+    """REAL stdlib-only video container parse for uncompressed AVI: walk
+    the RIFF chunk tree, read width/height/bit-depth/compression from the
+    'strf' BITMAPINFOHEADER, and collect the '00db'/'00dc' frame chunks
+    from LIST('movi'). Returns (width, height, frames) for BI_RGB 24-bit
+    payloads; None for anything else (caller decides fallback vs
+    strict-raise)."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        return None
+    try:
+
+        def chunks(pos: int, end: int):
+            while pos + 8 <= end:
+                cid = payload[pos : pos + 4]
+                size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+                if pos + 8 + size > len(payload):
+                    return
+                yield cid, pos + 8, size
+                pos += 8 + size + (size & 1)
+
+        w = h = bits = comp = None
+        frames: list[bytes] = []
+        for cid, dpos, size in chunks(12, len(payload)):
+            if cid != b"LIST":
+                continue
+            ltype = payload[dpos : dpos + 4]
+            if ltype == b"hdrl":
+                for cid2, dpos2, size2 in chunks(dpos + 4, dpos + size):
+                    if cid2 == b"LIST" and payload[dpos2 : dpos2 + 4] == b"strl":
+                        for cid3, dpos3, size3 in chunks(dpos2 + 4, dpos2 + size2):
+                            if cid3 == b"strf" and size3 >= 20:
+                                _, bw, bh, _, bits, comp = struct.unpack_from(
+                                    "<IiiHHI", payload, dpos3
+                                )
+                                w, h = bw, abs(bh)
+            elif ltype == b"movi":
+                for cid2, dpos2, size2 in chunks(dpos + 4, dpos + size):
+                    if cid2[2:4] in (b"db", b"dc"):
+                        frames.append(payload[dpos2 : dpos2 + size2])
+        if not frames or not w or not h or bits != 24 or comp != 0:
+            return None
+        rowsize = (w * 3 + 3) & ~3
+        if any(len(f) < rowsize * h for f in frames):
+            return None
+        return w, h, frames
+    except (ValueError, IndexError, struct.error):
+        return None
+
+
+def _avi_video_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float] | None:
+    """REAL stdlib-only video decode for uncompressed AVI: parse the
+    container (``_avi_parse``), sample up to 8 frames evenly across the
+    stream, and emit 8 per-frame mean intensities + 8 inter-frame motion
+    magnitudes (mean |Δgray| between consecutive sampled frames), scaled
+    to [-1, 1) and cycled/truncated to ``dim`` — temporal structure, not
+    just a thumbnail. Returns None for undecodable payloads."""
+    parsed = _avi_parse(payload)
+    if parsed is None:
+        return None
+    w, h, frames = parsed
+    rowsize = (w * 3 + 3) & ~3
+    n = min(len(frames), 8)
+    picks = [frames[i * len(frames) // n] for i in range(n)]
+
+    def mean_gray(f: bytes) -> float:
+        tot = 0.0
+        for y in range(h):
+            base = y * rowsize
+            row = f[base : base + w * 3]
+            tot += sum(row) / (3.0 * w)
+        return tot / h
+
+    grays = [mean_gray(f) for f in picks]
+    feats = [g / 128.0 - 1.0 for g in grays]
+    while len(feats) < 8:
+        feats.append(feats[-1])
+    motion = [abs(b - a) / 128.0 - 1.0 for a, b in zip(grays, grays[1:])] or [-1.0]
+    while len(motion) < 8:
+        motion.append(motion[-1])
+    feats += motion[:8]
+    return [feats[i % len(feats)] for i in range(dim)]
+
+
 def _pil_image_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float] | None:
     """REAL image decode path: PIL decode → grayscale → 8×8 thumbnail →
     pixel intensities scaled to [-1, 1), cycled/truncated to ``dim``.
@@ -222,11 +388,12 @@ def decode_and_featurize(
 ) -> DataFrame:
     """media → (media_id, kind, n_bytes, features array<float>).
 
-    Decode is a real, environment-gated code path: image payloads go
-    through PIL when it is importable (``_pil_image_features``); when the
-    codec library is absent or the payload undecodable, the row falls
-    back to deterministic digest-derived fake features so the distributed
-    path (Arrow batches → features → ANN) stays testable end-to-end.
+    Decode is a real code path for every kind: PPM (stdlib) then PIL
+    for images, PCM WAV (stdlib ``wave``) for audio, uncompressed AVI
+    (stdlib RIFF walk) for video. Only when no decoder matches the
+    payload does the row fall back to deterministic digest-derived fake
+    features so the distributed path (Arrow batches → features → ANN)
+    stays testable end-to-end.
     ``strict=True`` raises NotImplementedError instead of falling back —
     the production setting, guaranteeing no fake feature ever ships."""
     schema = "media_id long, kind string, n_bytes long, features array<float>"
@@ -243,6 +410,9 @@ def decode_and_featurize(
             elif kind == "audio":
                 # PCM WAV via the stdlib wave module — real everywhere
                 real = _wav_audio_features(b, dim)
+            elif kind == "video":
+                # uncompressed AVI via the stdlib RIFF walk — real everywhere
+                real = _avi_video_features(b, dim)
             if real is not None:
                 return real
             if strict:

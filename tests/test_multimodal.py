@@ -18,13 +18,16 @@ def test_synth_media_shape(media):
     assert len(rows) == 60
     by_kind = {r.kind: r for r in rows}
     assert set(by_kind) == {"image", "audio", "video"}
-    # image payloads are real binary PPM, audio real PCM WAV; video
-    # stays opaque bytes (no stdlib container parser)
+    # image payloads are real binary PPM, audio real PCM WAV, video
+    # real uncompressed AVI — every kind decodable by the stdlib paths
     assert bytes(by_kind["image"].payload).startswith(b"P6\n")
     assert len(bytes(by_kind["image"].payload)) == 11 + 4 * 4 * 3
     assert bytes(by_kind["audio"].payload).startswith(b"RIFF")
     assert len(bytes(by_kind["audio"].payload)) == 44 + 128
-    assert len(bytes(by_kind["video"].payload)) == 128
+    vid = bytes(by_kind["video"].payload)
+    assert vid.startswith(b"RIFF") and vid[8:12] == b"AVI "
+    w, h, frames = multimodal._avi_parse(vid)
+    assert (w, h, len(frames)) == (4, 4, 2)
     assert set(rows[0].meta) == {"width", "height", "duration_ms"}
     # deterministic across evaluations
     assert media.collect() == rows
@@ -36,7 +39,8 @@ def test_decode_and_featurize(media):
     by_id = {r.media_id: r for r in feats}
     assert by_id[0].n_bytes == 59  # P6 header + 4×4 RGB raster
     assert by_id[1].n_bytes == 172  # WAV header + 64 16-bit samples
-    assert by_id[2].n_bytes == 128  # video: opaque
+    parts, fb = multimodal._avi_parts(4, 4, 2)
+    assert by_id[2].n_bytes == sum(map(len, parts)) + 2 * fb  # AVI container
     assert len(by_id[0].features) == multimodal.FEATURE_DIM
     assert all(-1.0 <= v < 1.0 for v in by_id[0].features)
     # determinism: same payload → same features
@@ -44,16 +48,21 @@ def test_decode_and_featurize(media):
     assert again == {r.media_id: r.features for r in feats}
 
 
-def test_strict_mode_gates_real_decoder(media):
-    # image (PPM) and audio (WAV) rows decode for real, but VIDEO rows
-    # still have no codec — strict must refuse their fallback
+def test_strict_mode_gates_real_decoder(media, spark):
+    # every kind (PPM image, WAV audio, AVI video) decodes for real —
+    # the whole table passes strict end-to-end: no fake ever needed
+    rows = multimodal.decode_and_featurize(media, strict=True).collect()
+    assert len(rows) == 60 and all(len(r.features) == multimodal.FEATURE_DIM for r in rows)
+    # an undecodable payload must still be refused under strict
+    junk = spark.createDataFrame(
+        [(99, "video", bytearray(b"\x00" * 128), {})], multimodal.MEDIA_SCHEMA
+    )
     with pytest.raises(Exception) as ei:
-        multimodal.decode_and_featurize(media, strict=True).collect()
-    assert "NotImplementedError" in str(ei.value) or "decoders" in str(ei.value)
-    # image+audio frames pass strict end-to-end: no fake ever needed
-    real = media.filter(F.col("kind") != "video")
-    rows = multimodal.decode_and_featurize(real, strict=True).collect()
-    assert rows and all(len(r.features) == multimodal.FEATURE_DIM for r in rows)
+        multimodal.decode_and_featurize(junk, strict=True).collect()
+    assert "NotImplementedError" in str(ei.value) or "decoder" in str(ei.value)
+    # non-strict: the same payload takes the documented deterministic fallback
+    fb = multimodal.decode_and_featurize(junk).collect()[0]
+    assert fb.features == multimodal._fake_features(b"\x00" * 128)
 
 
 def test_wav_real_decode_path(spark):
@@ -100,6 +109,36 @@ def test_ppm_real_decode_path(spark):
     assert _ppm_image_features(b"not a ppm") is None
 
 
+def test_avi_real_decode_path(spark):
+    """Drives the REAL stdlib AVI decoder with known frames — uniform
+    gray 100 in both frames ⇒ every intensity feature 100/128−1 and
+    every motion feature −1.0 (zero inter-frame change)."""
+    from graphforge_spark.operators.multimodal import (
+        _avi_container,
+        _avi_parse,
+        _avi_video_features,
+    )
+
+    payload = _avi_container([bytes([100] * 48)] * 2, 4, 4)
+    media = spark.createDataFrame(
+        [(1, "video", bytearray(payload), {"duration_ms": "80"})],
+        multimodal.MEDIA_SCHEMA,
+    )
+    row = multimodal.decode_and_featurize(media, strict=True).collect()[0]
+    expect = 100 / 128.0 - 1.0
+    # FEATURE_DIM=16 → 8 intensity features then 8 motion features
+    assert all(abs(v - expect) < 1e-6 for v in row.features[:8])
+    assert all(abs(v - (-1.0)) < 1e-9 for v in row.features[8:16])
+    # distinct frames register motion: frame0 all 0, frame1 all 200
+    moving = _avi_video_features(_avi_container([bytes(48), bytes([200] * 48)], 4, 4))
+    assert abs(moving[8] - (200 / 128.0 - 1.0)) < 1e-6
+    # malformed payloads return None (fallback/strict path), not junk
+    assert _avi_parse(b"RIFFgarbage") is None
+    assert _avi_parse(b"RIFF\x00\x00\x00\x00AVI junk") is None
+    assert _avi_parse(b"not video at all") is None
+    assert _avi_video_features(b"\x00" * 128) is None
+
+
 def test_pil_real_decode_path(spark):
     """Drives the REAL codec branch — skipped (with reason) where PIL is
     not installed, exactly like the Iceberg writer's jar gate."""
@@ -121,9 +160,10 @@ def test_pil_real_decode_path(spark):
     assert all(abs(v - expect) < 1e-6 for v in row.features)
 
 
-def test_fake_fallback_only_when_codec_missing(media):
-    """Where PIL is absent the image rows take the documented fallback;
-    this asserts the gate decision, not the feature values."""
+def test_fake_fallback_only_when_codec_missing(spark):
+    """Where PIL is absent a non-PPM image (e.g. PNG bytes) has no
+    decoder — strict must refuse it; this asserts the gate decision,
+    not the feature values."""
     try:
         import PIL  # noqa: F401
         has_pil = True
@@ -135,9 +175,14 @@ def test_fake_fallback_only_when_codec_missing(media):
     # undecodable payload OR missing codec → None either way
     assert got is None
     if not has_pil:
-        # the strict gate must then refuse image rows
+        # a PNG-magic payload matches neither PPM nor (absent) PIL —
+        # the strict gate must refuse it rather than ship a fake
+        png_ish = spark.createDataFrame(
+            [(7, "image", bytearray(b"\x89PNG\r\n\x1a\n" + b"\x00" * 64), {})],
+            multimodal.MEDIA_SCHEMA,
+        )
         with pytest.raises(Exception) as ei:
-            multimodal.decode_and_featurize(media, strict=True).collect()
+            multimodal.decode_and_featurize(png_ish, strict=True).collect()
         assert "NotImplementedError" in str(ei.value) or "decoder" in str(ei.value)
 
 
