@@ -439,26 +439,46 @@ def decode_and_featurize(
 
 
 def frame_sample(media: DataFrame, every: int = 32, max_frames: int = 8) -> DataFrame:
-    """Video frame sampling, Spark-side: slice the payload into fixed
-    strides and emit one row per sampled 'frame' chunk. With a real
-    container format the stride becomes a PTS step inside the decode UDF;
-    the explode/row-shape contract stays identical."""
-    frames = F.transform(
-        F.sequence(
-            F.lit(0),
-            F.least(
-                F.floor((F.length("payload") - 1) / every).cast("int"), F.lit(max_frames - 1)
-            ),
-        ),
-        lambda i: F.struct(
-            i.cast("int").alias("frame_idx"),
-            F.substring(F.col("payload"), i * every + 1, every).alias("frame_bytes"),
-        ),
-    )
+    """Video frame sampling with REAL container awareness: AVI payloads
+    are parsed (``_avi_parse``) and up to ``max_frames`` actual frames
+    are sampled evenly across the stream — ``frame_idx`` is the frame's
+    true index in the container, ``frame_bytes`` the raw DIB raster.
+    Opaque/unparseable payloads fall back to fixed ``every``-byte stride
+    slicing so the row-shape contract holds for any binary. Runs in
+    ``mapInPandas`` — the only rows crossing to Python are video rows,
+    and each Arrow batch amortizes the crossing."""
+    schema = "media_id long, frame_idx int, frame_bytes binary"
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            ids: list[int] = []
+            idxs: list[int] = []
+            blobs: list[bytes] = []
+            for mid, raw in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(raw)
+                parsed = _avi_parse(b)
+                if parsed is not None:
+                    _, _, frames = parsed
+                    n = min(len(frames), max_frames)
+                    for i in range(n):
+                        j = i * len(frames) // n
+                        ids.append(mid)
+                        idxs.append(j)
+                        blobs.append(frames[j])
+                else:
+                    n = min(max(len(b) // every, 1), max_frames)
+                    for i in range(n):
+                        ids.append(mid)
+                        idxs.append(i)
+                        blobs.append(b[i * every : (i + 1) * every])
+            yield pd.DataFrame({"media_id": ids, "frame_idx": idxs, "frame_bytes": blobs})
+
     return (
         media.filter(F.col("kind") == "video")
-        .select("media_id", F.explode(frames).alias("f"))
-        .select("media_id", F.col("f.frame_idx"), F.col("f.frame_bytes"))
+        .select("media_id", "payload")
+        .mapInPandas(batches, schema=schema)
     )
 
 

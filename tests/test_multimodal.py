@@ -186,13 +186,25 @@ def test_fake_fallback_only_when_codec_missing(spark):
         assert "NotImplementedError" in str(ei.value) or "decoder" in str(ei.value)
 
 
-def test_frame_sample(media):
+def test_frame_sample(media, spark):
+    # AVI payloads yield REAL container frames: 2 frames of 48 raster bytes
     frames = multimodal.frame_sample(media, every=32, max_frames=4).collect()
     vids = {r.media_id for r in frames}
     assert vids  # some videos exist
-    per = [r for r in frames if r.media_id == min(vids)]
-    assert [r.frame_idx for r in sorted(per, key=lambda r: r.frame_idx)] == list(range(4))
-    assert all(len(bytes(r.frame_bytes)) == 32 for r in per)
+    per = sorted((r for r in frames if r.media_id == min(vids)), key=lambda r: r.frame_idx)
+    assert [r.frame_idx for r in per] == [0, 1]
+    assert all(len(bytes(r.frame_bytes)) == 48 for r in per)
+    # the sampled bytes ARE the container's frame chunks
+    payload = bytes(media.filter(F.col("media_id") == min(vids)).collect()[0].payload)
+    _, _, real = multimodal._avi_parse(payload)
+    assert [bytes(r.frame_bytes) for r in per] == real
+    # opaque payloads take the documented stride fallback
+    junk = spark.createDataFrame(
+        [(9, "video", bytearray(b"\x07" * 128), {})], multimodal.MEDIA_SCHEMA
+    )
+    fb = multimodal.frame_sample(junk, every=32, max_frames=4).collect()
+    assert [r.frame_idx for r in sorted(fb, key=lambda r: r.frame_idx)] == list(range(4))
+    assert all(len(bytes(r.frame_bytes)) == 32 for r in fb)
 
 
 def test_resize_meta(media):
