@@ -101,7 +101,13 @@ def transitive_closure(
         new = _ckpt(step.join(reached, ["s", "o"], "left_anti"))
         if new.limit(1).count() == 0:
             break
-        reached = _ckpt(reached.union(new))
+        # `new` is disjoint from `reached` (anti-joined) and both sides are
+        # internally distinct, so the union IS the closure-so-far — and both
+        # legs are checkpointed leaves, so the union needs NO checkpoint of
+        # its own: plan depth grows one union node per round while total
+        # materialized state stays O(|closure|), not O(rounds·|closure|)
+        # (re-checkpointing the union rewrote the whole closure every round).
+        reached = reached.union(new)
         frontier = new
 
     if include_zero_step:
