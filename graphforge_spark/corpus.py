@@ -36,6 +36,23 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def spread_small_scan(df: DataFrame) -> DataFrame:
+    """Round-robin repartition a frame ONLY when its scan under-splits
+    the cluster (fewer partitions than cores), so CPU-heavy narrow work
+    downstream (shingling, hashing, vector math) uses every core.
+
+    At production scale a parquet scan yields (bytes / maxPartitionBytes)
+    splits — thousands of partitions on a 100 TB table — and this is a
+    no-op with zero added shuffle. The condition only fires for small
+    inputs (one ~600 KB file = ONE split = one task for the whole narrow
+    chain), where the repartition shuffles a few MB to unlock a 32×
+    speedup."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def _role(turn_idx):
     return F.element_at(F.array(*[F.lit(r) for r in ROLES]), (turn_idx % 4) + 1)
 

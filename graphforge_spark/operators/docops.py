@@ -35,6 +35,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from graphforge_spark.corpus import spread_small_scan
 from graphforge_spark.functions.hashing import (
     band_key,
     hamming64,
@@ -76,6 +77,7 @@ def dedup_lines(
     line counts come narrowly from the original text (no extra shuffle).
     No Python anywhere."""
     norm = F.lower(F.trim(F.col("_line")))
+    docs = spread_small_scan(docs)
     lines = docs.select(
         F.col(id_col).alias("_id"),
         F.posexplode(F.split(F.col(text_col), "\n")).alias("_ln", "_line"),
@@ -212,7 +214,7 @@ def minhash_signatures(
     together and the candidate set blew up 826 → 6190 pairs at sf0.1.
     Independent hash bits per component are what keep candidate volume
     (= verify cost at 100 TB) at the S-curve's prediction."""
-    base = docs.select(
+    base = spread_small_scan(docs).select(
         F.col(id_col), F.array_distinct(shingles(F.col(text_col), shingle_n)).alias("_sh")
     )
     return base.select(F.col(id_col), *md5_minhash_cols(F.col("_sh"), num_hashes))
@@ -326,7 +328,7 @@ def ngram_jaccard_pairs(
     cand_docs = docs.join(
         cand_ids, F.col(id_col) == F.col("_cid"), "left_semi"
     )
-    sh = cand_docs.select(
+    sh = spread_small_scan(cand_docs).select(
         F.col(id_col).alias("_id"),
         F.array_distinct(shingles(F.col(text_col), shingle_n)).alias("_sh"),
     )
@@ -364,7 +366,7 @@ def simhash_fingerprints(
     hash-aggregate stays inside whole-stage codegen with map-side partial
     aggregation — the doc_id shuffle carries only 61 longs per document.
     Bit-identical to simhash64 (verified at sf0.1)."""
-    ex = docs.select(
+    ex = spread_small_scan(docs).select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("_tok")
     ).select(id_col, tok_hash64(F.col("_tok")).alias("_h"))
     aggs = [
@@ -595,7 +597,7 @@ def contamination_check(
         .filter(F.col("g") != "")
         .distinct()
     )
-    dg = docs.select(
+    dg = spread_small_scan(docs).select(
         F.col(id_col),
         F.explode(F.array_distinct(shingles(F.col(text_col), shingle_n))).alias("g"),
     )
@@ -719,7 +721,7 @@ def doc_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     """Per-document text analysis: token counts, quality features,
     language-ID heuristic, winnowing fingerprint. One narrow projection."""
     t = F.col(text_col)
-    return docs.select(
+    return spread_small_scan(docs).select(
         F.col(id_col),
         F.size(tokens(t)).cast("long").alias("n_tokens"),
         bpe_ish_token_count(t).alias("bpe_tokens"),

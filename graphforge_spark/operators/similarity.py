@@ -37,6 +37,8 @@ import hashlib
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from graphforge_spark.corpus import spread_small_scan
+
 
 def _dot(a, b):
     """Sequential left-fold dot product in double precision: matches
@@ -68,7 +70,9 @@ def cosine_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
     )
-    n = vectors.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_nv"))
+    n = spread_small_scan(vectors).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_nv")
+    )
     scored = (
         n.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -127,7 +131,7 @@ def cosine_neardup_pairs(
     at corpus scale use ``lsh_bucket`` to block first (same scoring column,
     bucket-equality join instead of the triangular cross join). ``max_ids``
     bounds the id range for the exact pass."""
-    v = vectors.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    v = spread_small_scan(vectors).select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
     if max_ids is not None:
         v = v.filter(F.col("_id") < max_ids)
     a = v.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va"))
@@ -174,6 +178,7 @@ def cosine_neardup_lsh_pairs(
             ).alias("_tbl", "_bucket"),
         )
 
+    vectors = spread_small_scan(vectors)
     a = with_buckets(vectors, "id_a", "_va")
     b = with_buckets(vectors, "id_b", "_vb")
     cands = (
@@ -246,7 +251,7 @@ def lsh_bucketed_topk(
         )
 
     bq = with_buckets(queries, "query_id", "_qv", multiprobe)
-    bn = with_buckets(vectors, "neighbor_id", "_nv", False)
+    bn = with_buckets(spread_small_scan(vectors), "neighbor_id", "_nv", False)
     cands = (
         bn.join(F.broadcast(bq), ["_tbl", "_bucket"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -412,7 +417,7 @@ def ivf_topk(
         )
     assign = _assign_udf(centroids)
     probe = _probe_udf(centroids, nprobe)
-    n = vectors.select(
+    n = spread_small_scan(vectors).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_nv"),
         assign(F.col(vec_col)).alias("_cell"),
