@@ -19,11 +19,16 @@ clause (e.g. executing SELECT DISTINCT as a bag projection) would return
 
 Grammar (whitespace-insensitive, case-insensitive keywords):
 
-    query    := PREFIX* (select | ask | construct)
-    select   := SELECT DISTINCT? proj WHERE { stmt* } modifier*
+    query    := PREFIX* (select | ask | construct | describe)
+    select   := SELECT (DISTINCT|REDUCED)? proj WHERE { stmt* } modifier*
     ask      := ASK WHERE? { stmt* }            → one row, boolean `ask`
     construct:= CONSTRUCT { pattern+ } WHERE { stmt* } modifier*
                                                → distinct subj/pred/obj rows
+    describe := DESCRIBE ('*' | var+ | (iri|curie)+) (WHERE { stmt* } modifier*)?
+                                               → distinct subj/pred/obj rows
+                 (description = all triples whose subject is a matched
+                  resource; REDUCED executes as DISTINCT, a conforming
+                  choice — the spec allows any duplicate elimination)
     proj     := '*' | (var | '(' AGG '(' var ')' AS var ')'
               | '(' GROUP_CONCAT '(' var (';' SEPARATOR '=' "s")? ')' AS var ')')+
     AGG      := COUNT | SUM | MIN | MAX | AVG | SAMPLE
@@ -98,7 +103,7 @@ _TERM_RE = re.compile(
 # Constructs we knowingly do NOT support — named here so the error says
 # "unsupported SPARQL feature X", not just "cannot parse".
 _UNSUPPORTED_KEYWORDS = re.compile(
-    r"\b(SERVICE|DESCRIBE|REDUCED)\b",
+    r"\b(SERVICE)\b",
     re.IGNORECASE,
 )
 
@@ -301,7 +306,7 @@ def parse_sparql(query: str, prefixes: dict[str, str] | None = None) -> _Parsed:
     q = _PREFIX_RE.sub(" ", q)
 
     m = re.search(
-        r"SELECT\s+(?P<distinct>DISTINCT\s+)?(?P<proj>.*?)\s+WHERE\s*\{",
+        r"SELECT\s+(?P<distinct>(?:DISTINCT|REDUCED)\s+)?(?P<proj>.*?)\s+WHERE\s*\{",
         q,
         re.IGNORECASE | re.DOTALL,
     )
@@ -969,12 +974,14 @@ def sparql_query(
     scan = re.sub(
         r"<[^>]*>", "<>", re.sub(r'"(?:[^"\\]|\\.)*"', '""', _PREFIX_RE.sub(" ", q))
     )
-    m = re.search(r"\b(SELECT|ASK|CONSTRUCT)\b", scan, re.IGNORECASE)
+    m = re.search(r"\b(SELECT|ASK|CONSTRUCT|DESCRIBE)\b", scan, re.IGNORECASE)
     form = m.group(1).upper() if m else "SELECT"
     if form == "ASK":
         return _ask_query(triples, q, prefixes)
     if form == "CONSTRUCT":
         return _construct_query(triples, q, prefixes)
+    if form == "DESCRIBE":
+        return _describe_query(triples, q, prefixes)
     return _select_query(triples, query, prefixes)
 
 
@@ -1062,6 +1069,73 @@ def _construct_query(
         for s, p, o in templates
     ]
     return reduce(lambda a, b: a.unionByName(b), frames).distinct()
+
+
+def _describe_query(
+    triples: DataFrame, q: str, prefixes: dict[str, str] | None
+) -> DataFrame:
+    """DESCRIBE <iri>... | DESCRIBE ?v... [*] WHERE { … } → the concise
+    bounded description of each matched resource, here defined (the spec
+    leaves the description form to the implementation) as every triple
+    whose SUBJECT is a described resource — deterministic, set-semantic,
+    and expressible as one semi-join. Variable targets take their
+    resource set from the WHERE solutions; ``DESCRIBE *`` describes every
+    binding of every variable. Output: distinct (subj, pred, obj)."""
+    pmap = dict(DEFAULT_PREFIXES)
+    if prefixes:
+        pmap.update(prefixes)
+    for pfx, iri in _PREFIX_RE.findall(q):
+        pmap[pfx] = iri
+    body = _PREFIX_RE.sub(" ", q).strip()
+    m = re.match(
+        r"DESCRIBE\s+(?P<targets>.*?)\s*(?P<rest>\bWHERE\b.*)?$",
+        body,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if not m:
+        raise ValueError("cannot parse DESCRIBE query")
+    targets_text, rest = m.group("targets"), m.group("rest")
+    tok_re = re.compile(r"\*|\?\w+|<[^>]*>|[\w-]*:[\w./#-]+")
+    toks = list(tok_re.finditer(targets_text))
+    if _residue(targets_text, toks):
+        raise ValueError(
+            f"unsupported DESCRIBE target syntax: {targets_text.strip()!r}"
+        )
+    if not toks:
+        raise ValueError("DESCRIBE needs at least one target")
+    var_targets, iri_targets, star = [], [], False
+    for t in toks:
+        tv = t.group(0)
+        if tv == "*":
+            star = True
+        elif tv.startswith("?"):
+            var_targets.append(tv[1:])
+        elif tv.startswith("<"):
+            iri_targets.append(tv[1:-1])
+        else:
+            iri_targets.append(_expand(tv, pmap))
+
+    frames = []
+    if var_targets or star:
+        if not rest:
+            raise ValueError("DESCRIBE with variable targets requires WHERE { ... }")
+        sol = _select_query(triples, "SELECT * " + rest, prefixes)
+        names = sol.columns if star else var_targets
+        for name in names:
+            if name not in sol.columns:
+                raise ValueError(f"DESCRIBE target ?{name} is not bound in WHERE")
+            frames.append(sol.select(F.col(name).alias("_r")))
+    if iri_targets:
+        spark = triples.sparkSession
+        frames.append(
+            spark.createDataFrame([(v,) for v in iri_targets], "_r string")
+        )
+    resources = reduce(lambda a, b: a.unionByName(b), frames).na.drop().distinct()
+    return (
+        triples.join(resources, triples["subj"] == resources["_r"], "left_semi")
+        .select("subj", "pred", "obj")
+        .distinct()
+    )
 
 
 def _select_query(

@@ -582,14 +582,15 @@ def test_bind_scalar_functions(graph):
     "bad_query",
     [
         "SELECT ?s WHERE { ?s ?p ?o . ?s ?p2 ?o2 } UNION { ?a ?b ?c }",
-        "SELECT REDUCED ?s WHERE { ?s ?p ?o }",
         "SELECT ?s WHERE { ?s ?p ?o } HAVING (?s > 1)",
         "SELECT (COUNT(?o) AS ?n) ?p WHERE { ?s ?p ?o } GROUP BY ?p HAVING (SUM(?o) > 1)",
         "SELECT ?s bogus WHERE { ?s ?p ?o }",
         "SELECT ?s WHERE { ?s ?p ?o garbage garbage }",
         "SELECT ?s WHERE { ?s ?p ?o . BIND(NOW() AS ?t) }",
         "SELECT ?missing WHERE { ?s ?p ?o }",
-        "DESCRIBE <http://ex.org/x>",
+        "DESCRIBE ?x",
+        "DESCRIBE garbage here",
+        "DESCRIBE ?missing WHERE { ?s ?p ?o }",
         "SELECT ?s WHERE { SERVICE <http://remote/sparql> { ?s ?p ?o } }",
         "CONSTRUCT { ?s ?p ?o } SELECT ?s",
         "CONSTRUCT { } WHERE { ?s ?p ?o }",
@@ -603,3 +604,36 @@ def test_bind_scalar_functions(graph):
 def test_unsupported_syntax_is_loud(graph, bad_query):
     with pytest.raises(ValueError):
         sparql_query(graph, bad_query)
+
+
+def test_describe_iri_targets(graph):
+    # fixed-resource DESCRIBE: all triples whose subject is a target
+    out = sparql_query(graph, "DESCRIBE <http://ex.org/x> <http://ex.org/B>")
+    rows = {(r.subj, r.pred, r.obj) for r in out.collect()}
+    assert rows == {
+        (s, p, o) for s, p, o, _ in TRIPLES if s in ("http://ex.org/x", "http://ex.org/B")
+    }
+    assert out.columns == ["subj", "pred", "obj"]
+
+
+def test_describe_var_and_star(graph):
+    # variable target: describe every ?s that likes something
+    q = "DESCRIBE ?s WHERE { ?s <http://ex.org/p/likes> ?o }"
+    rows = {r.subj for r in sparql_query(graph, q).collect()}
+    assert rows == {"http://ex.org/x", "http://ex.org/y"}
+    # DESCRIBE * — every binding of every variable that HAS subject triples
+    q2 = "DESCRIBE * WHERE { ?a <http://ex.org/p/likes> ?b }"
+    subs = {r.subj for r in sparql_query(graph, q2).collect()}
+    assert subs == {"http://ex.org/x", "http://ex.org/y"}  # z has no subject rows
+
+
+def test_describe_curie_target_expands(graph):
+    q = "PREFIX ex: <http://ex.org/> DESCRIBE ex:A"
+    rows = {(r.subj, r.obj) for r in sparql_query(graph, q).collect()}
+    assert rows == {("http://ex.org/A", "http://ex.org/B")}
+
+
+def test_select_reduced_executes_as_distinct(graph):
+    q = "SELECT REDUCED ?p WHERE { ?s ?p ?o }"
+    rows = [r.p for r in sparql_query(graph, q).collect()]
+    assert sorted(rows) == sorted({p for _, p, _, _ in TRIPLES})
