@@ -38,6 +38,7 @@ Grammar (whitespace-insensitive, case-insensitive keywords):
               | GRAPH (iri|curie|var) '{' pattern+ '}'
               | '{' pattern+ '}' (UNION '{' pattern+ '}')+
               | MINUS '{' pattern+ '}'
+              | '{' select '}'        (subquery — top level of WHERE only)
               | VALUES (var | '(' var+ ')') '{' (term | '(' term+ ')')+ '}'
     pattern  := term predpath term
     predpath := term | '(' leg ('|' leg)* ')' [*+?]? | '(' leg ('/' leg)+ ')'
@@ -165,6 +166,7 @@ class _Parsed:
     values: list = field(default_factory=list)  # (var_names, rows)
     filters: list = field(default_factory=list)  # raw condition strings
     exists: list = field(default_factory=list)  # (negated, list[pattern])
+    subqueries: list = field(default_factory=list)  # raw '{ SELECT … }' texts
     binds: list = field(default_factory=list)  # (alias, raw expr string)
     group_by: str | None = None
     having: list = field(default_factory=list)  # raw condition strings
@@ -413,7 +415,48 @@ def parse_sparql(query: str, prefixes: dict[str, str] | None = None) -> _Parsed:
         parsed.values.append((names, rows))
         return " "
 
-    # FILTER [NOT] EXISTS { patterns } — extracted FIRST among the braced
+    # Subqueries: { SELECT … } groups — extracted FIRST of all braced
+    # clauses (the only construct whose braces nest arbitrarily deep, so
+    # the flat [^{}]* clause regexes below must never see one). The scan
+    # runs over the string mask with depth tracking: a subquery nested
+    # inside another group (e.g. a UNION arm) would silently change its
+    # join scope if lifted out, so non-top-level subqueries raise.
+    def take_subqueries(text: str) -> tuple[str, list[str]]:
+        masked = _mask_strings(text)
+        chars, subs = list(text), []
+        depth, i, n = 0, 0, len(text)
+        while i < n:
+            ch = masked[i]
+            if ch == "{":
+                if re.match(r"\{\s*SELECT\b", masked[i:], re.IGNORECASE):
+                    if depth != 0:
+                        raise ValueError(
+                            "subqueries are only supported at the top level "
+                            "of the WHERE block"
+                        )
+                    d, j = 1, i + 1
+                    while j < n and d:
+                        if masked[j] == "{":
+                            d += 1
+                        elif masked[j] == "}":
+                            d -= 1
+                        j += 1
+                    if d:
+                        raise ValueError("unbalanced braces in subquery")
+                    subs.append(text[i + 1 : j - 1])
+                    for k in range(i, j):
+                        chars[k] = " "
+                    i = j
+                    continue
+                depth += 1
+            elif ch == "}":
+                depth -= 1
+            i += 1
+        return "".join(chars), subs
+
+    body, parsed.subqueries = take_subqueries(body)
+
+    # FILTER [NOT] EXISTS { patterns } — extracted next among the braced
     # clauses so its group cannot be captured by the UNION-chain regex
     def take_exists(mm: re.Match) -> str:
         pats = [
@@ -1141,6 +1184,16 @@ def _describe_query(
 def _select_query(
     triples: DataFrame, query: str, prefixes: dict[str, str] | None = None
 ) -> DataFrame:
+    return _select_frame(triples, query, prefixes)[0]
+
+
+def _select_frame(
+    triples: DataFrame, query: str, prefixes: dict[str, str] | None = None
+) -> tuple[DataFrame, set]:
+    """Compile a SELECT query to (bindings frame, nullable columns) —
+    the nullable set names projected columns that can carry UNBOUND
+    (null-extended) values, so an enclosing scope (a subquery join)
+    knows to use compatible-mapping join semantics on them."""
     parsed, pmap = parse_sparql(query, prefixes)
 
     plain = [p for p in parsed.patterns if not (isinstance(p[1], tuple))]
@@ -1197,6 +1250,13 @@ def _select_query(
         ]
         nullable = {c for c in allcols if any(c not in f.columns for f in arm_frames)}
         frames.append((reduce(lambda a, b: a.unionByName(b), aligned), nullable))
+    for subtext in parsed.subqueries:
+        # subquery: an independently evaluated solution sequence whose
+        # PROJECTED variables join the enclosing group; inner modifiers
+        # (GROUP BY / ORDER BY / LIMIT …) apply before the join, per
+        # spec. The recursive compile reports which projected columns
+        # can be unbound, so the join stays compatible-mapping-correct.
+        frames.append(_select_frame(triples, subtext, pmap))
     if not frames:
         raise ValueError("empty WHERE block")
     out, out_null = frames[0]
@@ -1207,7 +1267,9 @@ def _select_query(
         for p in opt_patterns:
             if isinstance(p[1], tuple):
                 raise ValueError("property paths inside OPTIONAL are not supported")
-        out = optional(out, bgp(triples, opt_patterns))
+        opt_frame = bgp(triples, opt_patterns)
+        out_null |= {c for c in opt_frame.columns if c not in out.columns}
+        out = optional(out, opt_frame)
 
     for minus_patterns in parsed.minuses:
         # SPARQL MINUS: drop bindings compatible with the minus group on
@@ -1226,6 +1288,10 @@ def _select_query(
         if alias in out.columns:
             raise ValueError(f"BIND target ?{alias} is already bound")
         out = out.withColumn(alias, _bind_col(expr, pmap))
+        # a BIND expression over an unbound input evaluates to unbound —
+        # conservatively nullable (costs nothing unless an enclosing
+        # subquery join actually shares the column)
+        out_null.add(alias)
 
     # FILTER [NOT] EXISTS { patterns }: left-semi / left-anti join on the
     # shared variables. A correlated EXISTS with NO shared variable would
@@ -1338,4 +1404,6 @@ def _select_query(
         out = out.offset(parsed.offset)
     if parsed.limit is not None:
         out = out.limit(parsed.limit)
-    return out
+    # aggregate aliases are always bound; anything else that survived to
+    # the projection keeps its tracked nullability
+    return out, {c for c in out.columns if c in out_null}

@@ -606,6 +606,58 @@ def test_unsupported_syntax_is_loud(graph, bad_query):
         sparql_query(graph, bad_query)
 
 
+def test_subquery_aggregate_joins_outer(graph):
+    # inner: count likes per subject; outer: join the type edge back in
+    q = """
+        SELECT ?s ?n ?cls WHERE {
+            ?s <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> ?cls .
+            { SELECT ?s (COUNT(?o) AS ?n)
+              WHERE { ?s <http://ex.org/p/likes> ?o } GROUP BY ?s }
+        }
+    """
+    rows = [(r.s, r.n, r.cls) for r in sparql_query(graph, q).collect()]
+    assert rows == [("http://ex.org/x", 1, "http://ex.org/A")]
+
+
+def test_subquery_limit_applies_before_outer_join(graph):
+    # the inner LIMIT slices the subquery's ORDERED solutions first
+    q = """
+        SELECT ?s ?o WHERE {
+            ?s <http://ex.org/p/likes> ?o .
+            { SELECT ?s WHERE { ?s <http://ex.org/p/likes> ?x }
+              ORDER BY ?s LIMIT 1 }
+        }
+    """
+    rows = [(r.s, r.o) for r in sparql_query(graph, q).collect()]
+    assert rows == [("http://ex.org/x", "http://ex.org/y")]
+
+
+def test_subquery_nullable_projection_joins_compatibly(graph):
+    # the subquery projects an OPTIONAL (nullable) var; joining it to an
+    # outer pattern must treat unbound as compatible, not drop the row
+    q = """
+        SELECT ?s ?note ?o WHERE {
+            ?s <http://ex.org/p/likes> ?o .
+            { SELECT ?s ?note WHERE {
+                ?s <http://ex.org/p/likes> ?x .
+                OPTIONAL { ?s <http://example.org/optionalPredicate> ?note }
+            } }
+        }
+    """
+    rows = {(r.s, r.note) for r in sparql_query(graph, q).collect()}
+    assert rows == {("http://ex.org/x", "note"), ("http://ex.org/y", None)}
+
+
+def test_subquery_nested_in_union_arm_is_loud(graph):
+    q = """
+        SELECT ?s WHERE {
+            { { SELECT ?s WHERE { ?s ?p ?o } } } UNION { ?s ?p ?o }
+        }
+    """
+    with pytest.raises(ValueError):
+        sparql_query(graph, q)
+
+
 def test_describe_iri_targets(graph):
     # fixed-resource DESCRIBE: all triples whose subject is a target
     out = sparql_query(graph, "DESCRIBE <http://ex.org/x> <http://ex.org/B>")
