@@ -71,14 +71,23 @@ def transitive_closure(
 ) -> DataFrame:
     """Reflexive-transitive closure of (s, o) edges → all (s, o) pairs.
 
-    ``doubling=True`` (default) squares the covered path length each round
-    by self-joining the closure-so-far — O(log diameter) rounds. Every
-    round of an iterative Spark job is a full shuffle + a lineage
-    checkpoint, so at cluster scale round count IS the cost model: a
-    depth-1000 hierarchy takes 10 doubling rounds vs 1000 frontier rounds.
-    ``doubling=False`` keeps the frontier-BFS variant (one hop per round,
-    total join work O(|closure|·avg_degree) instead of O(|closure|²/n) —
-    the better trade when the graph is wide but shallow).
+    ``doubling=True`` (default) squares the covered path length each
+    round — O(log diameter) rounds — using SMART doubling: the round-k
+    frontier (pairs whose minimal distance is in (2^(k-1), 2^k], i.e.
+    exactly the pairs the anti-join admitted last round) composes with
+    the full closure-so-far. This finds every pair at minimal distance
+    d ∈ (2^k, 2^(k+1)]: split d's minimal path after 2^k hops — subpaths
+    of a minimal path are minimal, so the prefix pair's minimal distance
+    is exactly 2^k ∈ (2^(k-1), 2^k] (frontier) and the suffix is ≤ 2^k
+    (closure). Same round count as full closure⋈closure self-join, but
+    per-round join work scales with |frontier|, not |closure| — the
+    frontier is the dyadic distance band and shrinks once the diameter
+    is crossed. Every round of an iterative Spark job is a full shuffle
+    + a lineage checkpoint, so at cluster scale round count IS the cost
+    model: a depth-1000 hierarchy takes 10 doubling rounds vs 1000
+    frontier rounds. ``doubling=False`` keeps the frontier-BFS variant
+    (one hop per round, total join work O(|closure|·avg_degree) — the
+    better trade when the graph is wide but shallow).
 
     ``include_zero_step`` adds the SPARQL ZeroOrMore reflexive pairs for
     every node appearing in ``edges`` (or in ``zero_step_nodes`` if given:
@@ -89,11 +98,11 @@ def transitive_closure(
     frontier = reached
 
     for _ in range(max_iterations):
-        left = reached if doubling else frontier
-        # doubling: compose closure-with-closure (2^k hops after k rounds);
-        # frontier: extend only the newly discovered pairs by one hop
+        # doubling: frontier (last round's new pairs) composes with the
+        # closure-so-far (2^k hops after k rounds — see docstring proof);
+        # frontier-BFS: extend the new pairs by one base edge
         step = (
-            left.alias("f")
+            frontier.alias("f")
             .join((reached if doubling else base).alias("e"), F.col("f.o") == F.col("e.s"))
             .select(F.col("f.s").alias("s"), F.col("e.o").alias("o"))
             .distinct()
