@@ -53,6 +53,8 @@ from collections.abc import Iterator
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from graphforge_spark.corpus import spread_small_scan
+
 
 # ---------------------------------------------------------------------------
 # 1. RDF/XML walker (graphProcessor.js:203-304 semantics)
@@ -165,7 +167,7 @@ def extract_rdfxml(df: DataFrame, text_col: str = "text") -> DataFrame:
     """
     import pandas as pd  # noqa: F401 (imported for clarity; used via iterator)
 
-    src = df.select(
+    src = spread_small_scan(df).select(
         F.col("conv_id").alias("src_conv_id"),
         F.col("turn_idx").alias("src_turn_idx"),
         F.col(text_col).alias("_text"),
@@ -224,7 +226,7 @@ def extract_ntriples(df: DataFrame, text_col: str = "text") -> DataFrame:
     Unparseable lines are dropped (N3.Parser would raise; at 100 TB we
     quarantine instead — callers can count dropped lines via lineage).
     """
-    lines = df.select(
+    lines = spread_small_scan(df).select(
         F.col("conv_id").alias("src_conv_id"),
         F.col("turn_idx").alias("src_turn_idx"),
         F.explode(F.split(F.col(text_col), r"\n")).alias("line"),
@@ -646,7 +648,7 @@ def _parse_turtle(text: str) -> list[tuple[str, str, str, bool]]:
 def extract_turtle(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Arrow-batched Turtle extraction over transcript turns (one Turtle
     document per turn). Same output shape as the other extractors."""
-    src = df.select(
+    src = spread_small_scan(df).select(
         F.col("conv_id").alias("src_conv_id"),
         F.col("turn_idx").alias("src_turn_idx"),
         F.col(text_col).alias("_text"),
@@ -810,7 +812,7 @@ def extract_patterns(
     rules = rules or DEFAULT_RULES
     arrays = [_rule_matches(r, text_col) for r in rules]
     matches = F.concat(*arrays) if len(arrays) > 1 else arrays[0]
-    exploded = df.select(
+    exploded = spread_small_scan(df).select(
         F.col("conv_id").alias("src_conv_id"),
         F.col("turn_idx").alias("src_turn_idx"),
         F.explode(matches).alias("m"),
