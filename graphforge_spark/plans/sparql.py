@@ -30,9 +30,11 @@ Grammar (whitespace-insensitive, case-insensitive keywords):
                   resource; REDUCED executes as DISTINCT, a conforming
                   choice — the spec allows any duplicate elimination)
     proj     := '*' | (var | '(' AGG '(' var ')' AS var ')'
+              | '(' expr AS var ')'    (expression projection = implicit BIND)
               | '(' GROUP_CONCAT '(' var (';' SEPARATOR '=' "s")? ')' AS var ')')+
     AGG      := COUNT | SUM | MIN | MAX | AVG | SAMPLE
-    stmt     := pattern '.'? | OPTIONAL '{' pattern+ '}' | FILTER '(' cond ')'
+    stmt     := pattern '.'? | OPTIONAL '{' (pattern | FILTER '(' cond ')')+ '}'
+              | FILTER '(' cond ')'
               | FILTER NOT? EXISTS '{' pattern+ '}'
               | BIND '(' expr AS var ')'
               | GRAPH (iri|curie|var) '{' pattern+ '}'
@@ -43,19 +45,26 @@ Grammar (whitespace-insensitive, case-insensitive keywords):
     pattern  := term predpath term
     predpath := term | '(' leg ('|' leg)* ')' [*+?]? | '(' leg ('/' leg)+ ')'
               | curie [*+?]? | '^' curie
+              | '!' (iri | curie) | '!(' (iri|curie) ('|' (iri|curie))* ')'
+                                        (negated property set, forward only)
     leg      := '^'? (iri | curie)
     term     := ?var | <iri> | curie | "literal" | 'a'
     expr     := term | STR(e) | CONCAT(e, ...) | UCASE(e) | LCASE(e)
               | STRLEN(e) | SUBSTR(e, pos[, len]) | REPLACE(e, "re", "rep")
+              | STRBEFORE(e, "s") | STRAFTER(e, "s")
               | COALESCE(e, ...) | IF(cond, e, e)
     cond     := disj ; disj := conj ('||' conj)* ; conj := atom ('&&' atom)*
     atom     := '(' cond ')' | operand cmp operand | REGEX(var, "re")
               | CONTAINS(var, "s") | STRSTARTS(var, "s") | STRENDS(var, "s")
               | BOUND(var) | !BOUND(var) | var NOT? IN '(' term (',' term)* ')'
+              | ISIRI(var) | ISURI(var) | ISLITERAL(var) | ISBLANK(var)
+                (term-type tests use the engine's discriminator:
+                 IRI = startsWith 'http', blank = startsWith '_:',
+                 literal = bound and neither — graphProcessor.js:222)
     operand  := var | literal | number | iri | curie | expr-function-call
     cmp      := '=' | '!=' | '<' | '<=' | '>' | '>='
     modifier := GROUP BY var | HAVING '(' cond ')' | LIMIT n | OFFSET n
-              | ORDER BY (var | ASC(var) | DESC(var))
+              | ORDER BY ((var | ASC(var) | DESC(var))+)   (multi-key)
 
 Determinism notes (both sides of the value oracle must agree):
 GROUP_CONCAT's element order is unspecified by SPARQL — this engine sorts
@@ -95,6 +104,7 @@ _TERM_RE = re.compile(
     r"""\?(?P<var>\w+)
       | <(?P<iri>[^>]*)>
       | "(?P<lit>(?:[^"\\]|\\.)*)"
+      | (?P<negset>!\((?:[^()]*)\)|!<[^>]*>|![\w-]*:[\w./#-]+)
       | (?P<path>\((?:[^()]*)\)[*+?]?)
       | (?P<curie>\^?[\w-]*:[\w./#-]+[*+?]?)
       | (?<![\w?<"]) (?P<kw>a) (?=\s)
@@ -159,7 +169,7 @@ class _Parsed:
     projection: list = field(default_factory=list)  # ["*"] | vars | ("count", x, alias)
     distinct: bool = False
     patterns: list = field(default_factory=list)  # (term, predpath, term)
-    optionals: list = field(default_factory=list)  # list[list[pattern]]
+    optionals: list = field(default_factory=list)  # list[(patterns, filters)]
     graphs: list = field(default_factory=list)  # (graph_iri | Var, list[pattern])
     unions: list = field(default_factory=list)  # list[list[list[pattern]]] (arms)
     minuses: list = field(default_factory=list)  # list[list[pattern]]
@@ -170,7 +180,7 @@ class _Parsed:
     binds: list = field(default_factory=list)  # (alias, raw expr string)
     group_by: str | None = None
     having: list = field(default_factory=list)  # raw condition strings
-    order_by: tuple | None = None  # (var, ascending)
+    order_by: list | None = None  # [(var, ascending), …] in key order
     limit: int | None = None
     offset: int | None = None
 
@@ -222,6 +232,8 @@ def _parse_term(tok: re.Match, prefixes: dict):
         return tok.group("lit")
     if tok.group("kw"):
         return _expand("rdf:type", prefixes)
+    if tok.group("negset"):
+        return ("path", tok.group("negset"))
     if tok.group("path"):
         return ("path", tok.group("path"))
     return _expand(tok.group("curie"), prefixes)
@@ -346,21 +358,61 @@ def parse_sparql(query: str, prefixes: dict[str, str] | None = None) -> _Parsed:
             re.IGNORECASE | re.VERBOSE,
         )
     )
+    # projection items carry their text position so the output column
+    # order follows the SELECT clause, whatever mix of aggregates,
+    # expressions, and plain variables it holds
+    proj_items = []
     for agg in agg_matches:
         if agg.group("gc"):
             # SPARQL's default separator is a single space
             sep = agg.group("sep") if agg.group("sep") is not None else " "
-            parsed.projection.append(
-                ("group_concat", agg.group("gx"), agg.group("alias"), sep)
+            proj_items.append(
+                (agg.start(), ("group_concat", agg.group("gx"), agg.group("alias"), sep))
             )
         else:
-            parsed.projection.append(
-                (agg.group("fn").lower(), agg.group("x"), agg.group("alias"), None)
+            proj_items.append(
+                (agg.start(), (agg.group("fn").lower(), agg.group("x"), agg.group("alias"), None))
             )
     rest = _residue(proj_text, agg_matches)
+    # expression projections: ( expr AS ?alias ) — compiled as a BIND over
+    # the group bindings plus a plain projection of the alias. Scanned on
+    # the string-blanked mask so quoted parens can't unbalance the walk.
+    masked_rest = _mask_strings(rest)
+    expr_spans = []
+    pos = 0
+    while True:
+        start = masked_rest.find("(", pos)
+        if start < 0:
+            break
+        depth, i = 1, start + 1
+        while i < len(masked_rest) and depth:
+            if masked_rest[i] == "(":
+                depth += 1
+            elif masked_rest[i] == ")":
+                depth -= 1
+            i += 1
+        if depth:
+            raise ValueError(f"unbalanced parentheses in SELECT projection: {rest!r}")
+        blk = rest[start + 1 : i - 1]
+        bm = re.match(r"^(.*?)\s+AS\s+\?(\w+)\s*$", _mask_strings(blk), re.IGNORECASE | re.DOTALL)
+        if not bm:
+            raise ValueError(
+                f"cannot parse SELECT expression (expected '(expr AS ?var)'): ({blk})"
+            )
+        parsed.binds.append((bm.group(2), blk[: bm.end(1)]))
+        proj_items.append((start, bm.group(2)))
+        expr_spans.append((start, i))
+        pos = i
+    if expr_spans:
+        chars = list(rest)
+        for s_, e_ in expr_spans:
+            for j in range(s_, e_):
+                chars[j] = " "
+        rest = "".join(chars)
     plain = list(re.finditer(r"\*|\?(\w+)", rest))
     for t in plain:
-        parsed.projection.append("*" if t.group(0) == "*" else t.group(1))
+        proj_items.append((t.start(), "*" if t.group(0) == "*" else t.group(1)))
+    parsed.projection.extend(item for _, item in sorted(proj_items, key=lambda p: p[0]))
     left = _residue(rest, plain)
     if left:
         raise ValueError(f"unsupported SELECT projection syntax: {left!r}")
@@ -369,14 +421,18 @@ def parse_sparql(query: str, prefixes: dict[str, str] | None = None) -> _Parsed:
 
     # ---- body: OPTIONAL blocks, FILTER conditions, then plain patterns ----
     def take_optional(mm: re.Match) -> str:
+        # FILTERs inside the block scope to the optional group: they
+        # restrict which right-side rows exist BEFORE the left join, so a
+        # failing filter yields an unbound extension, not a dropped row.
+        blk, opt_filters = _take_paren_blocks(mm.group(1), "FILTER")
         pats = [
             _parse_pattern(chunk, pmap)
-            for chunk in _split_statements(mm.group(1))
+            for chunk in _split_statements(blk)
             if chunk.strip()
         ]
         if not pats:
             raise ValueError("empty OPTIONAL block")
-        parsed.optionals.append(pats)
+        parsed.optionals.append((pats, opt_filters))
         return " "
 
     # VALUES inline data: VALUES ?x { t1 t2 } or VALUES (?x ?y) { (a b) … }
@@ -571,9 +627,17 @@ def parse_sparql(query: str, prefixes: dict[str, str] | None = None) -> _Parsed:
     if gm:
         parsed.group_by = gm.group(1)
         consumed.append(gm)
-    om = re.search(r"ORDER\s+BY\s+(ASC|DESC)?\s*\(?\s*\?(\w+)\s*\)?", tail, re.IGNORECASE)
+    _key = r"(?:ASC|DESC)?\s*\(?\s*\?\w+\s*\)?"
+    om = re.search(
+        rf"ORDER\s+BY\s+(?P<keys>{_key}(?:\s+{_key})*)", tail, re.IGNORECASE
+    )
     if om:
-        parsed.order_by = (om.group(2), (om.group(1) or "ASC").upper() == "ASC")
+        parsed.order_by = [
+            (k.group(2), (k.group(1) or "ASC").upper() == "ASC")
+            for k in re.finditer(
+                r"(ASC|DESC)?\s*\(?\s*\?(\w+)\s*\)?", om.group("keys"), re.IGNORECASE
+            )
+        ]
         consumed.append(om)
     lm = re.search(r"LIMIT\s+(\d+)", tail, re.IGNORECASE)
     if lm:
@@ -595,7 +659,8 @@ def parse_sparql(query: str, prefixes: dict[str, str] | None = None) -> _Parsed:
 
 # an operand may be an expression-function call (one paren-nesting level;
 # enough for STRLEN(STR(?x)) — deeper nesting raises at compile)
-_FN_CALL = r"""(?:STRLEN|UCASE|LCASE|STR|SUBSTR|REPLACE|COALESCE|IF|CONCAT)
+_FN_CALL = r"""(?:STRLEN|UCASE|LCASE|STRBEFORE|STRAFTER|STR|SUBSTR|REPLACE
+                 |COALESCE|IF|CONCAT)
                \s*\((?:"(?:[^"\\]|\\.)*"|\([^()]*\)|[^()])*\)"""
 _CMP_RE = re.compile(
     rf"""^\s*(?P<a>{_FN_CALL}|\?\w+|"(?:[^"\\]|\\.)*"|<[^>]*>|-?\d+(?:\.\d+)?|[\w-]*:[\w./#-]+)
@@ -604,7 +669,8 @@ _CMP_RE = re.compile(
     re.VERBOSE | re.IGNORECASE,
 )
 _FUNC_RE = re.compile(
-    r"""^\s*(?P<neg>!)?\s*(?P<fn>REGEX|CONTAINS|STRSTARTS|STRENDS|BOUND)\s*\(
+    r"""^\s*(?P<neg>!)?\s*(?P<fn>REGEX|CONTAINS|STRSTARTS|STRENDS|BOUND
+                                 |ISIRI|ISURI|ISLITERAL|ISBLANK)\s*\(
          \s*\?(?P<var>\w+)\s*(?:,\s*"(?P<arg>(?:[^"\\]|\\.)*)"\s*)?\)\s*$""",
     re.VERBOSE | re.IGNORECASE,
 )
@@ -645,8 +711,23 @@ def _filter_atom(cond: str, pmap: dict) -> Column:
     fm = _FUNC_RE.match(cond)
     if fm:
         var, arg, fn = fm.group("var"), fm.group("arg"), fm.group("fn").upper()
+        if fn in ("BOUND", "ISIRI", "ISURI", "ISLITERAL", "ISBLANK") and arg is not None:
+            raise ValueError(f"{fn} takes a single variable: FILTER({cond.strip()})")
         if fn == "BOUND":
             col = F.col(var).isNotNull()
+        elif fn in ("ISIRI", "ISURI", "ISLITERAL", "ISBLANK"):
+            # term-type tests use the engine's (= the reference's) term
+            # discriminator: IRIs startWith 'http' (graphProcessor.js:222),
+            # blank nodes startWith '_:', everything else bound is a
+            # literal. Consistent with how obj_is_literal is derived.
+            is_iri = F.col(var).startswith("http")
+            is_blank = F.col(var).startswith("_:")
+            if fn in ("ISIRI", "ISURI"):
+                col = is_iri
+            elif fn == "ISBLANK":
+                col = is_blank
+            else:
+                col = F.col(var).isNotNull() & ~is_iri & ~is_blank
         elif arg is None:
             raise ValueError(f"{fn} requires a string argument: FILTER({cond.strip()})")
         elif fn == "REGEX":
@@ -766,7 +847,8 @@ def _bind_col(expr: str, pmap: dict) -> Column:
     e = expr.strip()
     masked = _mask_strings(e)
     fm = re.match(
-        r"^\s*(CONCAT|STR|UCASE|LCASE|STRLEN|SUBSTR|REPLACE|COALESCE|IF)\s*\(",
+        r"^\s*(CONCAT|STR|UCASE|LCASE|STRLEN|SUBSTR|REPLACE|COALESCE|IF"
+        r"|STRBEFORE|STRAFTER)\s*\(",
         masked,
         re.IGNORECASE,
     )
@@ -831,6 +913,17 @@ def _bind_col(expr: str, pmap: dict) -> Column:
         if fn == "COALESCE":
             need(1, 64)
             return F.coalesce(*(_bind_col(p, pmap) for p in args))
+        if fn in ("STRBEFORE", "STRAFTER"):
+            # SPARQL: empty string (not the input) when the needle is
+            # absent — that's the branch the CASE covers
+            need(2)
+            c, d = _bind_col(args[0], pmap), str_arg(1)
+            pos = F.instr(c, d)
+            if fn == "STRBEFORE":
+                found = F.substr(c, F.lit(1), pos - 1)
+            else:
+                found = F.substr(c, pos + len(d))
+            return F.when(pos > 0, found).otherwise(F.lit(""))
         if fn == "IF":
             need(3)
             return F.when(
@@ -927,7 +1020,23 @@ def _path_frame(triples: DataFrame, spec: str, s: Var, o: Var, pmap: dict) -> Da
 
     Zero-length paths (for ``*``/``?``) bind every node APPEARING in the
     path's edge set — the same scoping the reference's canned
-    ``(rdf:type|rdfs:subClassOf)*`` query exercises."""
+    ``(rdf:type|rdfs:subClassOf)*`` query exercises.
+
+    A negated property set ``!p`` / ``!(p1|p2)`` keeps edges whose
+    predicate is NONE of the listed IRIs — one codegen NOT-IN filter over
+    the store (no join). Inverse members (``^p``) inside a negated set
+    raise (two result shapes in one operator; not worth a silent guess)."""
+    if spec.startswith("!"):
+        inner = spec[1:].strip().strip("()").strip()
+        members = [t.strip() for t in inner.split("|") if t.strip()]
+        if any(t.startswith("^") for t in members):
+            raise ValueError(
+                f"inverse members in a negated property set are not supported: {spec!r}"
+            )
+        preds = [_expand(t.strip("<>"), pmap) for t in members]
+        return triples.filter(~F.col("pred").isin(preds)).select(
+            F.col("subj").alias("s"), F.col("obj").alias("o")
+        )
     suffix = spec[-1] if spec.endswith(("*", "+", "?")) else ""
     inner = (spec[:-1] if suffix else spec).strip().strip("()").strip()
 
@@ -1263,11 +1372,22 @@ def _select_frame(
     for f, f_null in frames[1:]:
         out, out_null = _join_compat(out, out_null, f, f_null)
 
-    for opt_patterns in parsed.optionals:
+    for opt_patterns, opt_filters in parsed.optionals:
         for p in opt_patterns:
             if isinstance(p[1], tuple):
                 raise ValueError("property paths inside OPTIONAL are not supported")
         opt_frame = bgp(triples, opt_patterns)
+        for cond in opt_filters:
+            refs = set(re.findall(r"\?(\w+)", cond))
+            if not refs <= set(opt_frame.columns):
+                # a filter referencing left-side vars is a correlated
+                # LeftJoin condition — different join, loud refusal
+                raise ValueError(
+                    "OPTIONAL FILTER may only use the block's own "
+                    f"variables; {sorted(refs - set(opt_frame.columns))} "
+                    "bind outside the group"
+                )
+            opt_frame = opt_frame.filter(_filter_col(cond, pmap))
         out_null |= {c for c in opt_frame.columns if c not in out.columns}
         out = optional(out, opt_frame)
 
@@ -1396,8 +1516,12 @@ def _select_frame(
         out = out.distinct()
 
     if parsed.order_by:
-        var, asc = parsed.order_by
-        out = out.orderBy(F.col(var).asc() if asc else F.col(var).desc())
+        out = out.orderBy(
+            *[
+                F.col(var).asc() if asc else F.col(var).desc()
+                for var, asc in parsed.order_by
+            ]
+        )
     if parsed.offset is not None:
         # SPARQL slice: OFFSET skips into the (ordered) solution sequence
         # before LIMIT truncates it — df.offset composes the same way

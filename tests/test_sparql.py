@@ -689,3 +689,83 @@ def test_select_reduced_executes_as_distinct(graph):
     q = "SELECT REDUCED ?p WHERE { ?s ?p ?o }"
     rows = [r.p for r in sparql_query(graph, q).collect()]
     assert sorted(rows) == sorted({p for _, p, _, _ in TRIPLES})
+
+
+def test_term_type_filters(graph):
+    # isIRI/isLiteral/isBlank use the engine's discriminator (the
+    # reference's startsWith('http') rule, graphProcessor.js:222)
+    iri = sparql_query(
+        graph, "SELECT ?s ?o WHERE { ?s <http://ex.org/p/likes> ?o . FILTER(isIRI(?o)) }"
+    ).count()
+    assert iri == 2
+    lit = sparql_query(
+        graph, "SELECT ?s ?o WHERE { ?s ?p ?o . FILTER(isLiteral(?o)) }"
+    ).collect()
+    assert [(r.s, r.o) for r in lit] == [("http://ex.org/x", "note")]
+    blank = sparql_query(
+        graph, "SELECT ?s WHERE { ?s ?p ?o . FILTER(isBlank(?s)) }"
+    ).count()
+    assert blank == 0
+    with pytest.raises(ValueError, match="single variable"):
+        sparql_query(graph, 'SELECT ?s WHERE { ?s ?p ?o . FILTER(isIRI(?s, "x")) }')
+
+
+def test_negated_property_set(graph):
+    # !p keeps edges whose predicate is NOT p — one codegen NOT-IN filter
+    out = sparql_query(
+        graph, "SELECT ?s ?o WHERE { ?s !<http://ex.org/p/likes> ?o }"
+    )
+    assert out.count() == len(TRIPLES) - 2
+    multi = sparql_query(
+        graph,
+        "PREFIX rdfs: <http://www.w3.org/2000/01/rdf-schema#> "
+        "SELECT ?s ?o WHERE { ?s !(rdfs:subClassOf|<http://ex.org/p/likes>) ?o }",
+    )
+    assert multi.count() == len(TRIPLES) - 4
+    with pytest.raises(ValueError, match="inverse members"):
+        sparql_query(graph, "SELECT ?s ?o WHERE { ?s !(^<http://ex.org/p/likes>) ?o }")
+
+
+def test_optional_filter_scopes_to_group(graph):
+    # the filter restricts the right side BEFORE the left join: x's
+    # annotation fails the filter, so x survives with ?note unbound
+    q = """SELECT ?s ?note WHERE {
+        ?s <http://ex.org/p/likes> ?o .
+        OPTIONAL { ?s <http://example.org/optionalPredicate> ?note . FILTER(?note != "note") }
+    }"""
+    rows = {r.s: r.note for r in sparql_query(graph, q).collect()}
+    assert rows == {"http://ex.org/x": None, "http://ex.org/y": None}
+    # a filter over left-side vars is a correlated join condition — loud
+    with pytest.raises(ValueError, match="bind outside the group"):
+        sparql_query(
+            graph,
+            """SELECT ?s WHERE { ?s <http://ex.org/p/likes> ?o .
+               OPTIONAL { ?o <http://ex.org/p/likes> ?x . FILTER(?x != ?s) } }""",
+        )
+
+
+def test_order_by_multiple_keys(graph):
+    q = """SELECT ?s ?o WHERE { ?s ?p ?o } ORDER BY DESC(?s) ?o"""
+    rows = sparql_query(graph, q).collect()
+    keys = [(r.s, r.o) for r in rows]
+    assert keys == sorted(keys, key=lambda t: (tuple(-ord(c) for c in t[0]), t[1]))
+
+
+def test_strbefore_strafter(graph):
+    q = """SELECT ?o (STRBEFORE(?o, ":") AS ?scheme) (STRAFTER(?o, "ex.org/") AS ?local)
+           WHERE { ?s <http://ex.org/p/likes> ?o } ORDER BY ?o"""
+    rows = sparql_query(graph, q).collect()
+    assert [(r.scheme, r.local) for r in rows] == [("http", "y"), ("http", "z")]
+    # absent needle yields "" (SPARQL), not the input string
+    q2 = 'SELECT (STRBEFORE("abc", "x") AS ?b) (STRAFTER("abc", "x") AS ?a) WHERE { ?s ?p ?o } LIMIT 1'
+    r = sparql_query(graph, q2).collect()[0]
+    assert (r.b, r.a) == ("", "")
+
+
+def test_expression_projection_order_and_bind(graph):
+    # (expr AS ?v) in SELECT is an implicit BIND; column order follows
+    # the SELECT clause text
+    q = """SELECT ?s (STRLEN(?o) AS ?n) ?o WHERE { ?s <http://ex.org/p/likes> ?o }"""
+    out = sparql_query(graph, q)
+    assert out.columns == ["s", "n", "o"]
+    assert {r.n for r in out.collect()} == {len("http://ex.org/y"), len("http://ex.org/z")}
