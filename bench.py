@@ -147,9 +147,37 @@ def _headline_queries():
         return transitive_closure(edges, include_zero_step=False).count()
 
     def bgp_optional_topk(spark, sf_dir):
-        a = entry.q_bgp_join(spark, sf_dir).count()
-        b = entry.q_optional(spark, sf_dir).count()
-        c = entry.q_topk_orgs(spark, sf_dir).count()
+        # extract once, query three times — the reference's own shape
+        # (A15 store load: quads.nq parses into the store ONCE, then every
+        # query hits the loaded store). Re-deriving the extraction spine
+        # per query would benchmark extraction ×3, not the query surface.
+        from graphforge_spark.operators.extract import extract_patterns
+        from graphforge_spark.plans.bgp import Var, bgp, optional
+
+        raw = extract_patterns(corpus.derive_transcripts(spark, sf_dir)).persist()
+        try:
+            store = raw.dropDuplicates(["subj", "pred", "obj"])
+            a = bgp(
+                store,
+                [
+                    (Var("person"), entry.WORKS_AT, Var("org")),
+                    (Var("org"), entry.LOCATED_IN, Var("region")),
+                ],
+            ).count()
+            b = optional(
+                bgp(store, [(Var("person"), entry.WORKS_AT, Var("org"))]),
+                bgp(store, [(Var("org"), entry.LOCATED_IN, Var("region"))]),
+            ).count()
+            c = (
+                raw.filter(F.col("pred") == entry.WORKS_AT)
+                .groupBy(F.col("obj").alias("org"))
+                .agg(F.count("*").alias("n"))
+                .orderBy(F.desc("n"), F.asc("org"))
+                .limit(5)
+                .count()
+            )
+        finally:
+            raw.unpersist()
         return a + b + c
 
     def doc_curation(spark, sf_dir):
