@@ -169,7 +169,7 @@ class _Parsed:
     projection: list = field(default_factory=list)  # ["*"] | vars | ("count", x, alias)
     distinct: bool = False
     patterns: list = field(default_factory=list)  # (term, predpath, term)
-    optionals: list = field(default_factory=list)  # list[(patterns, filters)]
+    optionals: list = field(default_factory=list)  # list[(patterns, filters, nested)]
     graphs: list = field(default_factory=list)  # (graph_iri | Var, list[pattern])
     unions: list = field(default_factory=list)  # list[list[list[pattern]]] (arms)
     minuses: list = field(default_factory=list)  # list[list[pattern]]
@@ -303,6 +303,69 @@ def _take_paren_blocks(body: str, keyword: str) -> tuple[str, list[str]]:
     return " ".join(out), blocks
 
 
+def _compile_optional_block(triples: DataFrame, blk: tuple, pmap: dict):
+    """Compile one (patterns, filters, nested) optional group into a
+    bindings frame plus the set of its columns that may be unbound
+    (null-extended by a nested OPTIONAL). Nested groups left-join into
+    the group frame first; the group's FILTERs then apply over the whole
+    group's bindings, per SPARQL group scoping."""
+    pats, filts, nested = blk
+    for p in pats:
+        if isinstance(p[1], tuple):
+            raise ValueError("property paths inside OPTIONAL are not supported")
+    f = bgp(triples, pats)
+    f_null: set = set()
+    for nb in nested:
+        nf, n_null = _compile_optional_block(triples, nb, pmap)
+        shared = [c for c in f.columns if c in nf.columns]
+        if n_null & set(shared):
+            raise ValueError(
+                "nested OPTIONAL shares possibly-unbound variable(s) "
+                f"{sorted(n_null & set(shared))} with its enclosing group"
+            )
+        f_null |= {c for c in nf.columns if c not in f.columns}
+        f = optional(f, nf)
+    for cond in filts:
+        refs = set(re.findall(r"\?(\w+)", cond))
+        if not refs <= set(f.columns):
+            # a filter referencing left-side vars is a correlated
+            # LeftJoin condition — different join, loud refusal
+            raise ValueError(
+                "OPTIONAL FILTER may only use the block's own "
+                f"variables; {sorted(refs - set(f.columns))} "
+                "bind outside the group"
+            )
+        f = f.filter(_filter_col(cond, pmap))
+    return f, f_null
+
+
+def _take_optional_groups(text: str) -> tuple[str, list[str]]:
+    """Remove every top-level ``OPTIONAL { … }`` (braces balanced to any
+    depth) from text; return (rest, block_texts). Balance runs over the
+    string-blanked mask so a quoted brace cannot derail the scan."""
+    masked = _mask_strings(text)
+    out, blocks, pos = [], [], 0
+    pat = re.compile(r"\bOPTIONAL\s*\{", re.IGNORECASE)
+    while True:
+        m = pat.search(masked, pos)
+        if not m:
+            out.append(text[pos:])
+            break
+        out.append(text[pos : m.start()])
+        depth, i = 1, m.end()
+        while i < len(masked) and depth:
+            if masked[i] == "{":
+                depth += 1
+            elif masked[i] == "}":
+                depth -= 1
+            i += 1
+        if depth:
+            raise ValueError("unbalanced braces after OPTIONAL")
+        blocks.append(text[m.end() : i - 1])
+        pos = i
+    return " ".join(out), blocks
+
+
 def parse_sparql(query: str, prefixes: dict[str, str] | None = None) -> _Parsed:
     q = _strip_comments(query)
     # scan with string literals AND <IRI> spans blanked: a literal
@@ -420,20 +483,24 @@ def parse_sparql(query: str, prefixes: dict[str, str] | None = None) -> _Parsed:
         raise ValueError("empty SELECT projection")
 
     # ---- body: OPTIONAL blocks, FILTER conditions, then plain patterns ----
-    def take_optional(mm: re.Match) -> str:
-        # FILTERs inside the block scope to the optional group: they
-        # restrict which right-side rows exist BEFORE the left join, so a
-        # failing filter yields an unbound extension, not a dropped row.
-        blk, opt_filters = _take_paren_blocks(mm.group(1), "FILTER")
+    def parse_optional_block(blk_text: str) -> tuple:
+        # An optional group parses recursively: nested OPTIONAL groups
+        # first (balanced braces), then the group's FILTERs, then its
+        # patterns. FILTERs scope to the whole group — they apply after
+        # the group's own nested optionals join in, so BOUND/!BOUND over
+        # a nested variable works, and a failing filter yields an unbound
+        # extension at the enclosing level, not a dropped row.
+        inner_rest, inner_blocks = _take_optional_groups(blk_text)
+        nested = [parse_optional_block(b) for b in inner_blocks]
+        rest2, opt_filters = _take_paren_blocks(inner_rest, "FILTER")
         pats = [
             _parse_pattern(chunk, pmap)
-            for chunk in _split_statements(blk)
+            for chunk in _split_statements(rest2)
             if chunk.strip()
         ]
         if not pats:
             raise ValueError("empty OPTIONAL block")
-        parsed.optionals.append((pats, opt_filters))
-        return " "
+        return (pats, opt_filters, nested)
 
     # VALUES inline data: VALUES ?x { t1 t2 } or VALUES (?x ?y) { (a b) … }
     def take_values(mm: re.Match) -> str:
@@ -606,7 +673,9 @@ def parse_sparql(query: str, prefixes: dict[str, str] | None = None) -> _Parsed:
         body,
         flags=re.IGNORECASE,
     )
-    body = re.sub(r"OPTIONAL\s*\{([^{}]*)\}", take_optional, body, flags=re.IGNORECASE)
+    body, opt_texts = _take_optional_groups(body)
+    for t in opt_texts:
+        parsed.optionals.append(parse_optional_block(t))
     if re.search(r"[{}]", body):
         raise ValueError("unsupported nested group in WHERE block")
     body, bind_blocks = _take_paren_blocks(body, "BIND")
@@ -1372,22 +1441,17 @@ def _select_frame(
     for f, f_null in frames[1:]:
         out, out_null = _join_compat(out, out_null, f, f_null)
 
-    for opt_patterns, opt_filters in parsed.optionals:
-        for p in opt_patterns:
-            if isinstance(p[1], tuple):
-                raise ValueError("property paths inside OPTIONAL are not supported")
-        opt_frame = bgp(triples, opt_patterns)
-        for cond in opt_filters:
-            refs = set(re.findall(r"\?(\w+)", cond))
-            if not refs <= set(opt_frame.columns):
-                # a filter referencing left-side vars is a correlated
-                # LeftJoin condition — different join, loud refusal
-                raise ValueError(
-                    "OPTIONAL FILTER may only use the block's own "
-                    f"variables; {sorted(refs - set(opt_frame.columns))} "
-                    "bind outside the group"
-                )
-            opt_frame = opt_frame.filter(_filter_col(cond, pmap))
+    for blk in parsed.optionals:
+        opt_frame, opt_null = _compile_optional_block(triples, blk, pmap)
+        shared = [c for c in out.columns if c in opt_frame.columns]
+        if opt_null & set(shared):
+            # a join variable the optional group may leave unbound needs a
+            # compatible-mapping left join (match on non-null only) —
+            # loud refusal beats a silently-dropped binding
+            raise ValueError(
+                "OPTIONAL group shares possibly-unbound variable(s) "
+                f"{sorted(opt_null & set(shared))} with the outer group"
+            )
         out_null |= {c for c in opt_frame.columns if c not in out.columns}
         out = optional(out, opt_frame)
 

@@ -769,3 +769,41 @@ def test_expression_projection_order_and_bind(graph):
     out = sparql_query(graph, q)
     assert out.columns == ["s", "n", "o"]
     assert {r.n for r in out.collect()} == {len("http://ex.org/y"), len("http://ex.org/z")}
+
+
+def test_nested_optional(graph):
+    # A ⊂ B ⊂ C chain: nested OPTIONAL null-extends progressively
+    q = """PREFIX rdfs: <http://www.w3.org/2000/01/rdf-schema#>
+    SELECT ?s ?up ?upup WHERE {
+        ?s rdfs:subClassOf ?o .
+        OPTIONAL { ?o rdfs:subClassOf ?up . OPTIONAL { ?up rdfs:subClassOf ?upup } }
+    }"""
+    rows = {(r.s): (r.up, r.upup) for r in sparql_query(graph, q).collect()}
+    assert rows == {
+        "http://ex.org/A": ("http://ex.org/C", None),
+        "http://ex.org/B": (None, None),
+    }
+
+
+def test_optional_not_bound_negation_idiom(graph):
+    # the classic OPTIONAL + !BOUND negation: subclasses with no parent
+    q = """PREFIX rdfs: <http://www.w3.org/2000/01/rdf-schema#>
+    SELECT ?s WHERE {
+        ?s rdfs:subClassOf ?o .
+        OPTIONAL { ?o rdfs:subClassOf ?up }
+        FILTER(!BOUND(?up))
+    }"""
+    rows = [r.s for r in sparql_query(graph, q).collect()]
+    assert rows == ["http://ex.org/B"]
+
+
+def test_optional_possibly_unbound_shared_var_is_loud(graph):
+    # the optional group's ?x may be unbound (nested OPTIONAL binds it);
+    # sharing it with the outer group needs a compatible-mapping join
+    q = """PREFIX rdfs: <http://www.w3.org/2000/01/rdf-schema#>
+    SELECT ?s ?x WHERE {
+        ?s rdfs:subClassOf ?x .
+        OPTIONAL { ?s <http://ex.org/p/likes> ?v . OPTIONAL { ?v rdfs:subClassOf ?x } }
+    }"""
+    with pytest.raises(ValueError, match="possibly-unbound"):
+        sparql_query(graph, q)
