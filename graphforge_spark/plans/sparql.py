@@ -42,7 +42,12 @@ Grammar (whitespace-insensitive, case-insensitive keywords):
               | MINUS '{' pattern+ '}'
               | '{' select '}'        (subquery — top level of WHERE only)
               | VALUES (var | '(' var+ ')') '{' (term | '(' term+ ')')+ '}'
-    pattern  := term predpath term
+    pattern  := subj predpath objlist (';' predpath objlist)*
+                (Turtle-style sugar: ';' predicate-object lists, ','
+                 object lists, '[ predpath obj … ]' blank-node property
+                 lists — desugared to plain patterns with internal
+                 existential variables ?_anon_N, hidden from SELECT *;
+                 the prefix is reserved)
     predpath := term | '(' leg ('|' leg)* ')' [*+?]? | '(' leg ('/' leg)+ ')'
               | curie [*+?]? | '^' curie
               | '!' (iri | curie) | '!(' (iri|curie) ('|' (iri|curie))* ')'
@@ -183,6 +188,114 @@ class _Parsed:
     order_by: list | None = None  # [(var, ascending), …] in key order
     limit: int | None = None
     offset: int | None = None
+
+
+def _expand_statements(
+    body: str, counter: list | None = None, allow_bnode: bool = True
+) -> list[str]:
+    """Expand Turtle-style pattern sugar — ``;`` predicate-object lists,
+    ``,`` object lists, ``[ … ]`` blank-node property lists — into plain
+    ``s p o`` statement strings. Blank-node lists allocate internal
+    variables ``?_anon_N`` (existential: they join like any variable but
+    are hidden from ``SELECT *``; the prefix is reserved). Statements
+    without sugar pass through verbatim so their parse errors read the
+    same as before."""
+    counter = counter if counter is not None else [0]
+    out: list[str] = []
+    for chunk in _split_statements(body):
+        if not chunk.strip():
+            continue
+        if "?_anon_" in chunk:
+            raise ValueError("the ?_anon_ variable prefix is reserved")
+        # fast path: no sugar punctuation outside literals/IRIs
+        probe = re.sub(r"<[^>]*>", "<>", _mask_strings(chunk))
+        if not re.search(r"[;,\[\]]", probe):
+            out.append(chunk)
+            continue
+        out.extend(_expand_one(chunk, counter, allow_bnode))
+    return out
+
+
+def _expand_one(chunk: str, counter: list, allow_bnode: bool) -> list[str]:
+    text = chunk
+    pos = 0
+    emitted: list[str] = []
+
+    def skip_ws() -> None:
+        nonlocal pos
+        while pos < len(text) and text[pos].isspace():
+            pos += 1
+
+    def next_term() -> str | None:
+        nonlocal pos
+        skip_ws()
+        if pos >= len(text) or text[pos] in ";,]":
+            return None
+        if text[pos] == "[":
+            if not allow_bnode:
+                raise ValueError(
+                    "blank-node property lists are not allowed here "
+                    "(CONSTRUCT templates would need a fresh node per solution)"
+                )
+            pos += 1
+            var = f"_anon_{counter[0]}"
+            counter[0] += 1
+            skip_ws()
+            if pos < len(text) and text[pos] == "]":
+                pos += 1
+            else:
+                parse_predobj(f"?{var}")
+                skip_ws()
+                if pos >= len(text) or text[pos] != "]":
+                    raise ValueError(f"unbalanced '[' in pattern: {chunk.strip()!r}")
+                pos += 1
+            return f"?{var}"
+        m = _TERM_RE.match(text, pos)
+        if not m:
+            raise ValueError(
+                f"cannot parse term at {text[pos : pos + 20]!r} "
+                f"in pattern {chunk.strip()!r}"
+            )
+        pos = m.end()
+        return m.group(0)
+
+    def parse_predobj(subj_text: str) -> None:
+        nonlocal pos
+        while True:
+            p = next_term()
+            if p is None:
+                raise ValueError(f"expected a predicate in pattern {chunk.strip()!r}")
+            while True:
+                o = next_term()
+                if o is None:
+                    raise ValueError(f"expected an object in pattern {chunk.strip()!r}")
+                emitted.append(f"{subj_text} {p} {o}")
+                skip_ws()
+                if pos < len(text) and text[pos] == ",":
+                    pos += 1
+                    continue
+                break
+            skip_ws()
+            if pos < len(text) and text[pos] == ";":
+                pos += 1
+                skip_ws()
+                if pos >= len(text) or text[pos] in ";,]":
+                    # trailing ';' is legal Turtle
+                    break
+                continue
+            break
+
+    s = next_term()
+    if s is None:
+        return []
+    parse_predobj(s)
+    skip_ws()
+    if pos < len(text):
+        raise ValueError(
+            f"unsupported trailing syntax {text[pos:].strip()!r} "
+            f"in pattern {chunk.strip()!r}"
+        )
+    return emitted
 
 
 def _split_statements(body: str) -> list[str]:
@@ -381,6 +494,9 @@ def parse_sparql(query: str, prefixes: dict[str, str] | None = None) -> _Parsed:
     for pfx, iri in _PREFIX_RE.findall(q):
         pmap[pfx] = iri
     q = _PREFIX_RE.sub(" ", q)
+    # one counter per query keeps blank-node-list variables (?_anon_N)
+    # unique across every group the desugarer touches
+    anon = [0]
 
     m = re.search(
         r"SELECT\s+(?P<distinct>(?:DISTINCT|REDUCED)\s+)?(?P<proj>.*?)\s+WHERE\s*\{",
@@ -494,9 +610,8 @@ def parse_sparql(query: str, prefixes: dict[str, str] | None = None) -> _Parsed:
         nested = [parse_optional_block(b) for b in inner_blocks]
         rest2, opt_filters = _take_paren_blocks(inner_rest, "FILTER")
         pats = [
-            _parse_pattern(chunk, pmap)
-            for chunk in _split_statements(rest2)
-            if chunk.strip()
+            _parse_pattern(stmt, pmap)
+            for stmt in _expand_statements(rest2, anon)
         ]
         if not pats:
             raise ValueError("empty OPTIONAL block")
@@ -583,9 +698,8 @@ def parse_sparql(query: str, prefixes: dict[str, str] | None = None) -> _Parsed:
     # clauses so its group cannot be captured by the UNION-chain regex
     def take_exists(mm: re.Match) -> str:
         pats = [
-            _parse_pattern(chunk, pmap)
-            for chunk in _split_statements(mm.group(2))
-            if chunk.strip()
+            _parse_pattern(stmt, pmap)
+            for stmt in _expand_statements(mm.group(2), anon)
         ]
         if not pats:
             raise ValueError("empty EXISTS block")
@@ -609,9 +723,8 @@ def parse_sparql(query: str, prefixes: dict[str, str] | None = None) -> _Parsed:
     # MINUS groups: MINUS { patterns } — anti-join on the shared variables
     def take_minus(mm: re.Match) -> str:
         pats = [
-            _parse_pattern(chunk, pmap)
-            for chunk in _split_statements(mm.group(1))
-            if chunk.strip()
+            _parse_pattern(stmt, pmap)
+            for stmt in _expand_statements(mm.group(1), anon)
         ]
         if not pats:
             raise ValueError("empty MINUS block")
@@ -630,9 +743,8 @@ def parse_sparql(query: str, prefixes: dict[str, str] | None = None) -> _Parsed:
         arms = []
         for arm_body in re.findall(r"\{([^{}]*)\}", span):
             pats = [
-                _parse_pattern(chunk, pmap)
-                for chunk in _split_statements(arm_body)
-                if chunk.strip()
+                _parse_pattern(stmt, pmap)
+                for stmt in _expand_statements(arm_body, anon)
             ]
             if not pats:
                 raise ValueError("empty UNION arm")
@@ -658,9 +770,8 @@ def parse_sparql(query: str, prefixes: dict[str, str] | None = None) -> _Parsed:
         else:
             g = g[1:-1] if g.startswith("<") else _expand(g, pmap)
         pats = [
-            _parse_pattern(chunk, pmap)
-            for chunk in _split_statements(mm.group(2))
-            if chunk.strip()
+            _parse_pattern(stmt, pmap)
+            for stmt in _expand_statements(mm.group(2), anon)
         ]
         if not pats:
             raise ValueError("empty GRAPH block")
@@ -685,9 +796,8 @@ def parse_sparql(query: str, prefixes: dict[str, str] | None = None) -> _Parsed:
             raise ValueError(f"cannot parse BIND (expected 'expr AS ?var'): {blk!r}")
         parsed.binds.append((bm.group(2), blk[: bm.end(1)]))
     body, parsed.filters = _take_paren_blocks(body, "FILTER")
-    for chunk in _split_statements(body):
-        if chunk.strip():
-            parsed.patterns.append(_parse_pattern(chunk, pmap))
+    for stmt in _expand_statements(body, anon):
+        parsed.patterns.append(_parse_pattern(stmt, pmap))
 
     # ---- modifiers (the tail must be fully consumed) ----------------------
     tail, parsed.having = _take_paren_blocks(tail, "HAVING")
@@ -1263,9 +1373,8 @@ def _construct_query(
     for pfx, iri in _PREFIX_RE.findall(q):
         pmap[pfx] = iri
     templates = [
-        _parse_pattern(chunk, pmap)
-        for chunk in _split_statements(template_text)
-        if chunk.strip()
+        _parse_pattern(stmt, pmap)
+        for stmt in _expand_statements(template_text, allow_bnode=False)
     ]
     if not templates:
         raise ValueError("empty CONSTRUCT template")
@@ -1576,6 +1685,12 @@ def _select_frame(
         if missing:
             raise ValueError(f"projected variables not bound in WHERE: {missing}")
         out = out.select(*want)
+    else:
+        # blank-node-list variables are existential: they join like any
+        # variable but are not solution bindings — SELECT * hides them
+        keep = [c for c in out.columns if not c.startswith("_anon_")]
+        if len(keep) != len(out.columns):
+            out = out.select(*keep)
     if parsed.distinct:
         out = out.distinct()
 

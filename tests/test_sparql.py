@@ -807,3 +807,35 @@ def test_optional_possibly_unbound_shared_var_is_loud(graph):
     }"""
     with pytest.raises(ValueError, match="possibly-unbound"):
         sparql_query(graph, q)
+
+
+def test_predicate_object_list_sugar(graph):
+    # Turtle-style ';' shares the subject, ',' shares subject+predicate
+    q = """PREFIX rdfs: <http://www.w3.org/2000/01/rdf-schema#>
+    SELECT ?s ?up ?note WHERE {
+        ?s rdfs:subClassOf ?up ; <http://example.org/optionalPredicate> ?note .
+    }"""
+    assert sparql_query(graph, q).count() == 0  # no subject has both
+    q2 = """SELECT ?s WHERE {
+        ?s <http://ex.org/p/likes> ?a , ?b . FILTER(?a != ?b)
+    }"""
+    # x likes only y; y likes only z — no subject likes two things
+    assert sparql_query(graph, q2).count() == 0
+    q3 = """PREFIX rdfs: <http://www.w3.org/2000/01/rdf-schema#>
+    SELECT ?s ?o ?up WHERE { ?s <http://ex.org/p/likes> ?o ; rdfs:subClassOf ?up }"""
+    assert sparql_query(graph, q3).count() == 0
+
+
+def test_bnode_property_list_sugar(graph):
+    # [ p ?x ] allocates an existential join variable, hidden from SELECT *
+    q = """PREFIX rdfs: <http://www.w3.org/2000/01/rdf-schema#>
+    SELECT ?x WHERE { ?s <http://ex.org/p/likes> [ <http://ex.org/p/likes> ?x ] }"""
+    rows = [r.x for r in sparql_query(graph, q).collect()]
+    assert rows == ["http://ex.org/z"]  # x likes y, y likes z
+    star = sparql_query(
+        graph,
+        "SELECT * WHERE { ?s <http://ex.org/p/likes> [ <http://ex.org/p/likes> ?x ] }",
+    )
+    assert set(star.columns) == {"s", "x"}  # no _anon_ leakage
+    with pytest.raises(ValueError, match="reserved"):
+        sparql_query(graph, "SELECT ?s WHERE { ?s ?p ?_anon_0 }")
