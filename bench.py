@@ -48,7 +48,8 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # 34k at 32). 6M turns keeps both compared rungs inside the regime a
 # real per-executor slice would see; the 24M evidence run is recorded
 # in the appendix.
-SCALE_CONVS, SCALE_TURNS = 600_000, 10
+SCALE_CONVS = int(os.environ.get("SPARK_GRAFT_SCALE_CONVS", "600000"))
+SCALE_TURNS = 10
 SCALE_TRIALS = 3
 
 
@@ -302,9 +303,13 @@ def run_throughput(master: str) -> None:
     CPU budget fluctuates (bursty steal), so single-shot walls are
     unreliable and always biased slow."""
     spark = _spark(master)
-    # substantial warm-up: JIT, codegen caches, memory arenas — an 8M-turn
-    # first trial otherwise runs 2-4x slower than steady state
-    _extraction_spine(spark, 50_000, 10)
+    # full-size untimed warm-up: JIT, codegen caches, Python workers,
+    # shuffle service, memory arenas. A 500k-turn mini-warmup proved
+    # insufficient once the steady-state wall dropped under ~10 s on
+    # multi-executor clusters — trial walls kept decreasing monotonically
+    # (15.2 → 13.4 → 9.4 s per fresh cluster), biasing the median a rung
+    # of fresh JVMs pays but a long-lived cluster never sees
+    _extraction_spine(spark, SCALE_CONVS, SCALE_TURNS)
     def _steal() -> int:
         try:
             with open("/proc/stat") as f:
