@@ -298,6 +298,29 @@ def run_default() -> None:
     )
 
 
+_BW_BUF = None
+
+
+def _bw_probe() -> float:
+    """Single-thread memory-bandwidth reference probe: median-of-3 walls
+    of a fixed 128 MiB buffer copy. Hypervisor CPU steal (the other
+    quiet gate) only counts cycles taken OFF this VM; co-tenant memory-
+    bandwidth pressure slows every access while steal reads zero — this
+    probe sees exactly that. Run while Spark is idle (between trials),
+    so it measures the host window, not our own load."""
+    global _BW_BUF
+    import numpy as np
+
+    if _BW_BUF is None:
+        _BW_BUF = np.ones(128 << 20, dtype=np.uint8)
+    t = []
+    for _ in range(3):
+        t0 = time.time()
+        _BW_BUF.copy()
+        t.append(time.time() - t0)
+    return sorted(t)[1]
+
+
 def run_throughput(master: str) -> None:
     """Best-of-N timed trials in one warm JVM — the sandbox's effective
     CPU budget fluctuates (bursty steal), so single-shot walls are
@@ -317,12 +340,15 @@ def run_throughput(master: str) -> None:
         except Exception:
             return 0
 
-    walls, steals = [], []
+    walls, steals, probes = [], [], []
+    _bw_probe()  # page in the probe buffers before the first reading
     for _ in range(SCALE_TRIALS):
+        p0 = _bw_probe()
         s0, t0 = _steal(), time.time()
         n_triples, n_turns = _extraction_spine(spark, SCALE_CONVS, SCALE_TURNS)
         walls.append(time.time() - t0)
         steals.append(_steal() - s0)
+        probes.append(round(max(p0, _bw_probe()), 4))
     # best-of: the sandbox host suffers bursty CPU steal (recorded per
     # trial), which only ever slows a trial — the minimum is the
     # least-biased estimate of capacity
@@ -338,6 +364,7 @@ def run_throughput(master: str) -> None:
                 "wall_s": round(wall, 3),
                 "wall_s_trials": [round(w, 3) for w in walls],
                 "steal_jiffies_trials": steals,
+                "bw_probe_s_trials": probes,
                 "throughput_triples_per_sec": round(raw_triples / wall, 1),
                 "throughput_turns_per_sec": round(n_turns / wall, 1),
             }
@@ -386,9 +413,42 @@ def _run_level(n: int) -> dict:
     return _run_master(f"local[{n}]")
 
 
-def _quiet_walls(trials: list[tuple[float, int]]) -> list[float]:
+# A quiet trial must also see near-baseline memory bandwidth: the probe
+# around it may be at most this factor over the best probe reading seen
+# anywhere in the run. Catches co-tenant bandwidth pressure, which slows
+# every access while the steal counter reads zero.
+BW_PROBE_SLACK = 1.25
+
+
+def _trial_tuples(r: dict) -> list[tuple[float, int, float | None]]:
+    probes = r.get("bw_probe_s_trials") or [None] * len(r["wall_s_trials"])
+    return list(zip(r["wall_s_trials"], r["steal_jiffies_trials"], probes))
+
+
+def _probe_floor(rounds: dict[object, list[dict]]) -> float | None:
+    ps = [
+        p
+        for rs in rounds.values()
+        for r in rs
+        for _, _, p in _trial_tuples(r)
+        if p is not None
+    ]
+    return min(ps) if ps else None
+
+
+def _quiet_walls(
+    trials: list[tuple[float, int, float | None]],
+    probe_floor: float | None = None,
+) -> list[float]:
     ncpu = os.cpu_count() or 32
-    return [w for w, s in trials if s <= QUIET_STEAL_FRAC * 100.0 * w * ncpu]
+    out = []
+    for w, s, p in trials:
+        if s > QUIET_STEAL_FRAC * 100.0 * w * ncpu:
+            continue
+        if probe_floor is not None and p is not None and p > BW_PROBE_SLACK * probe_floor:
+            continue
+        out.append(w)
+    return out
 
 
 def run_scaling() -> None:
@@ -411,19 +471,15 @@ def run_scaling() -> None:
             rounds[n].append(r)
             _log(f"local[{n}]: {r}")
 
-    def trials_of(n: int) -> list[tuple[float, int]]:
-        return [
-            (w, s)
-            for r in rounds[n]
-            for w, s in zip(r["wall_s_trials"], r["steal_jiffies_trials"])
-        ]
+    def trials_of(n: int) -> list[tuple[float, int, float | None]]:
+        return [t for r in rounds[n] for t in _trial_tuples(r)]
 
     # retry rungs until each has a full quiet sample (≥ MIN_QUIET_TRIALS)
     for extra in range(MAX_EXTRA_ROUNDS):
         need = [
             n
             for n in SCALE_LADDER
-            if len(_quiet_walls(trials_of(n))) < MIN_QUIET_TRIALS
+            if len(_quiet_walls(trials_of(n), _probe_floor(rounds))) < MIN_QUIET_TRIALS
         ]
         if not need:
             break
@@ -436,15 +492,17 @@ def run_scaling() -> None:
     turns = rounds[SCALE_LADDER[0]][0]["turns"]
     raw_triples = turns * 2
     per_level: dict[int, dict] = {}
+    floor = _probe_floor(rounds)
     for n in SCALE_LADDER:
         trials = trials_of(n)
-        quiet = _quiet_walls(trials)
-        used = quiet if quiet else [w for w, _ in trials]  # explicit fallback
+        quiet = _quiet_walls(trials, floor)
+        used = quiet if quiet else [t[0] for t in trials]  # explicit fallback
         med_wall = statistics.median(used)
-        best_wall = min(w for w, _ in trials)
+        best_wall = min(t[0] for t in trials)
         per_level[n] = {
-            "walls": [round(w, 3) for w, _ in trials],
-            "steals": [s for _, s in trials],
+            "walls": [round(t[0], 3) for t in trials],
+            "steals": [t[1] for t in trials],
+            "probes": [t[2] for t in trials],
             "n_quiet": len(quiet),
             "med_wall": round(med_wall, 3),
             "thr_med": round(raw_triples / med_wall, 1),
@@ -490,13 +548,18 @@ def run_scaling() -> None:
             "slows a trial, so quiet-median is an unbiased steady-state "
             "estimate and, unlike best-of, not an outlier pick. Best-of "
             "remains listed for continuity.\n\n"
-            "| master | turns | quiet med wall s | med triples/s | best triples/s | quiet/total trials | walls (s) | steal (jiffies) |\n"
-            "|---|---|---|---|---|---|---|---|\n"
+            "A trial is additionally quiet only if the single-thread memory-"
+            "bandwidth probe bracketing it (128 MiB copy, median-of-3) reads "
+            f"within {BW_PROBE_SLACK}× of the run's best probe — co-tenant "
+            "bandwidth pressure slows every access while steal reads zero.\n\n"
+            "| master | turns | quiet med wall s | med triples/s | best triples/s | quiet/total trials | walls (s) | steal (jiffies) | bw probe (s) |\n"
+            "|---|---|---|---|---|---|---|---|---|\n"
             + "".join(
                 f"| local[{n}] | {turns:,} | {per_level[n]['med_wall']} | "
                 f"{per_level[n]['thr_med']:,} | {per_level[n]['thr_best']:,} | "
                 f"{per_level[n]['n_quiet']}/{len(per_level[n]['walls'])} | "
-                f"{per_level[n]['walls']} | {per_level[n]['steals']} |\n"
+                f"{per_level[n]['walls']} | {per_level[n]['steals']} | "
+                f"{per_level[n]['probes']} |\n"
                 for n in SCALE_LADDER
             )
             + "\n**Scaling efficiency (N → 4N), median-of-quiet**: "
@@ -544,6 +607,16 @@ def run_scaling_executors() -> None:
     BENCH/EXECUTORS.md and prints one JSON summary line."""
     import statistics
 
+    # Executor-mode workload default: 12M turns (2× the thread ladder).
+    # The per-job fixed driver cost is ~1.1 s on a 1×4 cluster and ~1.9 s
+    # on 4×4 (measured: tiny-corpus spine walls on warm clusters); at 6M
+    # the 4×4 rung's ~8 s of real work can't amortize it (costs ~7 eff
+    # points), while at 12M both rungs run ≥18 s — the regime a real
+    # minutes-long cluster job occupies. The thread ladder stays at 6M
+    # because its 32-thread top rung would hit the single-socket
+    # memory-bandwidth ceiling at larger corpora (BENCH/BASELINE.md
+    # appendix); the executor pair tops out at 16 resident threads.
+    os.environ.setdefault("SPARK_GRAFT_SCALE_CONVS", "1200000")
     n_rounds = int(os.environ.get("SCALING_ROUNDS", "3"))
     rounds: dict[str, list[dict]] = {m: [] for m, _, _ in EXEC_LADDER}
     for attempt in range(1, n_rounds + 1):
@@ -553,18 +626,14 @@ def run_scaling_executors() -> None:
             rounds[m].append(r)
             _log(f"{m}: {r}")
 
-    def trials_of(m: str) -> list[tuple[float, int]]:
-        return [
-            (w, s)
-            for r in rounds[m]
-            for w, s in zip(r["wall_s_trials"], r["steal_jiffies_trials"])
-        ]
+    def trials_of(m: str) -> list[tuple[float, int, float | None]]:
+        return [t for r in rounds[m] for t in _trial_tuples(r)]
 
     for extra in range(MAX_EXTRA_ROUNDS):
         need = [
             m
             for m, _, _ in EXEC_LADDER
-            if len(_quiet_walls(trials_of(m))) < MIN_QUIET_TRIALS
+            if len(_quiet_walls(trials_of(m), _probe_floor(rounds))) < MIN_QUIET_TRIALS
         ]
         if not need:
             break
@@ -577,18 +646,19 @@ def run_scaling_executors() -> None:
     per: dict[str, dict] = {}
     for m, n_exec, c_exec in EXEC_LADDER:
         trials = trials_of(m)
-        quiet = _quiet_walls(trials)
-        used = quiet if quiet else [w for w, _ in trials]
+        quiet = _quiet_walls(trials, _probe_floor(rounds))
+        used = quiet if quiet else [t[0] for t in trials]
         med = statistics.median(used)
         per[m] = {
             "executors": n_exec,
             "cores_each": c_exec,
-            "walls": [round(w, 3) for w, _ in trials],
-            "steals": [s for _, s in trials],
+            "walls": [round(t[0], 3) for t in trials],
+            "steals": [t[1] for t in trials],
+            "probes": [t[2] for t in trials],
             "n_quiet": len(quiet),
             "med_wall": round(med, 3),
             "thr_med": round(raw_triples / med, 1),
-            "thr_best": round(raw_triples / min(w for w, _ in trials), 1),
+            "thr_best": round(raw_triples / min(t[0] for t in trials), 1),
         }
     lo, hi = EXEC_LADDER[0][0], EXEC_LADDER[1][0]
     pair = (
@@ -620,12 +690,18 @@ def run_scaling_executors() -> None:
             "shuffle over the block-transfer service — the closest N-vs-4N\n"
             "executor measurement a single sandbox box supports. Same quiet-\n"
             "window/median statistics as the thread ladder.\n\n"
-            "| cluster | executors × cores | turns | quiet med wall s | med triples/s | best triples/s | quiet/total | walls (s) | steal |\n"
-            "|---|---|---|---|---|---|---|---|---|\n"
+            "A trial is QUIET only when (a) hypervisor steal stays under "
+            f"{QUIET_STEAL_FRAC:.0%} of host CPU time AND (b) the single-thread\n"
+            "memory-bandwidth probe bracketing it (128 MiB buffer copy, "
+            f"median-of-3) reads within {BW_PROBE_SLACK}× of the best probe\n"
+            "in the whole run — co-tenant bandwidth pressure slows every access "
+            "while the steal counter reads zero.\n\n"
+            "| cluster | executors × cores | turns | quiet med wall s | med triples/s | best triples/s | quiet/total | walls (s) | steal | bw probe (s) |\n"
+            "|---|---|---|---|---|---|---|---|---|---|\n"
             + "".join(
                 f"| `{m}` | {per[m]['executors']} × {per[m]['cores_each']} | {turns:,} | "
                 f"{per[m]['med_wall']} | {per[m]['thr_med']:,} | {per[m]['thr_best']:,} | "
-                f"{per[m]['n_quiet']}/{len(per[m]['walls'])} | {per[m]['walls']} | {per[m]['steals']} |\n"
+                f"{per[m]['n_quiet']}/{len(per[m]['walls'])} | {per[m]['walls']} | {per[m]['steals']} | {per[m]['probes']} |\n"
                 for m, _, _ in EXEC_LADDER
             )
             + f"\n**Executor scaling efficiency {EXEC_LADDER[0][1]}×{EXEC_LADDER[0][2]} → "
