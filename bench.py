@@ -340,15 +340,35 @@ def run_throughput(master: str) -> None:
         except Exception:
             return 0
 
+    import statistics
+    import threading
+
     walls, steals, probes = [], [], []
     _bw_probe()  # page in the probe buffers before the first reading
     for _ in range(SCALE_TRIALS):
-        p0 = _bw_probe()
+        # sample the bandwidth probe DURING the trial (a 60 s trial can
+        # straddle a noise window that edge probes never see); the
+        # sampler costs one thread a few percent of one core. The
+        # reading includes our own job's constant bandwidth use, so the
+        # quiet gate compares it against the best reading of the SAME
+        # rung, where that contribution is identical.
+        samples: list[float] = []
+        stop = threading.Event()
+
+        def _sampler() -> None:
+            while not stop.is_set():
+                samples.append(_bw_probe())
+                stop.wait(2.0)
+
+        th = threading.Thread(target=_sampler, daemon=True)
         s0, t0 = _steal(), time.time()
+        th.start()
         n_triples, n_turns = _extraction_spine(spark, SCALE_CONVS, SCALE_TURNS)
+        stop.set()
+        th.join(timeout=5)
         walls.append(time.time() - t0)
         steals.append(_steal() - s0)
-        probes.append(round(max(p0, _bw_probe()), 4))
+        probes.append(round(statistics.median(samples), 4) if samples else None)
     # best-of: the sandbox host suffers bursty CPU steal (recorded per
     # trial), which only ever slows a trial — the minimum is the
     # least-biased estimate of capacity
@@ -425,22 +445,16 @@ def _trial_tuples(r: dict) -> list[tuple[float, int, float | None]]:
     return list(zip(r["wall_s_trials"], r["steal_jiffies_trials"], probes))
 
 
-def _probe_floor(rounds: dict[object, list[dict]]) -> float | None:
-    ps = [
-        p
-        for rs in rounds.values()
-        for r in rs
-        for _, _, p in _trial_tuples(r)
-        if p is not None
-    ]
-    return min(ps) if ps else None
-
-
 def _quiet_walls(
     trials: list[tuple[float, int, float | None]],
-    probe_floor: float | None = None,
 ) -> list[float]:
+    """Quiet = steal under the fraction gate AND the trial's in-trial
+    bandwidth-probe median within BW_PROBE_SLACK of the best probe among
+    THESE trials (per rung: the job's own bandwidth use is identical
+    across a rung's trials, so relative excursions are co-tenant noise)."""
     ncpu = os.cpu_count() or 32
+    ps = [p for _, _, p in trials if p is not None]
+    probe_floor = min(ps) if ps else None
     out = []
     for w, s, p in trials:
         if s > QUIET_STEAL_FRAC * 100.0 * w * ncpu:
@@ -479,7 +493,7 @@ def run_scaling() -> None:
         need = [
             n
             for n in SCALE_LADDER
-            if len(_quiet_walls(trials_of(n), _probe_floor(rounds))) < MIN_QUIET_TRIALS
+            if len(_quiet_walls(trials_of(n))) < MIN_QUIET_TRIALS
         ]
         if not need:
             break
@@ -492,10 +506,9 @@ def run_scaling() -> None:
     turns = rounds[SCALE_LADDER[0]][0]["turns"]
     raw_triples = turns * 2
     per_level: dict[int, dict] = {}
-    floor = _probe_floor(rounds)
     for n in SCALE_LADDER:
         trials = trials_of(n)
-        quiet = _quiet_walls(trials, floor)
+        quiet = _quiet_walls(trials)
         used = quiet if quiet else [t[0] for t in trials]  # explicit fallback
         med_wall = statistics.median(used)
         best_wall = min(t[0] for t in trials)
@@ -633,7 +646,7 @@ def run_scaling_executors() -> None:
         need = [
             m
             for m, _, _ in EXEC_LADDER
-            if len(_quiet_walls(trials_of(m), _probe_floor(rounds))) < MIN_QUIET_TRIALS
+            if len(_quiet_walls(trials_of(m))) < MIN_QUIET_TRIALS
         ]
         if not need:
             break
@@ -646,7 +659,7 @@ def run_scaling_executors() -> None:
     per: dict[str, dict] = {}
     for m, n_exec, c_exec in EXEC_LADDER:
         trials = trials_of(m)
-        quiet = _quiet_walls(trials, _probe_floor(rounds))
+        quiet = _quiet_walls(trials)
         used = quiet if quiet else [t[0] for t in trials]
         med = statistics.median(used)
         per[m] = {

@@ -48,11 +48,13 @@ Grammar (whitespace-insensitive, case-insensitive keywords):
                  lists — desugared to plain patterns with internal
                  existential variables ?_anon_N, hidden from SELECT *;
                  the prefix is reserved)
-    predpath := term | '(' leg ('|' leg)* ')' [*+?]? | '(' leg ('/' leg)+ ')'
-              | curie [*+?]? | '^' curie
+    predpath := pathalt   (full recursive property-path algebra)
+    pathalt  := pathseq ('|' pathseq)*
+    pathseq  := pathstep ('/' pathstep)*
+    pathstep := pathatom [*+?]
+    pathatom := '^' pathatom | '(' pathalt ')' | iri | curie | 'a'
               | '!' (iri | curie) | '!(' (iri|curie) ('|' (iri|curie))* ')'
                                         (negated property set, forward only)
-    leg      := '^'? (iri | curie)
     term     := ?var | <iri> | curie | "literal" | 'a'
     expr     := term | STR(e) | CONCAT(e, ...) | UCASE(e) | LCASE(e)
               | STRLEN(e) | SUBSTR(e, pos[, len]) | REPLACE(e, "re", "rep")
@@ -107,10 +109,11 @@ from graphforge_spark.plans.bgp import Var, bgp, optional
 _PREFIX_RE = re.compile(r"PREFIX\s+([\w-]*):\s*<([^>]*)>", re.IGNORECASE)
 _TERM_RE = re.compile(
     r"""\?(?P<var>\w+)
+      | (?P<pathiri>\^<[^>]*>[*+?]?|<[^>]*>[*+?])
       | <(?P<iri>[^>]*)>
       | "(?P<lit>(?:[^"\\]|\\.)*)"
       | (?P<negset>!\((?:[^()]*)\)|!<[^>]*>|![\w-]*:[\w./#-]+)
-      | (?P<path>\((?:[^()]*)\)[*+?]?)
+      | (?P<path>\^?\((?:[^()]|\([^()]*\))*\)[*+?]?)
       | (?P<curie>\^?[\w-]*:[\w./#-]+[*+?]?)
       | (?<![\w?<"]) (?P<kw>a) (?=\s)
     """,
@@ -349,6 +352,8 @@ def _parse_term(tok: re.Match, prefixes: dict):
         return ("path", tok.group("negset"))
     if tok.group("path"):
         return ("path", tok.group("path"))
+    if tok.group("pathiri"):
+        return ("path", tok.group("pathiri"))
     return _expand(tok.group("curie"), prefixes)
 
 
@@ -372,6 +377,10 @@ def _parse_pattern(text: str, prefixes: dict):
     if len(toks) != 3:
         raise ValueError(f"cannot parse triple pattern: {text!r}")
     s, p, o = (_parse_term(t, prefixes) for t in toks)
+    if isinstance(s, tuple) or isinstance(o, tuple):
+        raise ValueError(
+            f"property-path syntax is only valid in the predicate slot: {text.strip()!r}"
+        )
     # Normalize the pred slot into a path spec when the RAW token carries
     # path syntax (suffix or inverse marker) — decided before CURIE
     # expansion, because the expanded IRI text can no longer be told apart
@@ -416,6 +425,26 @@ def _take_paren_blocks(body: str, keyword: str) -> tuple[str, list[str]]:
     return " ".join(out), blocks
 
 
+def _patterns_frame(triples: DataFrame, pats: list, pmap: dict) -> DataFrame:
+    """Compile a mixed list of plain triple patterns and property-path
+    patterns into one bindings frame: plain patterns compile together as
+    a BGP, each path pattern compiles via ``_path_frame``, and the pieces
+    equi-join on their shared variables (cross join when disjoint —
+    SPARQL's cartesian semantics for variable-disjoint patterns)."""
+    plain = [p for p in pats if not isinstance(p[1], tuple)]
+    paths = [p for p in pats if isinstance(p[1], tuple)]
+    parts: list[DataFrame] = []
+    if plain:
+        parts.append(bgp(triples, plain))
+    for s, (_, spec), o in paths:
+        parts.append(_path_frame(triples, spec, s, o, pmap))
+    out = parts[0]
+    for f in parts[1:]:
+        shared = [c for c in out.columns if c in f.columns]
+        out = out.join(f, shared, "inner") if shared else out.crossJoin(f)
+    return out
+
+
 def _compile_optional_block(triples: DataFrame, blk: tuple, pmap: dict):
     """Compile one (patterns, filters, nested) optional group into a
     bindings frame plus the set of its columns that may be unbound
@@ -423,10 +452,7 @@ def _compile_optional_block(triples: DataFrame, blk: tuple, pmap: dict):
     the group frame first; the group's FILTERs then apply over the whole
     group's bindings, per SPARQL group scoping."""
     pats, filts, nested = blk
-    for p in pats:
-        if isinstance(p[1], tuple):
-            raise ValueError("property paths inside OPTIONAL are not supported")
-    f = bgp(triples, pats)
+    f = _patterns_frame(triples, pats, pmap)
     f_null: set = set()
     for nb in nested:
         nf, n_null = _compile_optional_block(triples, nb, pmap)
@@ -1187,103 +1213,192 @@ def _join_compat(
     return out, nullable
 
 
+def _path_tokens(spec: str) -> list[str]:
+    """Tokenize a property-path spec: IRIs (``<…>``, may contain any path
+    operator character), negated sets (``!p`` / ``!(p1|p2)``, one token),
+    CURIEs / the ``a`` keyword, and the operators ``( ) | / ^ * + ?``."""
+    toks, i = [], 0
+    while i < len(spec):
+        c = spec[i]
+        if c.isspace():
+            i += 1
+        elif c == "<":
+            j = spec.find(">", i)
+            if j < 0:
+                raise ValueError(f"unterminated IRI in property path: {spec!r}")
+            toks.append(spec[i : j + 1])
+            i = j + 1
+        elif c == "!":
+            if i + 1 < len(spec) and spec[i + 1] == "(":
+                j = spec.find(")", i)
+                if j < 0:
+                    raise ValueError(f"unbalanced '(' in property path: {spec!r}")
+                toks.append(spec[i : j + 1])
+                i = j + 1
+            else:
+                # '/' is a path operator here — CURIE local names stop at it
+                m = re.match(r"!(<[^>]*>|[\w-]*:[\w.#-]+|\w+)", spec[i:])
+                if not m:
+                    raise ValueError(f"cannot parse negated set in path: {spec!r}")
+                toks.append(m.group(0))
+                i += m.end()
+        elif c in "()|/^*+?":
+            toks.append(c)
+            i += 1
+        else:
+            m = re.match(r"[\w-]*:[\w.#-]+|\w+", spec[i:])
+            if not m:
+                raise ValueError(
+                    f"cannot parse property path at {spec[i:][:20]!r} in {spec!r}"
+                )
+            toks.append(m.group(0))
+            i += m.end()
+    return toks
+
+
+def _parse_path(spec: str):
+    """Recursive-descent parse of a property-path spec to an AST:
+
+        alt  := seq ('|' seq)*
+        seq  := step ('/' step)*
+        step := atom [*+?]        (one suffix; '**' raises)
+        atom := '^' atom | '(' alt ')' | negset | iri | curie | 'a'
+
+    Nodes: ('pred', iri_text) ('alt', parts) ('seq', parts)
+    ('suffix', op, child) ('inv', child) ('negset', [member_texts])."""
+    toks = _path_tokens(spec)
+    pos = [0]
+
+    def peek():
+        return toks[pos[0]] if pos[0] < len(toks) else None
+
+    def eat():
+        t = toks[pos[0]]
+        pos[0] += 1
+        return t
+
+    def parse_alt():
+        parts = [parse_seq()]
+        while peek() == "|":
+            eat()
+            parts.append(parse_seq())
+        return parts[0] if len(parts) == 1 else ("alt", parts)
+
+    def parse_seq():
+        parts = [parse_step()]
+        while peek() == "/":
+            eat()
+            parts.append(parse_step())
+        return parts[0] if len(parts) == 1 else ("seq", parts)
+
+    def parse_step():
+        node = parse_atom()
+        if peek() in ("*", "+", "?"):
+            node = ("suffix", eat(), node)
+            if peek() in ("*", "+", "?"):
+                raise ValueError(f"double path suffix in {spec!r}")
+        return node
+
+    def parse_atom():
+        t = peek()
+        if t is None:
+            raise ValueError(f"unexpected end of property path: {spec!r}")
+        if t == "^":
+            eat()
+            return ("inv", parse_atom())
+        if t == "(":
+            eat()
+            node = parse_alt()
+            if peek() != ")":
+                raise ValueError(f"unbalanced '(' in property path: {spec!r}")
+            eat()
+            return node
+        if t.startswith("!"):
+            eat()
+            inner = t[1:].strip().strip("()").strip()
+            members = [x.strip() for x in inner.split("|") if x.strip()]
+            if any(x.startswith("^") for x in members):
+                raise ValueError(
+                    f"inverse members in a negated property set are not supported: {t!r}"
+                )
+            return ("negset", members)
+        if t in (")", "|", "/", "*", "+", "?"):
+            raise ValueError(f"unexpected {t!r} in property path: {spec!r}")
+        return ("pred", eat())
+
+    node = parse_alt()
+    if pos[0] != len(toks):
+        raise ValueError(
+            f"unsupported trailing syntax {toks[pos[0]:]!r} in property path {spec!r}"
+        )
+    return node
+
+
 def _path_frame(triples: DataFrame, spec: str, s: Var, o: Var, pmap: dict) -> DataFrame:
     """Evaluate a predicate-path spec into a bindings frame over the
-    path's subject/object variables. Supported shapes:
+    path's subject/object variables. The spec is compiled recursively
+    (see ``_parse_path``), so operators compose arbitrarily:
 
-    - alternation ``(p1|p2|^p3)`` with optional inverse legs (``^p``
-      traverses object→subject),
-    - suffixes ``*`` (ZeroOrMore closure), ``+`` (OneOrMore closure),
-      ``?`` (zero-or-one) on an alternation group or bare predicate,
-    - sequence ``(p1/p2/p3)`` — join chain (no suffix on sequences).
+    - alternation ``(p1|p2|^p3)`` — flat all-plain alternations stay one
+      codegen ``isin`` filter, anything else unions sub-frames,
+    - sequence ``p1/p2`` — join chain; legs may carry their own suffixes
+      (``rdf:rest*/rdf:first``, the classic collection walk),
+    - suffixes ``*`` ``+`` ``?`` on any sub-path, including parenthesized
+      groups (``((a|b)/c)+``),
+    - inverse ``^`` of any sub-path (traverses object→subject),
+    - negated property sets ``!p`` / ``!(p1|p2)`` — one codegen NOT-IN
+      filter over the store (no join); inverse members raise.
 
     Zero-length paths (for ``*``/``?``) bind every node APPEARING in the
-    path's edge set — the same scoping the reference's canned
-    ``(rdf:type|rdfs:subClassOf)*`` query exercises.
+    sub-path's edge set — the same scoping the reference's canned
+    ``(rdf:type|rdfs:subClassOf)*`` query exercises. Closure (``*``/``+``)
+    results are sets; other operators keep SPARQL's bag semantics."""
 
-    A negated property set ``!p`` / ``!(p1|p2)`` keeps edges whose
-    predicate is NONE of the listed IRIs — one codegen NOT-IN filter over
-    the store (no join). Inverse members (``^p``) inside a negated set
-    raise (two result shapes in one operator; not worth a silent guess)."""
-    if spec.startswith("!"):
-        inner = spec[1:].strip().strip("()").strip()
-        members = [t.strip() for t in inner.split("|") if t.strip()]
-        if any(t.startswith("^") for t in members):
-            raise ValueError(
-                f"inverse members in a negated property set are not supported: {spec!r}"
+    def ev(node) -> DataFrame:
+        kind = node[0]
+        if kind == "pred":
+            return path_alternation(triples, [_expand(node[1].strip("<>"), pmap)])
+        if kind == "negset":
+            preds = [_expand(t.strip("<>"), pmap) for t in node[1]]
+            return triples.filter(~F.col("pred").isin(preds)).select(
+                F.col("subj").alias("s"), F.col("obj").alias("o")
             )
-        preds = [_expand(t.strip("<>"), pmap) for t in members]
-        return triples.filter(~F.col("pred").isin(preds)).select(
-            F.col("subj").alias("s"), F.col("obj").alias("o")
+        if kind == "alt":
+            if all(p[0] == "pred" for p in node[1]):
+                return path_alternation(
+                    triples, [_expand(p[1].strip("<>"), pmap) for p in node[1]]
+                )
+            out = None
+            for p in node[1]:
+                e = ev(p)
+                out = e if out is None else out.unionByName(e)
+            return out
+        if kind == "seq":
+            pairs = ev(node[1][0])
+            for nxt in node[1][1:]:
+                pairs = (
+                    pairs.alias("a")
+                    .join(ev(nxt).alias("b"), F.col("a.o") == F.col("b.s"))
+                    .select(F.col("a.s").alias("s"), F.col("b.o").alias("o"))
+                )
+            return pairs
+        if kind == "inv":
+            return ev(node[1]).select(
+                F.col("o").alias("s"), F.col("s").alias("o")
+            )
+        # suffix
+        _, op, child = node
+        pairs = ev(child)
+        if op == "*":
+            return transitive_closure(pairs, include_zero_step=True)
+        if op == "+":
+            return transitive_closure(pairs, include_zero_step=False)
+        nodes = (
+            pairs.select("s").union(pairs.select(F.col("o").alias("s"))).distinct()
         )
-    suffix = spec[-1] if spec.endswith(("*", "+", "?")) else ""
-    inner = (spec[:-1] if suffix else spec).strip().strip("()").strip()
+        return pairs.unionByName(nodes.select("s", F.col("s").alias("o"))).distinct()
 
-    def split_top(text: str, sep: str) -> list[str]:
-        # split on sep only OUTSIDE <...> — IRIs carry '/' (and may carry
-        # '|') internally
-        parts, cur, in_iri = [], [], False
-        for ch in text:
-            if ch == "<":
-                in_iri = True
-            elif ch == ">":
-                in_iri = False
-            if ch == sep and not in_iri:
-                parts.append("".join(cur))
-                cur = []
-            else:
-                cur.append(ch)
-        parts.append("".join(cur))
-        return parts
-
-    seq_parts = split_top(inner, "/")
-    alt_parts = split_top(inner, "|")
-    if len(seq_parts) > 1 and len(alt_parts) > 1:
-        raise ValueError("mixing '/' and '|' in one property path is not supported")
-
-    def leg(term: str) -> DataFrame:
-        inv = term.startswith("^")
-        pred = _expand(term.lstrip("^").strip().strip("<>"), pmap)
-        e = path_alternation(triples, [pred])
-        return (
-            e.select(F.col("o").alias("s"), F.col("s").alias("o")) if inv else e
-        )
-
-    if len(seq_parts) > 1:
-        if suffix:
-            raise ValueError("a suffix on a sequence path is not supported")
-        legs = [leg(t.strip()) for t in seq_parts]
-        pairs = legs[0]
-        for nxt in legs[1:]:
-            pairs = (
-                pairs.alias("a")
-                .join(nxt.alias("b"), F.col("a.o") == F.col("b.s"))
-                .select(F.col("a.s").alias("s"), F.col("b.o").alias("o"))
-            )
-    else:
-        terms = [t.strip() for t in alt_parts]
-        fwd = [t for t in terms if not t.startswith("^")]
-        inv = [t for t in terms if t.startswith("^")]
-        pairs = None
-        if fwd:
-            pairs = path_alternation(
-                triples, [_expand(t.strip("<>"), pmap) for t in fwd]
-            )
-        for t in inv:
-            e = leg(t)
-            pairs = e if pairs is None else pairs.unionByName(e)
-        if suffix == "*":
-            pairs = transitive_closure(pairs, include_zero_step=True)
-        elif suffix == "+":
-            pairs = transitive_closure(pairs, include_zero_step=False)
-        elif suffix == "?":
-            nodes = (
-                pairs.select("s").union(pairs.select(F.col("o").alias("s"))).distinct()
-            )
-            pairs = pairs.unionByName(
-                nodes.select("s", F.col("s").alias("o"))
-            ).distinct()
-    out = pairs
+    out = ev(_parse_path(spec))
     if not isinstance(s, Var):
         out = out.filter(F.col("s") == s)
     if not isinstance(o, Var):
@@ -1496,12 +1611,19 @@ def _select_frame(
         # column (pushdown-friendly); variable → bind the graph column
         if "graph" not in triples.columns:
             raise ValueError("GRAPH query over a store with no graph column")
-        if any(isinstance(p[1], tuple) for p in pats):
-            raise ValueError("property paths inside GRAPH are not supported")
         if isinstance(g, Var):
+            # variable graph: a path's closure would have to run per
+            # graph — loud refusal beats a silently-global closure
+            if any(isinstance(p[1], tuple) for p in pats):
+                raise ValueError(
+                    "property paths inside GRAPH ?var are not supported"
+                )
             frames.append((_graph_var_bgp(triples, pats, g), set()))
         else:
-            frames.append((bgp(triples.filter(F.col("graph") == g), pats), set()))
+            # constant graph: paths traverse within that graph only
+            frames.append(
+                (_patterns_frame(triples.filter(F.col("graph") == g), pats, pmap), set())
+            )
     for names, rows in parsed.values:
         # inline bindings table: joins with the rest on its variables
         frames.append(
@@ -1518,11 +1640,7 @@ def _select_frame(
         # absent from any arm are NULLABLE: joining them later must use
         # compatible-mapping semantics (_join_compat), because SPARQL
         # treats an unbound variable as join-compatible with any value.
-        arm_frames = []
-        for pats in arms:
-            if any(isinstance(p[1], tuple) for p in pats):
-                raise ValueError("property paths inside UNION are not supported")
-            arm_frames.append(bgp(triples, pats))
+        arm_frames = [_patterns_frame(triples, pats, pmap) for pats in arms]
         allcols: list[str] = []
         for f in arm_frames:
             allcols += [c for c in f.columns if c not in allcols]
@@ -1568,10 +1686,7 @@ def _select_frame(
         # SPARQL MINUS: drop bindings compatible with the minus group on
         # their shared variables; with no shared variables MINUS removes
         # nothing (per spec — disjoint domains are never compatible)
-        for p in minus_patterns:
-            if isinstance(p[1], tuple):
-                raise ValueError("property paths inside MINUS are not supported")
-        mframe = bgp(triples, minus_patterns)
+        mframe = _patterns_frame(triples, minus_patterns, pmap)
         shared = [c for c in out.columns if c in mframe.columns]
         if shared:
             out = out.join(mframe.select(*shared).distinct(), shared, "left_anti")
@@ -1590,10 +1705,7 @@ def _select_frame(
     # shared variables. A correlated EXISTS with NO shared variable would
     # degenerate to a constant test — raise rather than silently cross.
     for negated, ex_patterns in parsed.exists:
-        for p in ex_patterns:
-            if isinstance(p[1], tuple):
-                raise ValueError("property paths inside EXISTS are not supported")
-        eframe = bgp(triples, ex_patterns)
+        eframe = _patterns_frame(triples, ex_patterns, pmap)
         shared = [c for c in out.columns if c in eframe.columns]
         if not shared:
             raise ValueError(

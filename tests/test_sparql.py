@@ -839,3 +839,127 @@ def test_bnode_property_list_sugar(graph):
     assert set(star.columns) == {"s", "x"}  # no _anon_ leakage
     with pytest.raises(ValueError, match="reserved"):
         sparql_query(graph, "SELECT ?s WHERE { ?s ?p ?_anon_0 }")
+
+
+def test_path_sequence_with_leg_closure(graph):
+    # the rdf:rest*/rdf:first shape: per-leg suffix inside a sequence
+    q = """PREFIX rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#>
+    PREFIX rdfs: <http://www.w3.org/2000/01/rdf-schema#>
+    SELECT ?s ?o WHERE { ?s (rdf:type/rdfs:subClassOf*) ?o . }"""
+    pairs = {(r.s, r.o) for r in sparql_query(graph, q).collect()}
+    # x →type A (zero subClassOf steps), →sub B, →sub C
+    assert pairs == {
+        ("http://ex.org/x", "http://ex.org/A"),
+        ("http://ex.org/x", "http://ex.org/B"),
+        ("http://ex.org/x", "http://ex.org/C"),
+    }
+
+
+def test_path_mixed_alt_and_seq(graph):
+    # (likes/likes)|rdf:type — mixing / and | used to raise
+    q = """PREFIX rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#>
+    SELECT ?s ?o WHERE {
+        ?s ((<http://ex.org/p/likes>/<http://ex.org/p/likes>)|rdf:type) ?o .
+    }"""
+    pairs = {(r.s, r.o) for r in sparql_query(graph, q).collect()}
+    assert pairs == {
+        ("http://ex.org/x", "http://ex.org/z"),  # likes/likes
+        ("http://ex.org/x", "http://ex.org/A"),  # type
+    }
+
+
+def test_path_closure_of_group_sequence(graph):
+    # ((type|subClassOf)/(type|subClassOf))+ : even-length chains only
+    q = """PREFIX rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#>
+    PREFIX rdfs: <http://www.w3.org/2000/01/rdf-schema#>
+    SELECT ?s ?o WHERE {
+        ?s ((rdf:type|rdfs:subClassOf)/(rdf:type|rdfs:subClassOf))+ ?o .
+    }"""
+    pairs = {(r.s, r.o) for r in sparql_query(graph, q).collect()}
+    # chains: x→A→B (len 2), A→B→C (len 2), x→A→B→C (len 3, excluded)
+    assert pairs == {
+        ("http://ex.org/x", "http://ex.org/B"),
+        ("http://ex.org/A", "http://ex.org/C"),
+    }
+
+
+def test_path_inverse_of_group(graph):
+    # ^(likes/likes) == inverse of the 2-hop walk
+    q = """SELECT ?s ?o WHERE { ?s ^(<http://ex.org/p/likes>/<http://ex.org/p/likes>) ?o . }"""
+    pairs = {(r.s, r.o) for r in sparql_query(graph, q).collect()}
+    assert pairs == {("http://ex.org/z", "http://ex.org/x")}
+
+
+def test_path_bare_iri_suffix(graph):
+    # suffix directly on a <iri> without parens
+    q = """SELECT ?o WHERE { <http://ex.org/x> <http://ex.org/p/likes>+ ?o . }"""
+    vals = {r.o for r in sparql_query(graph, q).collect()}
+    assert vals == {"http://ex.org/y", "http://ex.org/z"}
+
+
+def test_path_seq_leg_optional_suffix(graph):
+    # likes/likes? — one or two hops
+    q = """SELECT ?o WHERE { <http://ex.org/x> (<http://ex.org/p/likes>/<http://ex.org/p/likes>?) ?o . }"""
+    vals = {r.o for r in sparql_query(graph, q).collect()}
+    assert vals == {"http://ex.org/y", "http://ex.org/z"}
+
+
+def test_path_errors_still_loud(graph):
+    with pytest.raises(ValueError, match="double path suffix"):
+        sparql_query(graph, "SELECT ?o WHERE { ?s (<http://e/p>*+) ?o }")
+    with pytest.raises(ValueError, match="predicate slot"):
+        sparql_query(graph, "SELECT ?s WHERE { ?s <http://e/p> <http://e/q>* }")
+    with pytest.raises(ValueError, match="inverse members"):
+        sparql_query(graph, "SELECT ?s WHERE { ?s !(^<http://e/p>) ?o }")
+
+
+def test_path_inside_optional(graph):
+    # every subject gets its transitive superclass set, optionally
+    q = """PREFIX rdfs: <http://www.w3.org/2000/01/rdf-schema#>
+    PREFIX rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#>
+    SELECT ?s ?super WHERE {
+        ?s rdf:type ?t .
+        OPTIONAL { ?t rdfs:subClassOf+ ?super }
+    }"""
+    rows = {(r.s, r.super) for r in sparql_query(graph, q).collect()}
+    assert rows == {
+        ("http://ex.org/x", "http://ex.org/B"),
+        ("http://ex.org/x", "http://ex.org/C"),
+    }
+    # and an optional path with no match null-extends instead of dropping
+    q2 = """PREFIX rdfs: <http://www.w3.org/2000/01/rdf-schema#>
+    SELECT ?s ?v WHERE {
+        ?s <http://ex.org/p/likes> ?o .
+        OPTIONAL { ?s rdfs:subClassOf+ ?v }
+    }"""
+    rows2 = {(r.s, r.v) for r in sparql_query(graph, q2).collect()}
+    assert rows2 == {("http://ex.org/x", None), ("http://ex.org/y", None)}
+
+
+def test_path_inside_union(graph):
+    q = """PREFIX rdfs: <http://www.w3.org/2000/01/rdf-schema#>
+    SELECT ?s ?o WHERE {
+        { ?s rdfs:subClassOf+ ?o } UNION { ?s <http://ex.org/p/likes> ?o }
+    }"""
+    rows = {(r.s, r.o) for r in sparql_query(graph, q).collect()}
+    assert ("http://ex.org/A", "http://ex.org/C") in rows  # closure arm
+    assert ("http://ex.org/x", "http://ex.org/y") in rows  # plain arm
+
+
+def test_path_inside_minus_and_exists(graph):
+    # MINUS a closure: subjects reaching C transitively are removed
+    q = """PREFIX rdfs: <http://www.w3.org/2000/01/rdf-schema#>
+    SELECT ?s WHERE {
+        ?s rdfs:subClassOf ?o .
+        MINUS { ?s rdfs:subClassOf+ <http://ex.org/C> }
+    }"""
+    assert {r.s for r in sparql_query(graph, q).collect()} == set()
+    q2 = """PREFIX rdfs: <http://www.w3.org/2000/01/rdf-schema#>
+    SELECT ?s WHERE {
+        ?s rdfs:subClassOf ?o .
+        FILTER EXISTS { ?s rdfs:subClassOf+ <http://ex.org/C> }
+    }"""
+    assert {r.s for r in sparql_query(graph, q2).collect()} == {
+        "http://ex.org/A",
+        "http://ex.org/B",
+    }
