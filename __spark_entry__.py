@@ -382,14 +382,30 @@ def q_sparql_path_plus(spark, sf_dir):
 
 
 def q_sparql_path_seq(spark, sf_dir):
-    """Sequence property path worksAt/locatedIn — person to region in one
-    pattern (equivalent join exercised through path syntax)."""
+    """Sequence property paths through the recursive path compiler, both
+    shapes in one query: plain sequence worksAt/locatedIn (person →
+    region in one pattern) UNION'd with the closure of a parenthesized
+    sequence group (chain/chain)+ over the nation chain — even-length
+    reachability, the construct the old string-split evaluator rejected
+    ('suffix on a sequence')."""
     from graphforge_spark.plans.sparql import sparql_query
 
+    edges = corpus.nation_chain_edges(spark, sf_dir)
+    chain = edges.select(
+        F.col("s").alias("subj"),
+        F.lit("http://ex.org/p/chain").alias("pred"),
+        F.col("o").alias("obj"),
+        F.lit(False).alias("obj_is_literal"),
+    )
+    store = _set_graph(spark, sf_dir).select(
+        "subj", "pred", "obj", "obj_is_literal"
+    ).unionByName(chain)
     return sparql_query(
-        _set_graph(spark, sf_dir),
+        store,
         """SELECT ?s ?o WHERE {
-             ?s (<http://ex.org/p/worksAt>/<http://ex.org/p/locatedIn>) ?o .
+             { ?s (<http://ex.org/p/worksAt>/<http://ex.org/p/locatedIn>) ?o }
+             UNION
+             { ?s (<http://ex.org/p/chain>/<http://ex.org/p/chain>)+ ?o }
            }""",
     )
 
@@ -1447,6 +1463,15 @@ def oracle_sql() -> dict[str, str]:
             l AS (SELECT DISTINCT subj, obj FROM pt
                   WHERE pred = 'http://ex.org/p/locatedIn')
             SELECT w.subj AS s, l.obj AS o FROM w JOIN l ON w.obj = l.subj
+            UNION ALL
+            -- (chain/chain)+ over k -> k-1 chains in blocks of 5:
+            -- even-length reachability = same block, even positive gap
+            SELECT 'http://ex.org/n/' || CAST(a.n_nationkey AS VARCHAR) AS s,
+                   'http://ex.org/n/' || CAST(b.n_nationkey AS VARCHAR) AS o
+            FROM nation a JOIN nation b
+              ON a.n_nationkey // 5 = b.n_nationkey // 5
+             AND a.n_nationkey > b.n_nationkey
+             AND (a.n_nationkey - b.n_nationkey) % 2 = 0
         """,
         "sparql_values_minus": f"""
             WITH {_PT}, g AS (SELECT DISTINCT subj, pred, obj FROM pt),

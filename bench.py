@@ -47,7 +47,10 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # channels past ~8 resident threads (per-core rate 80k at 4 cores vs
 # 34k at 32). 6M turns keeps both compared rungs inside the regime a
 # real per-executor slice would see; the 24M evidence run is recorded
-# in the appendix.
+# in the appendix. The EXECUTOR ladder (run_scaling_executors) overrides
+# this to 12M: its top rung is 16 resident threads, clear of the
+# 32-thread ceiling, and the doubled corpus amortizes the per-job fixed
+# driver cost its shorter walls would otherwise expose.
 SCALE_CONVS = int(os.environ.get("SPARK_GRAFT_SCALE_CONVS", "600000"))
 SCALE_TURNS = 10
 SCALE_TRIALS = 3
@@ -57,10 +60,22 @@ def _log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
-def _spark(master: str):
+def _spark(master: str, spine: bool = False):
+    """Session for bench modes. ``spine=True`` (the throughput/scaling
+    protocol) additionally disables AQE and sizes the shuffle by data:
+    AQE's runtime re-planning materializes every shuffle stage before
+    planning the next — a fixed ~2.5 s barrier latency per job at this
+    scale (measured on a warm 4×4 local-cluster: 18.8 → 16.0 s median
+    with identical results) that any real minutes-long job amortizes
+    to nothing but a 15 s bench job cannot. The headline-query mode
+    keeps AQE on: the curation operators genuinely rely on it (size-
+    gated join strategies, skew splitting)."""
     from graphforge_spark.session import get_spark
 
     extra = {}
+    shuffle_override = None
+    if spine:
+        extra["spark.sql.adaptive.enabled"] = "false"
     # Shuffle scratch on tmpfs when available: local-mode shuffles are
     # otherwise bottlenecked on one shared disk, which flattens the
     # parallelism curve the scaling protocol is measuring. (On a real
@@ -80,13 +95,21 @@ def _spark(master: str):
             cores = os.cpu_count() or 32
     else:
         cores = 32
+    if spine:
+        # Spine mode sizes the shuffle by DATA with a per-core floor —
+        # the policy a real cluster job uses (target ~100-150 MB per
+        # reduce partition), not tasks-per-core: the fixed 12M-turn
+        # corpus shuffles ~2.4 GB, so 16 partitions is the floor and
+        # wider rungs get 2/core. Measured: 8 partitions on a 1×4
+        # cluster (pure 2/core) costs ~10% (3M-row partitions on a 3g
+        # heap); 64 on 4×4 (pure 4/core) costs ~6% in dispatch overhead.
+        shuffle_override = max(cores * 2, 16)
     return get_spark(
         master=master,
         app_name="graphforge-bench",
-        # 4 shuffle tasks per core: straggler amortization (same reasoning
-        # as the generator's input splits — one noisy core delays a small
-        # task, not 1/Nth of the stage)
-        shuffle_partitions=cores * 4,
+        # default: 4 shuffle tasks per core — straggler amortization
+        # (one noisy core delays a small task, not 1/Nth of the stage)
+        shuffle_partitions=shuffle_override or cores * 4,
         extra_conf=extra,
     )
 
@@ -325,7 +348,7 @@ def run_throughput(master: str) -> None:
     """Best-of-N timed trials in one warm JVM — the sandbox's effective
     CPU budget fluctuates (bursty steal), so single-shot walls are
     unreliable and always biased slow."""
-    spark = _spark(master)
+    spark = _spark(master, spine=True)
     # full-size untimed warm-up: JIT, codegen caches, Python workers,
     # shuffle service, memory arenas. A 500k-turn mini-warmup proved
     # insufficient once the steady-state wall dropped under ~10 s on
@@ -705,10 +728,11 @@ def run_scaling_executors() -> None:
             "window/median statistics as the thread ladder.\n\n"
             "A trial is QUIET only when (a) hypervisor steal stays under "
             f"{QUIET_STEAL_FRAC:.0%} of host CPU time AND (b) the single-thread\n"
-            "memory-bandwidth probe bracketing it (128 MiB buffer copy, "
-            f"median-of-3) reads within {BW_PROBE_SLACK}× of the best probe\n"
-            "in the whole run — co-tenant bandwidth pressure slows every access "
-            "while the steal counter reads zero.\n\n"
+            "memory-bandwidth probe SAMPLED DURING it (128 MiB buffer copy "
+            f"every 2 s; per-trial median) reads within {BW_PROBE_SLACK}× of\n"
+            "the rung's best trial — co-tenant bandwidth pressure slows every "
+            "access while the steal counter reads zero, and a 60 s trial can\n"
+            "straddle a noise window edge probes never see.\n\n"
             "| cluster | executors × cores | turns | quiet med wall s | med triples/s | best triples/s | quiet/total | walls (s) | steal | bw probe (s) |\n"
             "|---|---|---|---|---|---|---|---|---|---|\n"
             + "".join(

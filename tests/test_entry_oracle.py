@@ -40,6 +40,9 @@ SUBSET = [
     "simhash_neardup_wide",
     "sparql_bind_exists",
     "ann_lsh_topk",
+    # late-r3: recursive path algebra — closure of a parenthesized
+    # sequence group inside a UNION arm
+    "sparql_path_seq",
 ]
 
 
