@@ -585,9 +585,11 @@ def run_scaling() -> None:
             "estimate and, unlike best-of, not an outlier pick. Best-of "
             "remains listed for continuity.\n\n"
             "A trial is additionally quiet only if the single-thread memory-"
-            "bandwidth probe bracketing it (128 MiB copy, median-of-3) reads "
-            f"within {BW_PROBE_SLACK}× of the run's best probe — co-tenant "
-            "bandwidth pressure slows every access while steal reads zero.\n\n"
+            "bandwidth probe SAMPLED DURING it (128 MiB copy every 2 s; "
+            f"per-trial median) reads within {BW_PROBE_SLACK}× of the rung's "
+            "best trial — co-tenant bandwidth pressure slows every access "
+            "while steal reads zero, and a long trial can straddle a noise "
+            "window edge probes never see.\n\n"
             "| master | turns | quiet med wall s | med triples/s | best triples/s | quiet/total trials | walls (s) | steal (jiffies) | bw probe (s) |\n"
             "|---|---|---|---|---|---|---|---|---|\n"
             + "".join(
@@ -604,17 +606,18 @@ def run_scaling() -> None:
             f"{eff_best['4_16']} / {eff_best['8_32']}).\n\n"
             "Throughput counts raw extracted triples (2 planted facts per "
             "turn) against end-to-end wall time including the dedup "
-            "shuffle. Input splits and shuffle partitions are 4× the core "
-            "count at every level (straggler amortization — one noisy core "
-            "delays a small task, not 1/Nth of a stage), so task counts "
-            "scale with cores exactly as they scale with executors on a "
-            "real cluster. Per-core throughput on this host drops sharply "
-            "between 4 and 16 resident threads (memory-bandwidth "
-            "contention for a string-churn workload) and then flattens — "
-            "which is why the 4→16 pair reads low while 8→32, whose ends "
-            "both sit in the saturated regime, is the representative "
-            "N→4N comparison; real executor NODES each bring their own "
-            "memory channels and do not share this ceiling.\n"
+            "shuffle. Spine config (both rungs of every pair identical): "
+            "AQE off (its per-stage re-plan barrier is a fixed ~2.5 s cost "
+            "a real minutes-long job amortizes but a seconds-long bench "
+            "job cannot) and shuffle partitions sized by data with a "
+            "max(2×cores, 16) floor — the policy a real cluster job uses. "
+            "Per-core throughput on this host holds to ~16 resident "
+            "threads and drops sharply at 32 (one socket's memory "
+            "channels; string-churn workload) — that ceiling is why 8→32 "
+            "under-reads while 4→16 is the representative N→4N pair; "
+            "real executor NODES each bring their own memory channels and "
+            "do not share it. The true multi-executor measurement "
+            "(separate JVMs via local-cluster) is in BENCH/EXECUTORS.md.\n"
         )
     print(json.dumps(summary))
 

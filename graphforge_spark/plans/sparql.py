@@ -1334,6 +1334,92 @@ def _parse_path(spec: str):
     return node
 
 
+def _eval_path(triples: DataFrame, node, pmap: dict) -> DataFrame:
+    """Recursively evaluate a parsed path AST over ``triples`` into an
+    (s, o) pairs frame. Physical fast paths: a flat all-plain alternation
+    is ONE codegen ``isin`` filter; a negated set is one NOT-IN filter;
+    sequences are join chains Catalyst reorders freely; closures run the
+    log-round doubling fixpoint whatever sub-path they wrap."""
+
+    def ev(n) -> DataFrame:
+        kind = n[0]
+        if kind == "pred":
+            return path_alternation(triples, [_expand(n[1].strip("<>"), pmap)])
+        if kind == "negset":
+            preds = [_expand(t.strip("<>"), pmap) for t in n[1]]
+            return triples.filter(~F.col("pred").isin(preds)).select(
+                F.col("subj").alias("s"), F.col("obj").alias("o")
+            )
+        if kind == "alt":
+            if all(p[0] == "pred" for p in n[1]):
+                return path_alternation(
+                    triples, [_expand(p[1].strip("<>"), pmap) for p in n[1]]
+                )
+            out = None
+            for p in n[1]:
+                e = ev(p)
+                out = e if out is None else out.unionByName(e)
+            return out
+        if kind == "seq":
+            pairs = ev(n[1][0])
+            for nxt in n[1][1:]:
+                pairs = (
+                    pairs.alias("a")
+                    .join(ev(nxt).alias("b"), F.col("a.o") == F.col("b.s"))
+                    .select(F.col("a.s").alias("s"), F.col("b.o").alias("o"))
+                )
+            return pairs
+        if kind == "inv":
+            return ev(n[1]).select(F.col("o").alias("s"), F.col("s").alias("o"))
+        # suffix
+        _, op, child = n
+        pairs = ev(child)
+        if op == "*":
+            return transitive_closure(pairs, include_zero_step=True)
+        if op == "+":
+            return transitive_closure(pairs, include_zero_step=False)
+        nodes = (
+            pairs.select("s").union(pairs.select(F.col("o").alias("s"))).distinct()
+        )
+        return pairs.unionByName(nodes.select("s", F.col("s").alias("o"))).distinct()
+
+    return ev(node)
+
+
+def _graph_var_path_frame(
+    triples: DataFrame, spec: str, s, o, gvar: Var, pmap: dict
+) -> DataFrame:
+    """Property path under ``GRAPH ?g``: the path (closure included) must
+    stay WITHIN one named graph, so nodes are evaluated on composite
+    ``graph\\x01node`` keys — sequence joins, inverses and closures all
+    preserve the graph component by construction — then split back to
+    bind ``?g``. ``\\x01`` cannot appear in IRIs; a literal object
+    containing it would truncate, an accepted corner for the stringly
+    store."""
+    sep = "\x01"
+    comp = triples.select(
+        F.concat_ws(sep, F.col("graph"), F.col("subj")).alias("subj"),
+        F.col("pred"),
+        F.concat_ws(sep, F.col("graph"), F.col("obj")).alias("obj"),
+    )
+    pairs = _eval_path(comp, _parse_path(spec), pmap)
+    out = pairs.select(
+        F.split_part(F.col("s"), F.lit(sep), F.lit(1)).alias(gvar.name),
+        F.split_part(F.col("s"), F.lit(sep), F.lit(2)).alias("_ps"),
+        F.split_part(F.col("o"), F.lit(sep), F.lit(2)).alias("_po"),
+    )
+    if not isinstance(s, Var):
+        out = out.filter(F.col("_ps") == s)
+    if not isinstance(o, Var):
+        out = out.filter(F.col("_po") == o)
+    sel = [F.col(gvar.name)]
+    if isinstance(s, Var):
+        sel.append(F.col("_ps").alias(s.name))
+    if isinstance(o, Var):
+        sel.append(F.col("_po").alias(o.name))
+    return out.select(*sel)
+
+
 def _path_frame(triples: DataFrame, spec: str, s: Var, o: Var, pmap: dict) -> DataFrame:
     """Evaluate a predicate-path spec into a bindings frame over the
     path's subject/object variables. The spec is compiled recursively
@@ -1353,52 +1439,7 @@ def _path_frame(triples: DataFrame, spec: str, s: Var, o: Var, pmap: dict) -> Da
     sub-path's edge set — the same scoping the reference's canned
     ``(rdf:type|rdfs:subClassOf)*`` query exercises. Closure (``*``/``+``)
     results are sets; other operators keep SPARQL's bag semantics."""
-
-    def ev(node) -> DataFrame:
-        kind = node[0]
-        if kind == "pred":
-            return path_alternation(triples, [_expand(node[1].strip("<>"), pmap)])
-        if kind == "negset":
-            preds = [_expand(t.strip("<>"), pmap) for t in node[1]]
-            return triples.filter(~F.col("pred").isin(preds)).select(
-                F.col("subj").alias("s"), F.col("obj").alias("o")
-            )
-        if kind == "alt":
-            if all(p[0] == "pred" for p in node[1]):
-                return path_alternation(
-                    triples, [_expand(p[1].strip("<>"), pmap) for p in node[1]]
-                )
-            out = None
-            for p in node[1]:
-                e = ev(p)
-                out = e if out is None else out.unionByName(e)
-            return out
-        if kind == "seq":
-            pairs = ev(node[1][0])
-            for nxt in node[1][1:]:
-                pairs = (
-                    pairs.alias("a")
-                    .join(ev(nxt).alias("b"), F.col("a.o") == F.col("b.s"))
-                    .select(F.col("a.s").alias("s"), F.col("b.o").alias("o"))
-                )
-            return pairs
-        if kind == "inv":
-            return ev(node[1]).select(
-                F.col("o").alias("s"), F.col("s").alias("o")
-            )
-        # suffix
-        _, op, child = node
-        pairs = ev(child)
-        if op == "*":
-            return transitive_closure(pairs, include_zero_step=True)
-        if op == "+":
-            return transitive_closure(pairs, include_zero_step=False)
-        nodes = (
-            pairs.select("s").union(pairs.select(F.col("o").alias("s"))).distinct()
-        )
-        return pairs.unionByName(nodes.select("s", F.col("s").alias("o"))).distinct()
-
-    out = ev(_parse_path(spec))
+    out = _eval_path(triples, _parse_path(spec), pmap)
     if not isinstance(s, Var):
         out = out.filter(F.col("s") == s)
     if not isinstance(o, Var):
@@ -1612,13 +1653,24 @@ def _select_frame(
         if "graph" not in triples.columns:
             raise ValueError("GRAPH query over a store with no graph column")
         if isinstance(g, Var):
-            # variable graph: a path's closure would have to run per
-            # graph — loud refusal beats a silently-global closure
-            if any(isinstance(p[1], tuple) for p in pats):
-                raise ValueError(
-                    "property paths inside GRAPH ?var are not supported"
+            # variable graph: plain patterns bind the graph column; path
+            # patterns evaluate on composite (graph, node) keys so the
+            # closure stays within each named graph. Pieces join on ?g
+            # (always shared) plus any shared pattern variables.
+            plain_g = [p for p in pats if not isinstance(p[1], tuple)]
+            path_g = [p for p in pats if isinstance(p[1], tuple)]
+            gparts: list[DataFrame] = []
+            if plain_g:
+                gparts.append(_graph_var_bgp(triples, plain_g, g))
+            for ps, (_, pspec), po in path_g:
+                gparts.append(
+                    _graph_var_path_frame(triples, pspec, ps, po, g, pmap)
                 )
-            frames.append((_graph_var_bgp(triples, pats, g), set()))
+            gf = gparts[0]
+            for f2 in gparts[1:]:
+                shared = [c for c in gf.columns if c in f2.columns]
+                gf = gf.join(f2, shared, "inner")
+            frames.append((gf, set()))
         else:
             # constant graph: paths traverse within that graph only
             frames.append(

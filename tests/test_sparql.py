@@ -963,3 +963,32 @@ def test_path_inside_minus_and_exists(graph):
         "http://ex.org/A",
         "http://ex.org/B",
     }
+
+
+def test_graph_var_with_path(spark):
+    # per-graph closure: chains a->b->c in g1, a->b in g2; the closure
+    # must NOT leak across graphs (a->c exists only in g1)
+    quads = spark.createDataFrame(
+        [
+            ("a", "http://p/next", "b", False, "g1"),
+            ("b", "http://p/next", "c", False, "g1"),
+            ("a", "http://p/next", "b", False, "g2"),
+            ("a", "http://p/tag", "t", False, "g1"),
+        ],
+        "subj string, pred string, obj string, obj_is_literal boolean, graph string",
+    )
+    q = "SELECT ?g ?s ?o WHERE { GRAPH ?g { ?s <http://p/next>+ ?o } }"
+    rows = {(r.g, r.s, r.o) for r in sparql_query(quads, q).collect()}
+    assert rows == {
+        ("g1", "a", "b"), ("g1", "b", "c"), ("g1", "a", "c"),
+        ("g2", "a", "b"),
+    }
+    # mixed plain + path inside the same GRAPH ?g group: join on ?g and ?s
+    q2 = """SELECT ?g ?s ?o WHERE {
+        GRAPH ?g { ?s <http://p/next>+ ?o . ?s <http://p/tag> ?t }
+    }"""
+    rows2 = {(r.g, r.s, r.o) for r in sparql_query(quads, q2).collect()}
+    assert rows2 == {("g1", "a", "b"), ("g1", "a", "c")}
+    # constant endpoint under GRAPH ?g
+    q3 = "SELECT ?g WHERE { GRAPH ?g { <a> <http://p/next>+ <c> } }"
+    assert {r.g for r in sparql_query(quads, q3).collect()} == {"g1"}
