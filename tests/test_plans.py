@@ -128,3 +128,22 @@ def test_bucketed_tables_join_with_zero_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS t_edges_b")
         spark.sql("DROP TABLE IF EXISTS t_nodes_b")
+
+
+def test_flat_path_alternation_plans_as_single_filter(spark):
+    """The recursive path compiler's fast path: a flat all-plain
+    alternation must stay ONE scan + isin filter — no union, no join
+    (PLANS.md claim)."""
+    from graphforge_spark.plans.sparql import sparql_query
+
+    g = spark.createDataFrame(
+        [("a", "p1", "b", False), ("b", "p2", "c", False)],
+        "subj string, pred string, obj string, obj_is_literal boolean",
+    )
+    df = sparql_query(g, "SELECT ?s ?o WHERE { ?s (<p1>|<p2>) ?o }")
+    plan = _plan(df)
+    assert "Join" not in plan and "Union" not in plan
+    # and the negated set likewise stays one NOT-IN filter
+    df2 = sparql_query(g, "SELECT ?s ?o WHERE { ?s !(<p1>|<p2>) ?o }")
+    plan2 = _plan(df2)
+    assert "Join" not in plan2 and "Union" not in plan2
