@@ -179,7 +179,7 @@ class _Parsed:
     patterns: list = field(default_factory=list)  # (term, predpath, term)
     optionals: list = field(default_factory=list)  # list[(patterns, filters, nested)]
     graphs: list = field(default_factory=list)  # (graph_iri | Var, list[pattern])
-    unions: list = field(default_factory=list)  # list[list[list[pattern]]] (arms)
+    unions: list = field(default_factory=list)  # list[list[str]] (arm body texts)
     minuses: list = field(default_factory=list)  # list[list[pattern]]
     values: list = field(default_factory=list)  # (var_names, rows)
     filters: list = field(default_factory=list)  # raw condition strings
@@ -761,30 +761,51 @@ def parse_sparql(query: str, prefixes: dict[str, str] | None = None) -> _Parsed:
 
     # UNION chains: { arm } UNION { arm } [UNION { arm }]* — SPARQL
     # bag union of the arms' bindings, null-extended to the common schema
-    def take_union(mm: re.Match) -> str:
-        span = mm.group(0)
-        seps = re.split(r"\{[^{}]*\}", span)
-        if any(s.strip() and not re.fullmatch(r"\s*UNION\s*", s, re.IGNORECASE) for s in seps):
-            raise ValueError(f"cannot parse UNION chain: {span!r}")
-        arms = []
-        for arm_body in re.findall(r"\{([^{}]*)\}", span):
-            pats = [
-                _parse_pattern(stmt, pmap)
-                for stmt in _expand_statements(arm_body, anon)
-            ]
-            if not pats:
-                raise ValueError("empty UNION arm")
-            arms.append(pats)
-        parsed.unions.append(arms)
-        return " "
+    # UNION chains: brace-BALANCED scan (arms are full group graph
+    # patterns — they may contain OPTIONAL, FILTER, VALUES, GRAPH,
+    # property paths, even further UNION chains — and are compiled
+    # recursively at plan time). Arm texts are stored verbatim; string
+    # masking keeps a quoted '{' or 'UNION' from confusing the scan.
+    def _balanced_end(masked: str, start: int) -> int:
+        depth, i = 1, start + 1
+        while i < len(masked) and depth:
+            if masked[i] == "{":
+                depth += 1
+            elif masked[i] == "}":
+                depth -= 1
+            i += 1
+        if depth:
+            raise ValueError("unbalanced braces in UNION arm")
+        return i  # index just past the matching '}'
 
-    body = re.sub(
-        r"\{[^{}]*\}(?:\s*UNION\s*\{[^{}]*\})+",
-        take_union,
-        body,
-        flags=re.IGNORECASE,
-    )
-    if re.search(r"\bUNION\b", body, re.IGNORECASE):
+    masked_body = _mask_strings(body)
+    pieces, chains = [], []
+    i = last = 0
+    while i < len(masked_body):
+        if masked_body[i] == "{":
+            arm_start, arms = i, []
+            j = i
+            while True:
+                end = _balanced_end(masked_body, j)
+                arms.append(body[j + 1 : end - 1])
+                nxt = re.match(r"\s*UNION\s*\{", masked_body[end:], re.IGNORECASE)
+                if not nxt:
+                    break
+                j = end + nxt.end() - 1
+            if len(arms) > 1:
+                pieces.append(body[last:arm_start])
+                chains.append(arms)
+                last = end
+            i = end
+        else:
+            i += 1
+    pieces.append(body[last:])
+    body = " ".join(pieces)
+    for arms in chains:
+        if any(not a.strip() for a in arms):
+            raise ValueError("empty UNION arm")
+        parsed.unions.append(arms)
+    if re.search(r"\bUNION\b", _mask_strings(body), re.IGNORECASE):
         raise ValueError("cannot parse UNION clause (arms must be braced groups)")
 
     # GRAPH blocks: constant (<iri> / curie — filter on the graph column)
@@ -1687,12 +1708,21 @@ def _select_frame(
             )
         )
     for arms in parsed.unions:
-        # SPARQL bag union: arms evaluate independently, bindings align on
-        # the union of their variables (missing vars null-extend). Columns
-        # absent from any arm are NULLABLE: joining them later must use
+        # SPARQL bag union: each arm is a FULL group graph pattern,
+        # compiled recursively (OPTIONAL, FILTER, VALUES, GRAPH, paths,
+        # nested UNION all work inside an arm); bindings align on the
+        # union of the arms' variables (missing vars null-extend).
+        # Columns absent from any arm — or nullable WITHIN an arm (its
+        # own OPTIONAL) — are NULLABLE: joining them later must use
         # compatible-mapping semantics (_join_compat), because SPARQL
         # treats an unbound variable as join-compatible with any value.
-        arm_frames = [_patterns_frame(triples, pats, pmap) for pats in arms]
+        arm_frames, arm_nulls = [], []
+        for arm_text in arms:
+            f, nset = _select_frame(
+                triples, f"SELECT * WHERE {{ {arm_text} }}", pmap
+            )
+            arm_frames.append(f)
+            arm_nulls.append(nset)
         allcols: list[str] = []
         for f in arm_frames:
             allcols += [c for c in f.columns if c not in allcols]
@@ -1706,6 +1736,8 @@ def _select_frame(
             for f in arm_frames
         ]
         nullable = {c for c in allcols if any(c not in f.columns for f in arm_frames)}
+        for nset in arm_nulls:
+            nullable |= nset
         frames.append((reduce(lambda a, b: a.unionByName(b), aligned), nullable))
     for subtext in parsed.subqueries:
         # subquery: an independently evaluated solution sequence whose

@@ -992,3 +992,34 @@ def test_graph_var_with_path(spark):
     # constant endpoint under GRAPH ?g
     q3 = "SELECT ?g WHERE { GRAPH ?g { <a> <http://p/next>+ <c> } }"
     assert {r.g for r in sparql_query(quads, q3).collect()} == {"g1"}
+
+
+def test_union_arm_with_optional_and_filter(graph):
+    # arms are full group graph patterns now: OPTIONAL inside an arm
+    q = """SELECT ?s ?o ?note WHERE {
+        { ?s <http://ex.org/p/likes> ?o .
+          OPTIONAL { ?s <http://example.org/optionalPredicate> ?note } }
+        UNION
+        { ?s rdf:type ?o . FILTER(CONTAINS(?s, "/x")) }
+    }"""
+    rows = {(r.s, r.o, r.note) for r in sparql_query(graph, q).collect()}
+    assert rows == {
+        ("http://ex.org/x", "http://ex.org/y", "note"),
+        ("http://ex.org/y", "http://ex.org/z", None),
+        ("http://ex.org/x", "http://ex.org/A", None),
+    }
+
+
+def test_union_nested_inside_arm(graph):
+    # a UNION chain inside an arm compiles recursively
+    q = """SELECT ?s ?o WHERE {
+        { { ?s rdf:type ?o } UNION { ?s rdfs:subClassOf ?o } }
+        UNION
+        { ?s <http://ex.org/p/likes> ?o }
+    }"""
+    assert sparql_query(graph, q).count() == 5  # 1 type + 2 sub + 2 likes
+
+
+def test_union_arm_empty_is_loud(graph):
+    with pytest.raises(ValueError, match="empty UNION arm"):
+        sparql_query(graph, "SELECT ?s WHERE { { ?s ?p ?o } UNION { } }")
