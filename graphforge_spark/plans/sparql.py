@@ -180,10 +180,10 @@ class _Parsed:
     optionals: list = field(default_factory=list)  # list[(patterns, filters, nested)]
     graphs: list = field(default_factory=list)  # (graph_iri | Var, list[pattern])
     unions: list = field(default_factory=list)  # list[list[str]] (arm body texts)
-    minuses: list = field(default_factory=list)  # list[list[pattern]]
+    minuses: list = field(default_factory=list)  # list[str] (group body texts)
     values: list = field(default_factory=list)  # (var_names, rows)
     filters: list = field(default_factory=list)  # raw condition strings
-    exists: list = field(default_factory=list)  # (negated, list[pattern])
+    exists: list = field(default_factory=list)  # (negated, group body text)
     subqueries: list = field(default_factory=list)  # raw '{ SELECT … }' texts
     binds: list = field(default_factory=list)  # (alias, raw expr string)
     group_by: str | None = None
@@ -395,6 +395,42 @@ def _parse_pattern(text: str, prefixes: dict):
         body = raw_pred[: -1] if suffix else raw_pred
         p = ("path", f"({body}){suffix}")
     return (s, p, o)
+
+
+def _balanced_end(masked: str, start: int) -> int:
+    """``start`` indexes a '{' in ``masked``; return the index just past
+    its matching '}'. Raises on unbalanced input."""
+    depth, i = 1, start + 1
+    while i < len(masked) and depth:
+        if masked[i] == "{":
+            depth += 1
+        elif masked[i] == "}":
+            depth -= 1
+        i += 1
+    if depth:
+        raise ValueError("unbalanced braces in group")
+    return i
+
+
+def _take_braced_clauses(body: str, head_re: str):
+    """Remove every ``HEAD { balanced-group }`` clause from ``body`` —
+    ``head_re`` is a regex that ENDS at the opening brace — returning
+    ``(rest, [(head_match_groups, group_body_text), ...])``. The scan
+    runs over the string-blanked mask so quoted braces cannot confuse
+    the balance."""
+    masked = _mask_strings(body)
+    pat = re.compile(head_re, re.IGNORECASE)
+    out, found, pos = [], [], 0
+    while True:
+        m = pat.search(masked, pos)
+        if not m:
+            out.append(body[pos:])
+            break
+        end = _balanced_end(masked, m.end() - 1)
+        out.append(body[pos : m.start()])
+        found.append((m.groups(), body[m.end() : end - 1]))
+        pos = end
+    return " ".join(out), found
 
 
 def _take_paren_blocks(body: str, keyword: str) -> tuple[str, list[str]]:
@@ -720,69 +756,31 @@ def parse_sparql(query: str, prefixes: dict[str, str] | None = None) -> _Parsed:
 
     body, parsed.subqueries = take_subqueries(body)
 
-    # FILTER [NOT] EXISTS { patterns } — extracted next among the braced
-    # clauses so its group cannot be captured by the UNION-chain regex
-    def take_exists(mm: re.Match) -> str:
-        pats = [
-            _parse_pattern(stmt, pmap)
-            for stmt in _expand_statements(mm.group(2), anon)
-        ]
-        if not pats:
-            raise ValueError("empty EXISTS block")
-        parsed.exists.append((bool(mm.group(1)), pats))
-        return " "
-
-    body = re.sub(
-        r"FILTER\s+(NOT\s+)?EXISTS\s*\{([^{}]*)\}",
-        take_exists,
-        body,
-        flags=re.IGNORECASE,
+    # UNION chains are extracted FIRST of the remaining braced clauses,
+    # as brace-balanced opaque texts: everything inside an arm — VALUES,
+    # FILTER [NOT] EXISTS, MINUS, OPTIONAL, GRAPH, nested UNIONs — stays
+    # inside the arm text and compiles recursively IN ARM SCOPE. (The old
+    # order ran the flat VALUES/EXISTS regexes over the whole body before
+    # the union split, which would have lifted an arm's VALUES clause
+    # into the outer group — a silent scope bug this ordering prevents.)
+    # A top-level '{' that is the OPERAND of a keyword clause (FILTER
+    # EXISTS, MINUS, OPTIONAL, GRAPH x, VALUES x) is NOT a union-arm
+    # candidate — skip its balanced group so e.g. an EXISTS group whose
+    # body is itself a UNION chain stays intact for the recursive compile.
+    _owned_group_head = re.compile(
+        r"(?:\bEXISTS|\bMINUS|\bOPTIONAL"
+        r"|\bGRAPH\s+(?:\?\w+|<[^>]*>|[\w.-]*:[\w./#-]+)"
+        r"|\bVALUES\s+(?:\?\w+|\([^)]*\)))\s*$",
+        re.IGNORECASE,
     )
-
-    body = re.sub(
-        r"VALUES\s+(\?\w+|\([^)]*\))\s*\{([^{}]*)\}",
-        take_values,
-        body,
-        flags=re.IGNORECASE,
-    )
-
-    # MINUS groups: MINUS { patterns } — anti-join on the shared variables
-    def take_minus(mm: re.Match) -> str:
-        pats = [
-            _parse_pattern(stmt, pmap)
-            for stmt in _expand_statements(mm.group(1), anon)
-        ]
-        if not pats:
-            raise ValueError("empty MINUS block")
-        parsed.minuses.append(pats)
-        return " "
-
-    body = re.sub(r"MINUS\s*\{([^{}]*)\}", take_minus, body, flags=re.IGNORECASE)
-
-    # UNION chains: { arm } UNION { arm } [UNION { arm }]* — SPARQL
-    # bag union of the arms' bindings, null-extended to the common schema
-    # UNION chains: brace-BALANCED scan (arms are full group graph
-    # patterns — they may contain OPTIONAL, FILTER, VALUES, GRAPH,
-    # property paths, even further UNION chains — and are compiled
-    # recursively at plan time). Arm texts are stored verbatim; string
-    # masking keeps a quoted '{' or 'UNION' from confusing the scan.
-    def _balanced_end(masked: str, start: int) -> int:
-        depth, i = 1, start + 1
-        while i < len(masked) and depth:
-            if masked[i] == "{":
-                depth += 1
-            elif masked[i] == "}":
-                depth -= 1
-            i += 1
-        if depth:
-            raise ValueError("unbalanced braces in UNION arm")
-        return i  # index just past the matching '}'
-
     masked_body = _mask_strings(body)
     pieces, chains = [], []
     i = last = 0
     while i < len(masked_body):
         if masked_body[i] == "{":
+            if _owned_group_head.search(masked_body, 0, i):
+                i = _balanced_end(masked_body, i)
+                continue
             arm_start, arms = i, []
             j = i
             while True:
@@ -805,8 +803,36 @@ def parse_sparql(query: str, prefixes: dict[str, str] | None = None) -> _Parsed:
         if any(not a.strip() for a in arms):
             raise ValueError("empty UNION arm")
         parsed.unions.append(arms)
+    # FILTER [NOT] EXISTS { group } and MINUS { group }: brace-balanced,
+    # stored as opaque group texts and compiled recursively at plan time
+    # (so FILTERs, paths, VALUES, OPTIONAL — and whole UNION chains —
+    # inside them keep group scope)
+    body, exists_clauses = _take_braced_clauses(
+        body, r"FILTER\s+(NOT\s+)?EXISTS\s*\{"
+    )
+    for (neg,), text in exists_clauses:
+        if not text.strip():
+            raise ValueError("empty EXISTS block")
+        parsed.exists.append((bool(neg), text))
+
+    body, minus_clauses = _take_braced_clauses(body, r"MINUS\s*\{")
+    for _groups, text in minus_clauses:
+        if not text.strip():
+            raise ValueError("empty MINUS block")
+        parsed.minuses.append(text)
+
+    # any UNION still in the body at this point is one the grammar cannot
+    # place (e.g. inside an OPTIONAL/GRAPH/VALUES group, whose inner
+    # parsers are flat) — refuse loudly rather than misparse
     if re.search(r"\bUNION\b", _mask_strings(body), re.IGNORECASE):
         raise ValueError("cannot parse UNION clause (arms must be braced groups)")
+
+    body = re.sub(
+        r"VALUES\s+(\?\w+|\([^)]*\))\s*\{([^{}]*)\}",
+        take_values,
+        body,
+        flags=re.IGNORECASE,
+    )
 
     # GRAPH blocks: constant (<iri> / curie — filter on the graph column)
     # or variable (GRAPH ?g — binds the graph column as ?g)
@@ -1766,12 +1792,22 @@ def _select_frame(
         out_null |= {c for c in opt_frame.columns if c not in out.columns}
         out = optional(out, opt_frame)
 
-    for minus_patterns in parsed.minuses:
+    for minus_text in parsed.minuses:
         # SPARQL MINUS: drop bindings compatible with the minus group on
         # their shared variables; with no shared variables MINUS removes
-        # nothing (per spec — disjoint domains are never compatible)
-        mframe = _patterns_frame(triples, minus_patterns, pmap)
+        # nothing (per spec — disjoint domains are never compatible).
+        # The group is a full graph pattern, compiled recursively; a
+        # shared variable the group may leave UNBOUND would need
+        # compatible-mapping anti-join semantics — loud refusal instead.
+        mframe, mnull = _select_frame(
+            triples, f"SELECT * WHERE {{ {minus_text} }}", pmap
+        )
         shared = [c for c in out.columns if c in mframe.columns]
+        if mnull & set(shared):
+            raise ValueError(
+                "MINUS group shares possibly-unbound variable(s) "
+                f"{sorted(mnull & set(shared))} with the outer group"
+            )
         if shared:
             out = out.join(mframe.select(*shared).distinct(), shared, "left_anti")
 
@@ -1785,15 +1821,24 @@ def _select_frame(
         # subquery join actually shares the column)
         out_null.add(alias)
 
-    # FILTER [NOT] EXISTS { patterns }: left-semi / left-anti join on the
-    # shared variables. A correlated EXISTS with NO shared variable would
-    # degenerate to a constant test — raise rather than silently cross.
-    for negated, ex_patterns in parsed.exists:
-        eframe = _patterns_frame(triples, ex_patterns, pmap)
+    # FILTER [NOT] EXISTS { group }: left-semi / left-anti join on the
+    # shared variables; the group is a full graph pattern, compiled
+    # recursively. A correlated EXISTS with NO shared variable would
+    # degenerate to a constant test — raise rather than silently cross;
+    # likewise a shared variable the group may leave unbound.
+    for negated, ex_text in parsed.exists:
+        eframe, enull = _select_frame(
+            triples, f"SELECT * WHERE {{ {ex_text} }}", pmap
+        )
         shared = [c for c in out.columns if c in eframe.columns]
         if not shared:
             raise ValueError(
                 "FILTER EXISTS block shares no variable with the outer group"
+            )
+        if enull & set(shared):
+            raise ValueError(
+                "FILTER EXISTS group shares possibly-unbound variable(s) "
+                f"{sorted(enull & set(shared))} with the outer group"
             )
         out = out.join(
             eframe.select(*shared).distinct(),

@@ -1023,3 +1023,47 @@ def test_union_nested_inside_arm(graph):
 def test_union_arm_empty_is_loud(graph):
     with pytest.raises(ValueError, match="empty UNION arm"):
         sparql_query(graph, "SELECT ?s WHERE { { ?s ?p ?o } UNION { } }")
+
+
+def test_values_inside_union_arm_keeps_arm_scope(graph):
+    # a VALUES clause inside one arm must constrain ONLY that arm
+    q = """SELECT ?s ?o WHERE {
+        { ?s <http://ex.org/p/likes> ?o . VALUES ?o { <http://ex.org/y> } }
+        UNION
+        { ?s rdfs:subClassOf ?o }
+    }"""
+    rows = {(r.s, r.o) for r in sparql_query(graph, q).collect()}
+    assert rows == {
+        ("http://ex.org/x", "http://ex.org/y"),       # likes arm, filtered
+        ("http://ex.org/A", "http://ex.org/B"),       # sub arm, UNfiltered
+        ("http://ex.org/B", "http://ex.org/C"),
+    }
+
+
+def test_minus_group_with_filter(graph):
+    # MINUS group is a full graph pattern: FILTER applies inside it
+    q = """SELECT ?s ?o WHERE {
+        ?s <http://ex.org/p/likes> ?o .
+        MINUS { ?s <http://ex.org/p/likes> ?o . FILTER(CONTAINS(?o, "/z")) }
+    }"""
+    rows = {(r.s, r.o) for r in sparql_query(graph, q).collect()}
+    assert rows == {("http://ex.org/x", "http://ex.org/y")}
+
+
+def test_exists_group_with_nested_union(graph):
+    # EXISTS group containing a UNION chain
+    q = """SELECT ?s WHERE {
+        ?s ?p ?o .
+        FILTER EXISTS { { ?s rdf:type ?t } UNION { ?s rdfs:subClassOf ?t } }
+    }"""
+    subs = {r.s for r in sparql_query(graph, q).collect()}
+    assert subs == {"http://ex.org/x", "http://ex.org/A", "http://ex.org/B"}
+
+
+def test_minus_possibly_unbound_shared_var_is_loud(graph):
+    q = """SELECT ?s ?note WHERE {
+        ?s ?p ?o . OPTIONAL { ?s <http://example.org/optionalPredicate> ?note }
+        MINUS { { ?s <http://ex.org/p/likes> ?x } UNION { ?note ?q ?y } }
+    }"""
+    with pytest.raises(ValueError, match="possibly-unbound"):
+        sparql_query(graph, q)
