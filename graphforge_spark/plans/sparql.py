@@ -119,6 +119,11 @@ _TERM_RE = re.compile(
     """,
     re.VERBOSE,
 )
+# VALUES data tokens: any term, or the UNDEF keyword (unbound slot).
+# UNDEF must come first so the word never falls through to a curie parse.
+_VALUES_TOK_RE = re.compile(
+    r"(?P<undef>\b[Uu][Nn][Dd][Ee][Ff]\b)|" + _TERM_RE.pattern, re.VERBOSE
+)
 # Constructs we knowingly do NOT support — named here so the error says
 # "unsupported SPARQL feature X", not just "cannot parse".
 _UNSUPPORTED_KEYWORDS = re.compile(
@@ -186,7 +191,7 @@ class _Parsed:
     exists: list = field(default_factory=list)  # (negated, group body text)
     subqueries: list = field(default_factory=list)  # raw '{ SELECT … }' texts
     binds: list = field(default_factory=list)  # (alias, raw expr string)
-    group_by: str | None = None
+    group_by: list = field(default_factory=list)  # [var, …] key order
     having: list = field(default_factory=list)  # raw condition strings
     order_by: list | None = None  # [(var, ascending), …] in key order
     limit: int | None = None
@@ -687,6 +692,8 @@ def parse_sparql(query: str, prefixes: dict[str, str] | None = None) -> _Parsed:
             raise ValueError(f"cannot parse VALUES variables: {head!r}")
 
         def term_of(tok: re.Match):
+            if tok.lastgroup == "undef":
+                return None  # UNDEF: the variable is unbound in this row
             t = _parse_term(tok, pmap)
             if isinstance(t, Var):
                 raise ValueError("variables are not terms inside VALUES data")
@@ -694,14 +701,14 @@ def parse_sparql(query: str, prefixes: dict[str, str] | None = None) -> _Parsed:
 
         rows = []
         if len(names) == 1:
-            for tok in _TERM_RE.finditer(rows_text):
+            for tok in _VALUES_TOK_RE.finditer(rows_text):
                 rows.append((term_of(tok),))
-            left = _residue(rows_text, list(_TERM_RE.finditer(rows_text)))
+            left = _residue(rows_text, list(_VALUES_TOK_RE.finditer(rows_text)))
             if left:
                 raise ValueError(f"unsupported VALUES data syntax: {left!r}")
         else:
             for row_m in re.finditer(r"\(([^()]*)\)", rows_text):
-                toks = list(_TERM_RE.finditer(row_m.group(1)))
+                toks = list(_VALUES_TOK_RE.finditer(row_m.group(1)))
                 if len(toks) != len(names):
                     raise ValueError(
                         f"VALUES row arity {len(toks)} != {len(names)} vars"
@@ -875,22 +882,58 @@ def parse_sparql(query: str, prefixes: dict[str, str] | None = None) -> _Parsed:
     # ---- modifiers (the tail must be fully consumed) ----------------------
     tail, parsed.having = _take_paren_blocks(tail, "HAVING")
     consumed = []
-    gm = re.search(r"GROUP\s+BY\s+\?(\w+)", tail, re.IGNORECASE)
+    gm = re.search(r"GROUP\s+BY\s+((?:\?\w+\s*)+)", tail, re.IGNORECASE)
     if gm:
-        parsed.group_by = gm.group(1)
+        parsed.group_by = re.findall(r"\?(\w+)", gm.group(1))
         consumed.append(gm)
-    _key = r"(?:ASC|DESC)?\s*\(?\s*\?\w+\s*\)?"
-    om = re.search(
-        rf"ORDER\s+BY\s+(?P<keys>{_key}(?:\s+{_key})*)", tail, re.IGNORECASE
-    )
+    # ORDER BY conditions (SPARQL OrderCondition): ASC(expr) | DESC(expr)
+    # | ?var | fn(args…). Paren balancing runs on the string-blanked mask;
+    # the consumed span is blanked in place (length-preserving) so the
+    # later LIMIT/OFFSET searches cannot match inside an order expression.
+    om = re.search(r"ORDER\s+BY\s+", tail, re.IGNORECASE)
     if om:
-        parsed.order_by = [
-            (k.group(2), (k.group(1) or "ASC").upper() == "ASC")
-            for k in re.finditer(
-                r"(ASC|DESC)?\s*\(?\s*\?(\w+)\s*\)?", om.group("keys"), re.IGNORECASE
-            )
-        ]
-        consumed.append(om)
+        def _paren_end(masked: str, start: int) -> int:
+            depth, i = 1, start + 1
+            while i < len(masked) and depth:
+                if masked[i] == "(":
+                    depth += 1
+                elif masked[i] == ")":
+                    depth -= 1
+                i += 1
+            if depth:
+                raise ValueError("unbalanced parentheses in ORDER BY")
+            return i
+
+        masked_tail = _mask_strings(tail)
+        conds, i = [], om.end()
+        while i < len(tail):
+            m = re.match(r"\s*(ASC|DESC)\s*\(", masked_tail[i:], re.IGNORECASE)
+            if m:
+                start = i + m.end() - 1
+                end = _paren_end(masked_tail, start)
+                conds.append(
+                    (tail[start + 1 : end - 1].strip(),
+                     m.group(1).upper() == "ASC")
+                )
+                i = end
+                continue
+            m = re.match(r"\s*\?\w+", masked_tail[i:])
+            if m:
+                conds.append((tail[i : i + m.end()].strip(), True))
+                i += m.end()
+                continue
+            m = re.match(r"\s*(\w+)\s*\(", masked_tail[i:], re.IGNORECASE)
+            if m and m.group(1).upper() not in ("LIMIT", "OFFSET"):
+                start = i + m.end() - 1
+                end = _paren_end(masked_tail, start)
+                conds.append((tail[i:end].strip(), True))
+                i = end
+                continue
+            break
+        if not conds:
+            raise ValueError("empty ORDER BY clause")
+        parsed.order_by = conds
+        tail = tail[: om.start()] + " " * (i - om.start()) + tail[i:]
     lm = re.search(r"LIMIT\s+(\d+)", tail, re.IGNORECASE)
     if lm:
         parsed.limit = int(lm.group(1))
@@ -1548,6 +1591,20 @@ def _construct_query(
     solution sequence BEFORE instantiation, per spec. A template triple
     with any unbound variable in a given solution produces no triple for
     that solution (``na.drop``), also per spec."""
+    sh = re.search(r"\bCONSTRUCT\s+WHERE\s*\{", q, re.IGNORECASE)
+    if sh:
+        # CONSTRUCT WHERE { bgp } shorthand: the WHERE patterns are the
+        # template. Rewritten to the long form; anything beyond plain
+        # triple patterns in the body raises in the template parse, per
+        # the spec's BGP-only restriction on the short form.
+        masked = _mask_strings(q)
+        end = _balanced_end(masked, masked.index("{", sh.start()))
+        bgp = q[masked.index("{", sh.start()) + 1 : end - 1]
+        q = (
+            q[: sh.start()]
+            + f"CONSTRUCT {{ {bgp} }} WHERE {{ {bgp} }}"
+            + q[end:]
+        )
     m = re.search(r"\bCONSTRUCT\s*\{", q, re.IGNORECASE)
     if not m:
         raise ValueError(
@@ -1724,13 +1781,18 @@ def _select_frame(
                 (_patterns_frame(triples.filter(F.col("graph") == g), pats, pmap), set())
             )
     for names, rows in parsed.values:
-        # inline bindings table: joins with the rest on its variables
+        # inline bindings table: joins with the rest on its variables.
+        # A column holding any UNDEF (None) row is NULLABLE — the join
+        # must use compatible-mapping semantics (unbound matches any).
+        undef_cols = {
+            n for i, n in enumerate(names) if any(r[i] is None for r in rows)
+        }
         frames.append(
             (
                 triples.sparkSession.createDataFrame(
                     rows, ", ".join(f"{n} string" for n in names)
                 ),
-                set(),
+                undef_cols,
             )
         )
     for arms in parsed.unions:
@@ -1855,14 +1917,14 @@ def _select_frame(
     # projection / aggregation
     aggs = [p for p in parsed.projection if isinstance(p, tuple)]
     if aggs:
-        keys = [parsed.group_by] if parsed.group_by else []
-        # a plain projected variable in an aggregate query must be the
-        # GROUP BY key — silently dropping it would be a wrong answer
+        keys = list(parsed.group_by)
+        # a plain projected variable in an aggregate query must be one of
+        # the GROUP BY keys — silently dropping it would be a wrong answer
         for p in parsed.projection:
-            if isinstance(p, str) and p != parsed.group_by:
+            if isinstance(p, str) and p not in keys:
                 raise ValueError(
-                    f"projected variable ?{p} is neither the GROUP BY key "
-                    "nor an aggregate alias"
+                    f"projected variable ?{p} is not a GROUP BY key "
+                    "or an aggregate alias"
                 )
 
         def agg_expr(fn: str, x: str, alias: str, extra):
@@ -1917,7 +1979,11 @@ def _select_frame(
 
         for cond in parsed.having:
             out = out.filter(_filter_col(_rewrite_having(cond), pmap))
-        out = out.select(*(alias for (_, _, alias, _) in aggs), *keys)
+        # project in SELECT order; a GROUP BY key that is not projected
+        # is grouped on but (per spec) not emitted
+        out = out.select(
+            *(p[2] if isinstance(p, tuple) else p for p in parsed.projection)
+        )
     elif parsed.having:
         raise ValueError("HAVING requires an aggregate projection")
     elif "*" not in parsed.projection:
@@ -1936,10 +2002,12 @@ def _select_frame(
         out = out.distinct()
 
     if parsed.order_by:
+        # each condition is a raw term/expression string ('?var' or e.g.
+        # 'STRLEN(?s)') — compiled through the scalar-expression compiler
         out = out.orderBy(
             *[
-                F.col(var).asc() if asc else F.col(var).desc()
-                for var, asc in parsed.order_by
+                _bind_col(k, pmap).asc() if asc else _bind_col(k, pmap).desc()
+                for k, asc in parsed.order_by
             ]
         )
     if parsed.offset is not None:

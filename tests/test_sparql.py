@@ -1067,3 +1067,64 @@ def test_minus_possibly_unbound_shared_var_is_loud(graph):
     }"""
     with pytest.raises(ValueError, match="possibly-unbound"):
         sparql_query(graph, q)
+
+
+def test_group_by_multiple_keys(spark):
+    t = spark.createDataFrame(
+        [("a", "p1", "x"), ("a", "p1", "y"), ("a", "p2", "x"), ("b", "p1", "z")],
+        "subj string, pred string, obj string",
+    )
+    q = """SELECT ?s ?p (COUNT(?o) AS ?n) WHERE { ?s ?p ?o }
+           GROUP BY ?s ?p ORDER BY ?s ?p"""
+    out = sparql_query(t, q)
+    assert out.columns == ["s", "p", "n"]  # SELECT order, not aggs-first
+    assert [tuple(r) for r in out.collect()] == [
+        ("a", "p1", 2), ("a", "p2", 1), ("b", "p1", 1),
+    ]
+
+
+def test_group_key_not_projected_is_grouped_but_not_emitted(spark):
+    t = spark.createDataFrame(
+        [("a", "p", "x"), ("a", "p", "y"), ("b", "p", "z")],
+        "subj string, pred string, obj string",
+    )
+    q = "SELECT (COUNT(?o) AS ?n) WHERE { ?s ?p ?o } GROUP BY ?s ORDER BY DESC(?n)"
+    out = sparql_query(t, q)
+    assert out.columns == ["n"]
+    assert [r.n for r in out.collect()] == [2, 1]
+
+
+def test_order_by_expression(graph):
+    # longest subjects first; ties broken by the plain var key
+    q = "SELECT DISTINCT ?s WHERE { ?s ?p ?o } ORDER BY DESC(STRLEN(?s)) ?s"
+    subs = [r.s for r in sparql_query(graph, q).collect()]
+    assert subs == sorted(subs, key=lambda s: (-len(s), s))
+
+
+def test_values_undef_joins_as_unbound(graph):
+    # (<x> UNDEF) constrains only ?s; (UNDEF <z>) constrains only ?o
+    q = """SELECT ?s ?o WHERE {
+        ?s <http://ex.org/p/likes> ?o .
+        VALUES (?s ?o) { (<http://ex.org/x> UNDEF) (UNDEF <http://ex.org/z>) }
+    }"""
+    rows = {(r.s, r.o) for r in sparql_query(graph, q).collect()}
+    assert rows == {
+        ("http://ex.org/x", "http://ex.org/y"),
+        ("http://ex.org/y", "http://ex.org/z"),
+    }
+
+
+def test_construct_where_shorthand(graph):
+    q = "CONSTRUCT WHERE { ?s <http://ex.org/p/likes> ?o }"
+    rows = {(r.subj, r.pred, r.obj) for r in sparql_query(graph, q).collect()}
+    assert rows == {
+        ("http://ex.org/x", "http://ex.org/p/likes", "http://ex.org/y"),
+        ("http://ex.org/y", "http://ex.org/p/likes", "http://ex.org/z"),
+    }
+
+
+def test_construct_where_rejects_non_bgp(graph):
+    with pytest.raises(ValueError):
+        sparql_query(
+            graph, 'CONSTRUCT WHERE { ?s ?p ?o . FILTER(CONTAINS(?o, "z")) }'
+        )
