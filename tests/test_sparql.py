@@ -1128,3 +1128,42 @@ def test_construct_where_rejects_non_bgp(graph):
         sparql_query(
             graph, 'CONSTRUCT WHERE { ?s ?p ?o . FILTER(CONTAINS(?o, "z")) }'
         )
+
+
+def test_order_by_parser_edges():
+    # pure-parser checks: no Spark needed
+    from graphforge_spark.plans.sparql import parse_sparql
+
+    p, _ = parse_sparql(
+        'SELECT ?s WHERE { ?s ?p ?o } ORDER BY DESC(STRLEN(?s)) ?p LIMIT 3'
+    )
+    assert p.order_by == [("STRLEN(?s)", False), ("?p", True)]
+    assert p.limit == 3
+    # a quoted ')' inside a string cannot unbalance the scan
+    p, _ = parse_sparql(
+        'SELECT ?s WHERE { ?s ?p ?o } ORDER BY DESC(CONCAT(?s, ")x")) LIMIT 1'
+    )
+    assert p.order_by == [('CONCAT(?s, ")x")', False)] and p.limit == 1
+    with pytest.raises(ValueError, match="empty ORDER BY"):
+        parse_sparql("SELECT ?s WHERE { ?s ?p ?o } ORDER BY LIMIT 3")
+
+
+def test_values_undef_parser():
+    from graphforge_spark.plans.sparql import parse_sparql
+
+    p, _ = parse_sparql(
+        "SELECT ?s WHERE { ?s ?p ?o . VALUES (?s ?o) { (<a> UNDEF) (undef <b>) } }"
+    )
+    assert p.values == [(["s", "o"], [("a", None), (None, "b")])]
+    # single-var form
+    p, _ = parse_sparql("SELECT ?s WHERE { ?s ?p ?o . VALUES ?s { UNDEF <a> } }")
+    assert p.values == [(["s"], [(None,), ("a",)])]
+
+
+def test_group_by_parser_multi_key():
+    from graphforge_spark.plans.sparql import parse_sparql
+
+    p, _ = parse_sparql(
+        "SELECT ?a ?b (COUNT(?c) AS ?n) WHERE { ?a ?b ?c } GROUP BY ?a ?b"
+    )
+    assert p.group_by == ["a", "b"]
