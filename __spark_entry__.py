@@ -340,28 +340,29 @@ def q_sparql_union(spark, sf_dir):
 
 def q_sparql_aggregates(spark, sf_dir):
     """SUM/MIN/MAX/COUNT plus GROUP_CONCAT/SAMPLE aggregate projection
-    with GROUP BY — numeric aggregation casts string terms, MIN/MAX use
-    natural (string) ordering per the stringly-typed store, GROUP_CONCAT
-    sorts elements for determinism (= string_agg ORDER BY), SAMPLE is
-    the deterministic MIN choice."""
+    with MULTI-KEY GROUP BY (?s ?p; output columns in SELECT order) —
+    numeric aggregation casts string terms, MIN/MAX use natural (string)
+    ordering per the stringly-typed store, GROUP_CONCAT sorts elements
+    for determinism (= string_agg ORDER BY), SAMPLE is the deterministic
+    MIN choice."""
     from graphforge_spark.plans.sparql import sparql_query
 
     n = corpus.load(spark, sf_dir, "nation")
     triples = n.select(
-        F.concat(F.lit("http://ex.org/n/"), F.col("n_nationkey").cast("string")).alias(
-            "subj"
-        ),
+        F.concat(
+            F.lit("http://ex.org/r/"), (F.col("n_nationkey") % 5).cast("string")
+        ).alias("subj"),
         F.lit("http://ex.org/p/key").alias("pred"),
         F.col("n_nationkey").cast("string").alias("obj"),
         F.lit(True).alias("obj_is_literal"),
     )
     return sparql_query(
         triples,
-        """SELECT (COUNT(?o) AS ?n) (SUM(?o) AS ?total)
+        """SELECT ?s ?p (COUNT(?o) AS ?n) (SUM(?o) AS ?total)
                   (MIN(?o) AS ?lo) (MAX(?o) AS ?hi)
                   (GROUP_CONCAT(?o; SEPARATOR=",") AS ?cat)
-                  (SAMPLE(?o) AS ?samp) ?p
-           WHERE { ?s ?p ?o } GROUP BY ?p""",
+                  (SAMPLE(?o) AS ?samp)
+           WHERE { ?s ?p ?o } GROUP BY ?s ?p""",
     )
 
 
@@ -1439,7 +1440,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT subj, obj FROM g WHERE pred = 'http://ex.org/p/locatedIn'
         """,
         "sparql_aggregates": """
-            SELECT 'http://ex.org/p/key' AS p,
+            SELECT 'http://ex.org/r/' || CAST(n_nationkey % 5 AS VARCHAR) AS s,
+                   'http://ex.org/p/key' AS p,
                    CAST(count(*) AS BIGINT) AS n,
                    CAST(sum(n_nationkey) AS DOUBLE) AS total,
                    min(CAST(n_nationkey AS VARCHAR)) AS lo,
@@ -1448,6 +1450,7 @@ def oracle_sql() -> dict[str, str]:
                               ORDER BY CAST(n_nationkey AS VARCHAR)) AS cat,
                    min(CAST(n_nationkey AS VARCHAR)) AS samp
             FROM nation
+            GROUP BY 1, 2
         """,
         "sparql_path_plus": """
             SELECT 'http://ex.org/n/' || CAST(a.n_nationkey AS VARCHAR) AS s,
