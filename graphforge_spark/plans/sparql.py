@@ -955,7 +955,8 @@ def parse_sparql(query: str, prefixes: dict[str, str] | None = None) -> _Parsed:
 # an operand may be an expression-function call (one paren-nesting level;
 # enough for STRLEN(STR(?x)) — deeper nesting raises at compile)
 _FN_CALL = r"""(?:STRLEN|UCASE|LCASE|STRBEFORE|STRAFTER|STR|SUBSTR|REPLACE
-                 |COALESCE|IF|CONCAT)
+                 |COALESCE|IF|CONCAT|ABS|CEIL|FLOOR|ROUND|MD5|SHA256|SHA1
+                 |ENCODE_FOR_URI)
                \s*\((?:"(?:[^"\\]|\\.)*"|\([^()]*\)|[^()])*\)"""
 _CMP_RE = re.compile(
     rf"""^\s*(?P<a>{_FN_CALL}|\?\w+|"(?:[^"\\]|\\.)*"|<[^>]*>|-?\d+(?:\.\d+)?|[\w-]*:[\w./#-]+)
@@ -966,9 +967,20 @@ _CMP_RE = re.compile(
 _FUNC_RE = re.compile(
     r"""^\s*(?P<neg>!)?\s*(?P<fn>REGEX|CONTAINS|STRSTARTS|STRENDS|BOUND
                                  |ISIRI|ISURI|ISLITERAL|ISBLANK)\s*\(
-         \s*\?(?P<var>\w+)\s*(?:,\s*"(?P<arg>(?:[^"\\]|\\.)*)"\s*)?\)\s*$""",
+         \s*\?(?P<var>\w+)\s*(?:,\s*"(?P<arg>(?:[^"\\]|\\.)*)"\s*
+         (?:,\s*"(?P<flags>[^"]*)"\s*)?)?\)\s*$""",
     re.VERBOSE | re.IGNORECASE,
 )
+_SAMETERM_RE = re.compile(
+    r"^\s*(?P<neg>!)?\s*SAMETERM\s*\((?P<args>.*)\)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_ISNUMERIC_RE = re.compile(
+    r"^\s*(?P<neg>!)?\s*ISNUMERIC\s*\(\s*\?(?P<var>\w+)\s*\)\s*$",
+    re.IGNORECASE,
+)
+# the store's numeric-literal shape (the same forms SUM/AVG casts accept)
+_NUMERIC_LIT_RE = r"^[+-]?(\d+(\.\d*)?|\.\d+)([eE][+-]?\d+)?$"
 _IN_RE = re.compile(
     r"^\s*\?(?P<var>\w+)\s+(?P<neg>NOT\s+)?IN\s*\((?P<terms>.*)\)\s*$",
     re.IGNORECASE | re.DOTALL,
@@ -989,10 +1001,10 @@ def _operand(text: str, pmap: dict, numeric: bool):
         # expression-function operand (STRLEN(?x), UCASE(?x), …) — shares
         # the BIND expression compiler
         col = _bind_col(text, pmap)
-        return col.cast("double") if numeric else col
+        return col.try_cast("double") if numeric else col
     if text.startswith("?"):
         col = F.col(text[1:])
-        return col.cast("double") if numeric else col
+        return col.try_cast("double") if numeric else col
     if re.fullmatch(r"-?\d+(?:\.\d+)?", text):
         return F.lit(float(text))
     if text.startswith('"'):
@@ -1025,7 +1037,16 @@ def _filter_atom(cond: str, pmap: dict) -> Column:
                 col = F.col(var).isNotNull() & ~is_iri & ~is_blank
         elif arg is None:
             raise ValueError(f"{fn} requires a string argument: FILTER({cond.strip()})")
+        elif fm.group("flags") is not None and fn != "REGEX":
+            raise ValueError(f"{fn} takes no flags argument: FILTER({cond.strip()})")
         elif fn == "REGEX":
+            flags = fm.group("flags")
+            if flags:
+                if not re.fullmatch(r"[imsx]+", flags):
+                    raise ValueError(
+                        f"unsupported REGEX flags {flags!r} (supported: i m s x)"
+                    )
+                arg = f"(?{flags}){arg}"
             col = F.col(var).rlike(arg)
         elif fn == "CONTAINS":
             col = F.col(var).contains(arg)
@@ -1062,6 +1083,21 @@ def _filter_atom(cond: str, pmap: dict) -> Column:
             )
             disj = eq if disj is None else disj | eq
         return ~disj if im.group("neg") else disj
+    sm = _SAMETERM_RE.match(cond)
+    if sm:
+        # the store holds one canonical string per term, so sameTerm is
+        # exact term-string equality (unbound → null → row eliminated)
+        args = [a.strip() for a in _split_args(sm.group("args"))]
+        if len(args) != 2:
+            raise ValueError(f"SAMETERM expects 2 arguments: FILTER({cond.strip()})")
+        col = _bind_col(args[0], pmap) == _bind_col(args[1], pmap)
+        return ~col if sm.group("neg") else col
+    nm = _ISNUMERIC_RE.match(cond)
+    if nm:
+        # stringly-typed store: a term is numeric iff it has the numeric
+        # shape the engine's own aggregates cast (SUM/AVG semantics)
+        col = F.col(nm.group("var")).rlike(_NUMERIC_LIT_RE)
+        return ~col if nm.group("neg") else col
     cm = _CMP_RE.match(cond)
     if cm:
         a, op, b = cm.group("a"), cm.group("op"), cm.group("b")
@@ -1071,7 +1107,50 @@ def _filter_atom(cond: str, pmap: dict) -> Column:
             re.fullmatch(r"-?\d+(?:\.\d+)?", a) or re.fullmatch(r"-?\d+(?:\.\d+)?", b)
         )
         return _OPS[op](_operand(a, pmap, numeric), _operand(b, pmap, numeric))
+    gc = _generalized_cmp(cond, pmap)
+    if gc is not None:
+        return gc
     raise ValueError(f"unsupported FILTER condition: {cond.strip()!r}")
+
+
+def _generalized_cmp(cond: str, pmap: dict):
+    """Comparison between two scalar EXPRESSIONS (arithmetic, nested
+    function calls — e.g. ``?x + 1 > STRLEN(?s)``) that the one-token
+    _CMP_RE operand grammar cannot match. String literals and whole
+    <IRI> spans are blanked before the operator scan so a quoted or
+    bracketed ``<``/``>``/``=`` can never split. Returns None when no
+    top-level comparison operator exists (caller raises its own loud
+    error)."""
+    masked = _mask_strings(cond)
+    masked = re.sub(r"<[^>]*>", lambda m: "x" * len(m.group(0)), masked)
+    depth, i, pos, op = 0, 0, None, None
+    while i < len(masked):
+        ch = masked[i]
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0:
+            two = masked[i : i + 2]
+            if two in ("!=", "<=", ">="):
+                pos, op = i, two
+                break
+            if ch in "<>=":
+                pos, op = i, ch
+                break
+        i += 1
+    if pos is None:
+        return None
+    a, b = cond[:pos].strip(), cond[pos + len(op) :].strip()
+    if not a or not b:
+        raise ValueError(f"malformed comparison: FILTER({cond.strip()})")
+    numeric = bool(
+        re.fullmatch(r"-?\d+(?:\.\d+)?", a) or re.fullmatch(r"-?\d+(?:\.\d+)?", b)
+    )
+    ca, cb = _bind_col(a, pmap), _bind_col(b, pmap)
+    if numeric:
+        ca, cb = ca.try_cast("double"), cb.try_cast("double")
+    return _OPS[op](ca, cb)
 
 
 def _filter_term(cond: str, pmap: dict) -> Column:
@@ -1133,17 +1212,79 @@ def _split_args(inner: str) -> list[str]:
     return parts
 
 
+def _arith_split(e: str, masked: str):
+    """Find the top-level binary arithmetic operator to split at: the
+    RIGHTMOST ``+``/``-`` outside parens/strings (lowest precedence,
+    left-associative), else the rightmost ``*``/``/``. An operator is
+    binary only when an operand ends before it — a leading or
+    post-'('/operator sign is unary and stays with its number literal.
+    Returns (lhs, op, rhs) or None. IRI spans are blanked first so a
+    '/' inside <http://…> can never split. CURIE tokens are blanked too —
+    the '-', '/', '#', '.' inside ex:a-b/c are part of the term, not
+    operators (numbers and ?vars carry no ':', so they are unaffected)."""
+    masked = re.sub(r"<[^>]*>", lambda m: "<" + "x" * (len(m.group(0)) - 2) + ">", masked)
+    masked = re.sub(r"[\w-]*:[\w./#-]+", lambda m: "x" * len(m.group(0)), masked)
+    best_addsub = best_muldiv = None
+    depth = 0
+    for i, ch in enumerate(masked):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0 and ch in "+-*/":
+            prev = masked[:i].rstrip()
+            if not prev or prev[-1] in "(,+-*/<>=!&|":
+                continue  # unary sign / part of another operator
+            if ch in "+-":
+                best_addsub = i
+            else:
+                best_muldiv = i
+    pos = best_addsub if best_addsub is not None else best_muldiv
+    if pos is None:
+        return None
+    return e[:pos], e[pos], e[pos + 1 :]
+
+
 def _bind_col(expr: str, pmap: dict) -> Column:
     """Compile a scalar SPARQL expression (BIND bodies and expression
     operands in FILTER comparisons): a term (?var, "literal", <iri>,
-    curie, number) or STR / CONCAT / UCASE / LCASE / STRLEN / SUBSTR /
-    REPLACE / COALESCE / IF over sub-expressions. Anything else is a
-    loud error."""
+    curie, number), binary arithmetic (``+ - * /``, evaluated as SQL
+    doubles over the stringly-typed store), or STR / CONCAT / UCASE /
+    LCASE / STRLEN / SUBSTR / REPLACE / COALESCE / IF / STRBEFORE /
+    STRAFTER / ABS / CEIL / FLOOR / ROUND / MD5 / SHA1 / SHA256 /
+    ENCODE_FOR_URI over sub-expressions. Anything else is a loud
+    error."""
     e = expr.strip()
     masked = _mask_strings(e)
+    # arithmetic first: it binds looser than any function call, and the
+    # operand grammar below would otherwise half-match 'STRLEN(?a)+1'
+    sp = _arith_split(e, masked)
+    if sp is not None:
+        lhs, op, rhs = sp
+        a = _bind_col(lhs, pmap).try_cast("double")
+        b = _bind_col(rhs, pmap).try_cast("double")
+        return {"+": a + b, "-": a - b, "*": a * b, "/": a / b}[op]
+    # strip a paren pair wrapping the whole expression
+    while e.startswith("(") and masked.rstrip().endswith(")"):
+        depth = 0
+        for i, ch in enumerate(masked):
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+        if i != len(masked.rstrip()) - 1:
+            break
+        e = e[1:-1].strip()
+        masked = _mask_strings(e)
+        sp = _arith_split(e, masked)
+        if sp is not None:
+            return _bind_col(e, pmap)
     fm = re.match(
-        r"^\s*(CONCAT|STR|UCASE|LCASE|STRLEN|SUBSTR|REPLACE|COALESCE|IF"
-        r"|STRBEFORE|STRAFTER)\s*\(",
+        r"^\s*(CONCAT|STRLEN|STRBEFORE|STRAFTER|STR|UCASE|LCASE|SUBSTR"
+        r"|REPLACE|COALESCE|IF|ABS|CEIL|FLOOR|ROUND|MD5|SHA256|SHA1"
+        r"|ENCODE_FOR_URI)\s*\(",
         masked,
         re.IGNORECASE,
     )
@@ -1224,6 +1365,38 @@ def _bind_col(expr: str, pmap: dict) -> Column:
             return F.when(
                 _filter_col(args[0], pmap), _bind_col(args[1], pmap)
             ).otherwise(_bind_col(args[2], pmap))
+        if fn in ("ABS", "CEIL", "FLOOR", "ROUND"):
+            # numeric builtins evaluate as SQL doubles (non-numeric terms
+            # → null → SPARQL error-eliminates-row). ROUND is HALF_UP
+            # (ties away from zero) — SPARQL specifies ties toward
+            # positive infinity, which differs only at negative .5 ties.
+            need(1)
+            c = _bind_col(args[0], pmap).try_cast("double")
+            if fn == "ABS":
+                return F.abs(c)
+            if fn == "CEIL":
+                return F.ceil(c).cast("double")
+            if fn == "FLOOR":
+                return F.floor(c).cast("double")
+            return F.round(c, 0)
+        if fn == "MD5":
+            need(1)
+            return F.md5(_bind_col(args[0], pmap).cast("string"))
+        if fn == "SHA1":
+            need(1)
+            return F.sha1(_bind_col(args[0], pmap).cast("string"))
+        if fn == "SHA256":
+            need(1)
+            return F.sha2(_bind_col(args[0], pmap).cast("string"), 256)
+        if fn == "ENCODE_FOR_URI":
+            # RFC 3986 percent-encoding (everything but unreserved), per
+            # the SPARQL spec: url_encode is form-encoding, so fix its
+            # three divergences (space→'+', '*' kept, '~' escaped)
+            need(1)
+            enc = F.url_encode(_bind_col(args[0], pmap).cast("string"))
+            enc = F.replace(enc, F.lit("+"), F.lit("%20"))
+            enc = F.replace(enc, F.lit("*"), F.lit("%2A"))
+            return F.replace(enc, F.lit("%7E"), F.lit("~"))
     if re.fullmatch(r"\?\w+", e):
         return F.col(e[1:])
     if re.fullmatch(r'"(?:[^"\\]|\\.)*"', e):
@@ -1934,9 +2107,9 @@ def _select_frame(
             if fn == "sum":
                 # terms are strings in the store; SPARQL numeric aggregation
                 # casts (non-numeric terms → null, ignored by the aggregate)
-                return F.sum(c.cast("double")).alias(alias)
+                return F.sum(c.try_cast("double")).alias(alias)
             if fn == "avg":
-                return F.avg(c.cast("double")).alias(alias)
+                return F.avg(c.try_cast("double")).alias(alias)
             if fn == "min":
                 return F.min(c).alias(alias)
             if fn == "max":

@@ -1167,3 +1167,77 @@ def test_group_by_parser_multi_key():
         "SELECT ?a ?b (COUNT(?c) AS ?n) WHERE { ?a ?b ?c } GROUP BY ?a ?b"
     )
     assert p.group_by == ["a", "b"]
+
+
+@pytest.fixture(scope="module")
+def numgraph(spark):
+    return spark.createDataFrame(
+        [("a", "p", "4"), ("b", "p", "10"), ("c", "p", "x y~*"), ("d", "p", "-2.5")],
+        "subj string, pred string, obj string",
+    )
+
+
+def test_arithmetic_bind_and_error_elimination(numgraph):
+    # expression errors (malformed numeric) -> unbound, never a job abort
+    q = "SELECT ?s ?v WHERE { ?s ?p ?o . BIND(?o * 2 + 1 AS ?v) }"
+    rows = {r.s: r.v for r in sparql_query(numgraph, q).collect()}
+    assert rows == {"a": 9.0, "b": 21.0, "c": None, "d": -4.0}
+    # in a FILTER the error eliminates the row
+    q2 = "SELECT ?s WHERE { ?s ?p ?o . FILTER(?o + 1 > 4.5) }"
+    assert {r.s for r in sparql_query(numgraph, q2).collect()} == {"a", "b"}
+
+
+def test_arithmetic_precedence_and_parens(numgraph):
+    q = 'SELECT ?v WHERE { ?s ?p ?o . FILTER(?s = "a") BIND((?o + 2) * 10 / 4 AS ?v) }'
+    assert [r.v for r in sparql_query(numgraph, q).collect()] == [15.0]
+
+
+def test_numeric_builtins(numgraph):
+    q = """SELECT ?s ?a ?c ?f ?r WHERE { ?s ?p ?o . FILTER(?s = "d")
+           BIND(ABS(?o) AS ?a) BIND(CEIL(?o) AS ?c)
+           BIND(FLOOR(?o) AS ?f) BIND(ROUND(?o) AS ?r) }"""
+    r = sparql_query(numgraph, q).collect()[0]
+    assert (r.a, r.c, r.f) == (2.5, -2.0, -3.0)
+
+
+def test_hash_builtins_and_encode_for_uri(numgraph):
+    import hashlib
+
+    q = """SELECT ?h1 ?h2 ?e WHERE { ?s ?p ?o . FILTER(?s = "c")
+           BIND(MD5(?o) AS ?h1) BIND(SHA256(?o) AS ?h2)
+           BIND(ENCODE_FOR_URI(?o) AS ?e) }"""
+    r = sparql_query(numgraph, q).collect()[0]
+    assert r.h1 == hashlib.md5(b"x y~*").hexdigest()
+    assert r.h2 == hashlib.sha256(b"x y~*").hexdigest()
+    assert r.e == "x%20y~%2A"  # RFC 3986: space->%20, '~' kept, '*' escaped
+
+
+def test_sameterm_isnumeric_regex_flags(numgraph):
+    q = 'SELECT ?s WHERE { ?s ?p ?o . FILTER(sameTerm(?o, "4")) }'
+    assert [r.s for r in sparql_query(numgraph, q).collect()] == ["a"]
+    q2 = "SELECT ?s WHERE { ?s ?p ?o . FILTER(isNumeric(?o)) }"
+    assert {r.s for r in sparql_query(numgraph, q2).collect()} == {"a", "b", "d"}
+    q3 = 'SELECT ?s WHERE { ?s ?p ?o . FILTER(REGEX(?o, "X", "i")) }'
+    assert [r.s for r in sparql_query(numgraph, q3).collect()] == ["c"]
+    with pytest.raises(ValueError, match="REGEX flags"):
+        sparql_query(numgraph, 'SELECT ?s WHERE { ?s ?p ?o . FILTER(REGEX(?o, "a", "q")) }')
+
+
+def test_expression_comparison_both_sides(numgraph):
+    # neither side is a single token: needs the generalized comparison
+    q = "SELECT ?s WHERE { ?s ?p ?o . FILTER(STRLEN(?o) + 1 = CEIL(2.2)) }"
+    assert [r.s for r in sparql_query(numgraph, q).collect()] == ["b"]
+
+
+def test_mixed_sum_ignores_nonnumeric(numgraph):
+    q = "SELECT (SUM(?o) AS ?total) WHERE { ?s ?p ?o }"
+    assert [r.total for r in sparql_query(numgraph, q).collect()] == [11.5]
+
+
+def test_curie_operand_is_not_split_by_arithmetic():
+    from graphforge_spark.plans.sparql import _arith_split, _mask_strings
+
+    for e in ("ex:a-b", "rdf:type", "ex:x/y#z-2"):
+        assert _arith_split(e, _mask_strings(e)) is None
+    sp = _arith_split("?x - ex:a-b", _mask_strings("?x - ex:a-b"))
+    assert sp == ("?x ", "-", " ex:a-b")
