@@ -486,13 +486,19 @@ def resize_meta(media: DataFrame, max_side: int = 256) -> DataFrame:
     """Image resize planning: compute target dims from metadata JVM-side
     (the byte-level resample lives in the decode UDF). Demonstrates typed
     metadata access over the map column."""
-    w = F.col("meta")["width"].cast("int")
-    h = F.col("meta")["height"].cast("int")
+    # try_cast: malformed user metadata must yield null dims (row drops
+    # in the isNotNull guard below), not an ANSI job abort at scale
+    w = F.col("meta")["width"].try_cast("int")
+    h = F.col("meta")["height"].try_cast("int")
     scale = F.least(F.lit(1.0), F.lit(max_side) / F.greatest(w, h))
-    return media.filter(F.col("kind") == "image").select(
-        "media_id",
-        w.alias("width"),
-        h.alias("height"),
-        F.round(w * scale).cast("int").alias("target_width"),
-        F.round(h * scale).cast("int").alias("target_height"),
+    return (
+        media.filter(F.col("kind") == "image")
+        .filter(w.isNotNull() & h.isNotNull())
+        .select(
+            "media_id",
+            w.alias("width"),
+            h.alias("height"),
+            F.round(w * scale).cast("int").alias("target_width"),
+            F.round(h * scale).cast("int").alias("target_height"),
+        )
     )
