@@ -1,0 +1,217 @@
+"""Differential SPARQL-vs-DuckDB property test.
+
+Each case generates a random tiny triple store plus a query AST that is
+rendered BOTH ways — as SPARQL text (executed by ``sparql_query`` on
+Spark) and as ANSI SQL over the identical table (executed by DuckDB) —
+then compares the result multisets exactly. The grammar slice is chosen
+so both renderings have one unambiguous meaning:
+
+- 1-3 triple patterns (shared-variable inner joins, constant slots)
+- optional one-pattern OPTIONAL block (left join)
+- FILTER from {string equality, CONTAINS, STRLEN comparison, &&, ||}
+- optional DISTINCT
+- optional GROUP BY one var + COUNT
+
+This complements the per-query driver oracles: those pin 50 curated
+queries; this hunts compiler bugs in the combinatorial space around
+join variable topology and filter placement.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from graphforge_spark.plans.sparql import sparql_query
+
+SUBJECTS = ["http://ex.org/a", "http://ex.org/b", "http://ex.org/c"]
+PREDS = ["http://ex.org/p/p1", "http://ex.org/p/p2", "http://ex.org/p/p3"]
+OBJECTS = ["http://ex.org/a", "http://ex.org/b", "va", "vbb", "vccc"]
+VARS = ["s", "o", "x"]
+
+triple = st.tuples(
+    st.sampled_from(SUBJECTS), st.sampled_from(PREDS), st.sampled_from(OBJECTS)
+)
+store = st.lists(triple, min_size=4, max_size=14, unique=True)
+
+
+@st.composite
+def queries(draw):
+    """Return (sparql_text, sql_text) for one random query."""
+    n_pat = draw(st.integers(1, 3))
+    pats = []
+    for i in range(n_pat):
+        # subject: shared var (join topology) or a constant
+        s = draw(st.sampled_from(["?s", "?s", f"<{draw(st.sampled_from(SUBJECTS))}>"]))
+        p = draw(st.sampled_from([f"<{q}>" for q in PREDS]))
+        o = draw(st.sampled_from([f"?o{i}", "?x", f'"{draw(st.sampled_from(OBJECTS))}"']))
+        pats.append((s, p, o))
+
+    # collect variables in first-mention order
+    vars_seen: list[str] = []
+    for pat in pats:
+        for slot in pat:
+            if slot.startswith("?") and slot[1:] not in vars_seen:
+                vars_seen.append(slot[1:])
+
+    opt = None
+    if draw(st.booleans()) and "s" in vars_seen:
+        opt_o = draw(st.sampled_from(["?on", "?x"]))
+        opt = ("?s", f"<{draw(st.sampled_from(PREDS))}>", opt_o)
+        if opt_o[1:] not in vars_seen:
+            vars_seen.append(opt_o[1:])
+
+    filt = None
+    # only filter on vars bound in the REQUIRED part (OPTIONAL-var filter
+    # scope is subtler; keep the slice unambiguous)
+    req_vars = [
+        v for v in vars_seen if any(f"?{v}" in pat for pat in pats)
+    ]
+    if draw(st.booleans()) and req_vars:
+        v = draw(st.sampled_from(req_vars))
+        kind = draw(st.sampled_from(["eq", "contains", "strlen", "and", "or"]))
+        lit = draw(st.sampled_from(OBJECTS))
+        if kind == "eq":
+            filt = (f'?{v} = "{lit}"', f"{v} = '{lit}'")
+        elif kind == "contains":
+            sub = draw(st.sampled_from(["a", "b", "v", "c"]))
+            filt = (
+                f'CONTAINS(?{v}, "{sub}")',
+                f"contains({v}, '{sub}')",
+            )
+        elif kind == "strlen":
+            n = draw(st.integers(1, 20))
+            op = draw(st.sampled_from(["<", ">", "=", "<=", ">="]))
+            filt = (f"STRLEN(?{v}) {op} {n}", f"length({v}) {op} {n}")
+        elif kind == "and":
+            sub = draw(st.sampled_from(["a", "b", "v"]))
+            n = draw(st.integers(1, 20))
+            filt = (
+                f'CONTAINS(?{v}, "{sub}") && STRLEN(?{v}) < {n}',
+                f"(contains({v}, '{sub}') AND length({v}) < {n})",
+            )
+        else:
+            lit2 = draw(st.sampled_from(OBJECTS))
+            filt = (
+                f'?{v} = "{lit}" || ?{v} = "{lit2}"',
+                f"({v} = '{lit}' OR {v} = '{lit2}')",
+            )
+
+    distinct = draw(st.booleans())
+    group = None
+    if not distinct and draw(st.booleans()) and req_vars:
+        group = draw(st.sampled_from(req_vars))
+
+    # ---- render SPARQL --------------------------------------------------
+    body = " . ".join(" ".join(p) for p in pats)
+    if opt:
+        body += " OPTIONAL { " + " ".join(opt) + " }"
+    if filt:
+        body += f" FILTER({filt[0]})"
+    if group:
+        sparql = f"SELECT ?{group} (COUNT(?{group}) AS ?n) WHERE {{ {body} }} GROUP BY ?{group}"
+    else:
+        proj = " ".join(f"?{v}" for v in vars_seen)
+        head = "SELECT DISTINCT" if distinct else "SELECT"
+        sparql = f"{head} {proj} WHERE {{ {body} }}"
+
+    # ---- render SQL over table t(subj, pred, obj) -----------------------
+    # each pattern is an aliased scan; vars map to first-binding columns
+    bind: dict[str, str] = {}
+    froms, wheres = [], []
+    for i, (s, p, o) in enumerate(pats):
+        froms.append(f"t AS t{i}")
+        for slot, col in ((s, "subj"), (p, "pred"), (o, "obj")):
+            ref = f"t{i}.{col}"
+            if slot.startswith("?"):
+                v = slot[1:]
+                if v in bind:
+                    wheres.append(f"{bind[v]} = {ref}")
+                else:
+                    bind[v] = ref
+            elif slot.startswith("<"):
+                wheres.append(f"{ref} = '{slot[1:-1]}'")
+            else:
+                wheres.append(f"{ref} = '{slot[1:-1]}'")
+    join_sql = ", ".join(froms)
+    where_sql = " AND ".join(wheres) if wheres else "TRUE"
+    if filt:
+        cond = filt[1]
+        for v, ref in bind.items():
+            cond = cond.replace(f"contains({v},", f"contains({ref},")
+            cond = cond.replace(f"length({v})", f"length({ref})")
+            cond = cond.replace(f"{v} =", f"{ref} =")
+        where_sql = f"({where_sql}) AND {cond}"
+    core = f"SELECT {', '.join(f'{ref} AS {v}' for v, ref in bind.items())} FROM {join_sql} WHERE {where_sql}"
+    if opt:
+        os_, op_, oo = opt
+        ov = oo[1:]
+        if ov in bind:
+            # OPTIONAL re-binding an existing var: left join on BOTH cols
+            on = f"q.s = j.subj AND j.pred = '{op_[1:-1]}' AND q.{ov} = j.obj"
+            core = (
+                f"SELECT q.* FROM ({core}) q LEFT JOIN t j ON {on}"
+            )
+            # no new column — but SPARQL left-joins compatible rows and
+            # KEEPS the row either way, so projection is unchanged
+        else:
+            on = f"q.s = j.subj AND j.pred = '{op_[1:-1]}'"
+            core = (
+                f"SELECT q.*, j.obj AS {ov} FROM ({core}) q LEFT JOIN t j ON {on}"
+            )
+    if group:
+        sql = f"SELECT {group} AS {group}, CAST(count(*) AS BIGINT) AS n FROM ({core}) GROUP BY 1"
+    elif distinct:
+        sql = f"SELECT DISTINCT * FROM ({core})"
+    else:
+        sql = f"SELECT * FROM ({core})"
+    return sparql, sql
+
+
+@pytest.fixture(scope="module")
+def _shared(spark):
+    return spark
+
+
+@settings(
+    max_examples=40,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(data=store, q=queries())
+def test_sparql_matches_duckdb(_shared, data, q):
+    spark = _shared
+    sparql_text, sql_text = q
+    sdf = spark.createDataFrame(data, "subj string, pred string, obj string")
+    try:
+        got_df = sparql_query(sdf, sparql_text)
+    except ValueError:
+        # loud refusal of an out-of-slice query is acceptable behavior;
+        # the differential property only covers what the engine accepts
+        return
+    def _key(t):
+        return tuple((x is not None, x if x is not None else "") for x in t)
+
+    got_cols = got_df.columns
+    got = sorted(
+        (tuple(row[c] for c in sorted(got_cols)) for row in got_df.collect()),
+        key=_key,
+    )
+
+    con = duckdb.connect()
+    try:
+        con.execute("CREATE TABLE t(subj VARCHAR, pred VARCHAR, obj VARCHAR)")
+        con.executemany("INSERT INTO t VALUES (?, ?, ?)", data)
+        cur = con.execute(sql_text)
+        cols = [d[0] for d in cur.description]
+        order = [cols.index(c) for c in sorted(cols)]
+        want = sorted(
+            (tuple(r[i] for i in order) for r in cur.fetchall()), key=_key
+        )
+    finally:
+        con.close()
+
+    assert sorted(got_cols) == sorted(cols), (sparql_text, sql_text)
+    assert got == want, (sparql_text, sql_text)
