@@ -170,6 +170,112 @@ def queries(draw):
     return sparql, sql
 
 
+def _render_arm(pats, alias_prefix):
+    """Render a BGP arm both ways: (sparql_body, sql_core, var_order).
+    ``sql_core`` selects each variable (first-binding column) AS its
+    name from the aliased scans with constant/shared-var constraints."""
+    bind: dict[str, str] = {}
+    froms, wheres = [], []
+    for i, (s, p, o) in enumerate(pats):
+        a = f"{alias_prefix}{i}"
+        froms.append(f"t AS {a}")
+        for slot, col in ((s, "subj"), (p, "pred"), (o, "obj")):
+            ref = f"{a}.{col}"
+            if slot.startswith("?"):
+                v = slot[1:]
+                if v in bind:
+                    wheres.append(f"{bind[v]} = {ref}")
+                else:
+                    bind[v] = ref
+            else:
+                wheres.append(f"{ref} = '{slot[1:-1]}'")
+    body = " . ".join(" ".join(p) for p in pats)
+    where_sql = " AND ".join(wheres) if wheres else "TRUE"
+    sel = ", ".join(f"{ref} AS {v}" for v, ref in bind.items()) or "1 AS one"
+    core = f"SELECT {sel} FROM {', '.join(froms)} WHERE {where_sql}"
+    return body, core, list(bind)
+
+
+@st.composite
+def arm(draw, prefix, var_pool):
+    pats = []
+    for i in range(draw(st.integers(1, 2))):
+        s = draw(st.sampled_from(["?s", f"<{draw(st.sampled_from(SUBJECTS))}>"]))
+        p = draw(st.sampled_from([f"<{q}>" for q in PREDS]))
+        o = draw(
+            st.sampled_from(
+                [f"?{draw(st.sampled_from(var_pool))}", f'"{draw(st.sampled_from(OBJECTS))}"']
+            )
+        )
+        pats.append((s, p, o))
+    return pats
+
+
+@st.composite
+def compound_queries(draw):
+    """UNION / MINUS / BIND shapes: (sparql_text, sql_text)."""
+    shape = draw(st.sampled_from(["union", "minus", "bind"]))
+    pats_a = draw(arm("a", ["oa", "x"]))
+    body_a, core_a, vars_a = _render_arm(pats_a, "a")
+
+    if shape == "union":
+        pats_b = draw(arm("b", ["ob", "x"]))
+        body_b, core_b, vars_b = _render_arm(pats_b, "b")
+        if not vars_a or not vars_b:
+            shape = "bind"  # degenerate arm; fall through to a bind case
+        else:
+            allv = vars_a + [v for v in vars_b if v not in vars_a]
+            proj = " ".join(f"?{v}" for v in allv)
+            sparql = f"SELECT {proj} WHERE {{ {{ {body_a} }} UNION {{ {body_b} }} }}"
+            ext_a = ", ".join(
+                (v if v in vars_a else f"NULL AS {v}") for v in allv
+            )
+            ext_b = ", ".join(
+                (v if v in vars_b else f"NULL AS {v}") for v in allv
+            )
+            sql = (
+                f"SELECT {ext_a} FROM ({core_a}) "
+                f"UNION ALL SELECT {ext_b} FROM ({core_b})"
+            )
+            return sparql, sql
+
+    if shape == "minus":
+        pats_b = draw(arm("b", ["oa", "x"]))  # may share vars with arm A
+        body_b, core_b, vars_b = _render_arm(pats_b, "b")
+        if not vars_a:
+            shape = "bind"
+        else:
+            proj = " ".join(f"?{v}" for v in vars_a)
+            sparql = f"SELECT {proj} WHERE {{ {body_a} MINUS {{ {body_b} }} }}"
+            shared = [v for v in vars_a if v in vars_b]
+            if shared:
+                on = " AND ".join(f"q.{v} = m.{v}" for v in shared)
+                sql = (
+                    f"SELECT * FROM ({core_a}) q WHERE NOT EXISTS "
+                    f"(SELECT 1 FROM ({core_b}) m WHERE {on})"
+                )
+            else:
+                # disjoint domains: SPARQL MINUS removes nothing
+                sql = f"SELECT * FROM ({core_a})"
+            return sparql, sql
+
+    # bind shape (also the degenerate-arm fallback)
+    if not vars_a:
+        pats_a = [("?s", f"<{PREDS[0]}>", "?oa")]
+        body_a, core_a, vars_a = _render_arm(pats_a, "a")
+    v = draw(st.sampled_from(vars_a))
+    n = draw(st.integers(0, 9))
+    proj = " ".join(f"?{u}" for u in vars_a)
+    sparql = (
+        f"SELECT {proj} ?w WHERE {{ {body_a} . "
+        f"BIND(STRLEN(?{v}) + {n} AS ?w) }}"
+    )
+    sql = (
+        f"SELECT *, CAST(length({v}) + {n} AS DOUBLE) AS w FROM ({core_a})"
+    )
+    return sparql, sql
+
+
 @pytest.fixture(scope="module")
 def _shared(spark):
     return spark
@@ -215,3 +321,13 @@ def test_sparql_matches_duckdb(_shared, data, q):
 
     assert sorted(got_cols) == sorted(cols), (sparql_text, sql_text)
     assert got == want, (sparql_text, sql_text)
+
+
+@settings(
+    max_examples=40,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(data=store, q=compound_queries())
+def test_compound_sparql_matches_duckdb(_shared, data, q):
+    test_sparql_matches_duckdb.hypothesis.inner_test(_shared, data, q)
