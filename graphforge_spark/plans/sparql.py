@@ -694,6 +694,9 @@ def parse_sparql(query: str, prefixes: dict[str, str] | None = None) -> _Parsed:
         def term_of(tok: re.Match):
             if tok.lastgroup == "undef":
                 return None  # UNDEF: the variable is unbound in this row
+            if tok.lastgroup == "kw":
+                # 'a' is predicate-position sugar only, not a data term
+                raise ValueError("'a' keyword is not a term inside VALUES data")
             t = _parse_term(tok, pmap)
             if isinstance(t, Var):
                 raise ValueError("variables are not terms inside VALUES data")

@@ -147,3 +147,27 @@ def test_flat_path_alternation_plans_as_single_filter(spark):
     df2 = sparql_query(g, "SELECT ?s ?o WHERE { ?s !(<p1>|<p2>) ?o }")
     plan2 = _plan(df2)
     assert "Join" not in plan2 and "Union" not in plan2
+
+
+def test_expression_layer_stays_jvm_codegen(spark):
+    """Arithmetic, numeric builtins, hashes, and generalized comparisons
+    must compile to Catalyst expressions — no Python evaluation node in
+    the plan, and the filter+project stay in one codegen stage."""
+    from graphforge_spark.plans.sparql import sparql_query
+
+    g = spark.createDataFrame(
+        [("a", "p", "4", True)],
+        "subj string, pred string, obj string, obj_is_literal boolean",
+    )
+    df = sparql_query(
+        g,
+        """SELECT ?s ?v ?h WHERE { ?s ?p ?o .
+           BIND(ABS(?o) * 2 + 1 AS ?v) BIND(MD5(?o) AS ?h)
+           FILTER(STRLEN(?o) + 1 > CEIL(0.5) && isNumeric(?o)) }""",
+    )
+    plan = _plan(df)
+    # BatchEvalPython / ArrowEvalPython are the Python-UDF plan nodes
+    # (the ExistingRDD source name mentions Python harmlessly)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "codegen id" in plan
+    assert "Join" not in plan and "Exchange" not in plan
