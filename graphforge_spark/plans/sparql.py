@@ -2141,8 +2141,8 @@ def _select_frame(
                 key = (m.group(1).lower(), m.group(2))
                 if key not in alias_of:
                     raise ValueError(
-                        f"HAVING references {m.group(0)} which is not in the "
-                        "SELECT projection"
+                        f"HAVING/ORDER BY references {m.group(0)} which is "
+                        "not in the SELECT projection"
                     )
                 return f"?{alias_of[key]}"
 
@@ -2155,6 +2155,14 @@ def _select_frame(
 
         for cond in parsed.having:
             out = out.filter(_filter_col(_rewrite_having(cond), pmap))
+        # ORDER BY may reference an aggregate call (ORDER BY
+        # DESC(COUNT(?o))) — rewrite it to the projection alias the same
+        # way HAVING does, so the later orderBy compiles over the
+        # aggregated frame
+        if parsed.order_by:
+            parsed.order_by = [
+                (_rewrite_having(k), asc) for k, asc in parsed.order_by
+            ]
         # project in SELECT order; a GROUP BY key that is not projected
         # is grouped on but (per spec) not emitted
         out = out.select(

@@ -1241,3 +1241,20 @@ def test_curie_operand_is_not_split_by_arithmetic():
         assert _arith_split(e, _mask_strings(e)) is None
     sp = _arith_split("?x - ex:a-b", _mask_strings("?x - ex:a-b"))
     assert sp == ("?x ", "-", " ex:a-b")
+
+
+def test_order_by_aggregate_call(spark):
+    t = spark.createDataFrame(
+        [("a", "p", "x"), ("a", "p", "y"), ("b", "p", "z")],
+        "subj string, pred string, obj string",
+    )
+    q = """SELECT ?s (COUNT(?o) AS ?n) WHERE { ?s ?p ?o }
+           GROUP BY ?s ORDER BY DESC(COUNT(?o)) ?s"""
+    assert [(r.s, r.n) for r in sparql_query(t, q).collect()] == [("a", 2), ("b", 1)]
+    # an aggregate call that is not projected raises (same rule as HAVING)
+    with pytest.raises(ValueError, match="not in the SELECT projection"):
+        sparql_query(
+            t,
+            """SELECT ?s (COUNT(?o) AS ?n) WHERE { ?s ?p ?o }
+               GROUP BY ?s ORDER BY DESC(SUM(?o))""",
+        )
