@@ -362,6 +362,21 @@ def _parse_term(tok: re.Match, prefixes: dict):
     return _expand(tok.group("curie"), prefixes)
 
 
+def _paren_close(masked: str, start: int, what: str) -> int:
+    """``start`` indexes a '(' in ``masked``; return the index just past
+    its matching ')'. Raises (naming ``what``) on unbalanced input."""
+    depth, i = 1, start + 1
+    while i < len(masked) and depth:
+        if masked[i] == "(":
+            depth += 1
+        elif masked[i] == ")":
+            depth -= 1
+        i += 1
+    if depth:
+        raise ValueError(f"unbalanced parentheses in {what}")
+    return i
+
+
 def _residue(text: str, matches: list[re.Match]) -> str:
     """Text left over after blanking every matched span — loud-error fuel:
     any non-whitespace residue is syntax we did not understand."""
@@ -885,10 +900,42 @@ def parse_sparql(query: str, prefixes: dict[str, str] | None = None) -> _Parsed:
     # ---- modifiers (the tail must be fully consumed) ----------------------
     tail, parsed.having = _take_paren_blocks(tail, "HAVING")
     consumed = []
-    gm = re.search(r"GROUP\s+BY\s+((?:\?\w+\s*)+)", tail, re.IGNORECASE)
+    # GROUP BY keys: ?var | ( expr AS ?alias ). The consumed span is
+    # blanked in place (length-preserving) so the later ORDER BY /
+    # LIMIT / OFFSET scans cannot match inside a key expression.
+    gm = re.search(r"GROUP\s+BY\s+", tail, re.IGNORECASE)
     if gm:
-        parsed.group_by = re.findall(r"\?(\w+)", gm.group(1))
-        consumed.append(gm)
+        masked_tail = _mask_strings(tail)
+        items, i = [], gm.end()
+        while i < len(tail):
+            m = re.match(r"\s*\?(\w+)", masked_tail[i:])
+            if m:
+                items.append(m.group(1))
+                i += m.end()
+                continue
+            m = re.match(r"\s*\(", masked_tail[i:])
+            if m:
+                start = i + m.end() - 1
+                end = _paren_close(masked_tail, start, "GROUP BY")
+                inner = tail[start + 1 : end - 1]
+                am = re.match(
+                    r"^(.*?)\s+AS\s+\?(\w+)\s*$",
+                    _mask_strings(inner),
+                    re.IGNORECASE | re.DOTALL,
+                )
+                if not am:
+                    raise ValueError(
+                        "cannot parse GROUP BY key (expected ?var or "
+                        f"'(expr AS ?alias)'): {inner!r}"
+                    )
+                items.append((am.group(2), inner[: am.end(1)]))
+                i = end
+                continue
+            break
+        if not items:
+            raise ValueError("empty GROUP BY clause")
+        parsed.group_by = items
+        tail = tail[: gm.start()] + " " * (i - gm.start()) + tail[i:]
     # ORDER BY conditions (SPARQL OrderCondition): ASC(expr) | DESC(expr)
     # | ?var | fn(args…). Paren balancing runs on the string-blanked mask;
     # the consumed span is blanked in place (length-preserving) so the
@@ -896,16 +943,7 @@ def parse_sparql(query: str, prefixes: dict[str, str] | None = None) -> _Parsed:
     om = re.search(r"ORDER\s+BY\s+", tail, re.IGNORECASE)
     if om:
         def _paren_end(masked: str, start: int) -> int:
-            depth, i = 1, start + 1
-            while i < len(masked) and depth:
-                if masked[i] == "(":
-                    depth += 1
-                elif masked[i] == ")":
-                    depth -= 1
-                i += 1
-            if depth:
-                raise ValueError("unbalanced parentheses in ORDER BY")
-            return i
+            return _paren_close(masked, start, "ORDER BY")
 
         masked_tail = _mask_strings(tail)
         conds, i = [], om.end()
@@ -2092,9 +2130,17 @@ def _select_frame(
 
     # projection / aggregation
     aggs = [p for p in parsed.projection if isinstance(p, tuple)]
-    if aggs:
-        keys = list(parsed.group_by)
-        # a plain projected variable in an aggregate query must be one of
+    if aggs or parsed.group_by:
+        # materialize expression keys '(expr AS ?alias)' as columns first
+        keys = []
+        for k in parsed.group_by:
+            if isinstance(k, tuple):
+                alias, expr_text = k
+                out = out.withColumn(alias, _bind_col(expr_text, pmap))
+                keys.append(alias)
+            else:
+                keys.append(k)
+        # a plain projected variable in a grouped query must be one of
         # the GROUP BY keys — silently dropping it would be a wrong answer
         for p in parsed.projection:
             if isinstance(p, str) and p not in keys:
@@ -2102,6 +2148,16 @@ def _select_frame(
                     f"projected variable ?{p} is not a GROUP BY key "
                     "or an aggregate alias"
                 )
+    if parsed.group_by and not aggs:
+        # GROUP BY without aggregates: one solution per group (the keys),
+        # per spec — previously this modifier was silently ignored
+        if parsed.having:
+            raise ValueError("HAVING requires an aggregate projection")
+        out = out.select(*keys).distinct()
+        out = out.select(
+            *(p for p in parsed.projection if isinstance(p, str))
+        )
+    elif aggs:
 
         def agg_expr(fn: str, x: str, alias: str, extra):
             c = F.col(x)

@@ -1258,3 +1258,26 @@ def test_order_by_aggregate_call(spark):
             """SELECT ?s (COUNT(?o) AS ?n) WHERE { ?s ?p ?o }
                GROUP BY ?s ORDER BY DESC(SUM(?o))""",
         )
+
+
+def test_group_by_expression_key(spark):
+    t = spark.createDataFrame(
+        [("a", "p", "xx"), ("b", "p", "yy"), ("c", "p", "zzz")],
+        "subj string, pred string, obj string",
+    )
+    q = """SELECT ?l (COUNT(?o) AS ?n) WHERE { ?s ?p ?o }
+           GROUP BY (STRLEN(?o) AS ?l) ORDER BY ?l"""
+    assert [(r.l, r.n) for r in sparql_query(t, q).collect()] == [(2, 2), (3, 1)]
+
+
+def test_group_by_without_aggregates_groups(spark):
+    # one solution per group, per spec (was previously silently ignored)
+    t = spark.createDataFrame(
+        [("a", "p", "x"), ("a", "p", "y"), ("b", "p", "z")],
+        "subj string, pred string, obj string",
+    )
+    q = "SELECT ?s WHERE { ?s ?p ?o } GROUP BY ?s ORDER BY ?s"
+    assert [r.s for r in sparql_query(t, q).collect()] == ["a", "b"]
+    # projecting a non-key var raises rather than silently mis-answering
+    with pytest.raises(ValueError, match="not a GROUP BY key"):
+        sparql_query(t, "SELECT ?o WHERE { ?s ?p ?o } GROUP BY ?s")
