@@ -430,17 +430,19 @@ def q_sparql_values_minus(spark, sf_dir):
 
 
 def q_sparql_bind_exists(spark, sf_dir):
-    """BIND(CONCAT...) extending the bindings plus FILTER EXISTS (semi
-    join) and FILTER NOT EXISTS (anti join) — both selective here: some
-    orgs have no locatedIn edge at all (nationkey % 5 == 0) and some are
-    located in ASIA."""
+    """BIND(CONCAT...) extending the bindings, scalar ARITHMETIC over a
+    chained BIND (STRLEN(?tag) * 2 - 1, evaluated as SQL doubles), plus
+    FILTER EXISTS (semi join) and FILTER NOT EXISTS (anti join) — both
+    selective here: some orgs have no locatedIn edge at all
+    (nationkey % 5 == 0) and some are located in ASIA."""
     from graphforge_spark.plans.sparql import sparql_query
 
     return sparql_query(
         _set_graph(spark, sf_dir),
-        """SELECT ?person ?org ?tag WHERE {
+        """SELECT ?person ?org ?tag ?score WHERE {
              ?person <http://ex.org/p/worksAt> ?org .
              BIND(CONCAT(?person, "|", ?org) AS ?tag)
+             BIND(STRLEN(?tag) * 2 - 1 AS ?score)
              FILTER EXISTS { ?org <http://ex.org/p/locatedIn> ?region }
              FILTER NOT EXISTS { ?org <http://ex.org/p/locatedIn> <http://ex.org/e/ASIA> }
            }""",
@@ -1497,7 +1499,9 @@ def oracle_sql() -> dict[str, str]:
             asia AS (SELECT DISTINCT subj AS org FROM g
                      WHERE pred = 'http://ex.org/p/locatedIn'
                        AND obj = 'http://ex.org/e/ASIA')
-            SELECT person, org, person || '|' || org AS tag FROM w
+            SELECT person, org, person || '|' || org AS tag,
+                   CAST(length(person || '|' || org) * 2 - 1 AS DOUBLE) AS score
+            FROM w
             SEMI JOIN loc ON w.org = loc.org
             ANTI JOIN asia ON w.org = asia.org
         """,
