@@ -885,6 +885,12 @@ def parse_sparql(query: str, prefixes: dict[str, str] | None = None) -> _Parsed:
     body, opt_texts = _take_optional_groups(body)
     for t in opt_texts:
         parsed.optionals.append(parse_optional_block(t))
+    if re.search(r"\{\s*\d+\s*(?:,\s*\d*\s*)?\}", body):
+        # draft-SPARQL path quantifier, dropped from the 1.1 final spec
+        raise ValueError(
+            "unsupported path quantifier {n,m} (not in SPARQL 1.1; "
+            "use explicit /-chains or the * + ? closures)"
+        )
     if re.search(r"[{}]", body):
         raise ValueError("unsupported nested group in WHERE block")
     body, bind_blocks = _take_paren_blocks(body, "BIND")
