@@ -107,8 +107,22 @@ from graphforge_spark.operators.closure import path_alternation, transitive_clos
 from graphforge_spark.plans.bgp import Var, bgp, optional
 
 _PREFIX_RE = re.compile(r"PREFIX\s+([\w-]*):\s*<([^>]*)>", re.IGNORECASE)
+# one step of an UNPARENTHESIZED path sequence/alternation: inverse
+# marker, then IRI / negated set / parenthesized group / prefixed name /
+# 'a', then a closure suffix. The prefixed-name local part here excludes
+# '/' (as the SPARQL PN_LOCAL grammar does) so 'rdf:rest*/rdf:first'
+# splits into steps — the standalone curie TERM group below keeps its
+# permissive '/'-accepting class for backward compatibility.
+_PATH_STEP = (
+    r"""\^?(?:<[^>]*>
+           |!\((?:[^()]*)\)|!<[^>]*>|![\w-]*:[\w.#-]+
+           |\((?:[^()]|\([^()]*\))*\)
+           |[\w-]*:[\w.#-]+
+           |a(?!\w))[*+?]?"""
+)
 _TERM_RE = re.compile(
-    r"""\?(?P<var>\w+)
+    rf"""\?(?P<var>\w+)
+      | (?P<pathseq>{_PATH_STEP}(?:\s*[/|]\s*{_PATH_STEP})+)
       | (?P<pathiri>\^<[^>]*>[*+?]?|<[^>]*>[*+?])
       | <(?P<iri>[^>]*)>
       | "(?P<lit>(?:[^"\\]|\\.)*)"
@@ -347,6 +361,8 @@ def _expand(term: str, prefixes: dict[str, str]) -> str:
 def _parse_term(tok: re.Match, prefixes: dict):
     if tok.group("var"):
         return Var(tok.group("var"))
+    if tok.group("pathseq"):
+        return ("path", tok.group("pathseq"))
     if tok.group("iri") is not None:
         return tok.group("iri")
     if tok.group("lit") is not None:
@@ -715,6 +731,10 @@ def parse_sparql(query: str, prefixes: dict[str, str] | None = None) -> _Parsed:
             t = _parse_term(tok, pmap)
             if isinstance(t, Var):
                 raise ValueError("variables are not terms inside VALUES data")
+            if isinstance(t, tuple):
+                raise ValueError(
+                    "property-path syntax is not a term inside VALUES data"
+                )
             return t
 
         rows = []
