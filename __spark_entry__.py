@@ -384,11 +384,11 @@ def q_sparql_path_plus(spark, sf_dir):
 
 def q_sparql_path_seq(spark, sf_dir):
     """Sequence property paths through the recursive path compiler, both
-    shapes in one query: plain sequence worksAt/locatedIn (person →
-    region in one pattern) UNION'd with the closure of a parenthesized
-    sequence group (chain/chain)+ over the nation chain — even-length
-    reachability, the construct the old string-split evaluator rejected
-    ('suffix on a sequence')."""
+    shapes in one query: BARE (unparenthesized) sequence
+    worksAt/locatedIn — the pattern-level path tokenization — UNION'd
+    with the closure of a parenthesized sequence group (chain/chain)+
+    over the nation chain: even-length reachability, the construct the
+    old string-split evaluator rejected ('suffix on a sequence')."""
     from graphforge_spark.plans.sparql import sparql_query
 
     edges = corpus.nation_chain_edges(spark, sf_dir)
@@ -404,7 +404,7 @@ def q_sparql_path_seq(spark, sf_dir):
     return sparql_query(
         store,
         """SELECT ?s ?o WHERE {
-             { ?s (<http://ex.org/p/worksAt>/<http://ex.org/p/locatedIn>) ?o }
+             { ?s <http://ex.org/p/worksAt>/<http://ex.org/p/locatedIn> ?o }
              UNION
              { ?s (<http://ex.org/p/chain>/<http://ex.org/p/chain>)+ ?o }
            }""",
