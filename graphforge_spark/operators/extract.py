@@ -329,8 +329,11 @@ class _TurtleParser:
         self.anon = 0
         self._scheme = _re.compile(r"^[A-Za-z][A-Za-z0-9+.\-]*:")
         self._esc = _re.compile(r"\\(U[0-9a-fA-F]{8}|u[0-9a-fA-F]{4}|.)")
-        self._pname = _re.compile(r"([A-Za-z0-9_.\-]*):([A-Za-z0-9_.\-/#%]*)")
-        self._bnode = _re.compile(r"_:[A-Za-z0-9_.\-]+")
+        # \w is Unicode-aware in Python: prefixed names accept the
+        # non-ASCII PN_CHARS letters real ontologies use (ex:µ), a close
+        # lenient approximation of the Turtle PN_CHARS_BASE ranges
+        self._pname = _re.compile(r"([\w.\-]*):([\w.\-/#%]*)")
+        self._bnode = _re.compile(r"_:[\w.\-]+")
         self._number = _re.compile(
             r"[+-]?(?:\d+\.\d+(?:[eE][+-]?\d+)?|\.\d+(?:[eE][+-]?\d+)?"
             r"|\d+[eE][+-]?\d+|\d+)"
@@ -452,7 +455,7 @@ class _TurtleParser:
         """True iff position ``end`` terminates a bare keyword (not a
         prefixed-name continuation)."""
         nxt = self.t[end : end + 1]
-        return not self.re.match(r"[A-Za-z0-9_.\-:]", nxt) if nxt else True
+        return not self.re.match(r"[\w.\-:]", nxt) if nxt else True
 
     def _read_predicate(self) -> str:
         c = self._peek()
@@ -554,7 +557,7 @@ class _TurtleParser:
                 self.pos += len(kw)
                 if kw.endswith("prefix") or kw == "PREFIX":
                     self._skip_ws()
-                    m = self.re.compile(r"([A-Za-z0-9_.\-]*):").match(self.t, self.pos)
+                    m = self.re.compile(r"([\w.\-]*):").match(self.t, self.pos)
                     if not m:
                         self._err("expected prefix name")
                     self.pos = m.end()

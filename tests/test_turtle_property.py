@@ -1,0 +1,123 @@
+"""Property test for the Turtle recursive-descent parser: random
+documents assembled from the grammar forms the engine supports —
+@prefix, curie vs full-IRI subjects, ``;`` predicate lists, ``,``
+object lists, short/long strings, escape sequences, numeric and
+boolean literals — rendered by an independent test-local writer, then
+parsed with ``extract_turtle`` and compared (as triple sets) against
+the writer's own fact list. Complements the deterministic golden
+round-trips in test_extract with combinatorial structure.
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from graphforge_spark.operators.extract import extract_turtle
+
+EX = "http://ex.org/e/"
+P = "http://ex.org/p/"
+
+_SAFE = st.text(
+    alphabet=st.characters(whitelist_categories=("Lu", "Ll", "Nd")),
+    min_size=1,
+    max_size=8,
+)
+
+# (escape sequence as written, decoded character)
+_ESCAPES = [
+    (r"\n", "\n"),
+    (r"\t", "\t"),
+    (r"\"", '"'),
+    ("\\\\", "\\"),
+    (r"A", "A"),
+]
+
+
+@st.composite
+def _object(draw):
+    """Return (rendered_turtle, expected_obj, is_literal)."""
+    kind = draw(
+        st.sampled_from(
+            ["iri", "curie", "str", "esc", "longstr", "int", "dec", "bool"]
+        )
+    )
+    if kind == "iri":
+        name = draw(_SAFE)
+        return f"<{EX}{name}>", f"{EX}{name}", False
+    if kind == "curie":
+        name = draw(_SAFE)
+        return f"ex:{name}", f"{EX}{name}", False
+    if kind == "str":
+        body = draw(_SAFE)
+        return f'"{body}"', body, True
+    if kind == "esc":
+        pieces = draw(st.lists(st.sampled_from(_ESCAPES), min_size=1, max_size=4))
+        pre = draw(_SAFE)
+        rendered = pre + "".join(w for w, _ in pieces)
+        decoded = pre + "".join(d for _, d in pieces)
+        return f'"{rendered}"', decoded, True
+    if kind == "longstr":
+        lines = draw(st.lists(_SAFE, min_size=1, max_size=3))
+        body = "\n".join(lines)
+        return f'"""{body}"""', body, True
+    if kind == "int":
+        n = draw(st.integers(-999, 999))
+        return str(n), str(n), True
+    if kind == "dec":
+        a, b = draw(st.integers(0, 99)), draw(st.integers(0, 99))
+        return f"{a}.{b}", f"{a}.{b}", True
+    return draw(st.sampled_from([("true", "true", True), ("false", "false", True)]))
+
+
+@st.composite
+def turtle_docs(draw):
+    """Return (document_text, expected_triple_set)."""
+    facts = set()
+    blocks = []
+    for si in range(draw(st.integers(1, 3))):
+        subj = f"{EX}s{si}"
+        subj_txt = draw(st.sampled_from([f"ex:s{si}", f"<{subj}>"]))
+        po_chunks = []
+        for pi in range(draw(st.integers(1, 3))):
+            pred = f"{P}p{pi}"
+            pred_txt = draw(st.sampled_from([f"p:p{pi}", f"<{pred}>"]))
+            objs = draw(st.lists(_object(), min_size=1, max_size=3))
+            po_chunks.append(
+                f"{pred_txt} " + " , ".join(o[0] for o in objs)
+            )
+            for _, expected, lit in objs:
+                facts.add((subj, pred, expected, lit))
+        sep = draw(st.sampled_from([" ;\n    ", " ; "]))
+        blocks.append(f"{subj_txt} {sep.join(po_chunks)} .")
+    doc = (
+        f"@prefix ex: <{EX}> .\n@prefix p: <{P}> .\n" + "\n".join(blocks)
+    )
+    return doc, facts
+
+
+@pytest.fixture(scope="module")
+def _shared(spark):
+    return spark
+
+
+@settings(
+    max_examples=30,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(doc=turtle_docs())
+def test_turtle_parser_matches_writer(_shared, doc):
+    spark = _shared
+    text, expected = doc
+    df = spark.createDataFrame(
+        [("c0", 0, "tool", text, "turtle", None)],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    got = {
+        (r.subj, r.pred, r.obj, r.obj_is_literal)
+        for r in extract_turtle(df).collect()
+    }
+    assert got == expected, text
