@@ -13,6 +13,7 @@ from __future__ import annotations
 import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
+from pyspark.sql import functions as F
 
 from graphforge_spark.operators.extract import extract_turtle
 
@@ -121,3 +122,49 @@ def test_turtle_parser_matches_writer(_shared, doc):
         for r in extract_turtle(df).collect()
     }
     assert got == expected, text
+
+
+# ---------------------------------------------------------------------------
+# Crash-safety: arbitrary hostile text must quarantine, never raise — a
+# single garbage turn cannot be allowed to abort a 100 TB extraction job
+# ---------------------------------------------------------------------------
+
+_hostile = st.text(max_size=200).map(
+    # salt with the structural characters most likely to derail parsers
+    lambda s: s
+)
+_salts = st.sampled_from(
+    [
+        "", "@prefix", "@prefix :", "<", ">", '"""', '"\\', "( ", "[ ",
+        "_:", "a ", ". .", "# c\n", "\\u12", "%GG", "<a> <b>", "<<<",
+        '<?xml version="1.0"?><rdf:RDF', "</done>", "&amp;&bogus;",
+    ]
+)
+
+
+@settings(
+    max_examples=40,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(body=_hostile, salt1=_salts, salt2=_salts)
+def test_parsers_never_raise_on_hostile_text(_shared, body, salt1, salt2):
+    from graphforge_spark.operators.extract import (
+        _walk_rdfxml,
+        extract_ntriples,
+        extract_turtle,
+    )
+
+    text = f"{salt1}{body}{salt2}"
+    # the XML walker is pure-Python: drive it directly (cheap), and the
+    # Arrow-batched Turtle/N-Triples paths through one driver row each
+    assert isinstance(_walk_rdfxml(text), list)
+    spark = _shared
+    df = spark.createDataFrame(
+        [("c0", 0, "tool", text, "turtle", None)],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    extract_turtle(df).count()  # must not raise
+    df2 = df.withColumn("tool", F.lit("ntriples"))
+    extract_ntriples(df2).count()  # must not raise
