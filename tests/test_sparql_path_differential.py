@@ -98,6 +98,20 @@ SHAPES = {
         .replace("SELECT DISTINCT s, o FROM (", "SELECT c.s AS s, b.obj AS o FROM (", 1)
         + f" c JOIN t b ON c.o = b.subj AND b.pred = '{P2}'",
     ),
+    "inv_seq": (
+        # ^(p1/p2) ≡ ^p2/^p1: reversed two-hop, bag semantics
+        f"SELECT ?s ?o WHERE {{ ?s ^(<{P1}>/<{P2}>) ?o }}",
+        f"""SELECT b.obj AS s, a.subj AS o FROM t a JOIN t b
+            ON a.obj = b.subj AND a.pred = '{P1}' AND b.pred = '{P2}'""",
+    ),
+    "alt_of_seq": (
+        # (p1/p2)|p2 : bag union of the sequence solutions and p2 edges
+        f"SELECT ?s ?o WHERE {{ ?s (<{P1}>/<{P2}>)|<{P2}> ?o }}",
+        f"""SELECT a.subj AS s, b.obj AS o FROM t a JOIN t b
+            ON a.obj = b.subj AND a.pred = '{P1}' AND b.pred = '{P2}'
+            UNION ALL
+            SELECT subj, obj FROM t WHERE pred = '{P2}'""",
+    ),
     "zero_or_one": (
         f"SELECT ?s ?o WHERE {{ ?s <{P1}>? ?o }}",
         f"""
