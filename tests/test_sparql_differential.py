@@ -224,6 +224,16 @@ def compound_queries(draw):
         if not vars_a or not vars_b:
             shape = "bind"  # degenerate arm; fall through to a bind case
         else:
+            # optionally FILTER inside arm A — the filter must stay in
+            # ARM scope (the recursive arm compile), constraining only
+            # that arm's solutions
+            if draw(st.booleans()):
+                v = draw(st.sampled_from(vars_a))
+                n = draw(st.integers(1, 30))
+                body_a += f" FILTER(STRLEN(?{v}) < {n})"
+                core_a = (
+                    f"SELECT * FROM ({core_a}) WHERE length({v}) < {n}"
+                )
             allv = vars_a + [v for v in vars_b if v not in vars_a]
             proj = " ".join(f"?{v}" for v in allv)
             sparql = f"SELECT {proj} WHERE {{ {{ {body_a} }} UNION {{ {body_b} }} }}"
