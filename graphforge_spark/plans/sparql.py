@@ -60,18 +60,28 @@ Grammar (whitespace-insensitive, case-insensitive keywords):
               | STRLEN(e) | SUBSTR(e, pos[, len]) | REPLACE(e, "re", "rep")
               | STRBEFORE(e, "s") | STRAFTER(e, "s")
               | COALESCE(e, ...) | IF(cond, e, e)
+              | e ('+'|'-'|'*'|'/') e       (arithmetic, SQL doubles;
+                                             malformed numerics follow
+                                             error-elimination via try_cast)
+              | ABS(e) | CEIL(e) | FLOOR(e) | ROUND(e)
+              | MD5(e) | SHA1(e) | SHA256(e) | ENCODE_FOR_URI(e)
     cond     := disj ; disj := conj ('||' conj)* ; conj := atom ('&&' atom)*
-    atom     := '(' cond ')' | operand cmp operand | REGEX(var, "re")
+    atom     := '(' cond ')' | operand cmp operand | expr cmp expr
+              | REGEX(var, "re"[, "imsx-flags"])
               | CONTAINS(var, "s") | STRSTARTS(var, "s") | STRENDS(var, "s")
               | BOUND(var) | !BOUND(var) | var NOT? IN '(' term (',' term)* ')'
+              | SAMETERM(e, e) | ISNUMERIC(var)
               | ISIRI(var) | ISURI(var) | ISLITERAL(var) | ISBLANK(var)
                 (term-type tests use the engine's discriminator:
                  IRI = startsWith 'http', blank = startsWith '_:',
                  literal = bound and neither — graphProcessor.js:222)
     operand  := var | literal | number | iri | curie | expr-function-call
     cmp      := '=' | '!=' | '<' | '<=' | '>' | '>='
-    modifier := GROUP BY var | HAVING '(' cond ')' | LIMIT n | OFFSET n
-              | ORDER BY ((var | ASC(var) | DESC(var))+)   (multi-key)
+    modifier := GROUP BY (var | '(' expr AS var ')')+ | HAVING '(' cond ')'
+              | LIMIT n | OFFSET n
+              | ORDER BY ((var | ASC(expr) | DESC(expr) | fn-call)+)
+                (expression order conditions; aggregate calls rewrite to
+                 their projection alias in aggregate queries)
 
 Determinism notes (both sides of the value oracle must agree):
 GROUP_CONCAT's element order is unspecified by SPARQL — this engine sorts
