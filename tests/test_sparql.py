@@ -1281,3 +1281,112 @@ def test_group_by_without_aggregates_groups(spark):
     # projecting a non-key var raises rather than silently mis-answering
     with pytest.raises(ValueError, match="not a GROUP BY key"):
         sparql_query(t, "SELECT ?o WHERE { ?s ?p ?o } GROUP BY ?s")
+
+
+# ---------------------------------------------------------------------------
+# Property test: Turtle-sugar desugaring in patterns — random ';'/','/
+# '[ ]' bodies built from an abstract fact tree must expand to exactly
+# the flat statements the tree describes (anon variables canonicalized)
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+def _canon_anon(pats):
+    """Rename ?_anon_N variables by order of first appearance."""
+    from graphforge_spark.plans.sparql import Var
+
+    seen = {}
+
+    def c(t):
+        if isinstance(t, Var) and t.name.startswith("_anon_"):
+            if t.name not in seen:
+                seen[t.name] = len(seen)
+            return ("B", seen[t.name])
+        return t
+
+    return [(c(s), c(p), c(o)) for s, p, o in pats]
+
+
+@st.composite
+def sugar_bodies(draw, depth=0):
+    """Return (body_text, expected_facts) where expected_facts are
+    (subj_key, pred_iri, obj_key); bnode subjects/objects appear as
+    ('B', i) placeholders in first-appearance order."""
+    ctx = {"n": 0}
+
+    def new_bnode():
+        k = ("B", ctx["n"])
+        ctx["n"] += 1
+        return k
+
+    def gen_objlist(subj, pred, nested_ok):
+        objs, facts = [], []
+        for _ in range(draw(st.integers(1, 2))):
+            if nested_ok and draw(st.integers(0, 3)) == 0:
+                inner_txt, inner_facts, inner_key = gen_bnode(nested_ok=False)
+                objs.append(inner_txt)
+                facts.append((subj, pred, inner_key))
+                facts += inner_facts
+            else:
+                name = draw(st.sampled_from(["u", "v", "w"]))
+                objs.append(f"<http://o/{name}>")
+                facts.append((subj, pred, f"http://o/{name}"))
+        return " , ".join(objs), facts
+
+    def gen_predobjs(subj, nested_ok):
+        chunks, facts = [], []
+        for pi in range(draw(st.integers(1, 3))):
+            pred = f"http://p/{draw(st.sampled_from(['p', 'q', 'r']))}{pi}"
+            otxt, ofacts = gen_objlist(subj, pred, nested_ok)
+            chunks.append(f"<{pred}> {otxt}")
+            facts += ofacts
+        return " ; ".join(chunks), facts
+
+    def gen_bnode(nested_ok):
+        key = new_bnode()
+        txt, facts = gen_predobjs(key, nested_ok)
+        return f"[ {txt} ]", facts, key
+
+    subj_kind = draw(st.sampled_from(["iri", "var", "bnode"]))
+    if subj_kind == "bnode":
+        # bnode SUBJECT term followed by its own predicate-object list
+        # (the engine's supported form; a bare '[ p o ] .' statement is
+        # a loud refusal, covered by the deterministic tests)
+        btxt, bfacts, key = gen_bnode(nested_ok=False)
+        otxt, ofacts = gen_predobjs(key, nested_ok=False)
+        return f"{btxt} {otxt} .", bfacts + ofacts
+    subj = "http://s/a" if subj_kind == "iri" else ("VAR", "s")
+    subj_txt = "<http://s/a>" if subj_kind == "iri" else "?s"
+    txt, facts = gen_predobjs(subj, nested_ok=True)
+    return f"{subj_txt} {txt} .", facts
+
+
+@settings(
+    max_examples=120,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(case=sugar_bodies())
+def test_pattern_sugar_desugars_to_expected_facts(case):
+    from graphforge_spark.plans.sparql import Var, parse_sparql
+
+    body, expected = case
+    parsed, _ = parse_sparql(f"SELECT * WHERE {{ {body} }}")
+    got = _canon_anon(parsed.patterns)
+
+    def key(t):
+        if isinstance(t, Var):
+            return ("VAR", t.name)
+        return t
+
+    got_facts = [(key(s), key(p), key(o)) for s, p, o in got]
+    want = [
+        (s, p, o)
+        for (s, p, o) in [
+            (sk, pk, ok)
+            for (sk, pk, ok) in expected
+        ]
+    ]
+    assert sorted(map(repr, got_facts)) == sorted(map(repr, want)), body
