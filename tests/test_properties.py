@@ -108,8 +108,22 @@ def _render_cond(tree) -> str:
     if kind == "cmp":
         _, var, op, lit = tree
         return f'?{var} {op} "{lit}"'
+    if kind == "strlen":
+        _, var, k, op, n = tree
+        return f"STRLEN(?{var}) + {k} {op} {n}"
+    if kind == "isnum":
+        return f"isNumeric(?{tree[1]})"
+    if kind == "sameterm":
+        _, var, lit = tree
+        return f'sameTerm(?{var}, "{lit}")'
+    if kind == "contains":
+        _, var, lit = tree
+        return f'CONTAINS(?{var}, "{lit}")'
     _, op, left, right = tree
     return f"({_render_cond(left)}) {op} ({_render_cond(right)})"
+
+
+_NUM_SHAPE = __import__("re").compile(r"^[+-]?(\d+(\.\d*)?|\.\d+)([eE][+-]?\d+)?$")
 
 
 def _eval_cond(tree, row: dict) -> bool:
@@ -118,6 +132,18 @@ def _eval_cond(tree, row: dict) -> bool:
         _, var, op, lit = tree
         v = row[var]
         return {"=": v == lit, "!=": v != lit, "<": v < lit, ">": v > lit}[op]
+    if kind == "strlen":
+        _, var, k, op, n = tree
+        x = len(row[var]) + k
+        return {"=": x == n, "!=": x != n, "<": x < n, ">": x > n}[op]
+    if kind == "isnum":
+        return bool(_NUM_SHAPE.match(row[tree[1]]))
+    if kind == "sameterm":
+        _, var, lit = tree
+        return row[var] == lit
+    if kind == "contains":
+        _, var, lit = tree
+        return lit in row[var]
     # SPARQL || / && over non-null strings are plain boolean algebra
     _, op, left, right = tree
     a, b = _eval_cond(left, row), _eval_cond(right, row)
@@ -127,12 +153,28 @@ def _eval_cond(tree, row: dict) -> bool:
 @st.composite
 def _cond_trees(draw, depth=0):
     if depth >= 3 or draw(st.booleans()):
-        return (
-            "cmp",
-            draw(st.sampled_from(["s", "o"])),
-            draw(st.sampled_from(["=", "!=", "<", ">"])),
-            draw(st.sampled_from(_NASTY)),
-        )
+        atom = draw(st.sampled_from(["cmp", "strlen", "isnum", "sameterm", "contains"]))
+        var = draw(st.sampled_from(["s", "o"]))
+        if atom == "cmp":
+            return (
+                "cmp",
+                var,
+                draw(st.sampled_from(["=", "!=", "<", ">"])),
+                draw(st.sampled_from(_NASTY)),
+            )
+        if atom == "strlen":
+            return (
+                "strlen",
+                var,
+                draw(st.integers(0, 3)),
+                draw(st.sampled_from(["=", "!=", "<", ">"])),
+                draw(st.integers(0, 10)),
+            )
+        if atom == "isnum":
+            return ("isnum", var)
+        if atom == "sameterm":
+            return ("sameterm", var, draw(st.sampled_from(_NASTY)))
+        return ("contains", var, draw(st.sampled_from(_NASTY)))
     return (
         "bool",
         draw(st.sampled_from(["&&", "||"])),
@@ -149,7 +191,11 @@ def test_filter_compiler_matches_python_eval(spark, tree):
     against a direct Python evaluation of the same tree."""
     from graphforge_spark.plans.sparql import sparql_query
 
-    rows = [(v, "p", o) for v in ("a)b", "o1", "zz") for o in ("o1", "x&&y", "q")]
+    rows = [
+        (v, "p", o)
+        for v in ("a)b", "o1", "zz", "12")
+        for o in ("o1", "x&&y", "q", "-3.5")
+    ]
     df = spark.createDataFrame(rows, "subj string, pred string, obj string")
     q = f"SELECT ?s ?o WHERE {{ ?s <p> ?o . FILTER({_render_cond(tree)}) }}"
     got = {(r.s, r.o) for r in sparql_query(df, q).collect()}
