@@ -1,0 +1,124 @@
+"""Differential property tests for the temporal operators against
+DuckDB: random keyed event sets probe the boundary semantics the
+curated driver oracle can under-sample — exact timestamp ties between
+the two sides of the as-of join (``>=`` same-instant matching), and
+interval endpoints touching the point exactly (inclusive bounds).
+
+Timestamps are plain integers here: both engines order them
+identically, so any divergence is operator logic, never timezone or
+epoch-conversion noise.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from graphforge_spark.operators.temporal import asof_join, range_join_intervals
+
+KEYS = ["u1", "u2", "u3"]
+
+lefts = st.lists(
+    st.tuples(st.integers(0, 999), st.sampled_from(KEYS), st.integers(0, 40)),
+    min_size=1,
+    max_size=12,
+)
+# right side: unique (key, ts) so the latest-at-or-before row is
+# unambiguous in both engines
+rights = st.dictionaries(
+    st.tuples(st.sampled_from(KEYS), st.integers(0, 40)),
+    st.integers(0, 99),
+    min_size=1,
+    max_size=12,
+)
+
+
+@pytest.fixture(scope="module")
+def _shared(spark):
+    return spark
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(ldata=lefts, rdata=rights)
+def test_asof_join_matches_duckdb(_shared, ldata, rdata):
+    spark = _shared
+    rrows = [(k, t, v) for (k, t), v in rdata.items()]
+    ldf = spark.createDataFrame(ldata, "id int, k string, t int")
+    rdf = spark.createDataFrame(rrows, "k string, t int, v int")
+    out = asof_join(ldf, rdf, ["k"], "t", ["v"])
+    got = sorted(
+        ((r.id, r.k, r.t, r.asof_v) for r in out.collect()),
+        key=lambda x: (x[0], x[1], x[2], x[3] is not None, x[3] or 0),
+    )
+
+    con = duckdb.connect()
+    try:
+        con.execute("CREATE TABLE l(id INT, k VARCHAR, t INT)")
+        con.execute("CREATE TABLE r(k VARCHAR, t INT, v INT)")
+        con.executemany("INSERT INTO l VALUES (?, ?, ?)", ldata)
+        con.executemany("INSERT INTO r VALUES (?, ?, ?)", rrows)
+        want = sorted(
+            (tuple(row) for row in con.execute(
+                "SELECT l.id, l.k, l.t, r.v FROM l "
+                "ASOF LEFT JOIN r ON l.k = r.k AND r.t <= l.t"
+            ).fetchall()),
+            key=lambda x: (x[0], x[1], x[2], x[3] is not None, x[3] or 0),
+        )
+    finally:
+        con.close()
+    assert got == want
+
+
+points = st.lists(
+    st.tuples(st.integers(0, 999), st.sampled_from(KEYS), st.integers(0, 30)),
+    min_size=1,
+    max_size=10,
+)
+intervals = st.lists(
+    st.tuples(
+        st.sampled_from(KEYS),
+        st.integers(0, 30),
+        st.integers(0, 10),  # length; end = start + length (touching OK)
+        st.integers(0, 99),
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(pdata=points, idata=intervals)
+def test_range_join_matches_duckdb(_shared, pdata, idata):
+    spark = _shared
+    irows = [(k, s, s + ln, v) for k, s, ln, v in idata]
+    pdf = spark.createDataFrame(pdata, "id int, k string, ts int")
+    idf = spark.createDataFrame(irows, "k string, start int, end int, v int")
+    out = range_join_intervals(pdf, idf, ["k"], "ts", "start", "end")
+    got = sorted((r.id, r.k, r.ts, r.start, r.end, r.v) for r in out.collect())
+
+    con = duckdb.connect()
+    try:
+        con.execute("CREATE TABLE p(id INT, k VARCHAR, ts INT)")
+        con.execute('CREATE TABLE i(k VARCHAR, "start" INT, "end" INT, v INT)')
+        con.executemany("INSERT INTO p VALUES (?, ?, ?)", pdata)
+        con.executemany("INSERT INTO i VALUES (?, ?, ?, ?)", irows)
+        want = sorted(
+            tuple(row) for row in con.execute(
+                'SELECT p.id, p.k, p.ts, i."start", i."end", i.v '
+                "FROM p JOIN i ON p.k = i.k "
+                'AND p.ts BETWEEN i."start" AND i."end"'
+            ).fetchall()
+        )
+    finally:
+        con.close()
+    assert got == want
