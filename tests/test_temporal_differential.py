@@ -1,8 +1,9 @@
-"""Differential property tests for the temporal operators against
-DuckDB: random keyed event sets probe the boundary semantics the
-curated driver oracle can under-sample — exact timestamp ties between
-the two sides of the as-of join (``>=`` same-instant matching), and
-interval endpoints touching the point exactly (inclusive bounds).
+"""Differential property tests for the temporal operators (vs DuckDB)
+and connected components (vs a Python union-find oracle): random keyed
+event sets probe the boundary semantics the curated driver oracle can
+under-sample — exact timestamp ties between the two sides of the as-of
+join (``>=`` same-instant matching), interval endpoints touching the
+point exactly (inclusive bounds), and CC over self-loops/cycles/chains.
 
 Timestamps are plain integers here: both engines order them
 identically, so any divergence is operator logic, never timezone or
@@ -122,3 +123,57 @@ def test_range_join_matches_duckdb(_shared, pdata, idata):
     finally:
         con.close()
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Connected components vs a Python union-find oracle: random graphs with
+# self-loops, duplicate/reversed edges, cycles, and long chains — the
+# label-propagation + pointer-jumping fixpoint must agree exactly with
+# textbook union-find on min-member canonical labels
+# ---------------------------------------------------------------------------
+
+_cc_nodes = [f"e{i:02d}" for i in range(12)]
+_cc_edges = st.lists(
+    st.tuples(st.sampled_from(_cc_nodes), st.sampled_from(_cc_nodes)),
+    min_size=1,
+    max_size=20,
+)
+
+
+def _union_find(pairs):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    groups = {}
+    for x in list(parent):
+        groups.setdefault(find(x), set()).add(x)
+    return {
+        member: min(grp) for root, grp in groups.items() for member in grp
+    }
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(pairs=_cc_edges)
+def test_connected_components_matches_union_find(_shared, pairs):
+    from graphforge_spark.operators.canonicalize import connected_components
+
+    spark = _shared
+    edges = spark.createDataFrame(pairs, "src string, dst string")
+    got = {
+        r.id: r.component for r in connected_components(edges).collect()
+    }
+    assert got == _union_find(pairs)
