@@ -177,3 +177,55 @@ def test_connected_components_matches_union_find(_shared, pairs):
         r.id: r.component for r in connected_components(edges).collect()
     }
     assert got == _union_find(pairs)
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard vs a Python set oracle: random unicode-ish docs
+# with explicit candidate pairs — tokenizer/shingle boundary cases
+# (doc shorter than the shingle width, empty-after-tokenize, repeated
+# words) must match the engine's documented shingle definition exactly
+# ---------------------------------------------------------------------------
+
+import re as _re
+
+_WORDS = ["abc", "de", "x1", "µµ", "ß9", "q"]
+_SEPS = [" ", "  ", ",", ". ", "\n", "\t", "!#"]
+_doc = st.lists(
+    st.tuples(st.sampled_from(_WORDS), st.sampled_from(_SEPS)),
+    min_size=0,
+    max_size=8,
+).map(lambda ps: "".join(w + s for w, s in ps))
+
+
+def _py_shingles(text, n=3):
+    toks = [t for t in _re.split(r"[^a-z0-9µß]+", text.lower()) if t]
+    return {
+        " ".join(toks[i : i + n]) for i in range(max(len(toks) - n, 0) + 1)
+    }
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(texts=st.lists(_doc, min_size=2, max_size=5))
+def test_ngram_jaccard_matches_python_sets(_shared, texts):
+    from graphforge_spark.operators.docops import ngram_jaccard_pairs
+
+    spark = _shared
+    docs = [(f"d{i}", t) for i, t in enumerate(texts)]
+    pair_rows = [
+        (a, b) for i, (a, _) in enumerate(docs) for b, _ in docs[i + 1 :]
+    ]
+    ddf = spark.createDataFrame(docs, "doc_id string, text string")
+    pdf = spark.createDataFrame(pair_rows, "id_a string, id_b string")
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(ddf, pdf).collect()
+    }
+    text_of = dict(docs)
+    for a, b in pair_rows:
+        sa, sb = _py_shingles(text_of[a]), _py_shingles(text_of[b])
+        want = len(sa & sb) / max(len(sa | sb), 1)
+        assert abs(got[(a, b)] - want) < 1e-9, (a, b, text_of[a], text_of[b])
