@@ -229,3 +229,61 @@ def test_ngram_jaccard_matches_python_sets(_shared, texts):
         sa, sb = _py_shingles(text_of[a]), _py_shingles(text_of[b])
         want = len(sa & sb) / max(len(sa | sb), 1)
         assert abs(got[(a, b)] - want) < 1e-9, (a, b, text_of[a], text_of[b])
+
+
+# ---------------------------------------------------------------------------
+# PII redaction vs Python re: random documents assembled from planted
+# PII spans and noise — per-kind counts and the redacted text must match
+# a Python re replay of the same sequential pattern chain (the patterns
+# live in the Java∩RE2∩Python-re subset by design)
+# ---------------------------------------------------------------------------
+
+_PII = [
+    "bob.smith+x@ex-mail.org",
+    "a@b.io",
+    "10.0.255.7",
+    "+1 (415) 555-0101",
+    "12345678901",
+]
+_NOISE = ["hello", "a@b", "1.2.3", "x_y%z", "call me", "@@", "...", "30"]
+_pii_doc = st.lists(
+    st.tuples(st.sampled_from(_PII + _NOISE), st.sampled_from([" ", ", ", "\n"])),
+    min_size=0,
+    max_size=8,
+).map(lambda ps: "".join(w + s for w, s in ps))
+
+
+def _py_redact(text):
+    from graphforge_spark.operators.docops import PII_PATTERNS
+
+    counts = {}
+    cur = text
+    for kind, pat in PII_PATTERNS:
+        counts[kind] = len(_re.findall(pat, cur))
+        cur = _re.sub(pat, "[PII]", cur)
+    return counts, cur
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(texts=st.lists(_pii_doc, min_size=1, max_size=4))
+def test_redact_pii_matches_python_re(_shared, texts):
+    from graphforge_spark.operators.docops import redact_pii
+
+    spark = _shared
+    docs = [(f"d{i}", t) for i, t in enumerate(texts)]
+    out = {
+        r.doc_id: r
+        for r in redact_pii(
+            spark.createDataFrame(docs, "doc_id string, text string")
+        ).collect()
+    }
+    for did, text in docs:
+        counts, redacted = _py_redact(text)
+        r = out[did]
+        got_counts = {k: getattr(r, f"n_{k}") for k in counts}
+        assert got_counts == counts, (text,)
+        assert r.redacted_text == redacted, (text,)
