@@ -287,3 +287,35 @@ def test_redact_pii_matches_python_re(_shared, texts):
         got_counts = {k: getattr(r, f"n_{k}") for k in counts}
         assert got_counts == counts, (text,)
         assert r.redacted_text == redacted, (text,)
+
+
+# ---------------------------------------------------------------------------
+# Stratified sampling is a pure function of (salt, id): membership must
+# be identical across re-runs, row orders, and partition counts — the
+# retry/speculation-stability claim, as a property
+# ---------------------------------------------------------------------------
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    ids=st.lists(st.integers(0, 10_000), min_size=1, max_size=40, unique=True),
+    frac=st.sampled_from([0.0, 0.1, 0.5, 0.9, 1.0]),
+    parts=st.sampled_from([1, 3, 7]),
+)
+def test_stratified_sample_is_order_and_partition_invariant(_shared, ids, frac, parts):
+    from graphforge_spark.operators.docops import stratified_sample
+
+    spark = _shared
+    rows = [(f"d{i}", "en") for i in ids]
+    a = spark.createDataFrame(rows, "doc_id string, lang string")
+    b = spark.createDataFrame(list(reversed(rows)), "doc_id string, lang string").repartition(parts)
+    kept_a = {r.doc_id for r in stratified_sample(a, {"en": frac}, "lang").collect()}
+    kept_b = {r.doc_id for r in stratified_sample(b, {"en": frac}, "lang").collect()}
+    assert kept_a == kept_b
+    if frac == 0.0:
+        assert kept_a == set()
+    if frac == 1.0:
+        assert kept_a == {r[0] for r in rows}
