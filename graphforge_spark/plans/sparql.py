@@ -845,10 +845,22 @@ def parse_sparql(query: str, prefixes: dict[str, str] | None = None) -> _Parsed:
                 if not nxt:
                     break
                 j = end + nxt.end() - 1
-            if len(arms) > 1:
-                pieces.append(body[last:arm_start])
-                chains.append(arms)
-                last = end
+            # a LONE braced group (no UNION keyword) is a plain nested
+            # group graph pattern: compile it recursively as a one-arm
+            # "union" — bag union of one arm is the group itself, and
+            # the compatible-mapping join machinery joins it to the
+            # rest of the enclosing group exactly per spec. A draft-era
+            # path quantifier body ('{1,3}') keeps its named refusal.
+            if len(arms) == 1 and re.fullmatch(
+                r"\s*\d+\s*(?:,\s*\d*\s*)?", arms[0]
+            ):
+                raise ValueError(
+                    "unsupported path quantifier {n,m} (not in SPARQL 1.1; "
+                    "use explicit /-chains or the * + ? closures)"
+                )
+            pieces.append(body[last:arm_start])
+            chains.append(arms)
+            last = end
             i = end
         else:
             i += 1
@@ -856,7 +868,9 @@ def parse_sparql(query: str, prefixes: dict[str, str] | None = None) -> _Parsed:
     body = " ".join(pieces)
     for arms in chains:
         if any(not a.strip() for a in arms):
-            raise ValueError("empty UNION arm")
+            raise ValueError(
+                "empty UNION arm" if len(arms) > 1 else "empty group pattern"
+            )
         parsed.unions.append(arms)
     # FILTER [NOT] EXISTS { group } and MINUS { group }: brace-balanced,
     # stored as opaque group texts and compiled recursively at plan time

@@ -1390,3 +1390,23 @@ def test_pattern_sugar_desugars_to_expected_facts(case):
         ]
     ]
     assert sorted(map(repr, got_facts)) == sorted(map(repr, want)), body
+
+
+def test_nested_group_graph_pattern(spark):
+    t = spark.createDataFrame(
+        [("a", "p", "x"), ("a", "q", "y"), ("b", "p", "z")],
+        "subj string, pred string, obj string",
+    )
+    # a lone braced group compiles recursively and joins the enclosing group
+    q = "SELECT ?s ?o ?y WHERE { { ?s <p> ?o } ?s <q> ?y }"
+    assert [tuple(r) for r in sparql_query(t, q).collect()] == [("a", "x", "y")]
+    # group-scoped FILTER stays inside its group
+    q2 = 'SELECT ?s WHERE { { ?s <p> ?o . FILTER(?o = "x") } }'
+    assert [r.s for r in sparql_query(t, q2).collect()] == ["a"]
+    # two sibling groups join on their shared variable
+    q3 = "SELECT ?s WHERE { { ?s <p> ?o } { ?s <q> ?y } }"
+    assert [r.s for r in sparql_query(t, q3).collect()] == ["a"]
+    with pytest.raises(ValueError, match="empty group"):
+        sparql_query(t, "SELECT ?s WHERE { { } }")
+    with pytest.raises(ValueError, match="path quantifier"):
+        sparql_query(t, "SELECT ?s WHERE { ?s <p>{1,3} ?o }")
