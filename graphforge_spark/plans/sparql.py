@@ -458,13 +458,31 @@ def _balanced_end(masked: str, start: int) -> int:
     return i
 
 
+def _brace_depths(masked: str) -> list[int]:
+    """Depth of each character position under '{'/'}' nesting."""
+    depths, d = [], 0
+    for ch in masked:
+        if ch == "{":
+            depths.append(d)
+            d += 1
+        elif ch == "}":
+            d -= 1
+            depths.append(d)
+        else:
+            depths.append(d)
+    return depths
+
+
 def _take_braced_clauses(body: str, head_re: str):
-    """Remove every ``HEAD { balanced-group }`` clause from ``body`` —
-    ``head_re`` is a regex that ENDS at the opening brace — returning
-    ``(rest, [(head_match_groups, group_body_text), ...])``. The scan
-    runs over the string-blanked mask so quoted braces cannot confuse
-    the balance."""
+    """Remove every TOP-LEVEL ``HEAD { balanced-group }`` clause from
+    ``body`` — ``head_re`` is a regex that ENDS at the opening brace —
+    returning ``(rest, [(head_match_groups, group_body_text), ...])``.
+    The scan runs over the string-blanked mask so quoted braces cannot
+    confuse the balance, and a head INSIDE another construct's braces
+    (e.g. a MINUS inside an OPTIONAL group) is left in place for that
+    construct's own recursive compile — clause scope is never lifted."""
     masked = _mask_strings(body)
+    depths = _brace_depths(masked)
     pat = re.compile(head_re, re.IGNORECASE)
     out, found, pos = [], [], 0
     while True:
@@ -472,6 +490,11 @@ def _take_braced_clauses(body: str, head_re: str):
         if not m:
             out.append(body[pos:])
             break
+        if depths[m.start()] != 0:
+            nested_end = _balanced_end(masked, m.end() - 1)
+            out.append(body[pos:nested_end])
+            pos = nested_end
+            continue
         end = _balanced_end(masked, m.end() - 1)
         out.append(body[pos : m.start()])
         found.append((m.groups(), body[m.end() : end - 1]))
@@ -561,10 +584,13 @@ def _compile_optional_block(triples: DataFrame, blk: tuple, pmap: dict):
 
 
 def _take_optional_groups(text: str) -> tuple[str, list[str]]:
-    """Remove every top-level ``OPTIONAL { … }`` (braces balanced to any
+    """Remove every TOP-LEVEL ``OPTIONAL { … }`` (braces balanced to any
     depth) from text; return (rest, block_texts). Balance runs over the
-    string-blanked mask so a quoted brace cannot derail the scan."""
+    string-blanked mask so a quoted brace cannot derail the scan; an
+    OPTIONAL inside another construct's braces stays in place for that
+    construct's recursive compile (scope is never lifted)."""
     masked = _mask_strings(text)
+    depths = _brace_depths(masked)
     out, blocks, pos = [], [], 0
     pat = re.compile(r"\bOPTIONAL\s*\{", re.IGNORECASE)
     while True:
@@ -572,7 +598,6 @@ def _take_optional_groups(text: str) -> tuple[str, list[str]]:
         if not m:
             out.append(text[pos:])
             break
-        out.append(text[pos : m.start()])
         depth, i = 1, m.end()
         while i < len(masked) and depth:
             if masked[i] == "{":
@@ -582,6 +607,11 @@ def _take_optional_groups(text: str) -> tuple[str, list[str]]:
             i += 1
         if depth:
             raise ValueError("unbalanced braces after OPTIONAL")
+        if depths[m.start()] != 0:
+            out.append(text[pos:i])
+            pos = i
+            continue
+        out.append(text[pos : m.start()])
         blocks.append(text[m.end() : i - 1])
         pos = i
     return " ".join(out), blocks
@@ -890,17 +920,54 @@ def parse_sparql(query: str, prefixes: dict[str, str] | None = None) -> _Parsed:
             raise ValueError("empty MINUS block")
         parsed.minuses.append(text)
 
+    # OPTIONAL groups next (brace-balanced): flat parse first — it keeps
+    # the established OPTIONAL-FILTER scope errors — and a block the flat
+    # grammar rejects (UNION chains, VALUES, GRAPH, MINUS, EXISTS,
+    # nested groups) is kept as raw text and compiled recursively as a
+    # full group graph pattern at plan time
+    body, opt_texts = _take_optional_groups(body)
+    for t in opt_texts:
+        try:
+            parsed.optionals.append(("flat", parse_optional_block(t)))
+        except ValueError:
+            parsed.optionals.append(("group", t))
+
     # any UNION still in the body at this point is one the grammar cannot
-    # place (e.g. inside an OPTIONAL/GRAPH/VALUES group, whose inner
-    # parsers are flat) — refuse loudly rather than misparse
+    # place (e.g. inside a GRAPH/VALUES group, whose inner parsers are
+    # flat) — refuse loudly rather than misparse
     if re.search(r"\bUNION\b", _mask_strings(body), re.IGNORECASE):
         raise ValueError("cannot parse UNION clause (arms must be braced groups)")
 
-    body = re.sub(
-        r"VALUES\s+(\?\w+|\([^)]*\))\s*\{([^{}]*)\}",
-        take_values,
-        body,
-        flags=re.IGNORECASE,
+    def _sub_depth0(pattern: str, repl_fn, text: str) -> str:
+        """re.sub restricted to matches FOUND on the string-blanked mask
+        at brace depth 0 — a clause inside another construct's braces or
+        inside a quoted literal is never lifted out of its scope."""
+        masked = _mask_strings(text)
+        depths = _brace_depths(masked)
+        out, pos = [], 0
+        for m in re.finditer(pattern, masked, flags=re.IGNORECASE):
+            if m.start() < pos or depths[m.start()] != 0:
+                continue
+
+            # group SPANS from the masked match are valid positions in
+            # the real text (same length) — hand the callback a shim
+            # that reads group content from the REAL text
+            class _RealGroups:
+                def __init__(self, mm):
+                    self._m = mm
+
+                def group(self, i=0):
+                    s, e = self._m.span(i)
+                    return None if s == -1 else text[s:e]
+
+            out.append(text[pos : m.start()])
+            out.append(repl_fn(_RealGroups(m)))
+            pos = m.end()
+        out.append(text[pos:])
+        return "".join(out)
+
+    body = _sub_depth0(
+        r"VALUES\s+(\?\w+|\([^)]*\))\s*\{([^{}]*)\}", take_values, body
     )
 
     # GRAPH blocks: constant (<iri> / curie — filter on the graph column)
@@ -920,15 +987,11 @@ def parse_sparql(query: str, prefixes: dict[str, str] | None = None) -> _Parsed:
         parsed.graphs.append((g, pats))
         return " "
 
-    body = re.sub(
+    body = _sub_depth0(
         r"GRAPH\s+(\?\w+|<[^>]*>|[\w.-]*:[\w./#-]+)\s*\{([^{}]*)\}",
         take_graph,
         body,
-        flags=re.IGNORECASE,
     )
-    body, opt_texts = _take_optional_groups(body)
-    for t in opt_texts:
-        parsed.optionals.append(parse_optional_block(t))
     if re.search(r"\{\s*\d+\s*(?:,\s*\d*\s*)?\}", body):
         # draft-SPARQL path quantifier, dropped from the 1.1 final spec
         raise ValueError(
@@ -2104,8 +2167,23 @@ def _select_frame(
     for f, f_null in frames[1:]:
         out, out_null = _join_compat(out, out_null, f, f_null)
 
-    for blk in parsed.optionals:
-        opt_frame, opt_null = _compile_optional_block(triples, blk, pmap)
+    for kind, blk in parsed.optionals:
+        if kind == "flat":
+            opt_frame, opt_null = _compile_optional_block(triples, blk, pmap)
+        else:
+            # full-group OPTIONAL operand (UNION/VALUES/GRAPH/… inside):
+            # recursive compile; surface any failure as the loud
+            # ValueError contract, naming the block
+            try:
+                opt_frame, opt_null = _select_frame(
+                    triples, f"SELECT * WHERE {{ {blk} }}", pmap
+                )
+            except ValueError:
+                raise
+            except Exception as e:  # e.g. unresolved outer-group var
+                raise ValueError(
+                    f"cannot compile OPTIONAL group {blk.strip()!r}: {e}"
+                ) from e
         shared = [c for c in out.columns if c in opt_frame.columns]
         if opt_null & set(shared):
             # a join variable the optional group may leave unbound needs a

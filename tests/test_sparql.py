@@ -1410,3 +1410,32 @@ def test_nested_group_graph_pattern(spark):
         sparql_query(t, "SELECT ?s WHERE { { } }")
     with pytest.raises(ValueError, match="path quantifier"):
         sparql_query(t, "SELECT ?s WHERE { ?s <p>{1,3} ?o }")
+
+
+def test_optional_operand_is_full_group(spark):
+    t = spark.createDataFrame(
+        [("a", "p", "x"), ("a", "a1", "m"), ("b", "p", "y"),
+         ("b", "a2", "n"), ("c", "p", "z"), ("m", "t", "ok")],
+        "subj string, pred string, obj string",
+    )
+    # UNION chain inside OPTIONAL
+    q = """SELECT ?s ?v WHERE { ?s <p> ?o
+           OPTIONAL { { ?s <a1> ?v } UNION { ?s <a2> ?v } } }"""
+    assert sorted(tuple(r) for r in sparql_query(t, q).collect()) == [
+        ("a", "m"), ("b", "n"), ("c", None),
+    ]
+    # VALUES inside OPTIONAL constrains only the optional group
+    q2 = 'SELECT ?s ?m WHERE { ?s <p> ?o OPTIONAL { ?s <a1> ?m . VALUES ?m { "zzz" } } }'
+    assert sorted(tuple(r) for r in sparql_query(t, q2).collect()) == [
+        ("a", None), ("b", None), ("c", None),
+    ]
+    # MINUS inside OPTIONAL empties the group for its only match
+    q3 = "SELECT ?s ?m WHERE { ?s <p> ?o OPTIONAL { ?s <a1> ?m MINUS { ?m <t> ?w } } }"
+    assert sorted(tuple(r) for r in sparql_query(t, q3).collect()) == [
+        ("a", None), ("b", None), ("c", None),
+    ]
+    # FILTER EXISTS inside OPTIONAL keeps the matching binding
+    q4 = "SELECT ?s ?m WHERE { ?s <p> ?o OPTIONAL { ?s <a1> ?m FILTER EXISTS { ?m <t> ?w } } }"
+    assert sorted(tuple(r) for r in sparql_query(t, q4).collect()) == [
+        ("a", "m"), ("b", None), ("c", None),
+    ]
