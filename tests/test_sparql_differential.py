@@ -213,10 +213,52 @@ def arm(draw, prefix, var_pool):
 
 @st.composite
 def compound_queries(draw):
-    """UNION / MINUS / BIND shapes: (sparql_text, sql_text)."""
-    shape = draw(st.sampled_from(["union", "minus", "bind"]))
+    """UNION / MINUS / BIND / nested-group / OPTIONAL-union shapes."""
+    shape = draw(
+        st.sampled_from(["union", "minus", "bind", "nested", "opt_union"])
+    )
     pats_a = draw(arm("a", ["oa", "x"]))
     body_a, core_a, vars_a = _render_arm(pats_a, "a")
+
+    if shape == "nested":
+        # '{ group } pattern(s)': the lone braced group compiles
+        # recursively and joins the enclosing group on shared vars
+        pats_b = draw(arm("b", ["ob", "x"]))
+        body_b, core_b, vars_b = _render_arm(pats_b, "b")
+        if not vars_a or not vars_b:
+            shape = "bind"
+        else:
+            allv = vars_a + [v for v in vars_b if v not in vars_a]
+            proj = " ".join(f"?{v}" for v in allv)
+            sparql = f"SELECT {proj} WHERE {{ {{ {body_a} }} {body_b} }}"
+            shared = [v for v in vars_a if v in vars_b]
+            bsel = ", ".join(f"b.{v}" for v in vars_b if v not in vars_a)
+            sel = "a.*" + (f", {bsel}" if bsel else "")
+            if shared:
+                on = " AND ".join(f"a.{v} = b.{v}" for v in shared)
+                sql = f"SELECT {sel} FROM ({core_a}) a JOIN ({core_b}) b ON {on}"
+            else:
+                sql = f"SELECT {sel} FROM ({core_a}) a CROSS JOIN ({core_b}) b"
+            return sparql, sql
+
+    if shape == "opt_union":
+        if "s" not in vars_a:
+            shape = "bind"
+        else:
+            p1 = draw(st.sampled_from(PREDS))
+            p2 = draw(st.sampled_from(PREDS))
+            proj = " ".join(f"?{v}" for v in vars_a) + " ?ov"
+            sparql = (
+                f"SELECT {proj} WHERE {{ {body_a} OPTIONAL {{ "
+                f"{{ ?s <{p1}> ?ov }} UNION {{ ?s <{p2}> ?ov }} }} }}"
+            )
+            sql = (
+                f"SELECT q.*, u.ov FROM ({core_a}) q LEFT JOIN ("
+                f"SELECT subj AS s, obj AS ov FROM t WHERE pred = '{p1}' "
+                f"UNION ALL SELECT subj, obj FROM t WHERE pred = '{p2}'"
+                f") u ON q.s = u.s"
+            )
+            return sparql, sql
 
     if shape == "union":
         pats_b = draw(arm("b", ["ob", "x"]))
