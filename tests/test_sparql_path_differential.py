@@ -134,7 +134,7 @@ def _shared(spark):
 
 
 @settings(
-    max_examples=35,
+    max_examples=20,
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
 )
