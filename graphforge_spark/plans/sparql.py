@@ -932,12 +932,6 @@ def parse_sparql(query: str, prefixes: dict[str, str] | None = None) -> _Parsed:
         except ValueError:
             parsed.optionals.append(("group", t))
 
-    # any UNION still in the body at this point is one the grammar cannot
-    # place (e.g. inside a GRAPH/VALUES group, whose inner parsers are
-    # flat) — refuse loudly rather than misparse
-    if re.search(r"\bUNION\b", _mask_strings(body), re.IGNORECASE):
-        raise ValueError("cannot parse UNION clause (arms must be braced groups)")
-
     def _sub_depth0(pattern: str, repl_fn, text: str) -> str:
         """re.sub restricted to matches FOUND on the string-blanked mask
         at brace depth 0 — a clause inside another construct's braces or
@@ -970,28 +964,45 @@ def parse_sparql(query: str, prefixes: dict[str, str] | None = None) -> _Parsed:
         r"VALUES\s+(\?\w+|\([^)]*\))\s*\{([^{}]*)\}", take_values, body
     )
 
-    # GRAPH blocks: constant (<iri> / curie — filter on the graph column)
-    # or variable (GRAPH ?g — binds the graph column as ?g)
-    def take_graph(mm: re.Match) -> str:
-        g = mm.group(1)
-        if g.startswith("?"):
-            g = Var(g[1:])
-        else:
-            g = g[1:-1] if g.startswith("<") else _expand(g, pmap)
-        pats = [
-            _parse_pattern(stmt, pmap)
-            for stmt in _expand_statements(mm.group(2), anon)
-        ]
-        if not pats:
-            raise ValueError("empty GRAPH block")
-        parsed.graphs.append((g, pats))
-        return " "
-
-    body = _sub_depth0(
-        r"GRAPH\s+(\?\w+|<[^>]*>|[\w.-]*:[\w./#-]+)\s*\{([^{}]*)\}",
-        take_graph,
-        body,
+    # GRAPH blocks (brace-balanced, depth-0): constant (<iri> / curie —
+    # filter on the graph column) or variable (GRAPH ?g — binds the
+    # graph column as ?g). A CONSTANT graph whose body the flat pattern
+    # grammar rejects (OPTIONAL/FILTER/UNION/… inside) compiles
+    # recursively as a full group over the graph-filtered store; the
+    # variable-graph case keeps its flat patterns+paths surface (full
+    # groups would need per-graph group evaluation — loud refusal).
+    body, graph_clauses = _take_braced_clauses(
+        body, r"GRAPH\s+(\?\w+|<[^>]*>|[\w.-]*:[\w./#-]+)\s*\{"
     )
+    for (g_txt,), group_text in graph_clauses:
+        if g_txt.startswith("?"):
+            g = Var(g_txt[1:])
+        else:
+            g = g_txt[1:-1] if g_txt.startswith("<") else _expand(g_txt, pmap)
+        try:
+            pats = [
+                _parse_pattern(stmt, pmap)
+                for stmt in _expand_statements(group_text, anon)
+            ]
+            if not pats:
+                raise ValueError("empty GRAPH block")
+            parsed.graphs.append(("flat", g, pats))
+        except ValueError:
+            if not group_text.strip():
+                raise ValueError("empty GRAPH block") from None
+            if isinstance(g, Var):
+                raise ValueError(
+                    "GRAPH ?var group supports plain patterns and property "
+                    f"paths only, got: {group_text.strip()!r}"
+                ) from None
+            parsed.graphs.append(("group", g, group_text))
+
+    # any UNION still in the body at this point is one the grammar cannot
+    # place (e.g. inside a VALUES data block, whose inner parser is
+    # flat) — refuse loudly rather than misparse
+    if re.search(r"\bUNION\b", _mask_strings(body), re.IGNORECASE):
+        raise ValueError("cannot parse UNION clause (arms must be braced groups)")
+
     if re.search(r"\{\s*\d+\s*(?:,\s*\d*\s*)?\}", body):
         # draft-SPARQL path quantifier, dropped from the 1.1 final spec
         raise ValueError(
@@ -2078,11 +2089,23 @@ def _select_frame(
         frames.append((bgp(triples, plain), set()))
     for s, (_, spec), o in paths:
         frames.append((_path_frame(triples, spec, s, o, pmap), set()))
-    for g, pats in parsed.graphs:
+    for kind, g, pats in parsed.graphs:
         # named-graph constraint: constant → filter on the quad's graph
         # column (pushdown-friendly); variable → bind the graph column
         if "graph" not in triples.columns:
             raise ValueError("GRAPH query over a store with no graph column")
+        if kind == "group":
+            # constant graph with a FULL group body: compile the group
+            # recursively against the graph-filtered store — the filter
+            # pushes into every scan the group plans
+            frames.append(
+                _select_frame(
+                    triples.filter(F.col("graph") == g),
+                    f"SELECT * WHERE {{ {pats} }}",
+                    pmap,
+                )
+            )
+            continue
         if isinstance(g, Var):
             # variable graph: plain patterns bind the graph column; path
             # patterns evaluate on composite (graph, node) keys so the

@@ -1439,3 +1439,24 @@ def test_optional_operand_is_full_group(spark):
     assert sorted(tuple(r) for r in sparql_query(t, q4).collect()) == [
         ("a", "m"), ("b", None), ("c", None),
     ]
+
+
+def test_graph_constant_full_group(spark):
+    t = spark.createDataFrame(
+        [("a", "p", "x", "g1"), ("a", "q", "m", "g1"),
+         ("a", "p", "x", "g2"), ("b", "p", "y", "g1")],
+        "subj string, pred string, obj string, graph string",
+    )
+    # OPTIONAL inside a constant GRAPH group, evaluated within that graph
+    q = "SELECT ?s ?m WHERE { GRAPH <g1> { ?s <p> ?o OPTIONAL { ?s <q> ?m } } }"
+    assert sorted(tuple(r) for r in sparql_query(t, q).collect()) == [
+        ("a", "m"), ("b", None),
+    ]
+    # UNION inside a constant GRAPH group: g2 has only the <p> edge
+    q2 = "SELECT ?s WHERE { GRAPH <g2> { { ?s <p> ?o } UNION { ?s <q> ?o } } }"
+    assert [r.s for r in sparql_query(t, q2).collect()] == ["a"]
+    # variable-graph full groups stay a loud refusal
+    with pytest.raises(ValueError, match="GRAPH .var group"):
+        sparql_query(
+            t, "SELECT ?g WHERE { GRAPH ?g { ?s <p> ?o OPTIONAL { ?s <q> ?m } } }"
+        )
