@@ -33,15 +33,20 @@ Grammar (whitespace-insensitive, case-insensitive keywords):
               | '(' expr AS var ')'    (expression projection = implicit BIND)
               | '(' GROUP_CONCAT '(' var (';' SEPARATOR '=' "s")? ')' AS var ')')+
     AGG      := COUNT | SUM | MIN | MAX | AVG | SAMPLE
-    stmt     := pattern '.'? | OPTIONAL '{' (pattern | FILTER '(' cond ')')+ '}'
+    stmt     := pattern '.'? | OPTIONAL group
               | FILTER '(' cond ')'
-              | FILTER NOT? EXISTS '{' pattern+ '}'
+              | FILTER NOT? EXISTS group
               | BIND '(' expr AS var ')'
-              | GRAPH (iri|curie|var) '{' pattern+ '}'
-              | '{' pattern+ '}' (UNION '{' pattern+ '}')+
-              | MINUS '{' pattern+ '}'
+              | GRAPH (iri|curie) group      (constant graph: full group)
+              | GRAPH var '{' pattern+ '}'   (variable graph: flat only)
+              | group (UNION group)*         (nested group / union chain)
+              | MINUS group
               | '{' select '}'        (subquery — top level of WHERE only)
-              | VALUES (var | '(' var+ ')') '{' (term | '(' term+ ')')+ '}'
+              | VALUES (var | '(' var+ ')') '{' (term|'('term+')'|UNDEF)+ '}'
+    group    := '{' stmt* '}'   (FULL group graph pattern, compiled
+                 recursively; every braced-clause extraction is depth-0
+                 guarded, so a clause nested inside another construct's
+                 braces is never lifted out of its scope)
     pattern  := subj predpath objlist (';' predpath objlist)*
                 (Turtle-style sugar: ';' predicate-object lists, ','
                  object lists, '[ predpath obj … ]' blank-node property
