@@ -486,14 +486,15 @@ def resize_meta(media: DataFrame, max_side: int = 256) -> DataFrame:
     """Image resize planning: compute target dims from metadata JVM-side
     (the byte-level resample lives in the decode UDF). Demonstrates typed
     metadata access over the map column."""
-    # try_cast: malformed user metadata must yield null dims (row drops
-    # in the isNotNull guard below), not an ANSI job abort at scale
+    # try_cast: malformed user metadata must yield null dims, and the
+    # guard below also drops non-positive dims — width='0' under ANSI
+    # would otherwise abort the job with DIVIDE_BY_ZERO in the scale
     w = F.col("meta")["width"].try_cast("int")
     h = F.col("meta")["height"].try_cast("int")
     scale = F.least(F.lit(1.0), F.lit(max_side) / F.greatest(w, h))
     return (
         media.filter(F.col("kind") == "image")
-        .filter(w.isNotNull() & h.isNotNull())
+        .filter(w.isNotNull() & h.isNotNull() & (w > 0) & (h > 0))
         .select(
             "media_id",
             w.alias("width"),

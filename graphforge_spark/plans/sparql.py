@@ -590,36 +590,12 @@ def _compile_optional_block(triples: DataFrame, blk: tuple, pmap: dict):
 
 def _take_optional_groups(text: str) -> tuple[str, list[str]]:
     """Remove every TOP-LEVEL ``OPTIONAL { … }`` (braces balanced to any
-    depth) from text; return (rest, block_texts). Balance runs over the
-    string-blanked mask so a quoted brace cannot derail the scan; an
-    OPTIONAL inside another construct's braces stays in place for that
-    construct's recursive compile (scope is never lifted)."""
-    masked = _mask_strings(text)
-    depths = _brace_depths(masked)
-    out, blocks, pos = [], [], 0
-    pat = re.compile(r"\bOPTIONAL\s*\{", re.IGNORECASE)
-    while True:
-        m = pat.search(masked, pos)
-        if not m:
-            out.append(text[pos:])
-            break
-        depth, i = 1, m.end()
-        while i < len(masked) and depth:
-            if masked[i] == "{":
-                depth += 1
-            elif masked[i] == "}":
-                depth -= 1
-            i += 1
-        if depth:
-            raise ValueError("unbalanced braces after OPTIONAL")
-        if depths[m.start()] != 0:
-            out.append(text[pos:i])
-            pos = i
-            continue
-        out.append(text[pos : m.start()])
-        blocks.append(text[m.end() : i - 1])
-        pos = i
-    return " ".join(out), blocks
+    depth) from text; return (rest, block_texts). Delegates to the
+    shared depth-0 braced-clause scanner: a quoted brace cannot derail
+    the balance, and an OPTIONAL inside another construct's braces stays
+    in place for that construct's recursive compile."""
+    rest, found = _take_braced_clauses(text, r"\bOPTIONAL\s*\{")
+    return rest, [blk for _groups, blk in found]
 
 
 def parse_sparql(query: str, prefixes: dict[str, str] | None = None) -> _Parsed:
@@ -792,6 +768,15 @@ def parse_sparql(query: str, prefixes: dict[str, str] | None = None) -> _Parsed:
         else:
             for row_m in re.finditer(r"\(([^()]*)\)", rows_text):
                 toks = list(_VALUES_TOK_RE.finditer(row_m.group(1)))
+                # per-row residue: junk between tokens must be refused
+                # even when the parseable-token count happens to equal
+                # the arity (silently dropping a typo'd term would
+                # fabricate a different binding row)
+                left_row = _residue(row_m.group(1), toks)
+                if left_row:
+                    raise ValueError(
+                        f"unsupported VALUES data syntax: {left_row!r}"
+                    )
                 if len(toks) != len(names):
                     raise ValueError(
                         f"VALUES row arity {len(toks)} != {len(names)} vars"
@@ -1314,11 +1299,23 @@ def _generalized_cmp(cond: str, pmap: dict):
     a, b = cond[:pos].strip(), cond[pos + len(op) :].strip()
     if not a or not b:
         raise ValueError(f"malformed comparison: FILTER({cond.strip()})")
-    numeric = bool(
-        re.fullmatch(r"-?\d+(?:\.\d+)?", a) or re.fullmatch(r"-?\d+(?:\.\d+)?", b)
-    )
+    def _numericish(e: str) -> bool:
+        # number literal, top-level arithmetic, or a numeric-returning
+        # head function — the side's Column will be double/long typed
+        if re.fullmatch(r"-?\d+(?:\.\d+)?", e):
+            return True
+        if _arith_split(e, _mask_strings(e)) is not None:
+            return True
+        return bool(
+            re.match(r"\s*(STRLEN|ABS|CEIL|FLOOR|ROUND)\s*\(", e, re.IGNORECASE)
+        )
+
     ca, cb = _bind_col(a, pmap), _bind_col(b, pmap)
-    if numeric:
+    if _numericish(a) or _numericish(b):
+        # if EITHER side is numeric-typed, ANSI would coerce a string
+        # other side with a STRICT cast — a malformed term must be a
+        # SPARQL type error (row eliminated), never a job abort, so
+        # try_cast BOTH sides
         ca, cb = ca.try_cast("double"), cb.try_cast("double")
     return _OPS[op](ca, cb)
 
@@ -1433,7 +1430,14 @@ def _bind_col(expr: str, pmap: dict) -> Column:
         lhs, op, rhs = sp
         a = _bind_col(lhs, pmap).try_cast("double")
         b = _bind_col(rhs, pmap).try_cast("double")
-        return {"+": a + b, "-": a - b, "*": a * b, "/": a / b}[op]
+        # try_divide: ANSI '/' raises DIVIDE_BY_ZERO and aborts the job;
+        # SPARQL divide-by-zero is an expression error → unbound/row drop
+        return {
+            "+": a + b,
+            "-": a - b,
+            "*": a * b,
+            "/": F.try_divide(a, b),
+        }[op]
     # strip a paren pair wrapping the whole expression
     while e.startswith("(") and masked.rstrip().endswith(")"):
         depth = 0
@@ -2235,10 +2239,15 @@ def _select_frame(
             triples, f"SELECT * WHERE {{ {minus_text} }}", pmap
         )
         shared = [c for c in out.columns if c in mframe.columns]
-        if mnull & set(shared):
+        # compatible-mapping semantics need BOTH sides all-bound on the
+        # shared vars: an unbound slot on EITHER side is compatible with
+        # anything, and the plain anti-join (null never matches) would
+        # silently KEEP a solution the spec removes — loud refusal
+        loose = (mnull | out_null) & set(shared)
+        if loose:
             raise ValueError(
-                "MINUS group shares possibly-unbound variable(s) "
-                f"{sorted(mnull & set(shared))} with the outer group"
+                "MINUS shares possibly-unbound variable(s) "
+                f"{sorted(loose)} with the outer group"
             )
         if shared:
             out = out.join(mframe.select(*shared).distinct(), shared, "left_anti")
@@ -2248,10 +2257,19 @@ def _select_frame(
         if alias in out.columns:
             raise ValueError(f"BIND target ?{alias} is already bound")
         out = out.withColumn(alias, _bind_col(expr, pmap))
-        # a BIND expression over an unbound input evaluates to unbound —
-        # conservatively nullable (costs nothing unless an enclosing
-        # subquery join actually shares the column)
-        out_null.add(alias)
+        # a BIND output is unbound when an input is unbound, or when the
+        # expression itself errors (e.g. a failed numeric try_cast) — so
+        # it is nullable if it references any nullable/unknown var, or
+        # performs numeric evaluation at all
+        refs = set(re.findall(r"\?(\w+)", _mask_strings(expr)))
+        numericish = bool(
+            _arith_split(expr, _mask_strings(expr))
+            or re.match(
+                r"\s*(ABS|CEIL|FLOOR|ROUND|SUBSTR)\s*\(", expr, re.IGNORECASE
+            )
+        )
+        if numericish or any(v in out_null or v not in out.columns for v in refs):
+            out_null.add(alias)
 
     # FILTER [NOT] EXISTS { group }: left-semi / left-anti join on the
     # shared variables; the group is a full graph pattern, compiled
@@ -2267,10 +2285,15 @@ def _select_frame(
             raise ValueError(
                 "FILTER EXISTS block shares no variable with the outer group"
             )
-        if enull & set(shared):
+        # substitution semantics bind only the OUTER solution's bound
+        # vars into the group; a possibly-unbound shared var on either
+        # side makes the semi/anti join silently wrong (null never
+        # matches, dropping/keeping spec-valid rows) — loud refusal
+        loose = (enull | out_null) & set(shared)
+        if loose:
             raise ValueError(
-                "FILTER EXISTS group shares possibly-unbound variable(s) "
-                f"{sorted(enull & set(shared))} with the outer group"
+                "FILTER EXISTS shares possibly-unbound variable(s) "
+                f"{sorted(loose)} with the outer group"
             )
         out = out.join(
             eframe.select(*shared).distinct(),

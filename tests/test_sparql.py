@@ -1460,3 +1460,41 @@ def test_graph_constant_full_group(spark):
         sparql_query(
             t, "SELECT ?g WHERE { GRAPH ?g { ?s <p> ?o OPTIONAL { ?s <q> ?m } } }"
         )
+
+
+def test_review_findings_r3(spark):
+    """Regression pins for the round-3 code-review findings."""
+    t = spark.createDataFrame(
+        [("A", "p", "1"), ("B", "p", "2"), ("A", "q", "X"),
+         ("B", "r", "Y"), ("Z", "p", "abc")],
+        "subj string, pred string, obj string",
+    )
+    # EXISTS/MINUS sharing an outer possibly-unbound var must refuse
+    # loudly (plain semi/anti joins would silently drop/keep rows)
+    with pytest.raises(ValueError, match="FILTER EXISTS shares"):
+        sparql_query(
+            t,
+            "SELECT ?s WHERE { ?s <p> ?o . OPTIONAL { ?s <q> ?x } "
+            "FILTER EXISTS { ?s <r> ?x } }",
+        )
+    with pytest.raises(ValueError, match="MINUS shares"):
+        sparql_query(
+            t,
+            "SELECT ?s WHERE { ?s <p> ?o . OPTIONAL { ?s <q> ?x } "
+            "MINUS { ?s <r> ?x } }",
+        )
+    # numeric-side comparison against a string var: type-error rows are
+    # ELIMINATED (ANSI coercion would abort the job on 'abc')
+    q = "SELECT ?s WHERE { ?s <p> ?o . FILTER(?o + 1 > ?o) }"
+    assert {r.s for r in sparql_query(t, q).collect()} == {"A", "B"}
+    # divide-by-zero is an expression error -> unbound, never an abort
+    q2 = "SELECT ?s ?r WHERE { ?s <p> ?o . BIND(10 / (?o - 1) AS ?r) }"
+    assert sorted(tuple(r) for r in sparql_query(t, q2).collect()) == [
+        ("A", None), ("B", 10.0), ("Z", None),
+    ]
+    # junk inside a multi-var VALUES row is refused even when the
+    # parseable-token count matches the arity
+    with pytest.raises(ValueError, match="VALUES data syntax"):
+        sparql_query(
+            t, "SELECT ?s WHERE { ?s <p> ?o . VALUES (?s ?o) { (<a> @junk <b>) } }"
+        )
