@@ -452,15 +452,22 @@ def q_sparql_bind_exists(spark, sf_dir):
 def q_sparql_graph(spark, sf_dir):
     """Variable named-graph query (GRAPH ?g { ... }) — the quads carry
     graph end-to-end (graph := conv_id on the N-Quads path); the graph
-    column binds as ?g and projects out. The constant-GRAPH restriction
+    column binds as ?g and projects out. The body is a FULL group graph
+    pattern (OPTIONAL with a FILTER inside the variable graph), so this
+    also oracles the graph-context distribution rewrite
+    (plans/sparql._distribute_graph). The constant-GRAPH restriction
     stays covered by tests/test_sparql.py."""
     from graphforge_spark.plans.sparql import sparql_query
 
     t = extract_ntriples(corpus.derive_nt_transcripts(spark, sf_dir))
     return sparql_query(
         t,
-        """SELECT ?g ?s ?part WHERE {
-             GRAPH ?g { ?s <http://ex.org/p/supplies> ?part }
+        """SELECT ?g ?s ?part ?note WHERE {
+             GRAPH ?g {
+               ?s <http://ex.org/p/supplies> ?part
+               OPTIONAL { ?s <http://ex.org/p/note> ?note
+                          FILTER(STRENDS(?note, "0")) }
+             }
            }""",
     )
 
@@ -1508,7 +1515,8 @@ def oracle_sql() -> dict[str, str]:
         "sparql_graph": f"""
             WITH {_NT}
             SELECT conv_id AS g, subj AS s,
-                   'http://ex.org/e/Part_' || pk AS part
+                   'http://ex.org/e/Part_' || pk AS part,
+                   CASE WHEN k LIKE '%0' THEN 'unit ' || k END AS note
             FROM nt
         """,
         "sparql_filter_distinct": f"""

@@ -535,6 +535,142 @@ def _take_paren_blocks(body: str, keyword: str) -> tuple[str, list[str]]:
     return " ".join(out), blocks
 
 
+def _distribute_graph(g_txt: str, body: str, _top: bool = True) -> str:
+    """Rewrite a variable-graph FULL group body (``GRAPH ?g { body }``)
+    by distributing the graph context down to its flat pattern runs, per
+    the SPARQL-algebra identities Graph(g, Join(A,B)) =
+    Join(Graph(g,A), Graph(g,B)) and Graph(g, Union(A,B)) =
+    Union(Graph(g,A), Graph(g,B)); LeftJoin/Minus/Exists distribute the
+    same way HERE because every wrapped pattern binds ?g, so the shared
+    ?g column keeps the left/anti/semi join within one named graph —
+    exactly the per-graph evaluation the algebra prescribes. FILTER,
+    BIND, and VALUES are solution-sequence operators with no active
+    graph and pass through verbatim; a NESTED ``GRAPH x { … }`` clause
+    switches the active graph and passes through verbatim. A subquery
+    would need its own WHERE rewritten (its patterns evaluate in the
+    enclosing active graph) — refused loudly. The rewritten text
+    compiles through the ordinary recursive group compiler, so
+    OPTIONAL / UNION / MINUS / EXISTS / FILTER / BIND / VALUES / paths
+    all work inside ``GRAPH ?var``. Raises when the body contains no
+    construct at all (the flat patterns+paths grammar already rejected
+    it, so distribution cannot make progress — a genuine syntax error)."""
+    masked = _mask_strings(body)
+
+    def _level_binding_vars() -> set[str]:
+        """Variables this level's OTHER clauses can BIND: the level body
+        with every span that only REFERENCES variables blanked — MINUS
+        bodies, FILTER [NOT] EXISTS bodies, and FILTER(...) conditions
+        contribute no bindings to the group."""
+        t = masked
+        for head in (r"\bMINUS\s*\{", r"\bFILTER\s+(?:NOT\s+)?EXISTS\s*\{"):
+            while True:
+                hm = re.search(head, t, re.IGNORECASE)
+                if not hm:
+                    break
+                e = _balanced_end(t, hm.end() - 1)
+                t = t[: hm.start()] + " " * (e - hm.start()) + t[e:]
+        while True:
+            fm = re.search(r"\bFILTER\s*\(", t, re.IGNORECASE)
+            if not fm:
+                break
+            d, i2 = 1, fm.end()
+            while i2 < len(t) and d:
+                if t[i2] == "(":
+                    d += 1
+                elif t[i2] == ")":
+                    d -= 1
+                i2 += 1
+            t = t[: fm.start()] + " " * (i2 - fm.start()) + t[i2:]
+        return set(re.findall(r"\?(\w+)", t))
+
+    tok = re.compile(
+        r"(?P<fex>\bFILTER\s+(?:NOT\s+)?EXISTS\s*\{)"
+        r"|(?P<opt>\bOPTIONAL\s*\{)"
+        r"|(?P<minus>\bMINUS\s*\{)"
+        r"|(?P<graph>\bGRAPH\s+(?:\?\w+|<[^>]*>|[\w.-]*:[\w./#-]+)\s*\{)"
+        r"|(?P<values>\bVALUES\s+(?:\?\w+|\([^)]*\))\s*\{)"
+        r"|(?P<fil>\bFILTER\s*\()"
+        r"|(?P<bind>\bBIND\s*\()"
+        r"|(?P<brace>\{)",
+        re.IGNORECASE,
+    )
+    out: list[str] = []
+    progressed = False
+
+    def wrap(seg: str) -> None:
+        if seg.strip(" \t\r\n."):
+            out.append(f"GRAPH {g_txt} {{ {seg} }}")
+
+    pos = 0
+    while True:
+        m = tok.search(masked, pos)
+        if not m:
+            wrap(body[pos:])
+            break
+        wrap(body[pos : m.start()])
+        progressed = True
+        kind = m.lastgroup
+        if kind in ("fex", "opt", "minus"):
+            end = _balanced_end(masked, m.end() - 1)
+            if kind == "minus":
+                # SPARQL disjoint-domain rule: a MINUS whose body shares
+                # no BINDING variable with its group is a no-op (keeps
+                # every solution). Distributing would make ?g a shared
+                # variable and wrongly correlate the anti-join — drop
+                # the clause instead (the spec's answer).
+                inner_vars = set(re.findall(r"\?(\w+)", masked[m.end() : end - 1]))
+                if not (inner_vars & _level_binding_vars()):
+                    pos = end
+                    continue
+            inner = _distribute_graph(g_txt, body[m.end() : end - 1], _top=False)
+            out.append(f"{body[m.start():m.end()]} {inner} }}")
+            pos = end
+        elif kind in ("graph", "values"):
+            end = _balanced_end(masked, m.end() - 1)
+            out.append(body[m.start() : end])
+            pos = end
+        elif kind in ("fil", "bind"):
+            depth, i = 1, m.end()
+            while i < len(masked) and depth:
+                if masked[i] == "(":
+                    depth += 1
+                elif masked[i] == ")":
+                    depth -= 1
+                i += 1
+            if depth:
+                raise ValueError("unbalanced parentheses in GRAPH ?var group")
+            out.append(body[m.start() : i])
+            pos = i
+        else:  # bare brace: subquery, lone group, or UNION chain
+            if re.match(r"\{\s*SELECT\b", masked[m.start() :], re.IGNORECASE):
+                raise ValueError(
+                    "subquery inside GRAPH ?var is unsupported (its WHERE "
+                    "evaluates in the enclosing active graph and would "
+                    "need its own rewrite)"
+                )
+            arms, j = [], m.start()
+            while True:
+                end = _balanced_end(masked, j)
+                arms.append(body[j + 1 : end - 1])
+                nxt = re.match(r"\s*UNION\s*\{", masked[end:], re.IGNORECASE)
+                if not nxt:
+                    break
+                j = end + nxt.end() - 1
+            out.append(
+                " UNION ".join(
+                    f"{{ {_distribute_graph(g_txt, a, _top=False)} }}"
+                    for a in arms
+                )
+            )
+            pos = end
+    if _top and not progressed:
+        raise ValueError(
+            "GRAPH ?var group supports plain patterns, property paths, and "
+            f"group constructs (OPTIONAL/UNION/FILTER/…) only, got: {body.strip()!r}"
+        )
+    return " ".join(out)
+
+
 def _patterns_frame(triples: DataFrame, pats: list, pmap: dict) -> DataFrame:
     """Compile a mixed list of plain triple patterns and property-path
     patterns into one bindings frame: plain patterns compile together as
@@ -805,10 +941,14 @@ def parse_sparql(query: str, prefixes: dict[str, str] | None = None) -> _Parsed:
             if ch == "{":
                 if re.match(r"\{\s*SELECT\b", masked[i:], re.IGNORECASE):
                     if depth != 0:
-                        raise ValueError(
-                            "subqueries are only supported at the top level "
-                            "of the WHERE block"
-                        )
+                        # a subquery nested inside another group (a UNION
+                        # arm, an OPTIONAL/MINUS/EXISTS body, a lone
+                        # braced group) belongs to THAT group's scope:
+                        # leave it in place — the owning construct
+                        # compiles recursively and extracts it at its own
+                        # top level, so its join scope is never lifted
+                        i = _balanced_end(masked, i)
+                        continue
                     d, j = 1, i + 1
                     while j < n and d:
                         if masked[j] == "{":
@@ -959,8 +1099,9 @@ def parse_sparql(query: str, prefixes: dict[str, str] | None = None) -> _Parsed:
     # graph column as ?g). A CONSTANT graph whose body the flat pattern
     # grammar rejects (OPTIONAL/FILTER/UNION/… inside) compiles
     # recursively as a full group over the graph-filtered store; the
-    # variable-graph case keeps its flat patterns+paths surface (full
-    # groups would need per-graph group evaluation — loud refusal).
+    # variable-graph case keeps its flat patterns+paths fast path, and a
+    # full group body distributes the graph context down to its pattern
+    # runs (_distribute_graph) before the same recursive compile.
     body, graph_clauses = _take_braced_clauses(
         body, r"GRAPH\s+(\?\w+|<[^>]*>|[\w.-]*:[\w./#-]+)\s*\{"
     )
@@ -981,11 +1122,14 @@ def parse_sparql(query: str, prefixes: dict[str, str] | None = None) -> _Parsed:
             if not group_text.strip():
                 raise ValueError("empty GRAPH block") from None
             if isinstance(g, Var):
-                raise ValueError(
-                    "GRAPH ?var group supports plain patterns and property "
-                    f"paths only, got: {group_text.strip()!r}"
-                ) from None
-            parsed.graphs.append(("group", g, group_text))
+                # variable graph with a FULL group body: distribute the
+                # graph context down to the flat pattern runs (see
+                # _distribute_graph) and compile the rewrite recursively
+                parsed.graphs.append(
+                    ("vargroup", g, _distribute_graph(g_txt, group_text))
+                )
+            else:
+                parsed.graphs.append(("group", g, group_text))
 
     # any UNION still in the body at this point is one the grammar cannot
     # place (e.g. inside a VALUES data block, whose inner parser is
@@ -2113,6 +2257,18 @@ def _select_frame(
                     f"SELECT * WHERE {{ {pats} }}",
                     pmap,
                 )
+            )
+            continue
+        if kind == "vargroup":
+            # variable graph with a FULL group body: the parser already
+            # distributed GRAPH ?g down to the flat pattern runs, so the
+            # rewrite compiles through the ordinary recursive group
+            # compiler; ?g (bound by every wrapped pattern) keeps each
+            # join/left-join/anti within one named graph, and the
+            # returned nullable set propagates (e.g. ?g itself when the
+            # whole body is one OPTIONAL)
+            frames.append(
+                _select_frame(triples, f"SELECT * WHERE {{ {pats} }}", pmap)
             )
             continue
         if isinstance(g, Var):

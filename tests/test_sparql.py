@@ -648,14 +648,37 @@ def test_subquery_nullable_projection_joins_compatibly(graph):
     assert rows == {("http://ex.org/x", "note"), ("http://ex.org/y", None)}
 
 
-def test_subquery_nested_in_union_arm_is_loud(graph):
+def test_subquery_nested_in_union_arm(graph):
+    # a subquery inside a union arm compiles IN ARM SCOPE: the arm's
+    # recursive compile extracts it at its own top level (inner ORDER
+    # BY/LIMIT apply before the arm's solutions union in, bag semantics)
     q = """
         SELECT ?s WHERE {
-            { { SELECT ?s WHERE { ?s ?p ?o } } } UNION { ?s ?p ?o }
+            { { SELECT ?s WHERE { ?s <http://ex.org/p/likes> ?x }
+                ORDER BY ?s LIMIT 1 } }
+            UNION
+            { ?s <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> ?c }
         }
     """
-    with pytest.raises(ValueError):
-        sparql_query(graph, q)
+    rows = [r.s for r in sparql_query(graph, q).collect()]
+    assert sorted(rows) == ["http://ex.org/x", "http://ex.org/x"]
+
+
+def test_subquery_nested_in_optional(graph):
+    # a subquery inside an OPTIONAL group: the group compiles recursively,
+    # the subquery aggregates, and the left join null-extends the miss
+    q = """
+        SELECT ?s ?o ?n WHERE {
+            ?s <http://ex.org/p/likes> ?o
+            OPTIONAL { { SELECT ?o (COUNT(?z) AS ?n)
+                         WHERE { ?o <http://ex.org/p/likes> ?z } GROUP BY ?o } }
+        }
+    """
+    rows = {(r.s, r.o, r.n) for r in sparql_query(graph, q).collect()}
+    assert rows == {
+        ("http://ex.org/x", "http://ex.org/y", 1),
+        ("http://ex.org/y", "http://ex.org/z", None),
+    }
 
 
 def test_describe_iri_targets(graph):
@@ -1455,10 +1478,68 @@ def test_graph_constant_full_group(spark):
     # UNION inside a constant GRAPH group: g2 has only the <p> edge
     q2 = "SELECT ?s WHERE { GRAPH <g2> { { ?s <p> ?o } UNION { ?s <q> ?o } } }"
     assert [r.s for r in sparql_query(t, q2).collect()] == ["a"]
-    # variable-graph full groups stay a loud refusal
-    with pytest.raises(ValueError, match="GRAPH .var group"):
+    # variable-graph full groups distribute the graph context (see below)
+    gq = "SELECT ?g ?s ?m WHERE { GRAPH ?g { ?s <p> ?o OPTIONAL { ?s <q> ?m } } }"
+    assert sorted(tuple(r) for r in sparql_query(t, gq).collect()) == [
+        ("g1", "a", "m"), ("g1", "b", None), ("g2", "a", None),
+    ]
+
+
+def test_graph_var_full_group(spark):
+    """GRAPH ?g with a FULL group body: the graph context distributes to
+    the flat pattern runs per the SPARQL algebra, so each construct
+    evaluates within one named graph and ?g binds."""
+    t = spark.createDataFrame(
+        [("a", "p", "x", "g1"), ("a", "q", "m", "g1"), ("b", "p", "y", "g1"),
+         ("a", "p", "x", "g2"), ("a", "r", "z", "g2"), ("c", "q", "w", "g2")],
+        "subj string, pred string, obj string, graph string",
+    )
+    # OPTIONAL: the <q> match exists only in g1, so g2's row is unextended
+    q = "SELECT ?g ?s ?m WHERE { GRAPH ?g { ?s <p> ?o OPTIONAL { ?s <q> ?m } } }"
+    assert sorted(tuple(r) for r in sparql_query(t, q).collect()) == [
+        ("g1", "a", "m"), ("g1", "b", None), ("g2", "a", None),
+    ]
+    # UNION inside the variable graph: arms evaluate per graph
+    q2 = "SELECT ?g ?s WHERE { GRAPH ?g { { ?s <q> ?o } UNION { ?s <r> ?o } } }"
+    assert sorted(tuple(r) for r in sparql_query(t, q2).collect()) == [
+        ("g1", "a"), ("g2", "a"), ("g2", "c"),
+    ]
+    # FILTER applies to the group's solutions (no graph context needed)
+    q3 = 'SELECT ?g ?s WHERE { GRAPH ?g { ?s <p> ?o FILTER(?o = "x") } }'
+    assert sorted(tuple(r) for r in sparql_query(t, q3).collect()) == [
+        ("g1", "a"), ("g2", "a"),
+    ]
+    # MINUS with a shared variable stays within each graph: the <q> edge
+    # removes ?s=a only in g1 (g2's <q> edge belongs to ?s=c)
+    q4 = "SELECT ?g ?s WHERE { GRAPH ?g { ?s <p> ?o MINUS { ?s <q> ?m } } }"
+    assert sorted(tuple(r) for r in sparql_query(t, q4).collect()) == [
+        ("g1", "b"), ("g2", "a"),
+    ]
+    # MINUS with NO shared binding variable is the spec's disjoint-domain
+    # no-op — dropping it is correct even though a naive distribution
+    # would correlate the anti-join on ?g
+    q5 = "SELECT ?g ?s WHERE { GRAPH ?g { ?s <p> ?o MINUS { ?x <q> ?m } } }"
+    assert sorted(tuple(r) for r in sparql_query(t, q5).collect()) == [
+        ("g1", "a"), ("g1", "b"), ("g2", "a"),
+    ]
+    # FILTER NOT EXISTS evaluates its pattern in the SAME active graph
+    # even with no shared vars (no disjoint-domain rule for EXISTS):
+    # g1 has a <r>-free store, g2 has the <r> edge
+    q6 = "SELECT ?g ?s WHERE { GRAPH ?g { ?s <p> ?o FILTER NOT EXISTS { ?x <r> ?y } } }"
+    assert sorted(tuple(r) for r in sparql_query(t, q6).collect()) == [
+        ("g1", "a"), ("g1", "b"),
+    ]
+    # a NESTED constant GRAPH switches the active graph and is untouched
+    q7 = "SELECT ?g ?s ?c WHERE { GRAPH ?g { ?s <q> ?o . GRAPH <g2> { ?c <q> ?w } } }"
+    assert sorted(tuple(r) for r in sparql_query(t, q7).collect()) == [
+        ("g1", "a", "c"), ("g2", "c", "c"),
+    ]
+    # subqueries inside GRAPH ?var stay a loud refusal (their WHERE would
+    # need its own active-graph rewrite)
+    with pytest.raises(ValueError, match="subquery inside GRAPH .var"):
         sparql_query(
-            t, "SELECT ?g WHERE { GRAPH ?g { ?s <p> ?o OPTIONAL { ?s <q> ?m } } }"
+            t,
+            "SELECT ?g WHERE { GRAPH ?g { { SELECT ?s WHERE { ?s <p> ?o } } } }",
         )
 
 
