@@ -328,6 +328,137 @@ def compound_queries(draw):
     return sparql, sql
 
 
+def _render_graph_arm(pats, alias_prefix):
+    """Like ``_render_arm`` but over the quad table: all patterns in the
+    arm scan the SAME named graph, and the graph name projects as g."""
+    bind: dict[str, str] = {}
+    froms, wheres = [], []
+    for i, (s, p, o) in enumerate(pats):
+        a = f"{alias_prefix}{i}"
+        froms.append(f"t AS {a}")
+        if i > 0:
+            wheres.append(f"{alias_prefix}0.graph = {a}.graph")
+        for slot, col in ((s, "subj"), (p, "pred"), (o, "obj")):
+            ref = f"{a}.{col}"
+            if slot.startswith("?"):
+                v = slot[1:]
+                if v in bind:
+                    wheres.append(f"{bind[v]} = {ref}")
+                else:
+                    bind[v] = ref
+            else:
+                wheres.append(f"{ref} = '{slot[1:-1]}'")
+    body = " . ".join(" ".join(p) for p in pats)
+    where_sql = " AND ".join(wheres) if wheres else "TRUE"
+    sel = ", ".join(
+        [f"{alias_prefix}0.graph AS g"]
+        + [f"{ref} AS {v}" for v, ref in bind.items()]
+    )
+    core = f"SELECT {sel} FROM {', '.join(froms)} WHERE {where_sql}"
+    return body, core, list(bind)
+
+
+@st.composite
+def graph_group_queries(draw):
+    """GRAPH ?g over FULL group bodies (the graph-distribution rewrite):
+    per-graph OPTIONAL / UNION / MINUS / NOT EXISTS / FILTER, rendered as
+    graph-correlated SQL over the quad table."""
+    shape = draw(
+        st.sampled_from(["opt", "union", "minus", "not_exists", "filter"])
+    )
+    pats_a = draw(arm("a", ["oa", "x"]))
+    if not any("?s" in p for p in pats_a):
+        pats_a = [("?s", f"<{draw(st.sampled_from(PREDS))}>", "?oa")] + pats_a
+    body_a, core_a, vars_a = _render_graph_arm(pats_a, "a")
+
+    if shape in ("opt", "minus", "not_exists"):
+        # one-pattern inner group; subject var chosen shared or disjoint
+        inner_s = draw(st.sampled_from(["?s", "?zz"]))
+        p2 = draw(st.sampled_from(PREDS))
+        inner = f"{inner_s} <{p2}> ?m"
+        inner_core = (
+            f"SELECT graph AS g, subj AS sv, obj AS m FROM t WHERE pred = '{p2}'"
+        )
+        shared_s = inner_s == "?s"
+        proj = " ".join(f"?{v}" for v in vars_a)
+        if shape == "opt":
+            sparql = (
+                f"SELECT ?g {proj} ?m WHERE {{ GRAPH ?g {{ {body_a} "
+                f"OPTIONAL {{ {inner} }} }} }}"
+            )
+            on = "q.g = u.g" + (" AND q.s = u.sv" if shared_s else "")
+            sql = (
+                f"SELECT q.*, u.m FROM ({core_a}) q "
+                f"LEFT JOIN ({inner_core}) u ON {on}"
+            )
+        elif shape == "minus":
+            sparql = (
+                f"SELECT ?g {proj} WHERE {{ GRAPH ?g {{ {body_a} "
+                f"MINUS {{ {inner} }} }} }}"
+            )
+            if shared_s:
+                sql = (
+                    f"SELECT * FROM ({core_a}) q WHERE NOT EXISTS ("
+                    f"SELECT 1 FROM ({inner_core}) m "
+                    f"WHERE m.g = q.g AND m.sv = q.s)"
+                )
+            else:
+                # disjoint binding domains: SPARQL MINUS is a no-op
+                sql = f"SELECT * FROM ({core_a})"
+        else:  # not_exists — correlates on the ACTIVE graph even when
+            # no variable is shared (no disjoint-domain rule for EXISTS)
+            sparql = (
+                f"SELECT ?g {proj} WHERE {{ GRAPH ?g {{ {body_a} "
+                f"FILTER NOT EXISTS {{ {inner} }} }} }}"
+            )
+            corr = "m.g = q.g" + (" AND m.sv = q.s" if shared_s else "")
+            sql = (
+                f"SELECT * FROM ({core_a}) q WHERE NOT EXISTS ("
+                f"SELECT 1 FROM ({inner_core}) m WHERE {corr})"
+            )
+        return sparql, sql
+
+    if shape == "union":
+        pats_b = draw(arm("b", ["ob", "x"]))
+        body_b, core_b, vars_b = _render_graph_arm(pats_b, "b")
+        if not vars_b:
+            pats_b = [("?s", f"<{PREDS[1]}>", "?ob")]
+            body_b, core_b, vars_b = _render_graph_arm(pats_b, "b")
+        allv = vars_a + [v for v in vars_b if v not in vars_a]
+        proj = " ".join(f"?{v}" for v in allv)
+        sparql = (
+            f"SELECT ?g {proj} WHERE {{ GRAPH ?g {{ "
+            f"{{ {body_a} }} UNION {{ {body_b} }} }} }}"
+        )
+        ext_a = ", ".join(["g"] + [(v if v in vars_a else f"NULL AS {v}") for v in allv])
+        ext_b = ", ".join(["g"] + [(v if v in vars_b else f"NULL AS {v}") for v in allv])
+        sql = (
+            f"SELECT {ext_a} FROM ({core_a}) "
+            f"UNION ALL SELECT {ext_b} FROM ({core_b})"
+        )
+        return sparql, sql
+
+    # filter shape
+    v = draw(st.sampled_from(vars_a))
+    n = draw(st.integers(1, 30))
+    proj = " ".join(f"?{u}" for u in vars_a)
+    sparql = (
+        f"SELECT ?g {proj} WHERE {{ GRAPH ?g {{ {body_a} "
+        f"FILTER(STRLEN(?{v}) < {n}) }} }}"
+    )
+    sql = f"SELECT * FROM ({core_a}) WHERE length({v}) < {n}"
+    return sparql, sql
+
+
+quad = st.tuples(
+    st.sampled_from(SUBJECTS),
+    st.sampled_from(PREDS),
+    st.sampled_from(OBJECTS),
+    st.sampled_from(["g1", "g2"]),
+)
+quad_store = st.lists(quad, min_size=4, max_size=14, unique=True)
+
+
 @pytest.fixture(scope="module")
 def _shared(spark):
     return spark
@@ -383,3 +514,49 @@ def test_sparql_matches_duckdb(_shared, data, q):
 @given(data=store, q=compound_queries())
 def test_compound_sparql_matches_duckdb(_shared, data, q):
     test_sparql_matches_duckdb.hypothesis.inner_test(_shared, data, q)
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(data=quad_store, q=graph_group_queries())
+def test_graph_group_sparql_matches_duckdb(_shared, data, q):
+    """Differential check of the GRAPH-?var full-group distribution: the
+    SQL side correlates every construct on the graph column explicitly,
+    which is exactly the per-named-graph evaluation the rewrite claims."""
+    spark = _shared
+    sparql_text, sql_text = q
+    sdf = spark.createDataFrame(
+        data, "subj string, pred string, obj string, graph string"
+    )
+    try:
+        got_df = sparql_query(sdf, sparql_text)
+    except ValueError:
+        return
+
+    def _key(t):
+        return tuple((x is not None, x if x is not None else "") for x in t)
+
+    got_cols = got_df.columns
+    got = sorted(
+        (tuple(row[c] for c in sorted(got_cols)) for row in got_df.collect()),
+        key=_key,
+    )
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE TABLE t(subj VARCHAR, pred VARCHAR, obj VARCHAR, graph VARCHAR)"
+        )
+        con.executemany("INSERT INTO t VALUES (?, ?, ?, ?)", data)
+        cur = con.execute(sql_text)
+        cols = [d[0] for d in cur.description]
+        order = [cols.index(c) for c in sorted(cols)]
+        want = sorted(
+            (tuple(r[i] for i in order) for r in cur.fetchall()), key=_key
+        )
+    finally:
+        con.close()
+    assert sorted(got_cols) == sorted(cols), (sparql_text, sql_text)
+    assert got == want, (sparql_text, sql_text)
