@@ -251,6 +251,8 @@ def _headline_queries():
 
 
 DEFAULT_TRIALS = 3
+# extra per-leg retries when every initial trial lands in a steal burst
+MAX_EXTRA_DEFAULT_TRIALS = 3
 
 
 def _steal_jiffies() -> int:
@@ -267,7 +269,12 @@ def run_default() -> None:
     ``DEFAULT_TRIALS`` times in the warm JVM with per-trial steal
     accounting; the reported per-leg time is the MEDIAN of steal-quiet
     trials (all trials as explicit fallback), and the throughput headline
-    derives from that median — one noisy trial can no longer move it."""
+    derives from that median — one noisy trial can no longer move it.
+    A leg whose first ``DEFAULT_TRIALS`` trials ALL land in a steal
+    burst retries (up to ``MAX_EXTRA_DEFAULT_TRIALS`` more) until it has
+    at least one quiet trial, so a sustained-noise window degrades the
+    recorded number only when the noise outlasts the whole retry budget
+    — and ``quiet_trials`` in the JSON says so when it does."""
     import statistics
 
     spark = _spark(f"local[{CPUS}]")
@@ -280,13 +287,21 @@ def run_default() -> None:
     extracted_triples = 0
     for name, fn in _headline_queries().items():
         trials: list[tuple[float, int]] = []
+
+        def _quiet_of(ts):
+            return [w for w, s in ts if s <= QUIET_STEAL_FRAC * 100.0 * w * ncpu]
+
         for _ in range(DEFAULT_TRIALS):
             s0, t0 = _steal_jiffies(), time.time()
             n = fn(spark, SF_DIR)
             trials.append((time.time() - t0, _steal_jiffies() - s0))
-        quiet = [
-            w for w, s in trials if s <= QUIET_STEAL_FRAC * 100.0 * w * ncpu
-        ]
+        extra = 0
+        while not _quiet_of(trials) and extra < MAX_EXTRA_DEFAULT_TRIALS:
+            extra += 1
+            s0, t0 = _steal_jiffies(), time.time()
+            n = fn(spark, SF_DIR)
+            trials.append((time.time() - t0, _steal_jiffies() - s0))
+        quiet = _quiet_of(trials)
         dt = round(statistics.median(quiet or [w for w, _ in trials]), 3)
         timings[name] = dt
         quiet_counts[name] = len(quiet)
