@@ -455,14 +455,19 @@ def q_sparql_graph(spark, sf_dir):
     column binds as ?g and projects out. The body is a FULL group graph
     pattern (OPTIONAL with a FILTER inside the variable graph), so this
     also oracles the graph-context distribution rewrite
-    (plans/sparql._distribute_graph). The constant-GRAPH restriction
-    stays covered by tests/test_sparql.py."""
+    (plans/sparql._distribute_graph), and the FROM NAMED dataset clause
+    restricts which named graphs ?g ranges over. The constant-GRAPH
+    restriction stays covered by tests/test_sparql.py."""
     from graphforge_spark.plans.sparql import sparql_query
 
     t = extract_ntriples(corpus.derive_nt_transcripts(spark, sf_dir))
     return sparql_query(
         t,
-        """SELECT ?g ?s ?part ?note WHERE {
+        """SELECT ?g ?s ?part ?note
+           FROM NAMED <nt-000> FROM NAMED <nt-001> FROM NAMED <nt-002>
+           FROM NAMED <nt-003> FROM NAMED <nt-004> FROM NAMED <nt-005>
+           FROM NAMED <nt-006> FROM NAMED <nt-007>
+           WHERE {
              GRAPH ?g {
                ?s <http://ex.org/p/supplies> ?part
                OPTIONAL { ?s <http://ex.org/p/note> ?note
@@ -1518,6 +1523,7 @@ def oracle_sql() -> dict[str, str]:
                    'http://ex.org/e/Part_' || pk AS part,
                    CASE WHEN k LIKE '%0' THEN 'unit ' || k END AS note
             FROM nt
+            WHERE conv_id NOT IN ('nt-008', 'nt-009')
         """,
         "sparql_filter_distinct": f"""
             WITH {_PT}

@@ -225,6 +225,7 @@ class _Parsed:
     order_by: list | None = None  # [(var, ascending), …] in key order
     limit: int | None = None
     offset: int | None = None
+    datasets: tuple | None = None  # (FROM graph iris, FROM NAMED graph iris)
 
 
 def _expand_statements(
@@ -749,6 +750,41 @@ def parse_sparql(query: str, prefixes: dict[str, str] | None = None) -> _Parsed:
     for pfx, iri in _PREFIX_RE.findall(q):
         pmap[pfx] = iri
     q = _PREFIX_RE.sub(" ", q)
+
+    # dataset clauses: FROM <g> builds the default graph (RDF merge of
+    # the listed graphs), FROM NAMED <g> the named-graph set — stripped
+    # here (they sit between the projection and WHERE in every query
+    # form) and recorded for _select_frame to build the two stores.
+    # Scans run at brace depth 0 on a string-AND-IRI-blanked mask so a
+    # quoted "FROM" or an IRI like <http://ex.org/FROM> never matches.
+    ds_masked = _mask_strings(q)
+    ds_masked = re.sub(
+        r"<[^>]*>", lambda mm: "<" + " " * (len(mm.group(0)) - 2) + ">", ds_masked
+    )
+    ds_depths = _brace_depths(ds_masked)
+    from_graphs: list[str] = []
+    named_graphs: list[str] = []
+    ds_chars = list(q)
+    for dm in re.finditer(
+        r"(?<![?$\w])FROM\s+(NAMED\s+)?(<[^>]*>|[\w.-]*:[\w./#-]+)",
+        ds_masked,
+        re.IGNORECASE,
+    ):
+        if ds_depths[dm.start()] != 0:
+            raise ValueError(
+                "FROM/FROM NAMED are query-level dataset clauses "
+                "(not allowed inside a group)"
+            )
+        raw = q[dm.start(2) : dm.end(2)]
+        iri = raw[1:-1] if raw.startswith("<") else _expand(raw, pmap)
+        (named_graphs if dm.group(1) else from_graphs).append(iri)
+        for k in range(dm.start(), dm.end()):
+            ds_chars[k] = " "
+    q = "".join(ds_chars)
+    datasets = (
+        (from_graphs, named_graphs) if (from_graphs or named_graphs) else None
+    )
+
     # one counter per query keeps blank-node-list variables (?_anon_N)
     # unique across every group the desugarer touches
     anon = [0]
@@ -779,6 +815,7 @@ def parse_sparql(query: str, prefixes: dict[str, str] | None = None) -> _Parsed:
 
     parsed = _Parsed()
     parsed.distinct = bool(m.group("distinct"))
+    parsed.datasets = datasets
 
     # ---- projection (every token must be understood) ----------------------
     agg_matches = list(
@@ -2068,6 +2105,12 @@ def _ask_query(
         flags=re.IGNORECASE,
     )
     if not n:
+        # ASK DatasetClause+ WHERE { … }: keep the FROM/FROM NAMED text
+        # in place — the SELECT parser strips and applies it
+        rewritten, n = re.subn(
+            r"\bASK\s+(?=FROM\b)", "SELECT * ", q, count=1, flags=re.IGNORECASE
+        )
+    if not n:
         raise ValueError("cannot parse ASK query (expected ASK [WHERE] { ... })")
     sol = _select_query(triples, rewritten, prefixes)
     return sol.limit(1).agg((F.count(F.lit(1)) > 0).alias("ask"))
@@ -2226,22 +2269,59 @@ def _select_query(
 
 
 def _select_frame(
-    triples: DataFrame, query: str, prefixes: dict[str, str] | None = None
+    triples: DataFrame,
+    query: str,
+    prefixes: dict[str, str] | None = None,
+    dataset: tuple[DataFrame, DataFrame] | None = None,
+    _in_group: bool = False,
 ) -> tuple[DataFrame, set]:
     """Compile a SELECT query to (bindings frame, nullable columns) —
     the nullable set names projected columns that can carry UNBOUND
     (null-extended) values, so an enclosing scope (a subquery join)
-    knows to use compatible-mapping join semantics on them."""
+    knows to use compatible-mapping join semantics on them.
+
+    ``dataset`` carries the (default-graph store, named-graph store)
+    pair a top-level FROM / FROM NAMED built — threaded unchanged
+    through every recursive group compile. Without dataset clauses both
+    stores are the input frame (the union-default-graph convention)."""
     parsed, pmap = parse_sparql(query, prefixes)
+
+    if parsed.datasets is not None:
+        if _in_group:
+            raise ValueError(
+                "FROM/FROM NAMED are query-level dataset clauses "
+                "(not allowed in a subquery or nested group)"
+            )
+        d_iris, n_iris = parsed.datasets
+        if "graph" not in triples.columns:
+            raise ValueError("FROM/FROM NAMED over a store with no graph column")
+        # default graph = RDF merge of the FROM graphs: set-union on the
+        # triple columns (ground merge), the graph column kept only so
+        # the frame shape is uniform; named store = the FROM NAMED quads
+        # — each side empty when its clause list is (per the spec, a
+        # dataset description replaces the whole default dataset)
+        spo = [c for c in triples.columns if c != "graph"]
+        dstore_n = (
+            triples.filter(F.col("graph").isin(d_iris)).dropDuplicates(spo)
+            if d_iris
+            else triples.filter(F.lit(False))
+        )
+        nstore_n = (
+            triples.filter(F.col("graph").isin(n_iris))
+            if n_iris
+            else triples.filter(F.lit(False))
+        )
+        dataset = (dstore_n, nstore_n)
+    dstore, nstore = dataset if dataset is not None else (triples, triples)
 
     plain = [p for p in parsed.patterns if not (isinstance(p[1], tuple))]
     paths = [p for p in parsed.patterns if isinstance(p[1], tuple)]
 
     frames: list[tuple[DataFrame, set]] = []  # (bindings, nullable columns)
     if plain:
-        frames.append((bgp(triples, plain), set()))
+        frames.append((bgp(dstore, plain), set()))
     for s, (_, spec), o in paths:
-        frames.append((_path_frame(triples, spec, s, o, pmap), set()))
+        frames.append((_path_frame(dstore, spec, s, o, pmap), set()))
     for kind, g, pats in parsed.graphs:
         # named-graph constraint: constant → filter on the quad's graph
         # column (pushdown-friendly); variable → bind the graph column
@@ -2250,12 +2330,16 @@ def _select_frame(
         if kind == "group":
             # constant graph with a FULL group body: compile the group
             # recursively against the graph-filtered store — the filter
-            # pushes into every scan the group plans
+            # pushes into every scan the group plans. The group's store
+            # IS the graph-filtered named store (inner plain patterns
+            # match within that graph per the established semantics), so
+            # the dataset does NOT thread further down here.
             frames.append(
                 _select_frame(
-                    triples.filter(F.col("graph") == g),
+                    nstore.filter(F.col("graph") == g),
                     f"SELECT * WHERE {{ {pats} }}",
                     pmap,
+                    _in_group=True,
                 )
             )
             continue
@@ -2268,7 +2352,13 @@ def _select_frame(
             # returned nullable set propagates (e.g. ?g itself when the
             # whole body is one OPTIONAL)
             frames.append(
-                _select_frame(triples, f"SELECT * WHERE {{ {pats} }}", pmap)
+                _select_frame(
+                    triples,
+                    f"SELECT * WHERE {{ {pats} }}",
+                    pmap,
+                    dataset=dataset,
+                    _in_group=True,
+                )
             )
             continue
         if isinstance(g, Var):
@@ -2280,10 +2370,10 @@ def _select_frame(
             path_g = [p for p in pats if isinstance(p[1], tuple)]
             gparts: list[DataFrame] = []
             if plain_g:
-                gparts.append(_graph_var_bgp(triples, plain_g, g))
+                gparts.append(_graph_var_bgp(nstore, plain_g, g))
             for ps, (_, pspec), po in path_g:
                 gparts.append(
-                    _graph_var_path_frame(triples, pspec, ps, po, g, pmap)
+                    _graph_var_path_frame(nstore, pspec, ps, po, g, pmap)
                 )
             gf = gparts[0]
             for f2 in gparts[1:]:
@@ -2293,7 +2383,7 @@ def _select_frame(
         else:
             # constant graph: paths traverse within that graph only
             frames.append(
-                (_patterns_frame(triples.filter(F.col("graph") == g), pats, pmap), set())
+                (_patterns_frame(nstore.filter(F.col("graph") == g), pats, pmap), set())
             )
     for names, rows in parsed.values:
         # inline bindings table: joins with the rest on its variables.
@@ -2322,7 +2412,11 @@ def _select_frame(
         arm_frames, arm_nulls = [], []
         for arm_text in arms:
             f, nset = _select_frame(
-                triples, f"SELECT * WHERE {{ {arm_text} }}", pmap
+                triples,
+                f"SELECT * WHERE {{ {arm_text} }}",
+                pmap,
+                dataset=dataset,
+                _in_group=True,
             )
             arm_frames.append(f)
             arm_nulls.append(nset)
@@ -2348,7 +2442,9 @@ def _select_frame(
         # (GROUP BY / ORDER BY / LIMIT …) apply before the join, per
         # spec. The recursive compile reports which projected columns
         # can be unbound, so the join stays compatible-mapping-correct.
-        frames.append(_select_frame(triples, subtext, pmap))
+        frames.append(
+            _select_frame(triples, subtext, pmap, dataset=dataset, _in_group=True)
+        )
     if not frames:
         raise ValueError("empty WHERE block")
     out, out_null = frames[0]
@@ -2357,14 +2453,18 @@ def _select_frame(
 
     for kind, blk in parsed.optionals:
         if kind == "flat":
-            opt_frame, opt_null = _compile_optional_block(triples, blk, pmap)
+            opt_frame, opt_null = _compile_optional_block(dstore, blk, pmap)
         else:
             # full-group OPTIONAL operand (UNION/VALUES/GRAPH/… inside):
             # recursive compile; surface any failure as the loud
             # ValueError contract, naming the block
             try:
                 opt_frame, opt_null = _select_frame(
-                    triples, f"SELECT * WHERE {{ {blk} }}", pmap
+                    triples,
+                    f"SELECT * WHERE {{ {blk} }}",
+                    pmap,
+                    dataset=dataset,
+                    _in_group=True,
                 )
             except ValueError:
                 raise
@@ -2392,7 +2492,11 @@ def _select_frame(
         # shared variable the group may leave UNBOUND would need
         # compatible-mapping anti-join semantics — loud refusal instead.
         mframe, mnull = _select_frame(
-            triples, f"SELECT * WHERE {{ {minus_text} }}", pmap
+            triples,
+            f"SELECT * WHERE {{ {minus_text} }}",
+            pmap,
+            dataset=dataset,
+            _in_group=True,
         )
         shared = [c for c in out.columns if c in mframe.columns]
         # compatible-mapping semantics need BOTH sides all-bound on the
@@ -2434,7 +2538,11 @@ def _select_frame(
     # likewise a shared variable the group may leave unbound.
     for negated, ex_text in parsed.exists:
         eframe, enull = _select_frame(
-            triples, f"SELECT * WHERE {{ {ex_text} }}", pmap
+            triples,
+            f"SELECT * WHERE {{ {ex_text} }}",
+            pmap,
+            dataset=dataset,
+            _in_group=True,
         )
         shared = [c for c in out.columns if c in eframe.columns]
         if not shared:

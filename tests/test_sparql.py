@@ -1485,6 +1485,66 @@ def test_graph_constant_full_group(spark):
     ]
 
 
+def test_from_and_from_named(spark):
+    """FROM builds the default graph (RDF merge of the listed graphs,
+    set semantics); FROM NAMED restricts what GRAPH ranges over; a
+    dataset description replaces the whole default dataset."""
+    t = spark.createDataFrame(
+        [("a", "p", "x", "g1"), ("b", "p", "y", "g2"), ("c", "p", "z", "g3"),
+         ("a", "p", "x", "g2"),  # duplicate triple across merged graphs
+         ("a", "q", "m", "g3")],
+        "subj string, pred string, obj string, graph string",
+    )
+    # default graph = merge of g1,g2: the duplicate (a,p,x) collapses
+    q = "SELECT ?s WHERE { ?s <p> ?o }"
+    assert sorted(
+        r.s for r in sparql_query(t, "SELECT ?s FROM <g1> FROM <g2> WHERE { ?s <p> ?o }").collect()
+    ) == ["a", "b"]
+    # without dataset clauses the union-default-graph convention holds
+    assert sorted(r.s for r in sparql_query(t, q).collect()) == ["a", "a", "b", "c"]
+    # FROM NAMED: GRAPH ?g ranges only over the listed named graphs
+    q2 = "SELECT ?g ?s FROM NAMED <g1> FROM NAMED <g3> WHERE { GRAPH ?g { ?s <p> ?o } }"
+    assert sorted(tuple(r) for r in sparql_query(t, q2).collect()) == [
+        ("g1", "a"), ("g3", "c"),
+    ]
+    # FROM only: the named-graph set is EMPTY, so GRAPH matches nothing
+    q3 = "SELECT ?g FROM <g1> WHERE { GRAPH ?g { ?s <p> ?o } }"
+    assert sparql_query(t, q3).count() == 0
+    # FROM NAMED only: the default graph is EMPTY
+    q4 = "SELECT ?s FROM NAMED <g1> WHERE { ?s <p> ?o }"
+    assert sparql_query(t, q4).count() == 0
+    # both: patterns use the default graph, GRAPH the named set — and a
+    # constant GRAPH outside the named set matches nothing
+    q5 = """SELECT ?s ?g FROM <g1> FROM NAMED <g3>
+            WHERE { ?s <p> ?o . GRAPH ?g { ?s2 <q> ?m } }"""
+    assert sorted(tuple(r) for r in sparql_query(t, q5).collect()) == [("a", "g3")]
+    q6 = "SELECT ?s FROM <g1> FROM NAMED <g3> WHERE { GRAPH <g1> { ?s <p> ?o } }"
+    assert sparql_query(t, q6).count() == 0
+    # dataset threads through group constructs (UNION arm + OPTIONAL)
+    q7 = """SELECT ?s ?m FROM <g1> FROM NAMED <g3>
+            WHERE { { ?s <p> ?o } UNION { ?s <q> ?o }
+                    OPTIONAL { GRAPH ?g { ?s <q> ?m } } }"""
+    assert sorted(tuple(r) for r in sparql_query(t, q7).collect()) == [("a", "m")]
+    # ASK with dataset clauses
+    q8 = "ASK FROM <g3> WHERE { ?s <q> ?m }"
+    assert sparql_query(t, q8).collect()[0].ask is True
+    q9 = "ASK FROM <g1> WHERE { ?s <q> ?m }"
+    assert sparql_query(t, q9).collect()[0].ask is False
+    # loud refusals: FROM inside a group / in a subquery, no graph column
+    with pytest.raises(ValueError, match="dataset clauses"):
+        sparql_query(t, "SELECT ?s WHERE { { SELECT ?s FROM <g1> WHERE { ?s <p> ?o } } }")
+    with pytest.raises(ValueError, match="dataset clauses"):
+        sparql_query(t, "SELECT ?s FROM <g1> WHERE { ?s <p> ?o FILTER EXISTS { ?s <q> ?m FROM <g2> } }")
+    with pytest.raises(ValueError, match="no graph column"):
+        sparql_query(t.drop("graph"), "SELECT ?s FROM <g1> WHERE { ?s <p> ?o }")
+    # an IRI containing FROM is not a dataset clause
+    t2 = spark.createDataFrame(
+        [("a", "http://ex.org/FROM", "x", "g1")],
+        "subj string, pred string, obj string, graph string",
+    )
+    assert sparql_query(t2, "SELECT ?s WHERE { ?s <http://ex.org/FROM> ?o }").count() == 1
+
+
 def test_graph_var_full_group(spark):
     """GRAPH ?g with a FULL group body: the graph context distributes to
     the flat pattern runs per the SPARQL algebra, so each construct
