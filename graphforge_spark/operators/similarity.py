@@ -24,6 +24,14 @@ Three paths:
 - ``cosine_neardup_pairs`` / ``cosine_neardup_lsh_pairs``: exact O(n²)
   near-dup baseline and its LSH-blocked scale variant (exact verify on
   candidates — precision 1.0, recall measured in tests/test_recall.py).
+- ``sq_topk``: the memory/IO scale path — int8 SCALAR QUANTIZATION of
+  the corpus (``sq_train`` + ``sq_quantize``: per-dimension linear
+  [lo,hi] → -128..127) with approximate scoring on the dequantized int8
+  vectors and EXACT re-scoring of the top ``rescore``×k candidates.
+  At 100 TB the approximate pass reads only the int8 column (4× less
+  scan IO than float32), and float vectors are fetched for candidate
+  rows alone; with ``rescore``×k ≥ corpus size the result is exactly
+  ``cosine_topk`` (pinned in tests).
 
 Outside the assignment kernel, all arithmetic is JVM-side column algebra
 (zip_with / aggregate); no per-row Python. At 100 TB the vectors stay
@@ -439,6 +447,163 @@ def ivf_topk(
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar quantization (int8) — memory/IO scale path with exact re-scoring
+# ---------------------------------------------------------------------------
+
+def sq_train(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Per-dimension linear int8 quantizer parameters: ``lo[i]`` and
+    ``step[i] = (hi[i]-lo[i])/255`` over the corpus — ONE distributed
+    pass (posexplode → groupBy(dim) min/max, map-side combined, so the
+    shuffle carries tasks × dim partial rows whatever the corpus size).
+    The returned dict is driver-resident by design: 2×dim floats IS the
+    index metadata, the broadcast side of every later scoring pass (the
+    same shape as the IVF centroid matrix). A constant dimension
+    (hi == lo) gets step 1.0 so dequantization returns lo exactly."""
+    rows = (
+        vectors.select(F.posexplode(F.col(vec_col)).alias("_pos", "_x"))
+        .groupBy("_pos")
+        .agg(
+            F.min(F.col("_x").cast("double")).alias("_lo"),
+            F.max(F.col("_x").cast("double")).alias("_hi"),
+        )
+        .collect()
+    )
+    dim = len(rows)
+    lo = [0.0] * dim
+    step = [1.0] * dim
+    for r in rows:
+        lo[r._pos] = r._lo
+        step[r._pos] = ((r._hi - r._lo) / 255.0) or 1.0
+    return {"lo": lo, "step": step}
+
+
+def _sq_arrays(params: dict):
+    lo = F.array(*[F.lit(float(x)) for x in params["lo"]])
+    step = F.array(*[F.lit(float(x)) for x in params["step"]])
+    return lo, step
+
+
+def sq_quantize(
+    vectors: DataFrame,
+    params: dict,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "qvec",
+) -> DataFrame:
+    """Quantize the vector column to ``array<tinyint>`` (-128..127):
+    ``round((x - lo[i]) / step[i]) - 128``, clamped. Pure JVM column
+    algebra (transform with index); the output column is what a real
+    pipeline PERSISTS — 1 byte/dim vs 4 for float32 — so every
+    approximate scan afterwards reads a quarter of the bytes."""
+    lo, step = _sq_arrays(params)
+    q = F.transform(
+        F.col(vec_col),
+        lambda x, i: F.greatest(
+            F.lit(-128),
+            F.least(
+                F.lit(127),
+                (
+                    F.round(
+                        (x.cast("double") - F.element_at(lo, i + 1))
+                        / F.element_at(step, i + 1)
+                    ).cast("int")
+                    - F.lit(128)
+                ),
+            ),
+        ).cast("tinyint"),
+    )
+    return vectors.select(F.col(id_col), q.alias(out_col))
+
+
+def sq_dequantize_col(qvec_col, params: dict):
+    """Dequantized double array for an int8-quantized column:
+    ``lo[i] + (q+128) * step[i]`` — reconstruction error ≤ step/2 per
+    dimension by construction."""
+    lo, step = _sq_arrays(params)
+    return F.transform(
+        qvec_col,
+        lambda x, i: F.element_at(lo, i + 1)
+        + (x.cast("double") + F.lit(128.0)) * F.element_at(step, i + 1),
+    )
+
+
+def sq_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    rescore: int = 4,
+    params: dict | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k with int8-quantized first pass and EXACT
+    re-scoring: score every corpus vector from its dequantized int8
+    form against the (small, broadcast, full-precision) query side,
+    keep the top ``rescore``×k per query, fetch the float vectors for
+    those candidates only, re-score exactly, return the top k. Output
+    contract matches ``cosine_topk``: (query_id, neighbor_id, sim,
+    rank) with ``sim`` EXACT (re-scored) — an sq miss can only omit a
+    neighbor, never corrupt a similarity.
+
+    Scale shape: the first pass is a scan of the 1-byte/dim quantized
+    column (persist ``sq_quantize``'s output next to the float table;
+    4× less IO than float32), one broadcast, one window; the exact pass
+    touches |Q|×rescore×k rows. ``rescore`` is the recall/cost knob —
+    with rescore×k ≥ corpus size the result equals ``cosine_topk``
+    exactly (pinned in tests); recall at the default is measured in
+    tests/test_recall.py."""
+    if params is None:
+        params = sq_train(vectors, id_col, vec_col)
+    qcorp = sq_quantize(spread_small_scan(vectors), params, id_col, vec_col)
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    approx = (
+        qcorp.select(
+            F.col(id_col).alias("neighbor_id"),
+            sq_dequantize_col(F.col("qvec"), params).alias("_dq"),
+        )
+        .crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_similarity(F.col("_qv"), F.col("_dq")).alias("_asim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("_asim"), F.asc("neighbor_id"))
+    cands = (
+        approx.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= k * rescore)
+        .select("query_id", "neighbor_id")
+    )
+    exact = (
+        cands.join(
+            vectors.select(
+                F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_nv")
+            ),
+            "neighbor_id",
+        )
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_similarity(F.col("_qv"), F.col("_nv")).alias("sim"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "sim", "rank")
     )

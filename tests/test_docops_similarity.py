@@ -256,6 +256,53 @@ def test_ivf_train_shapes_and_determinism(vecs):
         similarity.ivf_train(vecs, n_centroids=100)
 
 
+def test_sq_quantize_reconstruction_bounded(vecs):
+    """Dequantize(quantize(x)) is within step/2 of x in every dimension."""
+    params = similarity.sq_train(vecs)
+    q = similarity.sq_quantize(vecs, params)
+    dq = q.select(
+        "vec_id",
+        similarity.sq_dequantize_col(F.col("qvec"), params).alias("dq"),
+    )
+    orig = {r.vec_id: list(r.embedding) for r in vecs.collect()}
+    for r in dq.collect():
+        for i, x in enumerate(r.dq):
+            assert abs(x - orig[r.vec_id][i]) <= params["step"][i] / 2 + 1e-9
+    # quantized values live in int8 and the params are deterministic
+    for r in q.collect():
+        assert all(-128 <= v <= 127 for v in r.qvec)
+    p2 = similarity.sq_train(vecs)
+    assert p2["lo"] == pytest.approx(params["lo"])
+    assert p2["step"] == pytest.approx(params["step"])
+
+
+def test_sq_topk_full_rescore_equals_exact(vecs):
+    """rescore×k ≥ corpus size keeps every candidate, so the exact
+    re-scoring pass must reproduce cosine_topk exactly."""
+    exact = similarity.cosine_topk(vecs, vecs, k=3)
+    approx = similarity.sq_topk(vecs, vecs, k=3, rescore=5)
+    ex = {(r.query_id, r.neighbor_id): r.sim for r in exact.collect()}
+    got = {(r.query_id, r.neighbor_id): r.sim for r in approx.collect()}
+    assert set(got) == set(ex)
+    for key, sim in got.items():
+        assert sim == pytest.approx(ex[key], abs=1e-12)
+
+
+def test_sq_topk_partial_rescore_sims_are_exact(vecs):
+    """With a tight rescore budget the neighbor SET may differ, but every
+    returned sim must be the exact cosine (re-scored on floats) — an sq
+    miss can only omit, never corrupt."""
+    exact = similarity.cosine_topk(vecs, vecs, k=4)
+    approx = similarity.sq_topk(vecs, vecs, k=2, rescore=1)
+    ex = {(r.query_id, r.neighbor_id): r.sim for r in exact.collect()}
+    rows = approx.collect()
+    keys = [(r.query_id, r.neighbor_id) for r in rows]
+    assert len(keys) == len(set(keys))
+    for r in rows:
+        assert (r.query_id, r.neighbor_id) in ex
+        assert r.sim == pytest.approx(ex[(r.query_id, r.neighbor_id)], abs=1e-12)
+
+
 def test_dedup_lines_removes_cross_doc_boilerplate(spark):
     from graphforge_spark.operators.docops import dedup_lines
 

@@ -218,6 +218,41 @@ def test_ann_ivf_recall_vs_exact(spark):
     assert r8 >= r4
 
 
+def test_ann_sq_recall_vs_exact(spark):
+    """int8 scalar quantization + exact re-scoring vs exact cosine
+    top-k, recall@3 over 8 queries. Quantization error only reorders
+    NEAR-TIED candidates, so even rescore=1 sits far above the
+    space-partitioning paths on this corpus; rescore=4 (default) must
+    be exact or nearly so. Also: wider rescore never loses recall."""
+    from graphforge_spark import corpus
+
+    vecs = corpus.load(spark, SF_DIR, "embeddings").cache()
+    queries = vecs.filter(F.col("vec_id") < 8)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.cosine_topk(vecs, queries, k=3).collect()
+    }
+    params = similarity.sq_train(vecs)
+    got1 = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.sq_topk(
+            vecs, queries, k=3, rescore=1, params=params
+        ).collect()
+    }
+    got4 = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.sq_topk(
+            vecs, queries, k=3, rescore=4, params=params
+        ).collect()
+    }
+    r1 = len(exact & got1) / len(exact)
+    r4 = len(exact & got4) / len(exact)
+    print(f"ann-sq recall@3: rescore=1 {r1:.3f}, rescore=4 {r4:.3f}")
+    assert r1 >= 0.8
+    assert r4 >= 0.95
+    assert r4 >= r1
+
+
 def test_keeplist_boundary_agreement(spark, docs):
     """End-to-end keep-list vs a brute-force exact-Jaccard keep-list AT
     the operator's default threshold J=0.6 — the boundary where the LSH
