@@ -285,6 +285,12 @@ def run_default() -> None:
     timings: dict[str, float] = {}
     quiet_counts: dict[str, int] = {}
     extracted_triples = 0
+    # single-thread memory-bandwidth reference, sampled while Spark is
+    # idle (before the legs): steal reads zero under co-tenant BANDWIDTH
+    # pressure, which can still slow every leg 1.5-2×. Reported (not
+    # gated) so a cross-round comparison can attribute wall deltas —
+    # ~0.04 s is this host's unloaded floor; see BENCH/BASELINE.md.
+    bw_ref = _bw_probe()
     for name, fn in _headline_queries().items():
         trials: list[tuple[float, int]] = []
 
@@ -331,6 +337,7 @@ def run_default() -> None:
                 "cpus": CPUS,
                 "protocol": f"median-of-{DEFAULT_TRIALS}-steal-quiet-trials",
                 "quiet_trials": quiet_counts,
+                "bw_probe_s": bw_ref,
             }
         )
     )

@@ -23,6 +23,8 @@ Operators:
 - stratified_sample: deterministic salted-hash per-stratum sampling
 - redact_pii / contamination_check: PII scrub; train/eval n-gram overlap
 - doc_stats / corpus_stats: per-doc text analysis + per-language rollup
+- pack_sequences: concat-and-chunk sequence packing into fixed
+  token-budget training windows (per-shard running count, one shuffle)
 
 Scale notes: every pairwise operator goes through LSH blocking first —
 the O(n²) cross product never materializes; band buckets are the shuffle
@@ -32,7 +34,7 @@ operators/link.py).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from graphforge_spark.corpus import spread_small_scan
@@ -728,4 +730,75 @@ def doc_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
         *quality_features(t),
         langid_scores(t),
         rolling_fingerprint(t),
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int = 2048,
+    shards: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sequence packing for LLM pretraining — the concat-and-chunk
+    layout: documents are concatenated into per-shard token streams and
+    the stream is split into fixed ``budget``-token training windows, a
+    document spanning a boundary contributing a slice to each window it
+    crosses. Output: one row per (document × window) slice —
+    ``(shard, bin, doc_id, n_tokens, doc_offset, slice_len)`` with
+    ``doc_offset`` the slice's first token within the document. Every
+    window except each shard's last holds exactly ``budget`` tokens, and
+    a document's slices are contiguous and total its token count (both
+    pinned in tests against a pure-Python replay).
+
+    Deterministic AND distributed: docs hash to ``shards`` independent
+    streams (xxhash64 of the id — stable under retries/repartition, the
+    same guarantee as ``stratified_sample``), each stream is ordered by
+    doc id, and the window boundaries fall out of a per-shard running
+    token count: first window = floor(cum_before/budget), last =
+    floor((cum_end-1)/budget), the slice arithmetic pure column algebra
+    after ONE window cumsum. Scale shape: one shuffle (the per-shard
+    sort); ``shards`` is the parallelism knob — size it to the cluster
+    so each stream's sort fits an executor's spill budget. Token count
+    is the whitespace tokenizer (``functions.text.tokens``), matching
+    ``doc_stats``."""
+    if budget < 1:
+        raise ValueError(f"pack_sequences: budget must be >= 1, got {budget}")
+    w = Window.partitionBy("_shard").orderBy(id_col)
+    staged = (
+        docs.select(
+            F.col(id_col),
+            F.size(tokens(F.col(text_col))).alias("n_tokens"),
+            F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(shards))
+            .cast("int")
+            .alias("_shard"),
+        )
+        .filter(F.col("n_tokens") > 0)
+        .withColumn("_cum_end", F.sum("n_tokens").over(w))
+        .withColumn("_cum_before", F.col("_cum_end") - F.col("n_tokens"))
+    )
+    b = F.lit(budget).cast("long")
+    spans = staged.select(
+        F.col("_shard").alias("shard"),
+        F.col(id_col),
+        "n_tokens",
+        "_cum_before",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("_cum_before") / b),
+                F.floor((F.col("_cum_end") - 1) / b),
+            )
+        ).alias("bin"),
+    )
+    bin_start = F.col("bin") * b
+    bin_end = bin_start + b
+    slice_start = F.greatest(bin_start, F.col("_cum_before"))
+    slice_end = F.least(bin_end, F.col("_cum_before") + F.col("n_tokens"))
+    return spans.select(
+        "shard",
+        F.col("bin").cast("long"),
+        id_col,
+        "n_tokens",
+        (slice_start - F.col("_cum_before")).cast("long").alias("doc_offset"),
+        (slice_end - slice_start).cast("long").alias("slice_len"),
     )

@@ -256,6 +256,66 @@ def test_ivf_train_shapes_and_determinism(vecs):
         similarity.ivf_train(vecs, n_centroids=100)
 
 
+def test_pack_sequences_matches_python_replay(spark):
+    """Concat-and-chunk packing vs a pure-Python replay of the same
+    semantics: identical slice sets, full-budget interior windows, and
+    per-doc slice contiguity/totality; membership is repartition-stable."""
+    from graphforge_spark.operators.docops import pack_sequences
+
+    rows = [(f"d{i:03d}", "tok " * ((i * 7) % 23 + 1)) for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    budget, shards = 16, 3
+    got = pack_sequences(docs, budget=budget, shards=shards).collect()
+
+    # python replay: same shard hash (read back from the result), same
+    # doc order, same running-count chunking
+    shard_of = {}
+    for r in got:
+        shard_of[r.doc_id] = r.shard
+    n_tokens = {d: len(t.split()) for d, t in rows}
+    want = set()
+    last_bin_of_shard = {}
+    for s in sorted(set(shard_of.values())):
+        cum = 0
+        for d in sorted(k for k, v in shard_of.items() if v == s):
+            n = n_tokens[d]
+            first, last = cum // budget, (cum + n - 1) // budget
+            for b in range(first, last + 1):
+                lo = max(b * budget, cum)
+                hi = min((b + 1) * budget, cum + n)
+                want.add((s, b, d, lo - cum, hi - lo))
+            cum += n
+            last_bin_of_shard[s] = (cum - 1) // budget
+    assert {(r.shard, r.bin, r.doc_id, r.doc_offset, r.slice_len) for r in got} == want
+
+    # every interior window is exactly full; per-doc slices cover the doc
+    fill = {}
+    for r in got:
+        fill[(r.shard, r.bin)] = fill.get((r.shard, r.bin), 0) + r.slice_len
+    for (s, b), tot in fill.items():
+        if b < last_bin_of_shard[s]:
+            assert tot == budget, (s, b, tot)
+        else:
+            assert 0 < tot <= budget
+    per_doc = {}
+    for r in got:
+        per_doc.setdefault(r.doc_id, []).append((r.doc_offset, r.slice_len))
+    for d, slices in per_doc.items():
+        slices.sort()
+        pos = 0
+        for off, ln in slices:
+            assert off == pos
+            pos += ln
+        assert pos == n_tokens[d]
+
+    # determinism under physical layout changes
+    again = pack_sequences(docs.repartition(7), budget=budget, shards=shards).collect()
+    assert {tuple(r) for r in again} == {tuple(r) for r in got}
+
+    with pytest.raises(ValueError):
+        pack_sequences(docs, budget=0)
+
+
 def test_sq_quantize_reconstruction_bounded(vecs):
     """Dequantize(quantize(x)) is within step/2 of x in every dimension."""
     params = similarity.sq_train(vecs)
