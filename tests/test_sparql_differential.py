@@ -364,12 +364,41 @@ def graph_group_queries(draw):
     per-graph OPTIONAL / UNION / MINUS / NOT EXISTS / FILTER, rendered as
     graph-correlated SQL over the quad table."""
     shape = draw(
-        st.sampled_from(["opt", "union", "minus", "not_exists", "filter"])
+        st.sampled_from(
+            ["opt", "union", "minus", "not_exists", "filter",
+             "from_default", "from_named"]
+        )
     )
     pats_a = draw(arm("a", ["oa", "x"]))
     if not any("?s" in p for p in pats_a):
         pats_a = [("?s", f"<{draw(st.sampled_from(PREDS))}>", "?oa")] + pats_a
     body_a, core_a, vars_a = _render_graph_arm(pats_a, "a")
+
+    if shape == "from_default":
+        # FROM merges graphs into the default graph (set union of
+        # triples); plain patterns scan that merge. SQL: the same arm
+        # over a DISTINCT-triples view of the chosen graphs.
+        gs = draw(st.sampled_from([["g1"], ["g2"], ["g1", "g2"]]))
+        froms = " ".join(f"FROM <{g}>" for g in gs)
+        proj = " ".join(f"?{v}" for v in vars_a)
+        plain_body, plain_core, _ = _render_arm(pats_a, "a")
+        inlist = ", ".join(f"'{g}'" for g in gs)
+        merged = (
+            f"(SELECT DISTINCT subj, pred, obj FROM t WHERE graph IN ({inlist}))"
+        )
+        sql = plain_core.replace("t AS a", f"{merged} AS a")
+        sparql = f"SELECT {proj} {froms} WHERE {{ {plain_body} }}"
+        return sparql, sql
+
+    if shape == "from_named":
+        # FROM NAMED restricts which graphs GRAPH ?g ranges over
+        gs = draw(st.sampled_from([["g1"], ["g2"], ["g1", "g2"]]))
+        froms = " ".join(f"FROM NAMED <{g}>" for g in gs)
+        proj = " ".join(f"?{v}" for v in vars_a)
+        inlist = ", ".join(f"'{g}'" for g in gs)
+        sparql = f"SELECT ?g {proj} {froms} WHERE {{ GRAPH ?g {{ {body_a} }} }}"
+        sql = f"SELECT * FROM ({core_a}) WHERE g IN ({inlist})"
+        return sparql, sql
 
     if shape in ("opt", "minus", "not_exists"):
         # one-pattern inner group; subject var chosen shared or disjoint
