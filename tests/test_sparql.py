@@ -1639,3 +1639,36 @@ def test_review_findings_r3(spark):
         sparql_query(
             t, "SELECT ?s WHERE { ?s <p> ?o . VALUES (?s ?o) { (<a> @junk <b>) } }"
         )
+
+
+# ---------------------------------------------------------------------------
+# Crash-safety: the parser's loud-error contract is ValueError ONLY — a
+# hostile or malformed query must parse or raise ValueError, never leak an
+# IndexError/KeyError/TypeError from the scanning arithmetic
+# ---------------------------------------------------------------------------
+
+_SPARQL_TOKENS = [
+    "SELECT", "DISTINCT", "*", "?s", "?o", "?g", "WHERE", "{", "}",
+    "(", ")", "<a>", "<http://e/p>", '"lit"', '"a } b"', "FILTER",
+    "OPTIONAL", "UNION", "MINUS", "GRAPH", "FROM", "NAMED", "VALUES",
+    "BIND", "EXISTS", "NOT", ".", ";", ",", "a", "|", "/", "^", "+",
+    "&&", "||", "=", "AS", "COUNT", "GROUP", "BY", "ORDER", "LIMIT",
+    "5", "STRLEN", "ASK", "CONSTRUCT", "DESCRIBE", "PREFIX", "ex:",
+    "ex:p", "UNDEF", "'", '"', "\\", "@en", "^^<t>", "_:b",
+]
+
+
+@settings(
+    max_examples=300,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(toks=st.lists(st.sampled_from(_SPARQL_TOKENS), min_size=1, max_size=40))
+def test_parser_crash_safety_valueerror_only(toks):
+    from graphforge_spark.plans.sparql import parse_sparql
+
+    q = " ".join(toks)
+    try:
+        parse_sparql(q)
+    except ValueError:
+        pass  # the loud-error contract
