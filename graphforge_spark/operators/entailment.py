@@ -1,0 +1,224 @@
+"""RDFS entailment materialization — the inference pass a KG pipeline
+runs after forging, so queries see the entailed graph without per-query
+reasoning. Covers the ρdf rule core (the fragment real triple stores
+materialize):
+
+- rdfs5  subPropertyOf transitivity
+- rdfs7  (p subPropertyOf q), (x p y)        → (x q y)
+- rdfs11 subClassOf transitivity
+- rdfs9  (x type C), (C subClassOf D)        → (x type D)
+- rdfs2  (p domain C), (x p y)               → (x type C)
+- rdfs3  (p range C),  (x p y), y an IRI     → (y type C)
+
+Reference parity note: the reference app ships its graphs to Comunica
+un-entailed (no reasoner in docs/scripts/*.js); this operator is a §2C
+addition the north_rule's KG-construction framing calls for — the forge
+materializes node/edge tables, and a real pipeline materializes the
+RDFS consequences next to them.
+
+Evaluation is STRATIFIED one-pass: property-schema closure (rdfs5) →
+property inheritance (rdfs7) → type-producing rules (rdfs2/3 on the
+rdfs7-extended edges, then rdfs9 over the rdfs11-closed class
+hierarchy). For this rule set one pass reaches the fixpoint whenever
+the schema is not itself entailed by instance data — the standard
+schema-stability assumption. The one case that breaks it (a property
+declared subPropertyOf of an RDFS vocabulary term, which would let
+instance triples create NEW schema) is detected and refused loudly
+rather than silently under-entailed.
+
+Scale shape: the two transitive closures are the log-round doubling
+fixpoint from operators/closure.py (round count = log diameter); every
+rule is one equi-join keyed on a schema-side column, and schema tables
+(subClassOf/subPropertyOf/domain/range edges) are small by construction
+— Spark broadcasts them under AQE, so the instance scan dominates and
+is touched O(1) times per rule. No Python in any path.
+
+Cited reference files: docs/scripts/graphProcessor.js:203-304 (the
+forge this pass consumes), SURVEY.md §2C.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from graphforge_spark.operators.closure import transitive_closure
+
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+RDFS_SUBCLASS = "http://www.w3.org/2000/01/rdf-schema#subClassOf"
+RDFS_SUBPROP = "http://www.w3.org/2000/01/rdf-schema#subPropertyOf"
+RDFS_DOMAIN = "http://www.w3.org/2000/01/rdf-schema#domain"
+RDFS_RANGE = "http://www.w3.org/2000/01/rdf-schema#range"
+
+_SCHEMA_PREDS = [RDF_TYPE, RDFS_SUBCLASS, RDFS_SUBPROP, RDFS_DOMAIN, RDFS_RANGE]
+
+
+def _pairs(triples: DataFrame, pred: str) -> DataFrame:
+    return triples.filter(F.col("pred") == pred).select(
+        F.col("subj").alias("s"), F.col("obj").alias("o")
+    )
+
+
+def rdfs_closure(triples: DataFrame, expand_curies: bool = False) -> DataFrame:
+    """Materialize the RDFS closure of a (subj, pred, obj[,
+    obj_is_literal]) triples frame: returns the input triples PLUS every
+    rdfs2/3/5/7/9/11 consequence, distinct, with an ``inferred`` boolean
+    marking the added rows.
+
+    Rule matching is on FULL IRIs; a forged corpus that carries CURIE
+    predicates (``rdf:type`` — the pattern forge emits them,
+    graphProcessor.js keeps the reference's prefix map separate) should
+    pass ``expand_curies=True`` to normalize subj/pred/obj through
+    ``functions.terms.expand_curie`` first (codegen literal chain, no
+    shuffle). ``obj_is_literal`` (the engine's
+    startsWith-'http' discriminator) gates rdfs3 — literals never get a
+    type — and every inferred triple carries the correct flag.
+
+    Raises ValueError when a subPropertyOf declaration targets an RDFS
+    vocabulary term (see module docstring): that is the one input shape
+    where stratified evaluation would silently under-entail."""
+    if expand_curies:
+        from graphforge_spark.functions.terms import expand_curie
+
+        triples = triples.select(
+            expand_curie(F.col("subj")).alias("subj"),
+            expand_curie(F.col("pred")).alias("pred"),
+            F.when(
+                F.col("obj_is_literal")
+                if "obj_is_literal" in triples.columns
+                else F.lit(False),
+                F.col("obj"),
+            )
+            .otherwise(expand_curie(F.col("obj")))
+            .alias("obj"),
+            *(
+                [F.col("obj_is_literal")]
+                if "obj_is_literal" in triples.columns
+                else []
+            ),
+        )
+    base = triples.select(
+        "subj",
+        "pred",
+        "obj",
+        *(
+            [F.col("obj_is_literal")]
+            if "obj_is_literal" in triples.columns
+            else [F.lit(False).alias("obj_is_literal")]
+        ),
+    ).dropDuplicates(["subj", "pred", "obj"])
+
+    meta = (
+        base.filter(
+            (F.col("pred") == RDFS_SUBPROP) & F.col("obj").isin(_SCHEMA_PREDS)
+        )
+        .limit(1)
+        .count()
+    )
+    if meta:
+        raise ValueError(
+            "rdfs_closure: subPropertyOf into the RDFS vocabulary "
+            "(meta-schema entailment) needs fixpoint iteration — "
+            "unsupported by the stratified one-pass evaluation"
+        )
+
+    # rdfs5: subPropertyOf transitive closure (log-round doubling)
+    subprop = transitive_closure(
+        _pairs(base, RDFS_SUBPROP), include_zero_step=False
+    )
+    # rdfs7: property inheritance — every (x p y) also holds for every
+    # superproperty q of p. Join keyed on the small schema side.
+    inherited = (
+        base.filter(~F.col("pred").isin(_SCHEMA_PREDS))
+        .join(subprop.withColumnRenamed("s", "pred"), "pred")
+        .select(
+            "subj",
+            F.col("o").alias("pred"),
+            "obj",
+            "obj_is_literal",
+        )
+    )
+    edges = base.unionByName(
+        inherited.select("subj", "pred", "obj", "obj_is_literal")
+    ).dropDuplicates(["subj", "pred", "obj"])
+
+    # rdfs2/rdfs3: domain/range typing over the rdfs7-extended edges
+    domain = _pairs(base, RDFS_DOMAIN).withColumnRenamed("s", "pred")
+    range_ = _pairs(base, RDFS_RANGE).withColumnRenamed("s", "pred")
+    typed_dom = (
+        edges.filter(~F.col("pred").isin(_SCHEMA_PREDS))
+        .join(domain, "pred")
+        .select(
+            F.col("subj"),
+            F.lit(RDF_TYPE).alias("pred"),
+            F.col("o").alias("obj"),
+            F.lit(False).alias("obj_is_literal"),
+        )
+    )
+    typed_rng = (
+        edges.filter(
+            ~F.col("pred").isin(_SCHEMA_PREDS) & ~F.col("obj_is_literal")
+        )
+        .join(range_, "pred")
+        .select(
+            F.col("obj").alias("subj"),
+            F.lit(RDF_TYPE).alias("pred"),
+            F.col("o").alias("obj"),
+            F.lit(False).alias("obj_is_literal"),
+        )
+    )
+
+    # rdfs11: subClassOf transitive closure; rdfs9: type inheritance over
+    # ALL types (asserted + domain/range-derived)
+    subclass = transitive_closure(
+        _pairs(base, RDFS_SUBCLASS), include_zero_step=False
+    )
+    types = (
+        edges.filter(F.col("pred") == RDF_TYPE)
+        .select("subj", "obj")
+        .unionByName(typed_dom.select("subj", "obj"))
+        .unionByName(typed_rng.select("subj", "obj"))
+        .dropDuplicates(["subj", "obj"])
+    )
+    super_types = (
+        types.join(subclass.withColumnRenamed("s", "obj"), "obj")
+        .select(
+            "subj",
+            F.lit(RDF_TYPE).alias("pred"),
+            F.col("o").alias("obj"),
+            F.lit(False).alias("obj_is_literal"),
+        )
+    )
+    # transitive schema consequences are triples too (rdfs5/rdfs11)
+    schema_inf = (
+        subprop.select(
+            F.col("s").alias("subj"),
+            F.lit(RDFS_SUBPROP).alias("pred"),
+            F.col("o").alias("obj"),
+            F.lit(False).alias("obj_is_literal"),
+        )
+        .unionByName(
+            subclass.select(
+                F.col("s").alias("subj"),
+                F.lit(RDFS_SUBCLASS).alias("pred"),
+                F.col("o").alias("obj"),
+                F.lit(False).alias("obj_is_literal"),
+            )
+        )
+    )
+
+    inferred = (
+        inherited.unionByName(typed_dom)
+        .unionByName(typed_rng)
+        .unionByName(super_types)
+        .unionByName(schema_inf)
+        .dropDuplicates(["subj", "pred", "obj"])
+        .join(
+            base.select("subj", "pred", "obj"),
+            ["subj", "pred", "obj"],
+            "left_anti",
+        )
+    )
+    return base.withColumn("inferred", F.lit(False)).unionByName(
+        inferred.withColumn("inferred", F.lit(True))
+    )
