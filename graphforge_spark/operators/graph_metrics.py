@@ -1,0 +1,142 @@
+"""Graph analytics over the forged triples — the quality dashboard a KG
+pipeline publishes next to its node/edge tables (§2C addition; the
+reference renders result tables/plots, docs/scripts/queryManager.js, but
+computes no graph statistics).
+
+- ``degree_stats``: per-node in/out degree plus distinct predicate
+  fan-out — one groupBy each side, one outer merge; the shape every
+  hot-entity/skew investigation starts from (canonicalization's salting
+  decisions are driven by exactly this table).
+- ``pagerank``: power iteration over the edge DataFrame with dangling-
+  mass redistribution — the standard importance score for entity
+  ranking. Each round is one join + one aggregation keyed on dst,
+  lineage cut per round (localCheckpoint via the closure module's
+  helper); round count is the cluster cost model, and the tolerance
+  check adds one tiny aggregate per round. Edge weights are uniform
+  1/outdeg (the RDF default).
+
+All column algebra; no Python in any per-row path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from graphforge_spark.operators.closure import _ckpt
+
+
+def degree_stats(
+    triples: DataFrame,
+    subj_col: str = "subj",
+    obj_col: str = "obj",
+    pred_col: str = "pred",
+    iri_only: bool = True,
+) -> DataFrame:
+    """Per-node degree table: (node, out_degree, in_degree, out_preds,
+    in_preds). ``iri_only`` skips literal objects on the in-side (the
+    engine's startsWith-'http' discriminator via the obj_is_literal
+    column when present, else the prefix test)."""
+    edges = triples
+    if iri_only:
+        flag = (
+            F.col("obj_is_literal")
+            if "obj_is_literal" in triples.columns
+            else ~F.col(obj_col).startswith("http")
+        )
+        edges = triples.filter(~flag)
+    out = edges.groupBy(F.col(subj_col).alias("node")).agg(
+        F.count("*").alias("out_degree"),
+        F.count_distinct(pred_col).alias("out_preds"),
+    )
+    inn = edges.groupBy(F.col(obj_col).alias("node")).agg(
+        F.count("*").alias("in_degree"),
+        F.count_distinct(pred_col).alias("in_preds"),
+    )
+    return (
+        out.join(inn, "node", "full_outer")
+        .select(
+            "node",
+            F.coalesce("out_degree", F.lit(0)).alias("out_degree"),
+            F.coalesce("in_degree", F.lit(0)).alias("in_degree"),
+            F.coalesce("out_preds", F.lit(0)).alias("out_preds"),
+            F.coalesce("in_preds", F.lit(0)).alias("in_preds"),
+        )
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    damping: float = 0.85,
+    max_iterations: int = 20,
+    tol: float | None = 1e-6,
+    src_col: str = "s",
+    dst_col: str = "o",
+) -> DataFrame:
+    """PageRank over (src, dst) edges → (node, rank), Σrank = 1.
+
+    Power iteration with the full treatment a correct distributed
+    implementation needs:
+
+    - parallel edges collapse (set semantics, matching the quad store);
+    - per-round contribution = rank/outdeg, one shuffle keyed on dst
+      (map-side combinable SUM);
+    - DANGLING nodes (no out-edges) redistribute their mass uniformly —
+      one scalar aggregate per round, broadcast back as a literal; this
+      is what keeps Σrank = 1 exactly instead of leaking mass;
+    - teleport (1-damping)/N;
+    - early stop when the L1 delta falls under ``tol`` (one tiny
+      aggregate per round — skip by passing ``tol=None``);
+    - per-round ``localCheckpoint`` so lineage stays O(1) deep, the same
+      iterative-Spark discipline as the closure fixpoint.
+
+    Round count is the cluster cost model: each round is exactly one
+    shuffle over the edge set plus two scalar aggregates."""
+    e = edges.select(F.col(src_col).alias("_s"), F.col(dst_col).alias("_d")).distinct()
+    nodes = _ckpt(
+        e.select(F.col("_s").alias("node"))
+        .union(e.select(F.col("_d").alias("node")))
+        .distinct()
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
+    outdeg = e.groupBy("_s").agg(F.count("*").alias("_deg"))
+    ranks = _ckpt(nodes.select("node", F.lit(1.0 / n).alias("rank")))
+
+    for _ in range(max_iterations):
+        contrib = (
+            ranks.join(outdeg, ranks["node"] == outdeg["_s"], "inner")
+            .join(e, "_s")
+            .select(F.col("_d").alias("node"), (F.col("rank") / F.col("_deg")).alias("_c"))
+            .groupBy("node")
+            .agg(F.sum("_c").alias("_in"))
+        )
+        # dangling mass: rank sitting on nodes with no out-edges
+        dangling = (
+            ranks.join(outdeg, ranks["node"] == outdeg["_s"], "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+            .collect()[0][0]
+        )
+        base = (1.0 - damping) / n + damping * dangling / n
+        new = _ckpt(
+            nodes.join(contrib, "node", "left").select(
+                "node",
+                (
+                    F.lit(base) + F.lit(damping) * F.coalesce(F.col("_in"), F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+        if tol is not None:
+            delta = (
+                new.alias("n")
+                .join(ranks.alias("o"), "node")
+                .agg(F.sum(F.abs(F.col("n.rank") - F.col("o.rank"))))
+                .collect()[0][0]
+            )
+            ranks = new
+            if delta < tol:
+                break
+        else:
+            ranks = new
+    return ranks

@@ -1,0 +1,96 @@
+"""Graph metrics: degree table invariants + PageRank vs a NumPy
+power-iteration oracle (including dangling-mass redistribution)."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from graphforge_spark.operators.graph_metrics import degree_stats, pagerank
+
+
+def _numpy_pagerank(edge_list, damping=0.85, iters=20, tol=1e-6):
+    import numpy as np
+
+    nodes = sorted({x for e in edge_list for x in e})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    out = {v: 0 for v in nodes}
+    succ = {}
+    for s, d in set(edge_list):
+        out[s] += 1
+        succ.setdefault(s, []).append(d)
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        new = np.zeros(n)
+        dangling = 0.0
+        for v in nodes:
+            if out[v] == 0:
+                dangling += r[idx[v]]
+            else:
+                share = r[idx[v]] / out[v]
+                for d in succ[v]:
+                    new[idx[d]] += share
+        new = (1 - damping) / n + damping * (new + dangling / n)
+        delta = float(np.abs(new - r).sum())
+        r = new
+        if delta < tol:
+            break
+    return {v: r[idx[v]] for v in nodes}
+
+
+def test_degree_stats(spark):
+    t = spark.createDataFrame(
+        [
+            ("http://a", "p", "http://b", False),
+            ("http://a", "q", "http://b", False),
+            ("http://b", "p", "http://c", False),
+            ("http://a", "label", "a literal", True),
+        ],
+        "subj string, pred string, obj string, obj_is_literal boolean",
+    )
+    rows = {r.node: r for r in degree_stats(t).collect()}
+    assert rows["http://a"].out_degree == 2 and rows["http://a"].out_preds == 2
+    assert rows["http://b"].in_degree == 2 and rows["http://b"].out_degree == 1
+    assert rows["http://c"].in_degree == 1 and rows["http://c"].out_degree == 0
+    # the literal edge is excluded and literals never appear as nodes
+    assert "a literal" not in rows
+
+
+def test_pagerank_matches_numpy_oracle(spark):
+    # a graph WITH a dangling node (d) and a cycle
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"), ("c", "d")]
+    df = spark.createDataFrame(edges, "s string, o string")
+    got = {r.node: r.rank for r in pagerank(df, max_iterations=25).collect()}
+    want = _numpy_pagerank(edges, iters=25)
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-6)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+_edges = st.lists(
+    st.tuples(
+        st.sampled_from(["a", "b", "c", "d", "e"]),
+        st.sampled_from(["a", "b", "c", "d", "e"]),
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(edges=_edges)
+def test_pagerank_random_graphs(spark, edges):
+    df = spark.createDataFrame(edges, "s string, o string")
+    got = {r.node: r.rank for r in pagerank(df, max_iterations=15).collect()}
+    want = _numpy_pagerank(edges, iters=15)
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-6)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
