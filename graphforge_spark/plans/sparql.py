@@ -704,13 +704,14 @@ def _compile_optional_block(triples: DataFrame, blk: tuple, pmap: dict):
     for nb in nested:
         nf, n_null = _compile_optional_block(triples, nb, pmap)
         shared = [c for c in f.columns if c in nf.columns]
-        if n_null & set(shared):
-            raise ValueError(
-                "nested OPTIONAL shares possibly-unbound variable(s) "
-                f"{sorted(n_null & set(shared))} with its enclosing group"
-            )
-        f_null |= {c for c in nf.columns if c not in f.columns}
-        f = optional(f, nf)
+        if (n_null | f_null) & set(shared):
+            # unbound-compatible shared variable: compatible-mapping
+            # left join (see _left_join_compat) instead of the plain
+            # equi-join, which would silently drop spec-valid bindings
+            f, f_null = _left_join_compat(f, f_null, nf, n_null)
+        else:
+            f_null |= {c for c in nf.columns if c not in f.columns}
+            f = optional(f, nf)
     for cond in filts:
         refs = set(re.findall(r"\?(\w+)", cond))
         if not refs <= set(f.columns):
@@ -1831,6 +1832,46 @@ def _join_compat(
     return out, nullable
 
 
+def _left_join_compat(
+    a: DataFrame, a_null: set, b: DataFrame, b_null: set
+) -> tuple[DataFrame, set]:
+    """SPARQL LeftJoin with compatible-mapping semantics — the OPTIONAL
+    analog of ``_join_compat``: every left solution survives, extended
+    by each compatible right solution (unbound matches anything, the
+    joined binding takes the bound side); with no compatible right
+    solution the left row passes through unextended. Needed exactly when
+    a shared variable can be unbound on either side (e.g. two OPTIONALs
+    binding the same variable, or an OPTIONAL over a UNION-built
+    frame)."""
+    shared = [c for c in a.columns if c in b.columns]
+    loose = [c for c in shared if c in a_null or c in b_null]
+    left, right = a.alias("_l"), b.alias("_r")
+    cond = F.lit(True)
+    for c in shared:
+        lc, rc = F.col(f"_l.{c}"), F.col(f"_r.{c}")
+        t = (lc.isNull() | rc.isNull() | (lc == rc)) if c in loose else (lc == rc)
+        cond = cond & t
+    sel = [
+        (
+            F.coalesce(F.col(f"_l.{c}"), F.col(f"_r.{c}"))
+            if c in shared
+            else F.col(f"_l.{c}")
+        ).alias(c)
+        for c in a.columns
+    ] + [F.col(f"_r.{c}").alias(c) for c in b.columns if c not in a.columns]
+    out = left.join(right, cond, "left").select(*sel)
+    # a shared column stays nullable iff the LEFT side could be unbound
+    # (a right miss leaves the left value, bound or not; a hit coalesces
+    # to a bound value whenever either side is bound); right-only
+    # columns are null-extended by the left join
+    nullable = (
+        {c for c in shared if c in a_null}
+        | {c for c in a.columns if c not in shared and c in a_null}
+        | {c for c in b.columns if c not in a.columns}
+    )
+    return out, nullable
+
+
 def _path_tokens(spec: str) -> list[str]:
     """Tokenize a property-path spec: IRIs (``<…>``, may contain any path
     operator character), negated sets (``!p`` / ``!(p1|p2)``, one token),
@@ -2473,16 +2514,16 @@ def _select_frame(
                     f"cannot compile OPTIONAL group {blk.strip()!r}: {e}"
                 ) from e
         shared = [c for c in out.columns if c in opt_frame.columns]
-        if opt_null & set(shared):
-            # a join variable the optional group may leave unbound needs a
-            # compatible-mapping left join (match on non-null only) —
-            # loud refusal beats a silently-dropped binding
-            raise ValueError(
-                "OPTIONAL group shares possibly-unbound variable(s) "
-                f"{sorted(opt_null & set(shared))} with the outer group"
-            )
-        out_null |= {c for c in opt_frame.columns if c not in out.columns}
-        out = optional(out, opt_frame)
+        if (opt_null | out_null) & set(shared):
+            # a shared variable either side may leave unbound: SPARQL
+            # LeftJoin treats unbound as compatible-with-anything, so
+            # the plain equi-join (null never matches) would silently
+            # drop spec-valid extensions — take the compatible-mapping
+            # left join instead (coalesced bindings, left rows survive)
+            out, out_null = _left_join_compat(out, out_null, opt_frame, opt_null)
+        else:
+            out_null |= {c for c in opt_frame.columns if c not in out.columns}
+            out = optional(out, opt_frame)
 
     for minus_text in parsed.minuses:
         # SPARQL MINUS: drop bindings compatible with the minus group on

@@ -820,16 +820,63 @@ def test_optional_not_bound_negation_idiom(graph):
     assert rows == ["http://ex.org/B"]
 
 
-def test_optional_possibly_unbound_shared_var_is_loud(graph):
+def test_optional_possibly_unbound_shared_var_compat(graph):
     # the optional group's ?x may be unbound (nested OPTIONAL binds it);
-    # sharing it with the outer group needs a compatible-mapping join
+    # sharing it with the outer group takes the compatible-mapping left
+    # join. Here no group solution shares ?s with the outer rows, so
+    # every outer row passes through with its own ?x intact.
     q = """PREFIX rdfs: <http://www.w3.org/2000/01/rdf-schema#>
     SELECT ?s ?x WHERE {
         ?s rdfs:subClassOf ?x .
         OPTIONAL { ?s <http://ex.org/p/likes> ?v . OPTIONAL { ?v rdfs:subClassOf ?x } }
     }"""
-    with pytest.raises(ValueError, match="possibly-unbound"):
-        sparql_query(graph, q)
+    rows = {(r.s, r.x) for r in sparql_query(graph, q).collect()}
+    assert rows == {
+        ("http://ex.org/A", "http://ex.org/B"),
+        ("http://ex.org/B", "http://ex.org/C"),
+    }
+
+
+def test_optional_compat_left_join(spark):
+    """LeftJoin with unbound-compatible shared variables — the SPARQL
+    bottom-up semantics: an unbound ?m matches ANY group binding and
+    takes the bound value."""
+    t = spark.createDataFrame(
+        [("s1", "p", "o1"), ("s2", "p", "o2"), ("s1", "q", "M"),
+         ("M", "r", "X"), ("N", "r", "Y")],
+        "subj string, pred string, obj string",
+    )
+    # chained OPTIONALs sharing ?m: s2's unbound ?m is compatible with
+    # BOTH (M,X) and (N,Y); s1's bound M only with (M,X)
+    q = """SELECT ?s ?m ?x WHERE {
+        ?s <p> ?o OPTIONAL { ?s <q> ?m } OPTIONAL { ?m <r> ?x }
+    }"""
+    rows = {tuple(r) for r in sparql_query(t, q).collect()}
+    assert rows == {("s1", "M", "X"), ("s2", "M", "X"), ("s2", "N", "Y")}
+    # OUTER-side nullable shared var (UNION null-extension) + an
+    # all-bound OPTIONAL: the unbound ?m must extend, not stay null
+    # (the plain equi-join would silently keep it null)
+    q2 = """SELECT ?s ?m WHERE {
+        { ?s <p> ?o } UNION { ?s <t> ?m }
+        OPTIONAL { ?s <q> ?m }
+    }"""
+    t2 = spark.createDataFrame(
+        [("s1", "p", "o"), ("s1", "q", "M")],
+        "subj string, pred string, obj string",
+    )
+    rows2 = {tuple(r) for r in sparql_query(t2, q2).collect()}
+    assert rows2 == {("s1", "M")}
+    # nested flat path: the inner group's nullable ?x shared with a
+    # sibling nested OPTIONAL extends compatibly too
+    t3 = spark.createDataFrame(
+        [("s1", "q", "m1"), ("X", "u", "W")],
+        "subj string, pred string, obj string",
+    )
+    q3 = """SELECT ?m ?x ?w WHERE {
+        ?s <q> ?m OPTIONAL { ?m <r> ?x } OPTIONAL { ?x <u> ?w }
+    }"""
+    rows3 = {tuple(r) for r in sparql_query(t3, q3).collect()}
+    assert rows3 == {("m1", "X", "W")}
 
 
 def test_predicate_object_list_sugar(graph):

@@ -215,10 +215,48 @@ def arm(draw, prefix, var_pool):
 def compound_queries(draw):
     """UNION / MINUS / BIND / nested-group / OPTIONAL-union shapes."""
     shape = draw(
-        st.sampled_from(["union", "minus", "bind", "nested", "opt_union"])
+        st.sampled_from(
+            ["union", "minus", "bind", "nested", "opt_union", "opt_compat"]
+        )
     )
     pats_a = draw(arm("a", ["oa", "x"]))
     body_a, core_a, vars_a = _render_arm(pats_a, "a")
+
+    if shape == "opt_compat":
+        # a UNION-nullable ?m shared with an OPTIONAL: SPARQL LeftJoin
+        # treats the unbound ?m as compatible and takes the bound value
+        # (the compatible-mapping left join). SQL renders the same
+        # semantics explicitly: null-or-equal join, COALESCE merge.
+        if "s" not in vars_a:
+            pats_a = [("?s", f"<{PREDS[0]}>", "?oa")] + pats_a
+            body_a, core_a, vars_a = _render_arm(pats_a, "a")
+        pu = draw(st.sampled_from(PREDS))
+        po = draw(st.sampled_from(PREDS))
+        allv = vars_a + ["m"]
+        proj = " ".join(f"?{v}" for v in allv)
+        sparql = (
+            f"SELECT {proj} WHERE {{ {{ {body_a} }} UNION {{ ?s <{pu}> ?m }} "
+            f"OPTIONAL {{ ?s <{po}> ?m }} }}"
+        )
+        ext_a = ", ".join([*(f"{v}" for v in vars_a), "NULL AS m"])
+        # UNION ALL is positional: arm 2's column order must follow
+        # ext_a's (vars_a order, then m), not put s first
+        arm2_vals = ", ".join(
+            [("subj AS s" if v == "s" else f"NULL AS {v}") for v in vars_a]
+            + ["obj AS m"]
+        )
+        base = (
+            f"SELECT {ext_a} FROM ({core_a}) "
+            f"UNION ALL SELECT {arm2_vals} FROM t WHERE pred = '{pu}'"
+        )
+        keep = ", ".join(f"b.{v}" for v in vars_a)
+        sql = (
+            f"SELECT {keep}, COALESCE(b.m, u.m2) AS m FROM ({base}) b "
+            f"LEFT JOIN (SELECT subj AS s2, obj AS m2 FROM t "
+            f"WHERE pred = '{po}') u "
+            f"ON b.s = u.s2 AND (b.m IS NULL OR b.m = u.m2)"
+        )
+        return sparql, sql
 
     if shape == "nested":
         # '{ group } pattern(s)': the lone braced group compiles
