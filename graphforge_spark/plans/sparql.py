@@ -2529,9 +2529,7 @@ def _select_frame(
         # SPARQL MINUS: drop bindings compatible with the minus group on
         # their shared variables; with no shared variables MINUS removes
         # nothing (per spec — disjoint domains are never compatible).
-        # The group is a full graph pattern, compiled recursively; a
-        # shared variable the group may leave UNBOUND would need
-        # compatible-mapping anti-join semantics — loud refusal instead.
+        # The group is a full graph pattern, compiled recursively.
         mframe, mnull = _select_frame(
             triples,
             f"SELECT * WHERE {{ {minus_text} }}",
@@ -2540,17 +2538,31 @@ def _select_frame(
             _in_group=True,
         )
         shared = [c for c in out.columns if c in mframe.columns]
-        # compatible-mapping semantics need BOTH sides all-bound on the
-        # shared vars: an unbound slot on EITHER side is compatible with
-        # anything, and the plain anti-join (null never matches) would
-        # silently KEEP a solution the spec removes — loud refusal
         loose = (mnull | out_null) & set(shared)
-        if loose:
-            raise ValueError(
-                "MINUS shares possibly-unbound variable(s) "
-                f"{sorted(loose)} with the outer group"
+        if shared and loose:
+            # a shared variable either side may leave unbound: the spec's
+            # Minus(Ω1, Ω2) keeps μ1 unless some μ2 is COMPATIBLE (unbound
+            # matches anything) AND dom(μ1)∩dom(μ2) ≠ ∅ (disjoint domains
+            # never remove). The plain anti-join (null never matches)
+            # would silently KEEP removed solutions — take the theta
+            # anti-join that states both conditions exactly.
+            left, right = out.alias("_l"), mframe.alias("_r")
+            compat = F.lit(True)
+            overlap = F.lit(False)
+            for c in shared:
+                lc, rc = F.col(f"_l.{c}"), F.col(f"_r.{c}")
+                if c in loose:
+                    compat = compat & (lc.isNull() | rc.isNull() | (lc == rc))
+                    overlap = overlap | (lc.isNotNull() & rc.isNotNull())
+                else:
+                    compat = compat & (lc == rc)
+                    overlap = F.lit(True)
+            out = left.join(right, compat & overlap, "left_anti").select(
+                *(F.col(f"_l.{c}").alias(c) for c in out.columns)
             )
-        if shared:
+        elif shared:
+            # all-bound shared vars: compatibility = equality and the
+            # domain overlap is guaranteed — plain hash anti-join
             out = out.join(mframe.select(*shared).distinct(), shared, "left_anti")
 
     # BIND(expr AS ?v): extend the bindings — the variable must be new
@@ -2590,21 +2602,38 @@ def _select_frame(
             raise ValueError(
                 "FILTER EXISTS block shares no variable with the outer group"
             )
-        # substitution semantics bind only the OUTER solution's bound
-        # vars into the group; a possibly-unbound shared var on either
-        # side makes the semi/anti join silently wrong (null never
-        # matches, dropping/keeping spec-valid rows) — loud refusal
-        loose = (enull | out_null) & set(shared)
-        if loose:
+        # substitution semantics: the OUTER solution's bound vars become
+        # constants inside the group; an outer-UNBOUND shared var stays a
+        # free variable, so any group binding satisfies it — null-or-equal
+        # on the outer side. A group-side nullable shared var is the
+        # W3C-errata substitution corner (a FILTER inside the group can
+        # see the substituted constant on rows where no pattern bound the
+        # var, which no join over the unsubstituted frame reproduces) —
+        # loud refusal there, never a silent approximation.
+        g_loose = enull & set(shared)
+        if g_loose:
             raise ValueError(
-                "FILTER EXISTS shares possibly-unbound variable(s) "
-                f"{sorted(loose)} with the outer group"
+                "FILTER EXISTS group may leave shared variable(s) "
+                f"{sorted(g_loose)} unbound (substitution semantics are "
+                "not join-expressible for that shape)"
             )
-        out = out.join(
-            eframe.select(*shared).distinct(),
-            shared,
-            "left_anti" if negated else "left_semi",
-        )
+        o_loose = out_null & set(shared)
+        if o_loose:
+            left, right = out.alias("_l"), eframe.alias("_r")
+            cond = F.lit(True)
+            for c in shared:
+                lc, rc = F.col(f"_l.{c}"), F.col(f"_r.{c}")
+                t = (lc.isNull() | (lc == rc)) if c in o_loose else (lc == rc)
+                cond = cond & t
+            out = left.join(
+                right, cond, "left_anti" if negated else "left_semi"
+            ).select(*(F.col(f"_l.{c}").alias(c) for c in out.columns))
+        else:
+            out = out.join(
+                eframe.select(*shared).distinct(),
+                shared,
+                "left_anti" if negated else "left_semi",
+            )
 
     # FILTER applies to the group's bindings (after optionals join in);
     # comparisons on unbound (null) vars are null → dropped, matching

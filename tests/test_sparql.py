@@ -1130,13 +1130,19 @@ def test_exists_group_with_nested_union(graph):
     assert subs == {"http://ex.org/x", "http://ex.org/A", "http://ex.org/B"}
 
 
-def test_minus_possibly_unbound_shared_var_is_loud(graph):
+def test_minus_possibly_unbound_shared_var_compat(graph):
+    # the MINUS group's UNION leaves ?s unbound in one arm and ?note in
+    # the other: spec Minus removes μ1 iff some μ2 is compatible AND the
+    # domains overlap. The (null-s, note) arm rows share NO bound var
+    # with a note-unbound outer row (disjoint domains — never removes);
+    # the (s, null-note) arm removes every outer row whose ?s likes
+    # something.
     q = """SELECT ?s ?note WHERE {
         ?s ?p ?o . OPTIONAL { ?s <http://example.org/optionalPredicate> ?note }
         MINUS { { ?s <http://ex.org/p/likes> ?x } UNION { ?note ?q ?y } }
     }"""
-    with pytest.raises(ValueError, match="possibly-unbound"):
-        sparql_query(graph, q)
+    rows = {(r.s, r.note) for r in sparql_query(graph, q).collect()}
+    assert rows == {("http://ex.org/A", None), ("http://ex.org/B", None)}
 
 
 def test_group_by_multiple_keys(spark):
@@ -1657,19 +1663,37 @@ def test_review_findings_r3(spark):
          ("B", "r", "Y"), ("Z", "p", "abc")],
         "subj string, pred string, obj string",
     )
-    # EXISTS/MINUS sharing an outer possibly-unbound var must refuse
-    # loudly (plain semi/anti joins would silently drop/keep rows)
-    with pytest.raises(ValueError, match="FILTER EXISTS shares"):
-        sparql_query(
+    # EXISTS sharing an outer possibly-unbound var: substitution leaves
+    # the unbound ?x free, so B (x unbound, B r Y exists) passes while
+    # A (x=X, no A r X) and Z (no r edge) drop
+    got = {
+        r.s
+        for r in sparql_query(
             t,
             "SELECT ?s WHERE { ?s <p> ?o . OPTIONAL { ?s <q> ?x } "
             "FILTER EXISTS { ?s <r> ?x } }",
-        )
-    with pytest.raises(ValueError, match="MINUS shares"):
-        sparql_query(
+        ).collect()
+    }
+    assert got == {"B"}
+    # MINUS with an outer possibly-unbound shared var: B's unbound ?x is
+    # compatible with (B r Y) and the bound ?s overlaps domains → removed;
+    # A/Z survive (no compatible minus row)
+    got = {
+        r.s
+        for r in sparql_query(
             t,
             "SELECT ?s WHERE { ?s <p> ?o . OPTIONAL { ?s <q> ?x } "
             "MINUS { ?s <r> ?x } }",
+        ).collect()
+    }
+    assert got == {"A", "Z"}
+    # the genuinely join-inexpressible corner stays loud: the EXISTS
+    # group itself may leave the shared var unbound
+    with pytest.raises(ValueError, match="FILTER EXISTS group may leave"):
+        sparql_query(
+            t,
+            "SELECT ?s WHERE { ?s <p> ?x "
+            "FILTER EXISTS { ?s <r> ?y OPTIONAL { ?y <q> ?x } } }",
         )
     # numeric-side comparison against a string var: type-error rows are
     # ELIMINATED (ANSI coercion would abort the job on 'abc')

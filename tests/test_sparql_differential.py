@@ -216,11 +216,53 @@ def compound_queries(draw):
     """UNION / MINUS / BIND / nested-group / OPTIONAL-union shapes."""
     shape = draw(
         st.sampled_from(
-            ["union", "minus", "bind", "nested", "opt_union", "opt_compat"]
+            [
+                "union", "minus", "bind", "nested", "opt_union",
+                "opt_compat", "minus_compat", "exists_compat",
+            ]
         )
     )
     pats_a = draw(arm("a", ["oa", "x"]))
     body_a, core_a, vars_a = _render_arm(pats_a, "a")
+
+    if shape in ("minus_compat", "exists_compat"):
+        # UNION-nullable ?m shared with a MINUS / FILTER [NOT] EXISTS
+        # group: spec compatibility treats the unbound ?m as matching
+        # anything. MINUS additionally needs a domain overlap — ?s is
+        # bound on both sides here, so it always holds and the SQL
+        # oracle can state compatibility alone.
+        if "s" not in vars_a:
+            pats_a = [("?s", f"<{PREDS[0]}>", "?oa")] + pats_a
+            body_a, core_a, vars_a = _render_arm(pats_a, "a")
+        pu = draw(st.sampled_from(PREDS))
+        pg = draw(st.sampled_from(PREDS))
+        allv = vars_a + ["m"]
+        proj = " ".join(f"?{v}" for v in allv)
+        ext_a = ", ".join([*(f"{v}" for v in vars_a), "NULL AS m"])
+        arm2_vals = ", ".join(
+            [("subj AS s" if v == "s" else f"NULL AS {v}") for v in vars_a]
+            + ["obj AS m"]
+        )
+        base = (
+            f"SELECT {ext_a} FROM ({core_a}) "
+            f"UNION ALL SELECT {arm2_vals} FROM t WHERE pred = '{pu}'"
+        )
+        probe = (
+            f"SELECT 1 FROM t WHERE pred = '{pg}' AND subj = b.s "
+            f"AND (b.m IS NULL OR obj = b.m)"
+        )
+        if shape == "minus_compat":
+            clause, guard = "MINUS", "NOT EXISTS"
+        else:
+            negated = draw(st.booleans())
+            clause = f"FILTER {'NOT ' if negated else ''}EXISTS"
+            guard = "NOT EXISTS" if negated else "EXISTS"
+        sparql = (
+            f"SELECT {proj} WHERE {{ {{ {body_a} }} UNION {{ ?s <{pu}> ?m }} "
+            f"{clause} {{ ?s <{pg}> ?m }} }}"
+        )
+        sql = f"SELECT * FROM ({base}) b WHERE {guard} ({probe})"
+        return sparql, sql
 
     if shape == "opt_compat":
         # a UNION-nullable ?m shared with an OPTIONAL: SPARQL LeftJoin
