@@ -10,6 +10,9 @@ codegen — no Python in any hot path.
 Operators:
 - dedup_lines: corpus-level duplicate-line scrub (C4-style boilerplate
   removal — one shuffle on the normalized-line hash)
+- dedup_substrings: cross-document exact-substring dedup (Lee et al.
+  2022, re-expressed as distributed k-token window hashing — one
+  explode, one count shuffle, one hash-keyed join)
 - repetition_ratios: within-doc repetition quality gates (dup-line and
   modal-bigram fractions, Gopher-style; narrow)
 - exact_dedup_groups: hash-groupBy exact dedup (one shuffle, partial agg)
@@ -119,6 +122,146 @@ def dedup_lines(
         F.coalesce("text", F.lit("")).alias("text"),
         F.coalesce("n_lines_kept", F.lit(0)).alias("n_lines_kept"),
         "n_lines_in",
+    )
+
+
+def dedup_substrings(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+) -> DataFrame:
+    """Cross-document exact-substring deduplication (the Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better" operator,
+    re-expressed as distributed window hashing instead of a suffix
+    array, which does not shard): every duplicated run of ≥ ``k``
+    whitespace tokens is removed from all but its globally-first
+    occurrence.
+
+    Mechanics: each document yields one row per k-token window
+    (position, 64-bit xxhash of the window text). A global count per
+    window hash finds duplicated windows and elects the canonical
+    occurrence — min(doc_id, pos), deterministic under retries and
+    repartitioning. Every NON-canonical duplicated window marks the
+    token interval [pos, pos+k); per document the marked intervals are
+    merged and the covered tokens cut, so overlapping duplicate windows
+    collapse into one excised span and a duplicated run of length
+    m ≥ k disappears entirely (its m−k+1 windows tile the run).
+
+    Guarantees (stated exactly — the window formulation is not a suffix
+    array): every non-canonical duplicated window is removed; every
+    surviving token was never inside a non-canonical duplicated window;
+    canonical-copy text survives unless an OVERLAPPING window is itself
+    a non-canonical duplicate. Removal is token-level: output text is
+    the kept tokens joined by single spaces (original inter-token
+    whitespace is normalized, the standard trade of this operator).
+
+    Output: (id, text, n_tokens_in, n_tokens_removed, n_spans).
+
+    Scale shape: ONE explode to (doc, pos, hash64) rows — 8 bytes of
+    key per token, the minimum a global duplicate decision can carry;
+    one groupBy(hash) with map-side partial aggregation (count +
+    min-struct both combine); one hash-keyed join back (both sides
+    already clustered on the hash); one groupBy(doc) to merge intervals
+    in-array. Duplicated-window hashes are by construction the hot
+    keys, and they collapse to one row each in the count — no skew
+    amplification. A 2⁻⁶⁴ hash-collision rate is the approximation this
+    buys scale with; collisions only ever remove a false-duplicate
+    window, never corrupt surviving text. No Python anywhere."""
+    if k < 2:
+        raise ValueError(f"k must be ≥ 2 (got {k})")
+    docs = spread_small_scan(docs)
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
+    base = docs.select(
+        F.col(id_col).alias("_id"), toks.alias("_toks")
+    ).withColumn("_n", F.size("_toks"))
+    # one row per k-window: (_id, _pos, _h) with _pos the 1-based token
+    # index of the window start; docs shorter than k yield none
+    wins = (
+        base.filter(F.col("_n") >= k)
+        .select(
+            "_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), F.col("_n") - k + 1),
+                    lambda i: F.xxhash64(
+                        F.concat_ws(" ", F.slice(F.col("_toks"), i, k))
+                    ),
+                )
+            ).alias("_pos0", "_h"),
+        )
+        .select("_id", (F.col("_pos0") + 1).alias("_pos"), "_h")
+    )
+    dup = (
+        wins.groupBy("_h")
+        .agg(
+            F.count("*").alias("_cnt"),
+            F.min(F.struct(F.col("_id"), F.col("_pos"))).alias("_first"),
+        )
+        .filter(F.col("_cnt") >= 2)
+    )
+    flagged = wins.join(dup, "_h").filter(
+        ~((F.col("_id") == F.col("_first._id")) & (F.col("_pos") == F.col("_first._pos")))
+    )
+    # merge per-doc intervals [pos, pos+k) in-array: fold the sorted
+    # starts, extending the last span when the next window overlaps it
+    spans = flagged.groupBy("_id").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list("_pos")),
+            F.array().cast("array<struct<s:int,e:int>>"),
+            lambda acc, p: F.when(
+                (F.size(acc) > 0) & (p <= F.element_at(acc, -1)["e"]),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1),
+                    F.array(
+                        F.struct(
+                            F.element_at(acc, -1)["s"].alias("s"),
+                            (p + k).cast("int").alias("e"),
+                        )
+                    ),
+                ),
+            ).otherwise(
+                F.concat(
+                    acc,
+                    F.array(
+                        F.struct(p.cast("int").alias("s"), (p + k).cast("int").alias("e"))
+                    ),
+                )
+            ),
+        ).alias("_spans")
+    )
+    cut = (
+        base.join(spans, "_id", "left")
+        .withColumn(
+            "_covered",
+            F.coalesce(
+                F.flatten(
+                    F.transform(F.col("_spans"), lambda sp: F.sequence(sp["s"], sp["e"] - 1))
+                ),
+                F.array().cast("array<int>"),
+            ),
+        )
+        .withColumn(
+            "_kept",
+            # sequence(1, 0) would DESCEND — guard the empty doc
+            F.when(
+                F.col("_n") > 0,
+                F.array_except(
+                    F.sequence(F.lit(1), F.col("_n")).cast("array<int>"), "_covered"
+                ),
+            ).otherwise(F.array().cast("array<int>")),
+        )
+    )
+    return cut.select(
+        F.col("_id").alias(id_col),
+        F.when(F.col("_n") == 0, F.lit("")).otherwise(
+            F.concat_ws(
+                " ", F.transform(F.col("_kept"), lambda j: F.element_at(F.col("_toks"), j))
+            )
+        ).alias("text"),
+        F.col("_n").alias("n_tokens_in"),
+        (F.col("_n") - F.size("_kept")).alias("n_tokens_removed"),
+        F.coalesce(F.size("_spans"), F.lit(0)).alias("n_spans"),
     )
 
 

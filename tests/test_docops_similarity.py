@@ -401,3 +401,136 @@ def test_repetition_ratios(spark):
     # bigrams of 'a b a b a b': [ab, ba, ab, ba, ab] -> modal 3/5
     assert abs(out[2].top_bigram_frac - 0.6) < 1e-9
     assert out[3].dup_line_frac == 0.0 and out[3].top_bigram_frac == 0.0
+
+
+# ---------------------------------------------------------------- substrings
+
+
+def _substring_dedup_oracle(rows, k):
+    """Pure-Python replay of dedup_substrings: window-text equality,
+    min(doc_id, pos) canonical election, merged-interval excision."""
+    import re
+    from collections import defaultdict
+
+    toks_by = {}
+    by_key = defaultdict(list)
+    for doc_id, text in rows:
+        t = [w for w in re.split(r"\s+", text) if w]
+        toks_by[doc_id] = t
+        for p in range(1, len(t) - k + 2):
+            by_key[" ".join(t[p - 1 : p - 1 + k])].append((doc_id, p))
+    flagged = defaultdict(list)
+    for occ in by_key.values():
+        if len(occ) >= 2:
+            first = min(occ)
+            for d, p in occ:
+                if (d, p) != first:
+                    flagged[d].append(p)
+    result = {}
+    for doc_id, t in toks_by.items():
+        spans = []
+        for p in sorted(flagged.get(doc_id, [])):
+            if spans and p <= spans[-1][1]:
+                spans[-1] = (spans[-1][0], p + k)
+            else:
+                spans.append((p, p + k))
+        covered = {j for s, e in spans for j in range(s, e)}
+        kept = [t[j - 1] for j in range(1, len(t) + 1) if j not in covered]
+        result[doc_id] = (" ".join(kept), len(t), len(t) - len(kept), len(spans))
+    return result
+
+
+def test_dedup_substrings_curated(spark):
+    run = "the quick brown fox jumps over the lazy dog"  # 9 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, "intro A " + run + " tail one"),
+            (2, "intro B " + run + " tail two"),  # shares a 10-token run with 1
+            (3, "unique text with no duplicated span at all here"),
+            (4, ""),
+            (5, "short doc"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in docops.dedup_substrings(docs, k=8).collect()}
+    # canonical (min doc_id) copy survives untouched
+    assert out[1].text == "intro A " + run + " tail one"
+    assert out[1].n_tokens_removed == 0 and out[1].n_spans == 0
+    # the non-canonical copy loses the whole duplicated run in ONE span
+    assert out[2].text == "intro B two"
+    assert out[2].n_tokens_removed == 10 and out[2].n_spans == 1
+    assert out[3].n_tokens_removed == 0
+    assert out[4].text == "" and out[4].n_tokens_in == 0
+    assert out[5].text == "short doc"  # shorter than k: no windows
+    # matches the pure-Python oracle exactly
+    rows = [(r[0], r[1]) for r in docs.collect()]
+    want = _substring_dedup_oracle(rows, 8)
+    got = {
+        r.doc_id: (r.text, r.n_tokens_in, r.n_tokens_removed, r.n_spans)
+        for r in docops.dedup_substrings(docs, k=8).collect()
+    }
+    assert got == want
+
+
+def test_dedup_substrings_overlapping_spans_merge(spark):
+    # doc 2 repeats doc 1's tokens in two overlapping duplicated regions
+    # separated by one unique token — two spans, not one
+    a = "a b c d e"
+    b = "v w x y z"
+    docs = spark.createDataFrame(
+        [(1, a + " " + b), (2, a + " GAP " + b)],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in docops.dedup_substrings(docs, k=5).collect()}
+    assert out[1].n_tokens_removed == 0
+    assert out[2].text == "GAP"
+    assert out[2].n_spans == 2 and out[2].n_tokens_removed == 10
+
+
+def test_dedup_substrings_repartition_stable(spark):
+    docs = spark.createDataFrame(
+        [(i, f"common prefix words here {i} and a shared suffix run x y z w")
+         for i in range(20)],
+        "doc_id long, text string",
+    )
+    base = {
+        r.doc_id: (r.text, r.n_tokens_removed)
+        for r in docops.dedup_substrings(docs, k=4).collect()
+    }
+    shuffled = {
+        r.doc_id: (r.text, r.n_tokens_removed)
+        for r in docops.dedup_substrings(docs.repartition(7), k=4).collect()
+    }
+    assert base == shuffled
+    rows = [(r[0], r[1]) for r in docs.collect()]
+    want = {
+        d: (t, rm) for d, (t, _n, rm, _s) in _substring_dedup_oracle(rows, 4).items()
+    }
+    assert base == want
+
+
+def test_dedup_substrings_fuzz(spark):
+    """Differential fuzz vs the Python oracle: tiny vocab forces heavy
+    window collisions; every doc map must match value-exactly."""
+    from hypothesis import given, settings, HealthCheck
+    from hypothesis import strategies as st
+
+    vocab = ["aa", "bb", "cc"]
+    doc = st.lists(st.sampled_from(vocab), min_size=0, max_size=12).map(" ".join)
+
+    @given(texts=st.lists(doc, min_size=1, max_size=6))
+    @settings(
+        max_examples=25,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def run(texts):
+        rows = list(enumerate(texts))
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r.doc_id: (r.text, r.n_tokens_in, r.n_tokens_removed, r.n_spans)
+            for r in docops.dedup_substrings(docs, k=3).collect()
+        }
+        assert got == _substring_dedup_oracle(rows, 3)
+
+    run()
