@@ -536,6 +536,55 @@ def _take_paren_blocks(body: str, keyword: str) -> tuple[str, list[str]]:
     return " ".join(out), blocks
 
 
+def _rewrite_graph_subselect(g_txt: str, sub: str) -> str:
+    """Rewrite a subquery that appears inside ``GRAPH ?g { … }``: per the
+    algebra, Graph(?g, SubSelect) evaluates the subquery once per named
+    graph and extends each solution with the ?g binding. The text
+    rewrite that states exactly this: distribute ?g down the subquery's
+    WHERE (every pattern binds ?g), add ?g to the projection (so the
+    per-graph scope survives the projection cut), and add ?g to GROUP BY
+    when the subquery aggregates (per-graph groups — the spec's implicit
+    one-group-per-graph for a bare aggregate projection included).
+    ORDER BY / LIMIT / OFFSET apply PER GRAPH, which no global modifier
+    after the rewrite can express — refused loudly."""
+    masked = _mask_strings(sub)
+    if re.search(re.escape(g_txt) + r"\b", masked):
+        raise ValueError(
+            f"subquery inside GRAPH {g_txt} already uses variable {g_txt}"
+        )
+    if re.search(r"\b(LIMIT|OFFSET|ORDER\s+BY)\b", masked, re.IGNORECASE):
+        raise ValueError(
+            "subquery inside GRAPH ?var with ORDER BY/LIMIT/OFFSET is "
+            "unsupported (those modifiers apply per named graph, which a "
+            "global modifier after the graph rewrite cannot express)"
+        )
+    m = re.match(
+        r"\s*SELECT\s+(DISTINCT\s+)?(.*?)\s*WHERE\s*\{",
+        masked,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if not m:
+        raise ValueError(f"cannot parse subquery inside GRAPH {g_txt}: {sub!r}")
+    start = m.end() - 1
+    end = _balanced_end(masked, start)
+    inner = _distribute_graph(g_txt, sub[start + 1 : end - 1], _top=False)
+    proj = sub[m.start(2) : m.end(2)]
+    tail = sub[end:]
+    new_proj = proj if proj.strip() == "*" else f"{g_txt} {proj}"
+    tmasked = _mask_strings(tail)
+    gb = re.search(r"\bGROUP\s+BY\b", tmasked, re.IGNORECASE)
+    if gb:
+        tail = tail[: gb.end()] + f" {g_txt}" + tail[gb.end() :]
+    elif re.search(
+        r"\(\s*(COUNT|SUM|MIN|MAX|AVG|SAMPLE|GROUP_CONCAT)\s*\(",
+        _mask_strings(proj),
+        re.IGNORECASE,
+    ):
+        tail = tail + f" GROUP BY {g_txt}"
+    dist = sub[m.start(1) : m.end(1)] if m.group(1) else ""
+    return f"SELECT {dist}{new_proj} WHERE {{ {inner} }}{tail}"
+
+
 def _distribute_graph(g_txt: str, body: str, _top: bool = True) -> str:
     """Rewrite a variable-graph FULL group body (``GRAPH ?g { body }``)
     by distributing the graph context down to its flat pattern runs, per
@@ -548,8 +597,9 @@ def _distribute_graph(g_txt: str, body: str, _top: bool = True) -> str:
     BIND, and VALUES are solution-sequence operators with no active
     graph and pass through verbatim; a NESTED ``GRAPH x { … }`` clause
     switches the active graph and passes through verbatim. A subquery
-    would need its own WHERE rewritten (its patterns evaluate in the
-    enclosing active graph) — refused loudly. The rewritten text
+    rewrites via ``_rewrite_graph_subselect`` (its WHERE distributes, ?g
+    joins its projection and GROUP BY — per-graph evaluation surviving
+    the projection cut). The rewritten text
     compiles through the ordinary recursive group compiler, so
     OPTIONAL / UNION / MINUS / EXISTS / FILTER / BIND / VALUES / paths
     all work inside ``GRAPH ?var``. Raises when the body contains no
@@ -644,11 +694,19 @@ def _distribute_graph(g_txt: str, body: str, _top: bool = True) -> str:
             pos = i
         else:  # bare brace: subquery, lone group, or UNION chain
             if re.match(r"\{\s*SELECT\b", masked[m.start() :], re.IGNORECASE):
-                raise ValueError(
-                    "subquery inside GRAPH ?var is unsupported (its WHERE "
-                    "evaluates in the enclosing active graph and would "
-                    "need its own rewrite)"
+                end = _balanced_end(masked, m.start())
+                if re.match(r"\s*UNION\b", masked[end:], re.IGNORECASE):
+                    raise ValueError(
+                        "subquery as a UNION arm inside GRAPH ?var is "
+                        "unsupported"
+                    )
+                out.append(
+                    "{ "
+                    + _rewrite_graph_subselect(g_txt, body[m.start() + 1 : end - 1])
+                    + " }"
                 )
+                pos = end
+                continue
             arms, j = [], m.start()
             while True:
                 end = _balanced_end(masked, j)

@@ -1647,12 +1647,42 @@ def test_graph_var_full_group(spark):
     assert sorted(tuple(r) for r in sparql_query(t, q7).collect()) == [
         ("g1", "a", "c"), ("g2", "c", "c"),
     ]
-    # subqueries inside GRAPH ?var stay a loud refusal (their WHERE would
-    # need its own active-graph rewrite)
-    with pytest.raises(ValueError, match="subquery inside GRAPH .var"):
+    # subquery inside GRAPH ?var: evaluated once per named graph, ?g
+    # extends each solution (Graph(?g, SubSelect) algebra)
+    q8 = "SELECT ?g WHERE { GRAPH ?g { { SELECT ?s WHERE { ?s <p> ?o } } } }"
+    assert sorted(r.g for r in sparql_query(t, q8).collect()) == ["g1", "g1", "g2"]
+    # aggregate subquery: the implicit one-group becomes one group PER
+    # GRAPH (?g joins the grouping)
+    q9 = (
+        "SELECT ?g ?n WHERE { GRAPH ?g { "
+        "{ SELECT (COUNT(?s) AS ?n) WHERE { ?s <p> ?o } } } }"
+    )
+    assert sorted(tuple(r) for r in sparql_query(t, q9).collect()) == [
+        ("g1", 2), ("g2", 1),
+    ]
+    # explicit GROUP BY gains ?g as an extra key
+    q10 = (
+        "SELECT ?g ?o ?n WHERE { GRAPH ?g { "
+        "{ SELECT ?o (COUNT(?s) AS ?n) WHERE { ?s <p> ?o } GROUP BY ?o } } }"
+    )
+    assert sorted(tuple(r) for r in sparql_query(t, q10).collect()) == [
+        ("g1", "x", 1), ("g1", "y", 1), ("g2", "x", 1),
+    ]
+    # subquery joins its sibling patterns on ?g (plus shared vars) — the
+    # join never crosses graphs
+    q11 = (
+        "SELECT ?g ?s ?w WHERE { GRAPH ?g { "
+        "{ SELECT ?s WHERE { ?s <p> ?o } } ?c <q> ?w } }"
+    )
+    assert sorted(tuple(r) for r in sparql_query(t, q11).collect()) == [
+        ("g1", "a", "m"), ("g1", "b", "m"), ("g2", "a", "w"),
+    ]
+    # per-graph ORDER BY/LIMIT/OFFSET are not expressible by the rewrite
+    with pytest.raises(ValueError, match="ORDER BY/LIMIT/OFFSET"):
         sparql_query(
             t,
-            "SELECT ?g WHERE { GRAPH ?g { { SELECT ?s WHERE { ?s <p> ?o } } } }",
+            "SELECT ?g WHERE { GRAPH ?g { "
+            "{ SELECT ?s WHERE { ?s <p> ?o } LIMIT 1 } } }",
         )
 
 

@@ -446,13 +446,40 @@ def graph_group_queries(draw):
     shape = draw(
         st.sampled_from(
             ["opt", "union", "minus", "not_exists", "filter",
-             "from_default", "from_named"]
+             "from_default", "from_named", "subselect"]
         )
     )
     pats_a = draw(arm("a", ["oa", "x"]))
     if not any("?s" in p for p in pats_a):
         pats_a = [("?s", f"<{draw(st.sampled_from(PREDS))}>", "?oa")] + pats_a
     body_a, core_a, vars_a = _render_graph_arm(pats_a, "a")
+
+    if shape == "subselect":
+        # subquery inside GRAPH ?g: evaluated per named graph — the
+        # aggregate's (implicit or explicit) grouping gains g as a key.
+        # SQL renders that directly: GROUP BY g [, key] over the
+        # graph-correlated arm.
+        plain_body, _pc, _pv = _render_arm(pats_a, "a")
+        if draw(st.booleans()):
+            sparql = (
+                f"SELECT ?g ?n WHERE {{ GRAPH ?g {{ "
+                f"{{ SELECT (COUNT(?s) AS ?n) WHERE {{ {plain_body} }} }} }} }}"
+            )
+            sql = (
+                f"SELECT g, CAST(COUNT(*) AS BIGINT) AS n "
+                f"FROM ({core_a}) GROUP BY g"
+            )
+        else:
+            sparql = (
+                f"SELECT ?g ?s ?n WHERE {{ GRAPH ?g {{ "
+                f"{{ SELECT ?s (COUNT(?s) AS ?n) WHERE {{ {plain_body} }} "
+                f"GROUP BY ?s }} }} }}"
+            )
+            sql = (
+                f"SELECT g, s, CAST(COUNT(*) AS BIGINT) AS n "
+                f"FROM ({core_a}) GROUP BY g, s"
+            )
+        return sparql, sql
 
     if shape == "from_default":
         # FROM merges graphs into the default graph (set union of
