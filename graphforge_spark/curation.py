@@ -1,0 +1,140 @@
+"""One-call corpus curation pipeline — the standard training-data pass
+composed from the docops operators, in the order the published pipelines
+run it (CCNet/RefinedWeb/Gopher-style): language gate → quality gates →
+PII redaction → boilerplate line scrub → cross-document substring dedup
+→ exact + near-dup keep-list.
+
+This is the composition a 100 TB run actually executes, so the module's
+job is ordering, wiring, and metrics — every stage is an existing
+operator with its own tests and scale story. Laziness: the stage DAG is
+built unexecuted; with ``collect_metrics=False`` nothing runs until the
+caller acts on the returned frame (one job end-to-end). With metrics on,
+each stage boundary costs one count() — the debugging mode, not the
+production default.
+
+Stage order rationale (why this order and not another):
+- exact dedup FIRST: one cheap hash shuffle that shrinks everything
+  after it — and, critically, exact-duplicate documents would otherwise
+  make every one of their lines a "cross-document repeat", so the line
+  scrub would empty them instead of the dedup keeping one copy;
+- language/quality gates next: narrow (no shuffle), shrink every
+  shuffle after them;
+- PII redaction before any remaining hashing stage, so redacted text is
+  what gets fingerprinted (two docs differing only in emails dedup
+  together);
+- line scrub before the similarity stages: boilerplate lines are
+  cross-doc duplicates by definition and would otherwise dominate both
+  the MinHash shingles and the substring window table;
+- near-dup keep-list on the scrubbed text, BEFORE substring dedup —
+  removing a shared span from one copy destroys the near-dup signal,
+  so running ExactSubstr first would make every near-duplicate's
+  surviving stub look unique (Lee et al. 2022 order);
+- cross-document substring dedup LAST: it is the only stage that
+  rewrites text rather than dropping documents, so everything that
+  measures document similarity must already have run.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from graphforge_spark.operators import docops
+
+
+def curate(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    langs: tuple[str, ...] | None = ("en",),
+    min_words: int = 5,
+    max_punct_ratio: float = 0.30,
+    min_stopword_ratio: float = 0.0,
+    max_dup_line_frac: float = 0.5,
+    max_top_bigram_frac: float = 0.5,
+    redact: bool = True,
+    substring_k: int = 8,
+    jaccard_threshold: float = 0.6,
+    collect_metrics: bool = True,
+) -> tuple[DataFrame, dict]:
+    """Run the standard curation pass. Returns (kept_docs, metrics).
+
+    ``kept_docs`` has the input id column plus the cleaned ``text``.
+    ``metrics`` maps stage → surviving doc count (empty dict when
+    ``collect_metrics=False`` — no extra jobs run).
+
+    Every stage is deterministic and repartition-stable, so the whole
+    pass is: running it twice on the same input yields the same keep
+    set and the same cleaned text."""
+    metrics: dict = {}
+
+    def _mark(stage: str, frame: DataFrame) -> DataFrame:
+        if collect_metrics:
+            metrics[stage] = frame.count()
+        return frame
+
+    base = docs.select(F.col(id_col), F.col(text_col).alias("text"))
+    _mark("input", base)
+
+    # ---- exact dedup: keep the min-id copy of each normalized text ------
+    groups = docops.exact_dedup_groups(base, id_col=id_col, text_col="text")
+    base = base.join(
+        groups.select(F.col("min_doc_id").alias(id_col)), id_col, "left_semi"
+    )
+    base = _mark("exact_dedup", base)
+
+    # ---- narrow gates: language + quality + repetition -----------------
+    stats = docops.doc_stats(base, id_col=id_col, text_col="text").select(
+        id_col, "lang_pred", "n_words", "punct_ratio", "stopword_ratio"
+    )
+    reps = docops.repetition_ratios(base, id_col=id_col, text_col="text")
+    gated = (
+        base.join(stats, id_col)
+        .join(reps, id_col)
+        .filter(
+            (F.col("n_words") >= min_words)
+            & (F.col("punct_ratio") <= max_punct_ratio)
+            & (F.col("stopword_ratio") >= min_stopword_ratio)
+            & (F.col("dup_line_frac") <= max_dup_line_frac)
+            & (F.col("top_bigram_frac") <= max_top_bigram_frac)
+            & (F.col("lang_pred").isin(list(langs)) if langs else F.lit(True))
+        )
+        .select(id_col, "text")
+    )
+    gated = _mark("quality_gates", gated)
+
+    # ---- PII redaction (before any hashing sees the text) --------------
+    if redact:
+        red = docops.redact_pii(gated, id_col=id_col, text_col="text")
+        gated = red.select(id_col, F.col("redacted_text").alias("text"))
+        gated = _mark("pii_redacted", gated)
+
+    # ---- boilerplate line scrub ----------------------------------------
+    scrubbed = docops.dedup_lines(gated, id_col=id_col, text_col="text").select(
+        id_col, "text"
+    )
+    scrubbed = _mark("line_scrub", scrubbed)
+
+    # ---- near-dup keep-list on the cleaned text -------------------------
+    # Runs BEFORE substring dedup: removing a shared span from one copy
+    # destroys the near-dup signal the keep-list needs (the surviving
+    # stub of a near-duplicate would look "unique" afterwards). Lee et
+    # al. 2022 treat NearDup and ExactSubstr as complementary passes in
+    # this order for the same reason.
+    keep = docops.neardup_keep_list(
+        scrubbed,
+        id_col=id_col,
+        text_col="text",
+        jaccard_threshold=jaccard_threshold,
+    )
+    kept = scrubbed.join(
+        keep.filter(F.col("keep")).select(F.col(id_col)), id_col, "left_semi"
+    )
+    kept = _mark("neardup_keep", kept)
+
+    # ---- cross-document substring dedup (last: mutates text) ------------
+    span_deduped = docops.dedup_substrings(
+        kept, id_col=id_col, text_col="text", k=substring_k
+    ).select(id_col, "text")
+    span_deduped = _mark("substring_dedup", span_deduped)
+    return span_deduped, metrics

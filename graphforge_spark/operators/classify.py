@@ -57,8 +57,10 @@ def nb_train(
 ) -> NBModel:
     """Fit multinomial Naive Bayes with add-one smoothing.
 
-    One explode + two combinable aggregations; the corpus is read once.
-    Deterministic: counts and closed-form logs only."""
+    One explode + two combinable aggregations over the corpus, plus a
+    count() for the priors (two corpus scans total; the vocab-size
+    count is an action over MODEL-sized rows). Deterministic: counts
+    and closed-form logs only."""
     toks = docs.select(
         F.col(label_col).alias("label"),
         F.explode(tokens(F.col(text_col))).alias("token"),
