@@ -1,0 +1,144 @@
+"""Trainable n-gram language-model perplexity scoring — the CCNet-style
+quality filter, in pure DataFrame algebra.
+
+CCNet (Wenzek et al. 2020) ranks web documents by the perplexity of a
+KenLM 5-gram model trained on a trusted corpus and keeps the low-
+perplexity head — the single most-used statistical quality gate in
+published pretraining pipelines (CCNet, LLaMA, RedPajama, FineWeb all
+derive from it). Kneser-Ney KenLM itself is an external binary; the
+closed-form member of the same family is an add-k-smoothed bigram model,
+which needs ONE counting pass to fit and stays entirely inside
+whole-stage codegen — no gradient loop, no Python, no external model
+artifact. Like `classify.nb_train`, fit cost is two combinable
+aggregations and the model is vocabulary-sized, not corpus-sized.
+
+Shapes at scale:
+- fit: per-doc bigram array (narrow `transform` over the token array,
+  BOS-prefixed) → explode → groupBy(prev, cur) count with map-side
+  combine. Context counts and the vocabulary size derive from the
+  MODEL-sized bigram table, not from a second corpus pass.
+- score: explode bigrams → join the bigram and context count tables
+  (broadcast by default — the model is the classic small dimension; pass
+  ``broadcast_model=False`` at web-scale vocabularies to let AQE pick) →
+  one groupBy(doc) sum. The corpus is touched once and never shuffled
+  on anything wider than the doc id.
+
+Smoothing: add-k over a vocabulary of V seen tokens plus one OOV
+bucket, P(cur|prev) = (c(prev,cur)+k) / (c(prev)+k·(V+1)); an unseen
+context contributes the uniform 1/(V+1). Every probability is strictly
+positive, so log-space sums are always defined. Perplexity is
+exp(−mean log P); empty documents (no tokens) carry NULL perplexity —
+they have no evidence either way, and the length gates own that case.
+
+Reference scope note: GraphForge itself has no model-based scoring —
+this operator is part of the large-scale training-data layer the build
+brief adds beyond the reference surface.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from graphforge_spark.functions.text import tokens
+
+BOS = "bos"  # sentinel outside the tokenizer's alphabet
+
+
+class LMModel(NamedTuple):
+    """Bigram LM as two model-sized DataFrames plus closed-form scalars.
+
+    ``bigrams``: (prev, cur, n_pair) observed-bigram counts.
+    ``contexts``: (prev, n_ctx) context totals (Σ over cur — derived
+    from the bigram table, so fit reads the corpus exactly once).
+    ``vocab_size``: count of distinct seen tokens V (OOV bucket makes
+    the smoothing denominator k·(V+1)).
+    ``add_k``: the smoothing constant the model was built to be scored
+    with (scoring re-uses it so train/score can't drift apart).
+    """
+
+    bigrams: DataFrame
+    contexts: DataFrame
+    vocab_size: int
+    add_k: float
+
+
+def _bigram_pairs(text):
+    """array<struct<prev,cur>> of adjacent-token pairs, BOS-prefixed."""
+    toks = tokens(text)
+    with_bos = F.concat(F.array(F.lit(BOS)), toks)
+    return F.transform(
+        toks,
+        lambda t, i: F.struct(
+            F.element_at(with_bos, i + 1).alias("prev"), t.alias("cur")
+        ),
+    )
+
+
+def lm_train(docs: DataFrame, text_col: str = "text", add_k: float = 0.1) -> LMModel:
+    """Fit the add-k bigram LM in one corpus pass.
+
+    One explode + one combinable aggregation over the corpus; contexts
+    and vocabulary size are second-order aggregates of the MODEL-sized
+    bigram table (the vocab count is an action over those rows, like
+    `nb_train`'s prior count). Deterministic: counts only."""
+    if add_k <= 0:
+        raise ValueError(f"add_k must be > 0 for defined log-probs, got {add_k}")
+    pairs = docs.select(F.explode(_bigram_pairs(F.col(text_col))).alias("bg")).select(
+        F.col("bg.prev").alias("prev"), F.col("bg.cur").alias("cur")
+    )
+    bigrams = pairs.groupBy("prev", "cur").agg(F.count("*").alias("n_pair"))
+    contexts = bigrams.groupBy("prev").agg(F.sum("n_pair").alias("n_ctx"))
+    vocab_size = bigrams.select("cur").distinct().count()
+    return LMModel(bigrams, contexts, vocab_size, add_k)
+
+
+def lm_perplexity(
+    docs: DataFrame,
+    model: LMModel,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_model: bool = True,
+) -> DataFrame:
+    """Score every document: (id, n_tokens, logprob, perplexity).
+
+    ``logprob`` is Σ log P(cur|prev) over the doc's BOS-prefixed token
+    stream; ``perplexity`` = exp(−logprob/n_tokens), NULL for empty
+    docs. Lower perplexity = more like the training corpus; gate with
+    ``perplexity <= cutoff`` (CCNet keeps the head/middle of the
+    distribution)."""
+    bg_tbl = F.broadcast(model.bigrams) if broadcast_model else model.bigrams
+    ctx_tbl = F.broadcast(model.contexts) if broadcast_model else model.contexts
+    denom_k = F.lit(model.add_k) * F.lit(float(model.vocab_size + 1))
+
+    bg = docs.select(
+        F.col(id_col), F.explode(_bigram_pairs(F.col(text_col))).alias("bg")
+    ).select(id_col, F.col("bg.prev").alias("prev"), F.col("bg.cur").alias("cur"))
+    scored = (
+        bg.join(bg_tbl, ["prev", "cur"], "left")
+        .join(ctx_tbl, ["prev"], "left")
+        .select(
+            F.col(id_col),
+            F.log(
+                (F.coalesce(F.col("n_pair"), F.lit(0)) + F.lit(model.add_k))
+                / (F.coalesce(F.col("n_ctx"), F.lit(0)) + denom_k)
+            ).alias("logp"),
+        )
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_tokens"), F.sum("logp").alias("logprob"))
+    )
+    return (
+        docs.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_tokens"), F.lit(0)).alias("n_tokens"),
+            F.coalesce(F.col("logprob"), F.lit(0.0)).alias("logprob"),
+            F.when(
+                F.col("n_tokens").isNotNull(),
+                F.exp(-F.col("logprob") / F.col("n_tokens")),
+            ).alias("perplexity"),
+        )
+    )

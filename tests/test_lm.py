@@ -1,0 +1,120 @@
+"""Tests for the bigram-LM perplexity scorer (operators/lm.py).
+
+The model is closed-form, so the strongest test is an exact pure-Python
+replay of the same add-k formula — any drift in tokenization, smoothing,
+OOV handling, or the BOS convention shows up at 1e-9.
+"""
+
+import math
+import re
+from collections import Counter
+
+import pytest
+
+from graphforge_spark.operators import lm
+
+TRAIN = [
+    (0, "the cat sat on the mat"),
+    (1, "the dog sat on the rug"),
+    (2, "a cat and a dog sat together"),
+]
+SCORE = [
+    (10, "the cat sat on the rug"),        # fluent, in-domain
+    (11, "rug mat zzz qqq xxy"),           # OOV junk
+    (12, ""),                              # empty
+    (13, "the the the the the the"),       # degenerate repeat
+]
+
+
+def _toks(text):
+    return [t for t in re.split(r"[^\w]+", text.lower()) if t]
+
+
+def _python_replay(train_rows, score_rows, add_k):
+    pairs = Counter()
+    for _, text in train_rows:
+        ts = _toks(text)
+        for prev, cur in zip([lm.BOS] + ts, ts):
+            pairs[(prev, cur)] += 1
+    ctx = Counter()
+    for (prev, _), n in pairs.items():
+        ctx[prev] += n
+    vocab = {cur for _, cur in pairs}
+    V = len(vocab)
+    out = {}
+    for doc_id, text in score_rows:
+        ts = _toks(text)
+        if not ts:
+            out[doc_id] = (0, 0.0, None)
+            continue
+        lp = 0.0
+        for prev, cur in zip([lm.BOS] + ts, ts):
+            lp += math.log(
+                (pairs.get((prev, cur), 0) + add_k) / (ctx.get(prev, 0) + add_k * (V + 1))
+            )
+        out[doc_id] = (len(ts), lp, math.exp(-lp / len(ts)))
+    return out, V
+
+
+@pytest.fixture(scope="module")
+def model(spark):
+    train = spark.createDataFrame(TRAIN, "doc_id long, text string")
+    return lm.lm_train(train, add_k=0.1)
+
+
+def test_perplexity_matches_python_replay(spark, model):
+    score = spark.createDataFrame(SCORE, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_tokens, r.logprob, r.perplexity)
+        for r in lm.lm_perplexity(score, model).collect()
+    }
+    want, V = _python_replay(TRAIN, SCORE, add_k=0.1)
+    assert model.vocab_size == V
+    assert set(got) == set(want)
+    for doc_id, (n, lp, ppl) in want.items():
+        gn, glp, gppl = got[doc_id]
+        assert gn == n
+        assert abs(glp - lp) < 1e-9
+        if ppl is None:
+            assert gppl is None
+        else:
+            assert abs(gppl - ppl) < 1e-9 * max(1.0, ppl)
+
+
+def test_in_domain_scores_lower_than_junk(spark, model):
+    score = spark.createDataFrame(SCORE, "doc_id long, text string")
+    ppl = {r.doc_id: r.perplexity for r in lm.lm_perplexity(score, model).collect()}
+    assert ppl[10] < ppl[11]  # fluent in-domain beats OOV junk
+    assert ppl[12] is None    # empty doc: no evidence
+
+
+def test_deterministic_and_repartition_stable(spark, model):
+    score = spark.createDataFrame(SCORE, "doc_id long, text string")
+    a = sorted(
+        (r.doc_id, r.n_tokens, round(r.logprob, 9))
+        for r in lm.lm_perplexity(score, model).collect()
+    )
+    b = sorted(
+        (r.doc_id, r.n_tokens, round(r.logprob, 9))
+        for r in lm.lm_perplexity(score.repartition(7), model).collect()
+    )
+    assert a == b
+
+
+def test_shuffle_join_path_matches_broadcast(spark, model):
+    score = spark.createDataFrame(SCORE, "doc_id long, text string")
+    a = sorted(
+        (r.doc_id, round(r.logprob, 9))
+        for r in lm.lm_perplexity(score, model, broadcast_model=True).collect()
+    )
+    b = sorted(
+        (r.doc_id, round(r.logprob, 9))
+        for r in lm.lm_perplexity(score, model, broadcast_model=False).collect()
+    )
+    assert a == b
+
+
+def test_add_k_validation(spark):
+    train = spark.createDataFrame(TRAIN, "doc_id long, text string")
+    with pytest.raises(ValueError):
+        lm.lm_train(train, add_k=0.0)
