@@ -1,6 +1,7 @@
 """One-call corpus curation pipeline — the standard training-data pass
 composed from the docops operators, in the order the published pipelines
 run it (CCNet/RefinedWeb/Gopher-style): language gate → quality gates →
+optional LM-perplexity gate (CCNet's model-based keep, `operators/lm`) →
 PII redaction → boilerplate line scrub → cross-document substring dedup
 → exact + near-dup keep-list.
 
@@ -39,7 +40,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from graphforge_spark.operators import docops
+from graphforge_spark.operators import docops, lm
 
 
 def curate(
@@ -55,6 +56,8 @@ def curate(
     redact: bool = True,
     substring_k: int = 8,
     jaccard_threshold: float = 0.6,
+    lm_model: "lm.LMModel | None" = None,
+    max_perplexity: float | None = None,
     collect_metrics: bool = True,
 ) -> tuple[DataFrame, dict]:
     """Run the standard curation pass. Returns (kept_docs, metrics).
@@ -103,6 +106,21 @@ def curate(
     )
     gated = _mark("quality_gates", gated)
 
+    # ---- optional LM perplexity gate (CCNet's head/middle keep) ---------
+    # Runs right after the language gate, like CCNet: the LM is trained
+    # on one language's trusted corpus, so it must only score docs that
+    # passed langid. Requires BOTH a trained model and a cutoff.
+    if (lm_model is None) != (max_perplexity is None):
+        raise ValueError("lm_model and max_perplexity must be passed together")
+    if lm_model is not None:
+        ppl = lm.lm_perplexity(gated, lm_model, id_col=id_col, text_col="text")
+        gated = gated.join(
+            ppl.filter(F.col("perplexity") <= max_perplexity).select(id_col),
+            id_col,
+            "left_semi",
+        )
+        gated = _mark("lm_perplexity", gated)
+
     # ---- PII redaction (before any hashing sees the text) --------------
     if redact:
         red = docops.redact_pii(gated, id_col=id_col, text_col="text")
@@ -113,6 +131,14 @@ def curate(
     scrubbed = docops.dedup_lines(gated, id_col=id_col, text_col="text").select(
         id_col, "text"
     )
+    # Persist this boundary: everything downstream (the keep-list's
+    # iterative CC rounds, the keep-semi-join, the substring pass) would
+    # otherwise re-derive the full gate+scrub chain once PER CONSUMER —
+    # the composition analog of materializing between passes, which is
+    # what a 100 TB run does with checkpoint tables (`pipeline.forge`).
+    # persist() is lazy, so the collect_metrics=False one-job contract
+    # holds.
+    scrubbed = scrubbed.persist()
     scrubbed = _mark("line_scrub", scrubbed)
 
     # ---- near-dup keep-list on the cleaned text -------------------------

@@ -96,3 +96,44 @@ def test_curate_language_gate(spark):
     # langs=None disables the gate
     kept_all, _ = curate(docs, min_words=8, langs=None, collect_metrics=False)
     assert {r.doc_id for r in kept_all.collect()} == {0, 1}
+
+
+def test_curate_lm_perplexity_gate(spark, docs):
+    from graphforge_spark.operators import lm
+
+    # Train on in-domain prose; the OOV junk doc must be gated out while
+    # the in-domain docs survive with the same downstream behavior.
+    train = spark.createDataFrame(
+        [(100, GOOD), (101, DOCS[4][1]), (102, DOCS[5][1]), (103, DOCS[6][1])],
+        "doc_id long, text string",
+    )
+    model = lm.lm_train(train, add_k=0.1)
+    # stopword-laden (passes the langid/quality gates) but built from
+    # bigrams the model has never seen → high perplexity
+    junk = spark.createDataFrame(
+        [(7, "the zzxq of vbnk and wqop to jklm in qwer the asdf of zxcv "
+             "and tyui to ghjk in bnml the poiu of lkjh and mnbv to rewq")],
+        "doc_id long, text string",
+    )
+    with_junk = docs.union(junk)
+
+    base_kept, _ = curate(with_junk, collect_metrics=False)
+    base_ids = {r.doc_id for r in base_kept.select("doc_id").collect()}
+    assert 7 in base_ids  # without the LM gate the junk doc passes
+
+    ppl = {
+        r.doc_id: r.perplexity
+        for r in lm.lm_perplexity(with_junk, model).collect()
+    }
+    cutoff = (ppl[0] + ppl[7]) / 2  # between in-domain and junk
+    kept, _ = curate(
+        with_junk, lm_model=model, max_perplexity=cutoff, collect_metrics=False
+    )
+    ids = {r.doc_id for r in kept.select("doc_id").collect()}
+    assert 7 not in ids
+    assert ids == base_ids - {7}  # the LM gate dropped exactly the junk doc
+
+
+def test_curate_lm_args_must_pair(docs):
+    with pytest.raises(ValueError, match="together"):
+        curate(docs, max_perplexity=1000.0)
