@@ -53,6 +53,11 @@ def connected_components(
         .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
         .distinct()
     )
+    # Materialize the edge list ONCE: every iteration joins against sym,
+    # and without this the edges' full upstream derivation (at curation
+    # scale: shingling → LSH banding → Jaccard verification) re-executes
+    # per round — O(rounds × upstream) instead of O(upstream + rounds).
+    sym = _ckpt(sym)
     # label(v) := min(v, min neighbor) to start
     labels = (
         sym.groupBy("a")
