@@ -1,0 +1,159 @@
+"""SHACL-lite validator: curated violation cases plus a randomized
+differential against a pure-Python replay of the same constraint
+semantics."""
+
+import random
+import re
+
+import pytest
+
+from graphforge_spark.operators.validate import Shape, conforms, validate
+
+EX = "http://ex.org/"
+PERSON, ORG = EX + "Person", EX + "Org"
+WORKS_AT, NAME, AGE = EX + "worksAt", EX + "name", EX + "age"
+TYPE = "rdf:type"
+
+
+def _t(s, p, o, lit=False, g=None):
+    return (s, p, o, lit, g)
+
+
+TRIPLES = [
+    # alice: conformant (one org-typed worksAt, one name matching pattern)
+    _t(EX + "alice", TYPE, PERSON),
+    _t(EX + "alice", WORKS_AT, EX + "acme"),
+    _t(EX + "alice", NAME, "Alice", lit=True),
+    _t(EX + "acme", TYPE, ORG),
+    # bob: no worksAt (minCount), name lowercase (pattern)
+    _t(EX + "bob", TYPE, PERSON),
+    _t(EX + "bob", NAME, "bob", lit=True),
+    # carol: TWO worksAt (maxCount), one pointing at an untyped node (class),
+    # one worksAt value is a literal (nodeKind)
+    _t(EX + "carol", TYPE, PERSON),
+    _t(EX + "carol", WORKS_AT, EX + "untyped_co"),
+    _t(EX + "carol", WORKS_AT, "Globex Inc", lit=True),
+    _t(EX + "carol", NAME, "Carol", lit=True),
+    # duplicate type assertion must NOT double counts
+    _t(EX + "carol", "http://www.w3.org/1999/02/22-rdf-syntax-ns#type", PERSON),
+]
+
+SHAPES = [
+    Shape("employment", PERSON, WORKS_AT, min_count=1, max_count=1,
+          node_kind="iri", class_constraint=ORG),
+    Shape("naming", PERSON, NAME, min_count=1, pattern=r"^[A-Z]"),
+]
+
+
+@pytest.fixture(scope="module")
+def triples(spark):
+    return spark.createDataFrame(
+        TRIPLES, "subj string, pred string, obj string, obj_is_literal boolean, graph string"
+    )
+
+
+def test_curated_violations(spark, triples):
+    got = {
+        (r.shape, r.focus, r.constraint, r.value)
+        for r in validate(triples, SHAPES).collect()
+    }
+    assert got == {
+        ("employment", EX + "bob", "minCount", None),
+        ("employment", EX + "carol", "maxCount", None),
+        ("employment", EX + "carol", "nodeKind", "Globex Inc"),
+        ("employment", EX + "carol", "class", EX + "untyped_co"),
+        # a literal can never be an instance of Org → sh:class flags it too
+        ("employment", EX + "carol", "class", "Globex Inc"),
+        ("naming", EX + "bob", "pattern", "bob"),
+    }
+    assert not conforms(triples, SHAPES)
+
+
+def test_conformant_store(spark):
+    ok = spark.createDataFrame(
+        [_t(EX + "a", TYPE, PERSON), _t(EX + "a", WORKS_AT, EX + "acme"),
+         _t(EX + "a", NAME, "Ann", lit=True), _t(EX + "acme", TYPE, ORG)],
+        "subj string, pred string, obj string, obj_is_literal boolean, graph string",
+    )
+    assert conforms(ok, SHAPES)
+    assert validate(ok, SHAPES).count() == 0
+
+
+def test_shape_validation_errors():
+    with pytest.raises(ValueError, match="min_count"):
+        Shape("s", PERSON, NAME, min_count=-1)
+    with pytest.raises(ValueError, match="max_count"):
+        Shape("s", PERSON, NAME, min_count=2, max_count=1)
+    with pytest.raises(ValueError, match="node_kind"):
+        Shape("s", PERSON, NAME, node_kind="uri")
+    with pytest.raises(ValueError, match="duplicate"):
+        from graphforge_spark.operators.validate import _shapes_df
+        _shapes_df(None, [Shape("s", PERSON, NAME), Shape("s", ORG, NAME)])
+    with pytest.raises(ValueError, match="at least one"):
+        from graphforge_spark.operators.validate import _shapes_df
+        _shapes_df(None, [])
+
+
+def _python_validate(triples, shapes):
+    """Independent replay of the constraint semantics."""
+    types = {(s, o) for s, p, o, lit, g in triples if p in (TYPE, "http://www.w3.org/1999/02/22-rdf-syntax-ns#type")}
+    out = set()
+    for sh in shapes:
+        focus = {s for s, c in types if c == sh.target_class}
+        for f in focus:
+            vals = [(o, lit) for s, p, o, lit, g in triples if s == f and p == sh.path]
+            n = len(vals)
+            if n < sh.min_count:
+                out.add((sh.name, f, "minCount", None))
+            if sh.max_count is not None and n > sh.max_count:
+                out.add((sh.name, f, "maxCount", None))
+            for o, lit in vals:
+                kind = "literal" if lit else ("blank" if o.startswith("_:") else "iri")
+                if sh.node_kind and kind != sh.node_kind:
+                    out.add((sh.name, f, "nodeKind", o))
+                if sh.class_constraint and (o, sh.class_constraint) not in types:
+                    out.add((sh.name, f, "class", o))
+                if sh.pattern and lit and not re.search(sh.pattern, o):
+                    out.add((sh.name, f, "pattern", o))
+    return out
+
+
+def test_differential_fuzzer(spark):
+    rng = random.Random(7)
+    classes = [EX + c for c in ("A", "B", "C")]
+    preds = [EX + p for p in ("p1", "p2")]
+    nodes = [EX + f"n{i}" for i in range(12)] + [f"_:b{i}" for i in range(3)]
+    for trial in range(5):
+        triples = []
+        for n in nodes:
+            if rng.random() < 0.8:
+                triples.append(_t(n, TYPE, rng.choice(classes)))
+            for p in preds:
+                for _ in range(rng.randrange(0, 3)):
+                    if rng.random() < 0.5:
+                        triples.append(_t(n, p, rng.choice(nodes)))
+                    else:
+                        triples.append(_t(n, p, rng.choice(["Val", "xx", "Zed"]), lit=True))
+        # dedup: the store has set semantics
+        triples = list(dict.fromkeys(triples))
+        shapes = []
+        for i in range(3):
+            mn = rng.randrange(0, 2)
+            mx = rng.choice([None, mn, mn + 1])
+            shapes.append(
+                Shape(f"s{i}", rng.choice(classes), rng.choice(preds),
+                      min_count=mn, max_count=mx,
+                      node_kind=rng.choice([None, "iri", "literal"]),
+                      class_constraint=rng.choice([None, rng.choice(classes)]),
+                      pattern=rng.choice([None, r"^[A-Z]"]))
+            )
+        df = spark.createDataFrame(
+            triples,
+            "subj string, pred string, obj string, obj_is_literal boolean, graph string",
+        )
+        got = {
+            (r.shape, r.focus, r.constraint, r.value)
+            for r in validate(df, shapes).collect()
+        }
+        want = _python_validate(triples, shapes)
+        assert got == want, f"trial {trial}: {got ^ want}"
