@@ -945,3 +945,70 @@ def pack_sequences(
         (slice_start - F.col("_cum_before")).cast("long").alias("doc_offset"),
         (slice_end - slice_start).cast("long").alias("slice_len"),
     )
+
+
+def tfidf_vectors(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = 256,
+    n_docs: int | None = None,
+) -> DataFrame:
+    """Hashing-trick TF-IDF document vectors: (id, embedding array<float>,
+    L2-normalized) — the in-engine producer for the embedding operators
+    (`similarity.cosine_topk` / LSH / IVF / SQ all consume this shape).
+
+    Classic feature hashing (Weinberger et al. 2009): each token maps to
+    ``xxhash64(token) mod dim``; colliding tokens SUM their tf·idf mass,
+    so no vocabulary table ships to executors — the only model-sized
+    state is the per-token document-frequency table, joined in (AQE
+    broadcasts it while it fits; at web-scale vocabularies it degrades
+    to a plain shuffle join, never a driver collect).
+
+    idf = ln((N+1)/(df+1)) + 1 (smoothed, strictly positive); N is the
+    corpus size (pass ``n_docs`` to keep the operator fully lazy,
+    otherwise one count() runs). Empty documents produce the zero vector
+    (norm guard: never NaN).
+
+    Scale shape: explode → two combinable aggregations (tf, df) → one
+    vocabulary join → one (doc, bucket) agg → one per-doc map assembly.
+    The dense fill + normalization is `transform`/`aggregate` column
+    algebra inside codegen; no Python anywhere.
+    """
+    if dim <= 0:
+        raise ValueError(f"dim must be positive, got {dim}")
+    if n_docs is None:
+        n_docs = docs.count()
+
+    toks = docs.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
+    tf = toks.groupBy(id_col, "tok").agg(F.count("*").alias("_tf"))
+    df_tbl = tf.groupBy("tok").agg(F.count("*").alias("_df"))
+    idf = F.log((F.lit(float(n_docs + 1))) / (F.col("_df") + 1.0)) + 1.0
+
+    weights = (
+        tf.join(df_tbl, "tok")
+        .select(
+            F.col(id_col),
+            F.pmod(F.xxhash64("tok"), F.lit(dim)).cast("int").alias("_b"),
+            (F.col("_tf") * idf).alias("_w"),
+        )
+        .groupBy(id_col, "_b")
+        .agg(F.sum("_w").alias("_w"))
+    )
+    maps = weights.groupBy(id_col).agg(
+        F.map_from_entries(F.collect_list(F.struct("_b", "_w"))).alias("_m")
+    )
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.coalesce(F.col("_m")[i], F.lit(0.0)),
+    )
+    out = docs.select(F.col(id_col)).join(maps, id_col, "left").select(
+        F.col(id_col), dense.alias("_d")
+    )
+    norm = F.sqrt(F.aggregate("_d", F.lit(0.0), lambda a, x: a + x * x))
+    return out.select(
+        F.col(id_col),
+        F.when(norm > 0, F.transform(F.col("_d"), lambda x: (x / norm).cast("float")))
+        .otherwise(F.transform(F.col("_d"), lambda x: F.lit(0.0).cast("float")))
+        .alias("embedding"),
+    )
