@@ -68,7 +68,12 @@ def curate(
 
     Every stage is deterministic and repartition-stable, so the whole
     pass is: running it twice on the same input yields the same keep
-    set and the same cleaned text."""
+    set and the same cleaned text.
+
+    Cache lifetime: the line-scrub boundary stays persisted so the
+    returned lazy frame can be acted on repeatedly; a long-lived driver
+    curating many corpora should ``spark.catalog.clearCache()`` between
+    runs (or act once and write out — the production pattern)."""
     metrics: dict = {}
 
     def _mark(stage: str, frame: DataFrame) -> DataFrame:

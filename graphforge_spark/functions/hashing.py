@@ -124,3 +124,12 @@ def simhash64(token_array: Column) -> Column:
 def hamming64(a: Column, b: Column) -> Column:
     """Hamming distance between two 64-bit fingerprints (bit_count of xor)."""
     return F.bit_count(a.bitwiseXOR(b))
+
+
+def exact_text_key(text: Column) -> Column:
+    """THE exact-duplicate key: md5 of lowercased+trimmed text. One
+    definition shared by batch dedup (docops.exact_dedup_groups,
+    docops.neardup_keep_list) and streaming dedup (streaming/dedup) so
+    the two paths can never silently disagree on what 'exact duplicate'
+    means."""
+    return F.md5(F.lower(F.trim(text)))

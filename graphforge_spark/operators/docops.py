@@ -42,6 +42,7 @@ from pyspark.sql import functions as F
 
 from graphforge_spark.corpus import spread_small_scan
 from graphforge_spark.functions.hashing import (
+    exact_text_key,
     band_key,
     hamming64,
     md5_minhash_cols,
@@ -327,7 +328,7 @@ def exact_dedup_groups(docs: DataFrame, id_col: str = "doc_id", text_col: str = 
     """Exact-duplicate groups: md5 of normalized text → (text_hash, n_docs,
     min_doc_id). Normalization = lower + trim (whitespace-insensitive
     variants are a caller concern). One shuffle with map-side combine."""
-    h = F.md5(F.lower(F.trim(F.col(text_col))))
+    h = exact_text_key(F.col(text_col))
     return (
         docs.select(F.col(id_col), h.alias("text_hash"))
         .groupBy("text_hash")
@@ -788,7 +789,7 @@ def neardup_keep_list(
     from graphforge_spark.operators.canonicalize import canonical_mapping
 
     hashed = docs.select(
-        F.col(id_col).alias("_id"), F.md5(F.lower(F.trim(F.col(text_col)))).alias("_h")
+        F.col(id_col).alias("_id"), exact_text_key(F.col(text_col)).alias("_h")
     )
     exact_rep = hashed.groupBy("_h").agg(F.min("_id").alias("_rep"))
     exact_edges = (

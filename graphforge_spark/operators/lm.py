@@ -89,8 +89,13 @@ def lm_train(docs: DataFrame, text_col: str = "text", add_k: float = 0.1) -> LMM
     pairs = docs.select(F.explode(_bigram_pairs(F.col(text_col))).alias("bg")).select(
         F.col("bg.prev").alias("prev"), F.col("bg.cur").alias("cur")
     )
-    bigrams = pairs.groupBy("prev", "cur").agg(F.count("*").alias("n_pair"))
-    contexts = bigrams.groupBy("prev").agg(F.sum("n_pair").alias("n_ctx"))
+    # persist the model tables: they are vocabulary-sized, and every
+    # downstream action on a lm_perplexity frame would otherwise re-run
+    # the full training-corpus aggregation (twice — bigrams AND
+    # contexts). The vocab count below fills the bigram cache, so the
+    # persist is effectively free.
+    bigrams = pairs.groupBy("prev", "cur").agg(F.count("*").alias("n_pair")).persist()
+    contexts = bigrams.groupBy("prev").agg(F.sum("n_pair").alias("n_ctx")).persist()
     vocab_size = bigrams.select("cur").distinct().count()
     return LMModel(bigrams, contexts, vocab_size, add_k)
 

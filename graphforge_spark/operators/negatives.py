@@ -33,18 +33,48 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def entity_pool(triples: DataFrame) -> DataFrame:
+def entity_pool(triples: DataFrame, buckets: int | None = None) -> DataFrame:
     """(entity, pool_id) with dense 0..n-1 ids: distinct subjects union
     distinct IRI objects (literals are not entities — the reference's
-    own typing rule, graphProcessor.js:222). Deterministic: ids follow
-    the entity sort order."""
+    own typing rule, graphProcessor.js:222).
+
+    Dense ids are assigned with the two-phase bucketed scheme, NOT a
+    global-orderBy row_number (which funnels the whole pool through ONE
+    task — a straggler/OOM at billion-entity pools): entities hash into
+    ``buckets`` ranges, per-bucket counts (a buckets-sized driver list)
+    become cumulative offsets, and ids are bucket-local row_numbers plus
+    the bucket offset. Deterministic: ids follow (bucket, entity) order,
+    a fixed function of the data."""
+    spark = triples.sparkSession
+    if buckets is None:
+        buckets = max(64, 4 * spark.sparkContext.defaultParallelism)
     ents = (
         triples.select(F.col("subj").alias("entity"))
         .union(triples.filter(~F.col("obj_is_literal")).select(F.col("obj").alias("entity")))
         .distinct()
+        .select("entity", F.pmod(F.xxhash64("entity"), F.lit(buckets)).alias("_bkt"))
     )
-    w = Window.orderBy("entity")
-    return ents.select("entity", (F.row_number().over(w) - 1).alias("pool_id"))
+    counts = {
+        r._bkt: r.n
+        for r in ents.groupBy("_bkt").agg(F.count("*").alias("n")).collect()
+    }
+    offsets, acc = {}, 0
+    for b in range(buckets):
+        offsets[b] = acc
+        acc += counts.get(b, 0)
+    off_df = F.broadcast(
+        spark.createDataFrame(
+            [(b, offsets[b]) for b in range(buckets)], "_bkt bigint, _off long"
+        )
+    )
+    w = Window.partitionBy("_bkt").orderBy("entity")
+    return (
+        ents.join(off_df, "_bkt")
+        .select(
+            "entity",
+            (F.row_number().over(w) - 1 + F.col("_off")).alias("pool_id"),
+        )
+    )
 
 
 def negative_samples(

@@ -108,7 +108,24 @@ def validate(triples: DataFrame, shapes: list[Shape]) -> DataFrame:
     """Validate the triple store against the shapes. Returns violation
     rows (shape, focus, constraint, value, expected, actual) — empty
     means conformant. ``value`` is NULL for cardinality violations
-    (they are about the focus node, not any one value)."""
+    (they are about the focus node, not any one value).
+
+    Cache lifetime: the shared value-expansion frame stays persisted so
+    the returned (lazy) violations frame can be acted on repeatedly;
+    call ``.unpersist()`` on nothing — use `validate_with_handle` when
+    a long-lived driver needs to release it, or `conforms` which
+    releases it automatically."""
+    violations, _ = validate_with_handle(triples, shapes)
+    return violations
+
+
+def validate_with_handle(
+    triples: DataFrame, shapes: list[Shape]
+) -> tuple[DataFrame, DataFrame]:
+    """(violations, cached_expansion) — unpersist the second element
+    after consuming the first to release executor storage in long-lived
+    drivers (validate()/conforms() per corpus shard would otherwise
+    accumulate CacheManager entries)."""
     spark = triples.sparkSession
     sh = F.broadcast(_shapes_df(spark, shapes))
 
@@ -133,6 +150,11 @@ def validate(triples: DataFrame, shapes: list[Shape]) -> DataFrame:
         ),
         (F.col("focus") == F.col("_vs")) & (F.col("path") == F.col("_vp")),
         "left",
+    ).dropDuplicates(
+        # RDF graphs are sets: a duplicate triple in pre-dedup input must
+        # count ONCE toward cardinality (and violate nodeKind/class/
+        # pattern once), mirroring the distinct on the types slice above
+        ["shape", "focus", "obj", "obj_is_literal"]
     ).persist()  # five violation branches share ONE value expansion —
     # without this each branch re-runs the focus⋈store join (audited:
     # 22 parquet scans → 14, branches read InMemoryTableScan; persist
@@ -192,12 +214,18 @@ def validate(triples: DataFrame, shapes: list[Shape]) -> DataFrame:
         F.col("pattern").alias("expected"), F.col("obj").alias("actual"),
     )
 
-    return too_few.unionByName(too_many).unionByName(bad_kind).unionByName(
+    violations = too_few.unionByName(too_many).unionByName(bad_kind).unionByName(
         bad_class
     ).unionByName(bad_pattern)
+    return violations, vals
 
 
 def conforms(triples: DataFrame, shapes: list[Shape]) -> bool:
     """SHACL's conforms flag: True when no shape is violated. One
-    short-circuit job (limit 1), not a full violation materialize."""
-    return validate(triples, shapes).limit(1).count() == 0
+    short-circuit job (limit 1), not a full violation materialize; the
+    shared expansion cache is released before returning."""
+    violations, vals = validate_with_handle(triples, shapes)
+    try:
+        return violations.limit(1).count() == 0
+    finally:
+        vals.unpersist()

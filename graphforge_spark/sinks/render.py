@@ -92,8 +92,14 @@ def render_bar_chart(
     top_pad, bottom_pad, left_pad, right_pad = 40, 60, 50, 10
     plot_w = width - left_pad - right_pad
     plot_h = height - top_pad - bottom_pad
-    y_max = max((r.y for r in rows), default=0.0)
-    y_scale = (plot_h / y_max) if y_max > 0 else 0.0
+    # zero-baseline diverging scale: prepare_plot_data admits negative y
+    # (parseFloat semantics), and SVG rejects negative rect heights — so
+    # bars grow up from the baseline for y>0 and down for y<0.
+    y_max = max(0.0, max(r.y for r in rows))
+    y_min = min(0.0, min(r.y for r in rows))
+    y_span = y_max - y_min
+    y_scale = (plot_h / y_span) if y_span > 0 else 0.0
+    baseline_y = top_pad + y_max * y_scale if y_span > 0 else top_pad + plot_h
     slot = plot_w / len(rows)
     bar_w = max(1.0, slot * 0.8)
 
@@ -115,9 +121,9 @@ def render_bar_chart(
         f'font-size="11" text-anchor="middle">{html.escape(str(x_label))}</text>',
     ]
     for i, r in enumerate(rows):
-        bar_h = r.y * y_scale
+        bar_h = abs(r.y) * y_scale
         bx = left_pad + i * slot + (slot - bar_w) / 2
-        by = top_pad + plot_h - bar_h
+        by = baseline_y - bar_h if r.y >= 0 else baseline_y
         parts.append(
             f'<rect x="{bx:.2f}" y="{by:.2f}" width="{bar_w:.2f}" '
             f'height="{bar_h:.2f}" fill="#4472c4">'

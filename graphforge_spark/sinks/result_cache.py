@@ -50,13 +50,24 @@ STRATEGIES = ("stale-while-revalidate", "network-first")
 
 
 def _key_dir(cache_dir: str, key: str) -> str:
-    digest = hashlib.md5(key.encode("utf-8")).hexdigest()[:16]
+    digest = hashlib.sha256(key.encode("utf-8")).hexdigest()
     return os.path.join(cache_dir, CACHE_VERSION, digest)
 
 
-def _current_version(key_dir: str) -> str | None:
+def _current_version(key_dir: str, key: str) -> str | None:
+    """Current version dir for `key`, or None. The persisted _KEY file
+    is verified against the requested key: a hash-slot collision (or a
+    corrupted slot) must read as a MISS, never as another query's
+    result."""
     ptr = os.path.join(key_dir, "_CURRENT")
+    key_file = os.path.join(key_dir, "_KEY")
     if not os.path.exists(ptr):
+        return None
+    try:
+        with open(key_file, encoding="utf-8") as fh:
+            if fh.read() != key:
+                return None
+    except OSError:
         return None
     with open(ptr, encoding="utf-8") as fh:
         name = fh.read().strip()
@@ -102,7 +113,7 @@ class ResultCache:
         if strategy not in STRATEGIES:
             raise ValueError(f"unknown strategy {strategy!r}; expected {STRATEGIES}")
         key_dir = _key_dir(self.cache_dir, key)
-        cached = _current_version(key_dir)
+        cached = _current_version(key_dir, key)
 
         if strategy == "network-first":
             try:
@@ -118,7 +129,14 @@ class ResultCache:
             fresh_dir = _write_version(build(), key_dir, key)
             return spark.read.parquet(fresh_dir)
         stale = spark.read.parquet(cached)
-        _write_version(build(), key_dir, key)  # revalidate for the NEXT fetch
+        # revalidate for the NEXT fetch; a failed refresh must not break
+        # this fetch — the cached copy is valid, exactly the service
+        # worker's contract (the network fetch failing after the cached
+        # response was returned is a no-op, service-worker.js:42-50)
+        try:
+            _write_version(build(), key_dir, key)
+        except Exception:
+            pass
         return stale
 
     def prune(self) -> int:
@@ -139,8 +157,13 @@ class ResultCache:
                 key_dir = os.path.join(gen_dir, key_hash)
                 if not os.path.isdir(key_dir):
                     continue
-                current = _current_version(key_dir)
-                cur_name = os.path.basename(current) if current else None
+                # pruning keeps whatever the pointer names (no key check
+                # needed — nothing is served here)
+                ptr = os.path.join(key_dir, "_CURRENT")
+                cur_name = None
+                if os.path.exists(ptr):
+                    with open(ptr, encoding="utf-8") as fh:
+                        cur_name = fh.read().strip()
                 for d in os.listdir(key_dir):
                     if d.startswith("v-") and d != cur_name:
                         shutil.rmtree(os.path.join(key_dir, d))

@@ -36,14 +36,15 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from graphforge_spark.functions.hashing import exact_text_key
 from graphforge_spark.schemas import TRANSCRIPT_SCHEMA
 
 
 def _text_key(text_col: str):
-    """Normalized exact-dedup key: same normalization as
-    docops.exact_dedup_groups (md5 of lowercased trimmed text), so
-    streaming and batch dedup agree on what 'exact duplicate' means."""
-    return F.md5(F.lower(F.trim(F.col(text_col))))
+    """Normalized exact-dedup key — the ONE shared definition
+    (functions/hashing.exact_text_key), so streaming and batch dedup
+    can never silently disagree on what 'exact duplicate' means."""
+    return exact_text_key(F.col(text_col))
 
 
 def dedup_within_watermark(
@@ -103,15 +104,25 @@ def incremental_dedup(
         )
         # across batches: drop keys already landed by PRIOR batches.
         # Excluding this batch's own partition makes replay idempotent.
+        # ONLY a missing output dir means "first batch" — any other read
+        # failure (transient FS error, corrupt footer, permissions) must
+        # fail the batch so the streaming checkpoint retries it, instead
+        # of silently skipping the history check and landing duplicates
+        # forever.
+        from pyspark.errors import AnalysisException
+
         try:
-            seen = (
-                spark.read.parquet(output_dir)
-                .filter(F.col("batch") != batch_id)
-                .select("_h")
-            )
-            fresh = first.join(seen, "_h", "left_anti")
-        except Exception:  # first batch: no output yet
+            ledger = spark.read.parquet(output_dir)
+        except AnalysisException as e:
+            if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+                ledger = None
+            else:
+                raise
+        if ledger is None:
             fresh = first
+        else:
+            seen = ledger.filter(F.col("batch") != batch_id).select("_h")
+            fresh = first.join(seen, "_h", "left_anti")
         fresh.write.mode("overwrite").parquet(
             os.path.join(output_dir, f"batch={batch_id}")
         )

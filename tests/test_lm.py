@@ -17,12 +17,16 @@ TRAIN = [
     (0, "the cat sat on the mat"),
     (1, "the dog sat on the rug"),
     (2, "a cat and a dog sat together"),
+    # the literal word 'bos' must NOT collide with the BOS sentinel:
+    # P(cur | document-start) and P(cur | after-'bos') are distinct rows
+    (3, "bos taurus grazed while the cat sat"),
 ]
 SCORE = [
     (10, "the cat sat on the rug"),        # fluent, in-domain
     (11, "rug mat zzz qqq xxy"),           # OOV junk
     (12, ""),                              # empty
     (13, "the the the the the the"),       # degenerate repeat
+    (14, "bos grazed"),                    # starts with the word 'bos'
 ]
 
 
@@ -118,3 +122,8 @@ def test_add_k_validation(spark):
     train = spark.createDataFrame(TRAIN, "doc_id long, text string")
     with pytest.raises(ValueError):
         lm.lm_train(train, add_k=0.0)
+
+
+def test_bos_sentinel_outside_token_alphabet():
+    # the sentinel must be unreachable by tokenization of any text
+    assert _toks(lm.BOS) != [lm.BOS]

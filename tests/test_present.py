@@ -192,3 +192,47 @@ def test_cache_prune_keeps_current_version_readable(spark, tmp_path):
     assert removed >= 1
     after = cache.fetch(spark, "q", lambda: _docs(spark, "v3"))
     assert {r.tag for r in after.collect()} == {"v2"}
+
+
+def test_bar_chart_negative_values_valid_svg(spark):
+    df = spark.createDataFrame(
+        [("gain", 5), ("loss", -3), ("flat", 0)], "k string, v int"
+    )
+    svg = render_bar_chart(df.orderBy("k"))
+    assert svg is not None
+    assert 'height="-' not in svg  # SVG forbids negative rect heights
+    heights = [float(h) for h in re.findall(r'height="([\d.]+)" fill', svg)]
+    assert len(heights) == 3
+    # |y| proportions hold on the shared zero-baseline scale
+    assert abs(max(heights) * 3 / 5 - sorted(heights)[1]) < 0.1
+    all_neg = render_bar_chart(
+        spark.createDataFrame([("a", -1), ("b", -4)], "k string, v int").orderBy("k")
+    )
+    assert all_neg is not None and 'height="-' not in all_neg
+    neg_heights = [float(h) for h in re.findall(r'height="([\d.]+)" fill', all_neg)]
+    assert max(neg_heights) > 0  # all-negative data still draws bars
+
+
+def test_cache_swr_serves_stale_when_revalidate_fails(spark, tmp_path):
+    cache = ResultCache(str(tmp_path))
+    cache.fetch(spark, "q", lambda: _docs(spark, "good"))
+
+    def boom():
+        raise RuntimeError("source table dropped")
+
+    # the cached copy is valid: a failed refresh must not break the fetch
+    served = cache.fetch(spark, "q", boom)
+    assert {r.tag for r in served.collect()} == {"good"}
+
+
+def test_cache_key_slot_verified(spark, tmp_path):
+    # simulate a hash-slot collision: same slot dir, different key text
+    from graphforge_spark.sinks import result_cache as rc
+
+    cache = ResultCache(str(tmp_path))
+    cache.fetch(spark, "query A", lambda: _docs(spark, "a"))
+    key_dir = rc._key_dir(str(tmp_path), "query A")
+    # a different key that (hypothetically) landed in the same slot must
+    # read as a MISS, not as query A's result
+    assert rc._current_version(key_dir, "query B") is None
+    assert rc._current_version(key_dir, "query A") is not None

@@ -157,3 +157,18 @@ def test_differential_fuzzer(spark):
         }
         want = _python_validate(triples, shapes)
         assert got == want, f"trial {trial}: {got ^ want}"
+
+
+def test_duplicate_triples_count_once(spark):
+    # RDF set semantics: the same triple asserted twice is ONE value
+    dup = spark.createDataFrame(
+        [_t(EX + "a", TYPE, PERSON),
+         _t(EX + "a", WORKS_AT, EX + "acme"),
+         _t(EX + "a", WORKS_AT, EX + "acme"),
+         _t(EX + "acme", TYPE, ORG)],
+        "subj string, pred string, obj string, obj_is_literal boolean, graph string",
+    )
+    shape = Shape("emp", PERSON, WORKS_AT, min_count=1, max_count=1,
+                  node_kind="iri", class_constraint=ORG)
+    assert validate(dup, [shape]).count() == 0  # no false maxCount
+    assert conforms(dup, [shape])
