@@ -45,12 +45,29 @@ def forge(
     link_threshold: float = 0.60,
     do_link: bool = True,
     export_nt: bool = True,
+    entail: bool = False,
+    entail_expand_curies: bool = False,
+    shapes: list | None = None,
 ) -> dict:
     """Run (or resume) the full forge. Returns a metrics dict.
 
     Idempotent: completed buckets are skipped via the checkpoint gate;
     interrupted buckets are overwritten in place (dynamic partition
     overwrite). Running twice == running once.
+
+    Optional KG stages, checkpointed like the others:
+    - ``entail=True`` materializes the RDFS closure after
+      canonicalization (operators/entailment): asserted rows keep their
+      graph/provenance, inferred rows carry NULL provenance and
+      ``inferred=True`` (they derive from multiple sources).
+      ``entail_expand_curies`` normalizes CURIE predicates first.
+      The N-Quads export stays the ASSERTED graph (inferred rows have
+      no named graph to serialize into); the node/edge tables
+      materialize the full entailed graph.
+    - ``shapes=[Shape, ...]`` runs SHACL-lite validation on the final
+      graph and lands a ``violations`` table; the metrics dict reports
+      ``violations`` so the caller gates (the pipeline itself never
+      aborts on data quality — violations are data, not errors).
     """
     run_id = run_id or uuid.uuid4().hex
     os.makedirs(warehouse, exist_ok=True)
@@ -174,21 +191,79 @@ def forge(
             [(-1, extract_version, 0, int((time.time() - t2) * 1000))],
         )
     canonical = spark.read.parquet(canonical_path)
+    graph = canonical
+
+    # ---- stage 2.5 (optional): RDFS entailment materialize -------------
+    if entail:
+        entailed_path = os.path.join(warehouse, "triples_entailed")
+        if not _stage_done("entail"):
+            te = time.time()
+            from graphforge_spark.operators.entailment import rdfs_closure
+
+            closure = rdfs_closure(
+                canonical.select("subj", "pred", "obj", "obj_is_literal"),
+                expand_curies=entail_expand_curies,
+            )
+            inferred_rows = closure.filter(F.col("inferred")).select(
+                "subj", "pred", "obj", "obj_is_literal",
+                F.lit(None).cast("string").alias("graph"),
+                F.lit(None).cast("string").alias("src_conv_id"),
+                F.lit(None).cast("int").alias("src_turn_idx"),
+                F.col("inferred"),
+            )
+            base_cols = [
+                "subj", "pred", "obj", "obj_is_literal",
+                "graph", "src_conv_id", "src_turn_idx",
+            ]
+            entailed = (
+                canonical.select(*base_cols)
+                .withColumn("inferred", F.lit(False))
+                .unionByName(inferred_rows)
+            )
+            entailed.write.mode("overwrite").parquet(entailed_path)
+            ckpt.append_checkpoints(
+                spark, warehouse, "entail", run_id,
+                [(-1, extract_version, 0, int((time.time() - te) * 1000))],
+            )
+        graph = spark.read.parquet(entailed_path)
+
+    # ---- stage 2.75 (optional): SHACL-lite validation -------------------
+    n_violations = None
+    if shapes:
+        viol_path = os.path.join(warehouse, "violations")
+        if not _stage_done("validate"):
+            tv = time.time()
+            from graphforge_spark.operators.validate import validate_with_handle
+
+            violations, _vals = validate_with_handle(
+                graph.select("subj", "pred", "obj", "obj_is_literal"), shapes
+            )
+            violations.write.mode("overwrite").parquet(viol_path)
+            _vals.unpersist()
+            ckpt.append_checkpoints(
+                spark, warehouse, "validate", run_id,
+                [(-1, extract_version, 0, int((time.time() - tv) * 1000))],
+            )
+        n_violations = spark.read.parquet(viol_path).count()
 
     # ---- stage 3: materialize + export ---------------------------------
     stage3 = "materialize_export" if export_nt else "materialize"
     if not _stage_done(stage3):
         t3 = time.time()
-        write_nodes_edges(canonical, warehouse)
+        write_nodes_edges(graph, warehouse)
         if export_nt:
-            export_ntriples(canonical, os.path.join(warehouse, "export_nt"), with_graph=True)
+            export_ntriples(
+                graph.filter(F.col("graph").isNotNull()) if entail else graph,
+                os.path.join(warehouse, "export_nt"),
+                with_graph=True,
+            )
         ckpt.append_checkpoints(
             spark, warehouse, stage3, run_id,
             [(-1, extract_version, 0, int((time.time() - t3) * 1000))],
         )
 
-    n_triples = canonical.count()
-    return {
+    n_triples = graph.count()
+    out = {
         "run_id": run_id,
         "buckets_processed": len(todo_ids),
         "triples": n_triples,
@@ -196,3 +271,6 @@ def forge(
         "lsh_dropped_ids": lsh_drops["dropped_ids"],
         "wall_s": time.time() - t0,
     }
+    if n_violations is not None:
+        out["violations"] = n_violations
+    return out

@@ -120,3 +120,37 @@ def test_reextraction_invalidates_downstream_stages(spark, corpus, warehouse):
     assert _stage_rows(spark, warehouse, "canonical_passthrough") == 2
     assert _stage_rows(spark, warehouse, "materialize_export") == 2
     assert _triple_set(spark, warehouse) == t1  # content identical (same input)
+
+
+def test_forge_with_entailment_and_validation(spark, corpus, warehouse):
+    from graphforge_spark.operators.validate import Shape
+
+    shapes = [
+        # every typed instance must have exactly one label-ish name —
+        # loose enough that the corpus yields SOME violations rows or none,
+        # the contract under test is the plumbing, counts pinned below
+        Shape("org-name", "http://ex.org/e/Org", "http://ex.org/p/name",
+              min_count=1, node_kind="literal"),
+    ]
+    m = forge(
+        spark, corpus, warehouse, n_buckets=8, do_link=False,
+        entail=True, entail_expand_curies=True, shapes=shapes,
+    )
+    assert "violations" in m
+    entailed = spark.read.parquet(f"{warehouse}/triples_entailed")
+    assert "inferred" in entailed.columns
+    asserted = entailed.filter(~F.col("inferred"))
+    inferred = entailed.filter(F.col("inferred"))
+    # asserted rows keep provenance; inferred rows have none
+    assert asserted.filter(F.col("src_conv_id").isNull()).count() == 0
+    assert inferred.filter(F.col("src_conv_id").isNotNull()).count() == 0
+    viol = spark.read.parquet(f"{warehouse}/violations")
+    assert m["violations"] == viol.count()
+    # rerun: entail + validate stages are checkpointed no-ops
+    m2 = forge(
+        spark, corpus, warehouse, n_buckets=8, do_link=False,
+        entail=True, entail_expand_curies=True, shapes=shapes,
+    )
+    assert m2["buckets_processed"] == 0
+    assert m2["triples"] == m["triples"]
+    assert m2["violations"] == m["violations"]
