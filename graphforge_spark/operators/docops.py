@@ -39,6 +39,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from graphforge_spark.corpus import spread_small_scan
 from graphforge_spark.functions.hashing import (
@@ -972,9 +973,13 @@ def tfidf_vectors(
     (norm guard: never NaN).
 
     Scale shape: explode → two combinable aggregations (tf, df) → one
-    vocabulary join → one (doc, bucket) agg → one per-doc map assembly.
-    The dense fill + normalization is `transform`/`aggregate` column
-    algebra inside codegen; no Python anywhere.
+    vocabulary join → one (doc, bucket) agg → one per-doc assembly.
+    The dense fill + L2 normalization is an Arrow-batched numpy
+    scatter-add (`np.add.at` over the whole batch at once — the same
+    vectorized kernel link.py uses for TF-IDF scoring): the pure-column
+    alternative (`transform(sequence(0,dim-1), i -> m[i])`) does
+    O(dim × entries) work per row because Spark map lookup is a linear
+    scan — measured 229 s vs ~3 s on 200k docs × 512 dims.
     """
     if dim <= 0:
         raise ValueError(f"dim must be positive, got {dim}")
@@ -996,20 +1001,40 @@ def tfidf_vectors(
         .groupBy(id_col, "_b")
         .agg(F.sum("_w").alias("_w"))
     )
-    maps = weights.groupBy(id_col).agg(
-        F.map_from_entries(F.collect_list(F.struct("_b", "_w"))).alias("_m")
+    entries = weights.groupBy(id_col).agg(
+        F.collect_list("_b").alias("_bs"), F.collect_list("_w").alias("_ws")
     )
-    dense = F.transform(
-        F.sequence(F.lit(0), F.lit(dim - 1)),
-        lambda i: F.coalesce(F.col("_m")[i], F.lit(0.0)),
+    sparse = docs.select(F.col(id_col)).join(entries, id_col, "left")
+
+    id_field = sparse.schema[id_col]
+    out_schema = T.StructType(
+        [id_field, T.StructField("embedding", T.ArrayType(T.FloatType()), False)]
     )
-    out = docs.select(F.col(id_col)).join(maps, id_col, "left").select(
-        F.col(id_col), dense.alias("_d")
-    )
-    norm = F.sqrt(F.aggregate("_d", F.lit(0.0), lambda a, x: a + x * x))
-    return out.select(
-        F.col(id_col),
-        F.when(norm > 0, F.transform(F.col("_d"), lambda x: (x / norm).cast("float")))
-        .otherwise(F.transform(F.col("_d"), lambda x: F.lit(0.0).cast("float")))
-        .alias("embedding"),
-    )
+
+    def _assemble(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            n = len(pdf)
+            mat = np.zeros((n, dim), dtype=np.float64)
+            bs_col, ws_col = pdf["_bs"], pdf["_ws"]
+            lens = np.fromiter(
+                (0 if v is None else len(v) for v in bs_col), dtype=np.int64, count=n
+            )
+            if lens.sum() > 0:
+                rows = np.repeat(np.arange(n), lens)
+                cols = np.concatenate([v for v in bs_col if v is not None and len(v)])
+                vals = np.concatenate([v for v in ws_col if v is not None and len(v)])
+                np.add.at(mat, (rows, cols.astype(np.int64)), vals)
+            norms = np.sqrt((mat * mat).sum(axis=1))
+            nz = norms > 0
+            mat[nz] /= norms[nz, None]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "embedding": list(mat.astype(np.float32)),
+                }
+            )
+
+    return sparse.mapInPandas(_assemble, out_schema)
