@@ -894,7 +894,89 @@ def run_stress() -> None:
         }
         _log(str(results[f"simhash_degenerate_200k_{label}"]))
 
+    # 5. SHACL-lite validate: pass structure must be shape-count-
+    #    independent. 2M value triples over 1M typed entities; walls for
+    #    2 shapes vs 64 shapes should be the same order, not 32× apart.
+    from graphforge_spark.operators.validate import Shape, validate
+
+    ents = spark.range(1_000_000).select(
+        F.concat(F.lit("e"), F.col("id").cast("string")).alias("subj"),
+        F.concat(F.lit("http://s/C"), (F.col("id") % 8).cast("string")).alias("cls"),
+    )
+    type_rows = ents.select(
+        "subj", F.lit("rdf:type").alias("pred"), F.col("cls").alias("obj"),
+        F.lit(False).alias("obj_is_literal"), F.lit(None).cast("string").alias("graph"),
+    )
+    val_rows = spark.range(2_000_000).select(
+        F.concat(F.lit("e"), (F.col("id") % 1_000_000).cast("string")).alias("subj"),
+        F.concat(F.lit("http://s/p"), (F.col("id") % 2).cast("string")).alias("pred"),
+        F.md5(F.col("id").cast("string")).alias("obj"),
+        F.lit(True).alias("obj_is_literal"), F.lit(None).cast("string").alias("graph"),
+    )
+    tri = type_rows.union(val_rows)
+    for n_shapes in (2, 64):
+        shs = [
+            Shape(f"s{i}", f"http://s/C{i % 8}", f"http://s/p{i % 2}",
+                  min_count=1, max_count=4, node_kind="literal",
+                  pattern=r"^[0-9a-f]")
+            for i in range(n_shapes)
+        ]
+        t0 = time.time()
+        n_viol = validate(tri, shs).count()
+        spark.catalog.clearCache()
+        results[f"validate_3m_triples_{n_shapes}shapes"] = {
+            "violations": n_viol, "wall_s": round(time.time() - t0, 2),
+        }
+        _log(str(results[f"validate_3m_triples_{n_shapes}shapes"]))
+
+    # 6. filtered negative sampling over the same store (pool ≈ 1M
+    #    entities via the bucketed dense-id scheme — no single-task sort)
+    from graphforge_spark.operators.negatives import entity_pool, negative_samples
+
+    t0 = time.time()
+    pool = entity_pool(type_rows)
+    n_negs = negative_samples(type_rows, k=2, pool=pool).count()
+    results["negatives_1m_pool_k2"] = {
+        "pool": pool.count(), "negatives": n_negs,
+        "wall_s": round(time.time() - t0, 2),
+    }
+    _log(str(results["negatives_1m_pool_k2"]))
+
+    # 7. hashed TF-IDF vectors over 200k docs (dim 512): two combinable
+    #    aggs + one vocab join, no Python
+    from graphforge_spark.operators.docops import tfidf_vectors
+
+    t0 = time.time()
+    # aggregate over the vector contents so Catalyst cannot prune the
+    # embedding computation away (a bare count() would)
+    row = (
+        tfidf_vectors(docs, id_col="doc_id", text_col="text", dim=512, n_docs=200_000)
+        .agg(
+            F.count("embedding").alias("n"),
+            F.avg(F.aggregate("embedding", F.lit(0.0), lambda a, x: a + x * x)).alias(
+                "avg_sq_norm"
+            ),
+        )
+        .collect()[0]
+    )
+    results["tfidf_200k_docs_dim512"] = {
+        "vectors": row.n, "avg_sq_norm": round(row.avg_sq_norm, 4),
+        "wall_s": round(time.time() - t0, 2),
+    }
+    _log(str(results["tfidf_200k_docs_dim512"]))
+
     os.makedirs("BENCH", exist_ok=True)
+    # preserve manually-added narrative sections (everything from the
+    # first '## ' heading onward)
+    extra = ""
+    try:
+        with open("BENCH/STRESS.md") as f:
+            old = f.read()
+        idx = old.find("\n## ")
+        if idx != -1:
+            extra = old[idx:]
+    except OSError:
+        pass
     with open("BENCH/STRESS.md", "w") as f:
         f.write(
             "# BENCH/STRESS — large-scale single-node evidence\n\n"
@@ -909,6 +991,7 @@ def run_stress() -> None:
             "exactly which ids were dropped — so the banded self-join stays\n"
             "bounded where it would otherwise be O(n²) on one task.\n\n"
             + "".join(f"- **{k}**: `{v}`\n" for k, v in results.items())
+            + extra
         )
     print(json.dumps({"metric": "stress", "results": results}))
 
