@@ -48,47 +48,65 @@ BOS = "bos"  # sentinel outside the tokenizer's alphabet
 
 
 class LMModel(NamedTuple):
-    """Bigram LM as two model-sized DataFrames plus closed-form scalars.
+    """n-gram LM as two model-sized DataFrames plus closed-form scalars.
 
-    ``bigrams``: (prev, cur, n_pair) observed-bigram counts.
+    ``bigrams``: (prev, cur, n_pair) observed n-gram counts — ``prev``
+    is the (order−1)-token context, BOS-padded and joined with the
+    sentinel separator (a single token for the default order=2).
     ``contexts``: (prev, n_ctx) context totals (Σ over cur — derived
-    from the bigram table, so fit reads the corpus exactly once).
+    from the n-gram table, so fit reads the corpus exactly once).
     ``vocab_size``: count of distinct seen tokens V (OOV bucket makes
     the smoothing denominator k·(V+1)).
     ``add_k``: the smoothing constant the model was built to be scored
     with (scoring re-uses it so train/score can't drift apart).
+    ``order``: n (2 = bigram, 5 = the KenLM/CCNet shape).
     """
 
     bigrams: DataFrame
     contexts: DataFrame
     vocab_size: int
     add_k: float
+    order: int = 2
 
 
-def _bigram_pairs(text):
-    """array<struct<prev,cur>> of adjacent-token pairs, BOS-prefixed."""
+def _ngram_pairs(text, order: int):
+    """array<struct<prev,cur>>: for each token, its (order−1)-token
+    BOS-padded context (joined with the BOS separator — itself outside
+    the token alphabet, so joined contexts can't collide across token
+    boundaries) and the token. order=2 degenerates to adjacent pairs."""
+    ctx_len = order - 1
     toks = tokens(text)
-    with_bos = F.concat(F.array(F.lit(BOS)), toks)
+    with_bos = F.concat(F.array(*[F.lit(BOS)] * ctx_len), toks)
     return F.transform(
         toks,
         lambda t, i: F.struct(
-            F.element_at(with_bos, i + 1).alias("prev"), t.alias("cur")
+            F.concat_ws(
+                "\x00", F.slice(with_bos, i + 1, ctx_len)
+            ).alias("prev"),
+            t.alias("cur"),
         ),
     )
 
 
-def lm_train(docs: DataFrame, text_col: str = "text", add_k: float = 0.1) -> LMModel:
-    """Fit the add-k bigram LM in one corpus pass.
+def lm_train(
+    docs: DataFrame, text_col: str = "text", add_k: float = 0.1, order: int = 2
+) -> LMModel:
+    """Fit the add-k n-gram LM in one corpus pass (default bigram;
+    ``order=5`` gives the KenLM/CCNet shape — the model table then grows
+    toward the corpus' distinct-5-gram count, which is why CCNet prunes;
+    add-k needs no pruning for correctness, only for size).
 
     One explode + one combinable aggregation over the corpus; contexts
     and vocabulary size are second-order aggregates of the MODEL-sized
-    bigram table (the vocab count is an action over those rows, like
+    n-gram table (the vocab count is an action over those rows, like
     `nb_train`'s prior count). Deterministic: counts only."""
     if add_k <= 0:
         raise ValueError(f"add_k must be > 0 for defined log-probs, got {add_k}")
-    pairs = docs.select(F.explode(_bigram_pairs(F.col(text_col))).alias("bg")).select(
-        F.col("bg.prev").alias("prev"), F.col("bg.cur").alias("cur")
-    )
+    if order < 2:
+        raise ValueError(f"order must be >= 2, got {order}")
+    pairs = docs.select(
+        F.explode(_ngram_pairs(F.col(text_col), order)).alias("bg")
+    ).select(F.col("bg.prev").alias("prev"), F.col("bg.cur").alias("cur"))
     # persist the model tables: they are vocabulary-sized, and every
     # downstream action on a lm_perplexity frame would otherwise re-run
     # the full training-corpus aggregation (twice — bigrams AND
@@ -97,7 +115,7 @@ def lm_train(docs: DataFrame, text_col: str = "text", add_k: float = 0.1) -> LMM
     bigrams = pairs.groupBy("prev", "cur").agg(F.count("*").alias("n_pair")).persist()
     contexts = bigrams.groupBy("prev").agg(F.sum("n_pair").alias("n_ctx")).persist()
     vocab_size = bigrams.select("cur").distinct().count()
-    return LMModel(bigrams, contexts, vocab_size, add_k)
+    return LMModel(bigrams, contexts, vocab_size, add_k, order)
 
 
 def lm_perplexity(
@@ -119,7 +137,7 @@ def lm_perplexity(
     denom_k = F.lit(model.add_k) * F.lit(float(model.vocab_size + 1))
 
     bg = docs.select(
-        F.col(id_col), F.explode(_bigram_pairs(F.col(text_col))).alias("bg")
+        F.col(id_col), F.explode(_ngram_pairs(F.col(text_col), model.order)).alias("bg")
     ).select(id_col, F.col("bg.prev").alias("prev"), F.col("bg.cur").alias("cur"))
     scored = (
         bg.join(bg_tbl, ["prev", "cur"], "left")

@@ -127,3 +127,71 @@ def test_add_k_validation(spark):
 def test_bos_sentinel_outside_token_alphabet():
     # the sentinel must be unreachable by tokenization of any text
     assert _toks(lm.BOS) != [lm.BOS]
+
+
+def _python_replay_ngram(train_rows, score_rows, add_k, order):
+    """Order-n generalization of the replay (contexts joined on the
+    sentinel separator, matching the Spark formulation)."""
+    sep = "\x00"
+    ctx_len = order - 1
+
+    def _ngrams(ts):
+        padded = [lm.BOS] * ctx_len + ts
+        return [
+            (sep.join(padded[i:i + ctx_len]), padded[i + ctx_len])
+            for i in range(len(ts))
+        ]
+
+    pairs = Counter()
+    for _, text in train_rows:
+        for prev, cur in _ngrams(_toks(text)):
+            pairs[(prev, cur)] += 1
+    ctx = Counter()
+    for (prev, _), n in pairs.items():
+        ctx[prev] += n
+    V = len({cur for _, cur in pairs})
+    out = {}
+    for doc_id, text in score_rows:
+        ts = _toks(text)
+        if not ts:
+            out[doc_id] = (0, 0.0, None)
+            continue
+        lp = sum(
+            math.log((pairs.get((p, c), 0) + add_k) / (ctx.get(p, 0) + add_k * (V + 1)))
+            for p, c in _ngrams(ts)
+        )
+        out[doc_id] = (len(ts), lp, math.exp(-lp / len(ts)))
+    return out, V
+
+
+def test_trigram_matches_python_replay(spark):
+    train = spark.createDataFrame(TRAIN, "doc_id long, text string")
+    score = spark.createDataFrame(SCORE, "doc_id long, text string")
+    model = lm.lm_train(train, add_k=0.1, order=3)
+    assert model.order == 3
+    got = {
+        r.doc_id: (r.n_tokens, r.logprob, r.perplexity)
+        for r in lm.lm_perplexity(score, model).collect()
+    }
+    want, V = _python_replay_ngram(TRAIN, SCORE, add_k=0.1, order=3)
+    assert model.vocab_size == V
+    for doc_id, (n, lp, ppl) in want.items():
+        gn, glp, _ = got[doc_id]
+        assert gn == n and abs(glp - lp) < 1e-9
+
+
+def test_order_validation(spark):
+    train = spark.createDataFrame(TRAIN, "doc_id long, text string")
+    with pytest.raises(ValueError, match="order"):
+        lm.lm_train(train, order=1)
+
+
+def test_bigram_order2_unchanged(spark):
+    # order=2 must reproduce the original bigram formulation exactly
+    train = spark.createDataFrame(TRAIN, "doc_id long, text string")
+    score = spark.createDataFrame(SCORE, "doc_id long, text string")
+    m2 = lm.lm_train(train, add_k=0.1, order=2)
+    got = {r.doc_id: round(r.logprob, 9) for r in lm.lm_perplexity(score, m2).collect()}
+    want, _ = _python_replay(TRAIN, SCORE, add_k=0.1)
+    for doc_id, (_, lp, _) in want.items():
+        assert abs(got[doc_id] - lp) < 1e-9
