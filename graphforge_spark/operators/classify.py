@@ -87,9 +87,15 @@ def nb_train(
         .select(
             "label",
             F.log(F.col("_n") / F.lit(n_docs)).alias("prior_logp"),
-            F.log(1 / (F.coalesce(F.col("_tot"), F.lit(0)) + F.lit(v_size))).alias(
-                "unseen_logp"
-            ),
+            # max(...,1): an all-empty training corpus has V=0 and zero
+            # token totals — the model degrades to priors-only (unseen
+            # tokens contribute log 1 = 0) instead of dividing by zero
+            F.log(
+                1
+                / F.greatest(
+                    F.coalesce(F.col("_tot"), F.lit(0)) + F.lit(v_size), F.lit(1)
+                )
+            ).alias("unseen_logp"),
         )
     )
     return NBModel(vocab=vocab, labels=labels)

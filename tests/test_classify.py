@@ -35,7 +35,8 @@ def _nb_oracle(train_rows, test_rows):
             for t in _tok(text):
                 c = tok_counts[lb][t] if t in vocab else None
                 if c is None:
-                    s += math.log(1 / (totals[lb] + v))
+                    # empty-vocab corpus: priors-only (matches operator)
+                    s += math.log(1 / max(totals[lb] + v, 1))
                 else:
                     s += math.log((c + 1) / (totals[lb] + v))
             scores[lb] = s
@@ -140,3 +141,17 @@ def test_nb_fuzz(spark):
             assert got[_id][0] == want[_id][0], _id
 
     run()
+
+
+def test_nb_empty_vocab_is_priors_only(spark):
+    # all-empty training docs: V=0 — the model must degrade to priors,
+    # not divide by zero (hypothesis found this in the fuzz)
+    train = spark.createDataFrame(
+        [(0, "", "x"), (1, "", "x"), (2, "", "y")],
+        "doc_id long, text string, label string",
+    )
+    test = spark.createDataFrame([(10, "aa bb")], "doc_id long, text string")
+    got = {r.doc_id: (r.label, r.score) for r in nb_predict(test, nb_train(train, "label")).collect()}
+    want = _nb_oracle([(0, "", "x"), (1, "", "x"), (2, "", "y")], [(10, "aa bb")])
+    assert got[10][0] == want[10][0] == "x"  # majority prior wins
+    assert got[10][1] == pytest.approx(want[10][1], rel=1e-9)

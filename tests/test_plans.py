@@ -171,3 +171,22 @@ def test_expression_layer_stays_jvm_codegen(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "codegen id" in plan
     assert "Join" not in plan and "Exchange" not in plan
+
+
+def test_validate_plan_no_nlj_and_type_pushdown(spark, tmp_path):
+    """SHACL-lite validate: no nested-loop/cartesian operators anywhere
+    (the shapes table broadcasts into equi-joins) and the typing-slice
+    scans carry the pred pushdown, so focus selection reads only
+    rdf:type row groups."""
+    from graphforge_spark.operators.validate import Shape, validate
+
+    tri_path = str(tmp_path / "tri")
+    spark.createDataFrame(
+        [("s", "rdf:type", "C", False, None), ("s", "p", "v", True, None)],
+        "subj string, pred string, obj string, obj_is_literal boolean, graph string",
+    ).write.parquet(tri_path)
+    tri = spark.read.parquet(tri_path)
+    v = validate(tri, [Shape("sh", "C", "p", min_count=1, node_kind="literal")])
+    p = _plan(v)
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+    assert "In(pred, [" in p  # typing predicate reached the parquet scan
