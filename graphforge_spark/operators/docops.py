@@ -28,6 +28,10 @@ Operators:
 - doc_stats / corpus_stats: per-doc text analysis + per-language rollup
 - pack_sequences: concat-and-chunk sequence packing into fixed
   token-budget training windows (per-shard running count, one shuffle)
+- tfidf_vectors: hashing-trick TF-IDF document embeddings (two
+  combinable aggs + one vocab join; Arrow-batched scatter-add assembly)
+- temperature_fractions: α-temperature dataset-mixing fractions
+  (one groupBy count; water-filled caps), feeding stratified_sample
 
 Scale notes: every pairwise operator goes through LSH blocking first —
 the O(n²) cross product never materializes; band buckets are the shuffle
@@ -1038,3 +1042,59 @@ def tfidf_vectors(
             )
 
     return sparse.mapInPandas(_assemble, out_schema)
+
+
+def temperature_fractions(
+    docs: DataFrame,
+    stratum_col: str,
+    target_rows: int,
+    alpha: float = 0.7,
+) -> dict[str, float]:
+    """Compute per-stratum sampling fractions for α-temperature dataset
+    mixing (Conneau & Lample 2019; the multilingual-pretraining recipe):
+    stratum g gets target share ∝ count(g)^α — α=1 is proportional
+    (original distribution), α=0 is uniform, the usual 0.3–0.7 range
+    upweights rare strata without flattening completely.
+
+    Feeds `stratified_sample` (sampling itself stays deterministic and
+    distributed); this helper's only cluster work is ONE combinable
+    groupBy count — everything after runs on the strata-sized dict
+    driver-side. Groups whose share exceeds their size are capped at
+    fraction 1.0 (this engine samples without replacement) and their
+    unmet share is re-distributed over the uncapped groups
+    (water-filling), so the total expected keep approaches
+    ``target_rows`` as closely as capping allows.
+    """
+    if target_rows <= 0:
+        raise ValueError(f"target_rows must be positive, got {target_rows}")
+    if alpha < 0:
+        raise ValueError(f"alpha must be >= 0, got {alpha}")
+    counts = {
+        str(r[0]): r[1]
+        for r in docs.groupBy(stratum_col).agg(F.count("*").alias("n")).collect()
+        if r[0] is not None
+    }
+    if not counts:
+        return {}
+    remaining_target = float(target_rows)
+    open_groups = dict(counts)
+    fractions: dict[str, float] = {}
+    # water-filling: repeatedly allocate shares; cap full groups at 1.0
+    while open_groups and remaining_target > 0:
+        total_w = sum(n**alpha for n in open_groups.values())
+        capped = {}
+        for g, n in open_groups.items():
+            desired = remaining_target * (n**alpha) / total_w
+            if desired >= n:
+                capped[g] = n
+        if not capped:
+            for g, n in open_groups.items():
+                fractions[g] = remaining_target * (n**alpha) / total_w / n
+            break
+        for g, n in capped.items():
+            fractions[g] = 1.0
+            remaining_target -= n
+            del open_groups[g]
+    for g in counts:
+        fractions.setdefault(g, 0.0)
+    return fractions

@@ -534,3 +534,41 @@ def test_dedup_substrings_fuzz(spark):
         assert got == _substring_dedup_oracle(rows, 3)
 
     run()
+
+
+def test_temperature_fractions_mixing(spark):
+    from graphforge_spark.operators.docops import stratified_sample, temperature_fractions
+
+    rows = (
+        [(i, "en") for i in range(800)]
+        + [(1000 + i, "fr") for i in range(150)]
+        + [(2000 + i, "rm") for i in range(50)]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, lang string")
+
+    # alpha=1: proportional — fractions equal across groups
+    f1 = temperature_fractions(docs, "lang", target_rows=500, alpha=1.0)
+    assert abs(f1["en"] - f1["fr"]) < 1e-9 and abs(f1["en"] - f1["rm"]) < 1e-9
+    assert abs(f1["en"] - 0.5) < 1e-9
+
+    # alpha=0: uniform shares — the rare stratum is kept whole (capped),
+    # its unmet share water-fills the others
+    f0 = temperature_fractions(docs, "lang", target_rows=600, alpha=0.0)
+    assert f0["rm"] == 1.0
+    expected_kept = f0["en"] * 800 + f0["fr"] * 150 + 50
+    assert abs(expected_kept - 600) < 1.0
+
+    # 0<alpha<1 sits between: rare stratum fraction > common stratum fraction
+    fm = temperature_fractions(docs, "lang", target_rows=500, alpha=0.5)
+    assert fm["rm"] > fm["fr"] > fm["en"]
+
+    # end-to-end with the deterministic sampler: sizes near expectation
+    kept = stratified_sample(docs, f1, "lang")
+    n = kept.count()
+    assert 400 <= n <= 600
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="target_rows"):
+        temperature_fractions(docs, "lang", target_rows=0)
+    with _pytest.raises(ValueError, match="alpha"):
+        temperature_fractions(docs, "lang", target_rows=10, alpha=-1)
