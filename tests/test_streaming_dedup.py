@@ -107,3 +107,27 @@ def test_dedup_within_watermark_drops_near_rearrivals(spark, dirs, tmp_path):
     assert got == ["dup doc", "other doc"]
     # helper column _h must not leak into the output
     assert "_h" not in spark.read.parquet(out_dir).columns
+
+
+def test_dedup_within_watermark_across_microbatches(spark, dirs, tmp_path):
+    # two files + maxFilesPerTrigger=1 → two micro-batches in one drain;
+    # the state store must drop the batch-2 re-arrival of 'dup doc'
+    _drop(spark, _rows(("c1", 0, "dup doc", 0)), dirs["in"])
+    _drop(spark, _rows(("c2", 0, "dup doc", 1), ("c3", 0, "fresh doc", 2)), dirs["in"])
+    stream = (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(dirs["in"])
+    )
+    deduped = dedup_within_watermark(stream, delay="10 minutes")
+    out_dir, ckpt = str(tmp_path / "xout"), str(tmp_path / "xckpt")
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(r.text for r in spark.read.parquet(out_dir).collect())
+    assert got == ["dup doc", "fresh doc"]
