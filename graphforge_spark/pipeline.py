@@ -274,3 +274,93 @@ def forge(
     if n_violations is not None:
         out["violations"] = n_violations
     return out
+
+
+def retract_conversations(
+    spark: SparkSession,
+    warehouse: str,
+    conv_ids: list[str],
+    n_buckets: int = DEFAULT_BUCKETS,
+    run_id: str | None = None,
+) -> dict:
+    """Retract every triple derived from the given conversations — the
+    right-to-be-forgotten operation a 10¹²-turn store must support
+    without a full rebuild.
+
+    Bucket-granular: the conv ids hash to their part_id buckets (the
+    same `portable_bucket` the forge used), ONLY those partitions of the
+    triples table are rewritten (dynamic partition overwrite, minus the
+    retracted conversations' rows), and fresh `extract` checkpoint rows
+    are appended for the touched buckets. The new rows bump the
+    extraction version, so link/canonicalize/entail/validate/materialize
+    all recompute on the next `forge()` run — and because the buckets
+    are marked COMPLETE, re-extraction will NOT resurrect the
+    conversations even if they still exist in the transcript source.
+
+    Edge case handled explicitly: a bucket whose every triple came from
+    retracted conversations produces ZERO output rows, and dynamic
+    overwrite never touches a partition absent from the written data —
+    the stale partition directory is removed directly (the Iceberg
+    analog is DELETE WHERE, which handles this natively).
+
+    Returns {buckets_rewritten, triples_removed, run_id}.
+    """
+    import shutil
+
+    run_id = run_id or uuid.uuid4().hex
+    if not conv_ids:
+        return {"buckets_rewritten": 0, "triples_removed": 0, "run_id": run_id}
+    conv_df = spark.createDataFrame([(c,) for c in conv_ids], "conv_id string")
+    affected = [
+        r.part_id
+        for r in conv_df.select(
+            portable_bucket(F.col("conv_id"), n_buckets).alias("part_id")
+        )
+        .distinct()
+        .collect()
+    ]
+    triples = read_triples(spark, warehouse)
+    subset = triples.filter(F.col("part_id").isin(affected))
+    n_before = subset.count()
+    cleaned = subset.join(
+        F.broadcast(conv_df),
+        subset.src_conv_id == conv_df.conv_id,
+        "left_anti",
+    ).drop("part_id")
+    # materialize BEFORE overwriting: the cleaned plan reads the very
+    # partitions the write replaces — localCheckpoint cuts that
+    # read-while-overwrite hazard (bounded: affected buckets only)
+    from graphforge_spark.operators.closure import _ckpt
+
+    cleaned = _ckpt(cleaned)
+    write_triples_partition(cleaned, warehouse, n_buckets)
+    # invalidate Spark's cached file listing for the rewritten path
+    spark.catalog.refreshByPath(os.path.join(warehouse, "triples"))
+    # buckets that became empty are absent from the written data — drop
+    # their stale partition directories explicitly
+    remaining = {
+        r.part_id
+        for r in cleaned.select(
+            portable_bucket(F.col("src_conv_id"), n_buckets).alias("part_id")
+        )
+        .distinct()
+        .collect()
+    }
+    for p in affected:
+        if p not in remaining:
+            shutil.rmtree(
+                os.path.join(warehouse, "triples", f"part_id={p}"),
+                ignore_errors=True,
+            )
+    n_after = read_triples(spark, warehouse).filter(
+        F.col("part_id").isin(affected)
+    ).count() if (set(affected) & remaining) else 0
+    ckpt.append_checkpoints(
+        spark, warehouse, "extract", run_id,
+        [(p, 0, 0, 0) for p in affected],
+    )
+    return {
+        "buckets_rewritten": len(affected),
+        "triples_removed": n_before - n_after,
+        "run_id": run_id,
+    }

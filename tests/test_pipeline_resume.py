@@ -154,3 +154,53 @@ def test_forge_with_entailment_and_validation(spark, corpus, warehouse):
     assert m2["buckets_processed"] == 0
     assert m2["triples"] == m["triples"]
     assert m2["violations"] == m["violations"]
+
+
+def test_retract_conversations(spark, corpus, warehouse):
+    from graphforge_spark.pipeline import retract_conversations
+
+    forge(spark, corpus, warehouse, n_buckets=8, do_link=False)
+    raw_before = read_triples(spark, warehouse)
+    victim = raw_before.select("src_conv_id").first().src_conv_id
+    n_victim = raw_before.filter(F.col("src_conv_id") == victim).count()
+    assert n_victim > 0
+    n_raw_before = raw_before.count()
+
+    m = retract_conversations(spark, warehouse, [victim], n_buckets=8)
+    assert m["buckets_rewritten"] == 1
+    assert m["triples_removed"] == n_victim
+
+    # raw triples table: victim gone, everything else intact
+    raw_after = read_triples(spark, warehouse)
+    assert raw_after.filter(F.col("src_conv_id") == victim).count() == 0
+    assert raw_after.count() == n_raw_before - n_victim
+
+    # next forge run: does NOT re-extract (buckets marked complete),
+    # downstream stages recompute without the victim
+    m2 = forge(spark, corpus, warehouse, n_buckets=8, do_link=False)
+    assert m2["buckets_processed"] == 0
+    canon = spark.read.parquet(f"{warehouse}/triples_canonical")
+    assert canon.filter(F.col("src_conv_id") == victim).count() == 0
+
+
+def test_retract_emptying_a_whole_bucket(spark, corpus, warehouse):
+    from graphforge_spark.pipeline import retract_conversations
+
+    forge(spark, corpus, warehouse, n_buckets=8, do_link=False)
+    raw = read_triples(spark, warehouse)
+    # pick one bucket and retract EVERY conversation in it
+    some_part = raw.select("part_id").first().part_id
+    convs = [
+        r.src_conv_id
+        for r in raw.filter(F.col("part_id") == some_part)
+        .select("src_conv_id").distinct().collect()
+    ]
+    m = retract_conversations(spark, warehouse, convs, n_buckets=8)
+    assert m["buckets_rewritten"] >= 1
+    after = read_triples(spark, warehouse)
+    # the emptied bucket's stale partition must be gone, others intact
+    assert after.filter(F.col("part_id") == some_part).count() == 0
+    assert after.count() > 0
+    # empty retraction list is a no-op
+    m0 = retract_conversations(spark, warehouse, [], n_buckets=8)
+    assert m0 == {"buckets_rewritten": 0, "triples_removed": 0, "run_id": m0["run_id"]}
