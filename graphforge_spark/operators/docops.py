@@ -888,6 +888,7 @@ def pack_sequences(
     shards: int = 8,
     id_col: str = "doc_id",
     text_col: str = "text",
+    count_col: str | None = None,
 ) -> DataFrame:
     """Sequence packing for LLM pretraining — the concat-and-chunk
     layout: documents are concatenated into per-shard token streams and
@@ -910,14 +911,21 @@ def pack_sequences(
     sort); ``shards`` is the parallelism knob — size it to the cluster
     so each stream's sort fits an executor's spill budget. Token count
     is the whitespace tokenizer (``functions.text.tokens``), matching
-    ``doc_stats``."""
+    ``doc_stats`` — or pass ``count_col`` naming a precomputed per-doc
+    token-count column (e.g. ``n_bpe_tokens`` from `bpe.bpe_tokenize`)
+    to pack by a trained tokenizer's budget instead."""
     if budget < 1:
         raise ValueError(f"pack_sequences: budget must be >= 1, got {budget}")
     w = Window.partitionBy("_shard").orderBy(id_col)
+    n_tok = (
+        F.col(count_col).cast("long")
+        if count_col is not None
+        else F.size(tokens(F.col(text_col)))
+    )
     staged = (
         docs.select(
             F.col(id_col),
-            F.size(tokens(F.col(text_col))).alias("n_tokens"),
+            n_tok.alias("n_tokens"),
             F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(shards))
             .cast("int")
             .alias("_shard"),

@@ -572,3 +572,35 @@ def test_temperature_fractions_mixing(spark):
         temperature_fractions(docs, "lang", target_rows=0)
     with _pytest.raises(ValueError, match="alpha"):
         temperature_fractions(docs, "lang", target_rows=10, alpha=-1)
+
+
+def test_pack_sequences_by_bpe_counts(spark):
+    from graphforge_spark.operators import bpe
+    from graphforge_spark.operators.docops import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, "newest widest low lower " * (i + 1)) for i in range(6)],
+        "doc_id long, text string",
+    )
+    merges = bpe.bpe_train(docs, n_merges=6)
+    counted = bpe.bpe_tokenize(docs, merges).withColumnRenamed("doc_id", "doc_id")
+    packed = pack_sequences(
+        docs.join(counted.select("doc_id", "n_bpe_tokens"), "doc_id"),
+        budget=16, shards=2, count_col="n_bpe_tokens",
+    )
+    rows = packed.collect()
+    # per-doc slices total the BPE token count, not the whitespace count
+    totals = {}
+    for r in rows:
+        totals[r.doc_id] = totals.get(r.doc_id, 0) + r.slice_len
+    want = {r.doc_id: r.n_bpe_tokens for r in counted.collect()}
+    assert totals == want
+    # interior windows exactly full
+    by_bin = {}
+    for r in rows:
+        by_bin.setdefault((r.shard, r.bin), 0)
+        by_bin[(r.shard, r.bin)] += r.slice_len
+    for (shard, b), n in by_bin.items():
+        last = max(bb for ss, bb in by_bin if ss == shard)
+        if b < last:
+            assert n == 16
