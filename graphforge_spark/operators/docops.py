@@ -776,6 +776,7 @@ def neardup_keep_list(
     num_hashes: int = 8,
     bands: int = 4,
     shingle_n: int = 3,
+    priority_col: str | None = None,
 ) -> DataFrame:
     """The dedup DECISION for a corpus: (doc_id, rep_id, keep).
 
@@ -813,14 +814,34 @@ def neardup_keep_list(
     ).select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     mapping = canonical_mapping(exact_edges.union(near_edges))
     out = (
-        docs.select(F.col(id_col))
+        docs.select(F.col(id_col), *( [priority_col] if priority_col else [] ))
         .join(mapping, F.col(id_col) == mapping.alias_id, "left")
         .select(
             F.col(id_col),
+            *([priority_col] if priority_col else []),
             F.coalesce("canonical_id", F.col(id_col)).alias("rep_id"),
         )
     )
-    return out.withColumn("keep", F.col(id_col) == F.col("rep_id"))
+    if priority_col is None:
+        return out.withColumn("keep", F.col(id_col) == F.col("rep_id"))
+    # RefinedWeb-style best-copy selection: within each duplicate
+    # cluster keep the HIGHEST-priority member (source quality, recency,
+    # …), ties broken on min id — one combinable agg over cluster rows,
+    # deterministic. rep_id stays the structural (min-id) cluster key;
+    # ``keep`` marks the priority winner.
+    winner = out.groupBy("rep_id").agg(
+        F.min(
+            F.struct((-F.col(priority_col)).alias("_np"), F.col(id_col).alias("_id"))
+        ).alias("_w")
+    ).select("rep_id", F.col("_w._id").alias("_keep_id"))
+    return (
+        out.join(winner, "rep_id")
+        .select(
+            id_col,
+            "rep_id",
+            (F.col(id_col) == F.col("_keep_id")).alias("keep"),
+        )
+    )
 
 
 def stratified_sample(

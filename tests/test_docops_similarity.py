@@ -604,3 +604,29 @@ def test_pack_sequences_by_bpe_counts(spark):
         last = max(bb for ss, bb in by_bin if ss == shard)
         if b < last:
             assert n == 16
+
+
+def test_keep_list_priority_selection(spark):
+    from graphforge_spark.operators.docops import neardup_keep_list
+
+    text = "the river valley holds a long history of trade and settlement here"
+    docs = spark.createDataFrame(
+        [
+            (0, text, 1.0),               # exact dup, low priority
+            (1, text, 5.0),               # exact dup, HIGH priority → kept
+            (2, text.replace("here", "now"), 2.0),  # near dup, mid priority
+            (3, "completely different content about lighthouse keepers", 0.5),
+        ],
+        "doc_id long, text string, prio double",
+    )
+    rows = {
+        r.doc_id: (r.rep_id, r.keep)
+        for r in neardup_keep_list(docs, priority_col="prio").collect()
+    }
+    # all three similar docs share one cluster; the priority winner is 1
+    assert rows[0][0] == rows[1][0] == rows[2][0]
+    assert rows[1][1] is True and rows[0][1] is False and rows[2][1] is False
+    assert rows[3][1] is True  # singleton keeps itself
+    # default (no priority): min-id representative kept
+    base = {r.doc_id: r.keep for r in neardup_keep_list(docs).collect()}
+    assert base[0] is True and base[1] is False
