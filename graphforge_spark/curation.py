@@ -58,6 +58,7 @@ def curate(
     jaccard_threshold: float = 0.6,
     lm_model: "lm.LMModel | None" = None,
     max_perplexity: float | None = None,
+    priority_col: str | None = None,
     collect_metrics: bool = True,
 ) -> tuple[DataFrame, dict]:
     """Run the standard curation pass. Returns (kept_docs, metrics).
@@ -81,14 +82,38 @@ def curate(
             metrics[stage] = frame.count()
         return frame
 
-    base = docs.select(F.col(id_col), F.col(text_col).alias("text"))
+    prio_cols = [priority_col] if priority_col else []
+    base = docs.select(F.col(id_col), F.col(text_col).alias("text"), *prio_cols)
     _mark("input", base)
 
-    # ---- exact dedup: keep the min-id copy of each normalized text ------
-    groups = docops.exact_dedup_groups(base, id_col=id_col, text_col="text")
-    base = base.join(
-        groups.select(F.col("min_doc_id").alias(id_col)), id_col, "left_semi"
-    )
+    # ---- exact dedup: keep one copy of each normalized text --------------
+    # min-id by default; with a priority column, the highest-priority
+    # copy (ties → min id) — consistent with the keep-list stage below
+    if priority_col is None:
+        groups = docops.exact_dedup_groups(base, id_col=id_col, text_col="text")
+        base = base.join(
+            groups.select(F.col("min_doc_id").alias(id_col)), id_col, "left_semi"
+        )
+    else:
+        from graphforge_spark.functions.hashing import exact_text_key
+
+        winners = (
+            base.select(
+                F.col(id_col), exact_text_key(F.col("text")).alias("_h"),
+                F.col(priority_col),
+            )
+            .groupBy("_h")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col(priority_col)).alias("_np"),
+                        F.col(id_col).alias("_id"),
+                    )
+                ).alias("_w")
+            )
+            .select(F.col("_w._id").alias(id_col))
+        )
+        base = base.join(winners, id_col, "left_semi")
     base = _mark("exact_dedup", base)
 
     # ---- narrow gates: language + quality + repetition -----------------
@@ -107,7 +132,7 @@ def curate(
             & (F.col("top_bigram_frac") <= max_top_bigram_frac)
             & (F.col("lang_pred").isin(list(langs)) if langs else F.lit(True))
         )
-        .select(id_col, "text")
+        .select(id_col, "text", *prio_cols)
     )
     gated = _mark("quality_gates", gated)
 
@@ -129,13 +154,16 @@ def curate(
     # ---- PII redaction (before any hashing sees the text) --------------
     if redact:
         red = docops.redact_pii(gated, id_col=id_col, text_col="text")
-        gated = red.select(id_col, F.col("redacted_text").alias("text"))
+        if priority_col:
+            red = red.join(base.select(id_col, priority_col), id_col)
+        gated = red.select(id_col, F.col("redacted_text").alias("text"), *prio_cols)
         gated = _mark("pii_redacted", gated)
 
     # ---- boilerplate line scrub ----------------------------------------
-    scrubbed = docops.dedup_lines(gated, id_col=id_col, text_col="text").select(
-        id_col, "text"
-    )
+    scrubbed = docops.dedup_lines(gated, id_col=id_col, text_col="text")
+    if priority_col:
+        scrubbed = scrubbed.join(gated.select(id_col, priority_col), id_col)
+    scrubbed = scrubbed.select(id_col, "text", *prio_cols)
     # Persist this boundary: everything downstream (the keep-list's
     # iterative CC rounds, the keep-semi-join, the substring pass) would
     # otherwise re-derive the full gate+scrub chain once PER CONSUMER —
@@ -157,6 +185,7 @@ def curate(
         id_col=id_col,
         text_col="text",
         jaccard_threshold=jaccard_threshold,
+        priority_col=priority_col,
     )
     kept = scrubbed.join(
         keep.filter(F.col("keep")).select(F.col(id_col)), id_col, "left_semi"
@@ -165,7 +194,7 @@ def curate(
 
     # ---- cross-document substring dedup (last: mutates text) ------------
     span_deduped = docops.dedup_substrings(
-        kept, id_col=id_col, text_col="text", k=substring_k
+        kept.select(id_col, "text"), id_col=id_col, text_col="text", k=substring_k
     ).select(id_col, "text")
     span_deduped = _mark("substring_dedup", span_deduped)
     return span_deduped, metrics

@@ -137,3 +137,21 @@ def test_curate_lm_perplexity_gate(spark, docs):
 def test_curate_lm_args_must_pair(docs):
     with pytest.raises(ValueError, match="together"):
         curate(docs, max_perplexity=1000.0)
+
+
+def test_curate_priority_selects_best_copies(spark):
+    rows = [
+        (0, GOOD, 1.0),
+        (1, GOOD, 9.0),                          # exact dup, best priority → kept
+        (2, GOOD.replace("coast", "harbor"), 4.0),  # near dup of GOOD, lower prio
+        (3, DOCS[4][1], 2.0),                    # distinct survivor
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, prio double")
+    kept, _ = curate(docs, priority_col="prio", collect_metrics=False)
+    ids = {r.doc_id for r in kept.select("doc_id").collect()}
+    assert 1 in ids and 0 not in ids and 2 not in ids
+    assert 3 in ids
+    # without priority the min-id copy wins instead
+    base_kept, _ = curate(docs, collect_metrics=False)
+    base_ids = {r.doc_id for r in base_kept.select("doc_id").collect()}
+    assert 0 in base_ids and 1 not in base_ids
