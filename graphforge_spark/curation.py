@@ -95,22 +95,15 @@ def curate(
             groups.select(F.col("min_doc_id").alias(id_col)), id_col, "left_semi"
         )
     else:
-        from graphforge_spark.functions.hashing import exact_text_key
+        from graphforge_spark.functions.hashing import best_copy_key, exact_text_key
 
+        hashed = base.select(
+            F.col(id_col), exact_text_key(F.col("text")).alias("_h"),
+            F.col(priority_col),
+        )
         winners = (
-            base.select(
-                F.col(id_col), exact_text_key(F.col("text")).alias("_h"),
-                F.col(priority_col),
-            )
-            .groupBy("_h")
-            .agg(
-                F.min(
-                    F.struct(
-                        (-F.col(priority_col)).alias("_np"),
-                        F.col(id_col).alias("_id"),
-                    )
-                ).alias("_w")
-            )
+            hashed.groupBy("_h")
+            .agg(F.min(best_copy_key(hashed, priority_col, id_col)).alias("_w"))
             .select(F.col("_w._id").alias(id_col))
         )
         base = base.join(winners, id_col, "left_semi")
@@ -155,14 +148,16 @@ def curate(
     if redact:
         red = docops.redact_pii(gated, id_col=id_col, text_col="text")
         if priority_col:
-            red = red.join(base.select(id_col, priority_col), id_col)
+            # re-attach priority from the RAW input — a narrow source
+            # scan, not a second copy of the whole gate-chain plan
+            red = red.join(docs.select(F.col(id_col), F.col(priority_col)), id_col)
         gated = red.select(id_col, F.col("redacted_text").alias("text"), *prio_cols)
         gated = _mark("pii_redacted", gated)
 
     # ---- boilerplate line scrub ----------------------------------------
     scrubbed = docops.dedup_lines(gated, id_col=id_col, text_col="text")
     if priority_col:
-        scrubbed = scrubbed.join(gated.select(id_col, priority_col), id_col)
+        scrubbed = scrubbed.join(docs.select(F.col(id_col), F.col(priority_col)), id_col)
     scrubbed = scrubbed.select(id_col, "text", *prio_cols)
     # Persist this boundary: everything downstream (the keep-list's
     # iterative CC rounds, the keep-semi-join, the substring pass) would

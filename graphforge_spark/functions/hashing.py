@@ -133,3 +133,25 @@ def exact_text_key(text: Column) -> Column:
     the two paths can never silently disagree on what 'exact duplicate'
     means."""
     return F.md5(F.lower(F.trim(text)))
+
+
+def best_copy_key(df, priority_col: str, id_col: str) -> Column:
+    """THE duplicate-cluster winner key, shared by every best-copy
+    selection (docops.neardup_keep_list, curation.curate's exact dedup):
+    ``min(best_copy_key)`` picks the HIGHEST priority, ties broken on
+    MIN id. Requirements enforced loudly: the priority column must be
+    numeric (cast timestamps to epoch seconds first — unary negation is
+    how "highest wins" rides a single min()), and NULL priorities LOSE
+    to every real value (coalesced to -inf) instead of accidentally
+    winning (min(struct) sorts NULL first).
+    """
+    from pyspark.sql import types as _T
+
+    ptype = df.schema[priority_col].dataType
+    if not isinstance(ptype, _T.NumericType):
+        raise ValueError(
+            f"priority column {priority_col!r} must be numeric, got "
+            f"{ptype.simpleString()} (cast timestamps to epoch first)"
+        )
+    prio = F.coalesce(F.col(priority_col).cast("double"), F.lit(float("-inf")))
+    return F.struct((-prio).alias("_np"), F.col(id_col).alias("_id"))

@@ -825,14 +825,15 @@ def neardup_keep_list(
     if priority_col is None:
         return out.withColumn("keep", F.col(id_col) == F.col("rep_id"))
     # RefinedWeb-style best-copy selection: within each duplicate
-    # cluster keep the HIGHEST-priority member (source quality, recency,
-    # …), ties broken on min id — one combinable agg over cluster rows,
-    # deterministic. rep_id stays the structural (min-id) cluster key;
-    # ``keep`` marks the priority winner.
+    # cluster keep the HIGHEST-priority member (source quality; cast a
+    # recency timestamp to epoch first — numeric enforced loudly), ties
+    # broken on min id, NULL priorities lose — one combinable agg over
+    # cluster rows, deterministic. rep_id stays the structural (min-id)
+    # cluster key; ``keep`` marks the priority winner.
+    from graphforge_spark.functions.hashing import best_copy_key
+
     winner = out.groupBy("rep_id").agg(
-        F.min(
-            F.struct((-F.col(priority_col)).alias("_np"), F.col(id_col).alias("_id"))
-        ).alias("_w")
+        F.min(best_copy_key(out, priority_col, id_col)).alias("_w")
     ).select("rep_id", F.col("_w._id").alias("_keep_id"))
     return (
         out.join(winner, "rep_id")
@@ -1012,7 +1013,7 @@ def tfidf_vectors(
     vectorized kernel link.py uses for TF-IDF scoring): the pure-column
     alternative (`transform(sequence(0,dim-1), i -> m[i])`) does
     O(dim × entries) work per row because Spark map lookup is a linear
-    scan — measured 229 s vs ~3 s on 200k docs × 512 dims.
+    scan — measured 229 s → ~45 s on 200k docs × 512 dims.
     """
     if dim <= 0:
         raise ValueError(f"dim must be positive, got {dim}")

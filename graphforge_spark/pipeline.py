@@ -196,7 +196,8 @@ def forge(
     # ---- stage 2.5 (optional): RDFS entailment materialize -------------
     if entail:
         entailed_path = os.path.join(warehouse, "triples_entailed")
-        if not _stage_done("entail"):
+        stage_e = "entail_curies" if entail_expand_curies else "entail"
+        if not _stage_done(stage_e):
             te = time.time()
             from graphforge_spark.operators.entailment import rdfs_closure
 
@@ -222,7 +223,7 @@ def forge(
             )
             entailed.write.mode("overwrite").parquet(entailed_path)
             ckpt.append_checkpoints(
-                spark, warehouse, "entail", run_id,
+                spark, warehouse, stage_e, run_id,
                 [(-1, extract_version, 0, int((time.time() - te) * 1000))],
             )
         graph = spark.read.parquet(entailed_path)
@@ -230,8 +231,17 @@ def forge(
     # ---- stage 2.75 (optional): SHACL-lite validation -------------------
     n_violations = None
     if shapes:
+        import hashlib
+
         viol_path = os.path.join(warehouse, "violations")
-        if not _stage_done("validate"):
+        # changed shapes must invalidate the cached violations table even
+        # at an unchanged extraction version — fingerprint them into the
+        # stage name (Shape is a frozen dataclass: repr is stable)
+        shape_fp = hashlib.md5(
+            repr(sorted(repr(sh) for sh in shapes)).encode()
+        ).hexdigest()[:12]
+        stage_v = f"validate_{shape_fp}" + ("_entailed" if entail else "")
+        if not _stage_done(stage_v):
             tv = time.time()
             from graphforge_spark.operators.validate import validate_with_handle
 
@@ -241,13 +251,18 @@ def forge(
             violations.write.mode("overwrite").parquet(viol_path)
             _vals.unpersist()
             ckpt.append_checkpoints(
-                spark, warehouse, "validate", run_id,
+                spark, warehouse, stage_v, run_id,
                 [(-1, extract_version, 0, int((time.time() - tv) * 1000))],
             )
         n_violations = spark.read.parquet(viol_path).count()
 
     # ---- stage 3: materialize + export ---------------------------------
-    stage3 = "materialize_export" if export_nt else "materialize"
+    # the stage name carries the graph-config suffix: toggling entail
+    # changes WHAT stage 3 materializes, so it must recompute even at an
+    # unchanged extraction version
+    stage3 = ("materialize_export" if export_nt else "materialize") + (
+        "_entailed" if entail else ""
+    )
     if not _stage_done(stage3):
         t3 = time.time()
         write_nodes_edges(graph, warehouse)
@@ -355,9 +370,19 @@ def retract_conversations(
     n_after = read_triples(spark, warehouse).filter(
         F.col("part_id").isin(affected)
     ).count() if (set(affected) & remaining) else 0
+    # Only buckets that were already extracted get fresh checkpoint rows:
+    # marking a PENDING bucket complete would make the next forge() skip
+    # extracting it entirely (silently losing every conversation that
+    # hashes there). A pending bucket has no landed data to scrub anyway
+    # — its retraction is a no-op until forge extracts it WITHOUT the
+    # conversations the caller removed from the source.
+    done = {
+        r.part_id
+        for r in ckpt.completed_parts(spark, warehouse, "extract").collect()
+    }
     ckpt.append_checkpoints(
         spark, warehouse, "extract", run_id,
-        [(p, 0, 0, 0) for p in affected],
+        [(p, 0, 0, 0) for p in affected if p in done],
     )
     return {
         "buckets_rewritten": len(affected),

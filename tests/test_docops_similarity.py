@@ -630,3 +630,22 @@ def test_keep_list_priority_selection(spark):
     # default (no priority): min-id representative kept
     base = {r.doc_id: r.keep for r in neardup_keep_list(docs).collect()}
     assert base[0] is True and base[1] is False
+
+
+def test_keep_list_priority_null_loses_and_type_validated(spark):
+    from graphforge_spark.operators.docops import neardup_keep_list
+
+    text = "the river valley holds a long history of trade and settlement here"
+    docs = spark.createDataFrame(
+        [(0, text, None), (1, text, 9.0)], "doc_id long, text string, prio double"
+    )
+    rows = {r.doc_id: r.keep for r in neardup_keep_list(docs, priority_col="prio").collect()}
+    assert rows[1] is True and rows[0] is False  # NULL priority must LOSE
+
+    import datetime as dt
+    ts_docs = spark.createDataFrame(
+        [(0, text, dt.datetime(2024, 1, 1))], "doc_id long, text string, prio timestamp"
+    )
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="numeric"):
+        neardup_keep_list(ts_docs, priority_col="prio").collect()

@@ -204,3 +204,62 @@ def test_retract_emptying_a_whole_bucket(spark, corpus, warehouse):
     # empty retraction list is a no-op
     m0 = retract_conversations(spark, warehouse, [], n_buckets=8)
     assert m0 == {"buckets_rewritten": 0, "triples_removed": 0, "run_id": m0["run_id"]}
+
+
+def test_retract_never_marks_pending_buckets_complete(spark, corpus, warehouse):
+    from graphforge_spark.pipeline import retract_conversations
+
+    # forge only SOME buckets by restricting the input, leaving others pending
+    some_convs = [r.conv_id for r in corpus.select("conv_id").distinct().limit(6).collect()]
+    partial = corpus.filter(F.col("conv_id").isin(some_convs))
+    forge(spark, partial, warehouse, n_buckets=8, do_link=False)
+    done_before = {
+        r.part_id for r in ckpt.completed_parts(spark, warehouse, "extract").collect()
+    }
+    assert len(done_before) < 8  # some buckets genuinely pending
+
+    # retract a conversation that was never forged (its bucket is pending)
+    pending_convs = [
+        r.conv_id
+        for r in corpus.join(partial.select("conv_id"), "conv_id", "left_anti")
+        .select("conv_id").distinct().collect()
+    ]
+    assert pending_convs
+    retract_conversations(spark, warehouse, pending_convs, n_buckets=8)
+    done_after = {
+        r.part_id for r in ckpt.completed_parts(spark, warehouse, "extract").collect()
+    }
+    assert done_after == done_before  # no pending bucket was marked complete
+
+    # the full forge still extracts every PENDING bucket (retraction did
+    # not poison them). Buckets completed by the partial forge stay
+    # complete — the freshness-gate contract: new conversations landing
+    # in a completed bucket belong to the streaming/incremental path.
+    forge(spark, corpus, warehouse, n_buckets=8, do_link=False)
+    from graphforge_spark.functions.hashing import portable_bucket
+
+    expected = {
+        r.conv_id
+        for r in corpus.select(
+            "conv_id", portable_bucket(F.col("conv_id"), 8).alias("b")
+        )
+        .filter(~F.col("b").isin(list(done_before)))
+        .collect()
+    } | set(some_convs)
+    got = {
+        r.src_conv_id
+        for r in read_triples(spark, warehouse).select("src_conv_id").distinct().collect()
+    }
+    assert got == expected
+
+
+def test_toggling_entail_rematerializes(spark, corpus, warehouse):
+    forge(spark, corpus, warehouse, n_buckets=8, do_link=False)
+    nodes_plain = spark.read.parquet(f"{warehouse}/nodes").count()
+    # same data, entail turned ON: stage 3 must re-run over the closure
+    forge(spark, corpus, warehouse, n_buckets=8, do_link=False,
+          entail=True, entail_expand_curies=True)
+    nodes_entailed = spark.read.parquet(f"{warehouse}/nodes").count()
+    inferred = spark.read.parquet(f"{warehouse}/triples_entailed").filter("inferred").count()
+    assert inferred > 0
+    assert nodes_entailed >= nodes_plain
