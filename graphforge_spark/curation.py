@@ -125,7 +125,10 @@ def curate(
             & (F.col("top_bigram_frac") <= max_top_bigram_frac)
             & (F.col("lang_pred").isin(list(langs)) if langs else F.lit(True))
         )
-        .select(id_col, "text", *prio_cols)
+        # priority is NOT carried through the gate chain: dedup_lines
+        # below outputs only (id, text, counts) anyway, so it is
+        # re-attached once from the raw input at the line-scrub boundary
+        .select(id_col, "text")
     )
     gated = _mark("quality_gates", gated)
 
@@ -147,11 +150,7 @@ def curate(
     # ---- PII redaction (before any hashing sees the text) --------------
     if redact:
         red = docops.redact_pii(gated, id_col=id_col, text_col="text")
-        if priority_col:
-            # re-attach priority from the RAW input — a narrow source
-            # scan, not a second copy of the whole gate-chain plan
-            red = red.join(docs.select(F.col(id_col), F.col(priority_col)), id_col)
-        gated = red.select(id_col, F.col("redacted_text").alias("text"), *prio_cols)
+        gated = red.select(id_col, F.col("redacted_text").alias("text"))
         gated = _mark("pii_redacted", gated)
 
     # ---- boilerplate line scrub ----------------------------------------

@@ -17,8 +17,8 @@ Faithful split of work between cluster and driver:
   in pure Python, deterministically (count desc, pair lex asc).
 - APPLICATION is the scale path and is fully distributed: the ranked
   merge table broadcasts (it IS the model, vocab-sized), and an
-  Arrow-batched `mapInPandas` tokenizes with per-batch word memoization
-  — each distinct word in a batch is segmented once regardless of its
+  Arrow-batched `mapInPandas` tokenizes with a bounded per-task word
+  memo — each distinct word is segmented once regardless of its
   frequency, which on Zipfian text does ~1% of the naive per-token work.
 
 End-of-word marker: ``</w>`` appended to each word's final symbol, the
@@ -131,9 +131,11 @@ def bpe_tokenize(
 ) -> DataFrame:
     """(id, bpe_tokens array<string>, n_bpe_tokens) — distributed apply
     of the learned merges. The merge table rides the closure (broadcast
-    by Spark with the task binary — it is vocab-sized); per-batch word
-    memoization keeps the Python work proportional to DISTINCT words per
-    batch, not tokens."""
+    by Spark with the task binary — it is vocab-sized); a BOUNDED
+    per-task word memo keeps the Python work proportional to DISTINCT
+    words, not tokens, while capping Python-heap growth on partitions
+    with unbounded word cardinality (the memo resets at 1M entries — a
+    few hundred MB worst case, never more)."""
     ranks = {tuple(p): i for i, p in enumerate(merges)}
     id_field = docs.schema[id_col]
     out_schema = T.StructType(
@@ -153,6 +155,8 @@ def bpe_tokenize(
         def seg(w):
             got = memo.get(w)
             if got is None:
+                if len(memo) >= 1_000_000:
+                    memo.clear()
                 got = memo[w] = _segment(w, ranks)
             return got
 

@@ -939,11 +939,24 @@ def pack_sequences(
     if budget < 1:
         raise ValueError(f"pack_sequences: budget must be >= 1, got {budget}")
     w = Window.partitionBy("_shard").orderBy(id_col)
-    n_tok = (
-        F.col(count_col).cast("long")
-        if count_col is not None
-        else F.size(tokens(F.col(text_col)))
-    )
+    if count_col is not None:
+        # a NULL precomputed count is a wiring bug (an incomplete counts
+        # join), not an empty doc — empty docs count 0. Silently dropping
+        # the row (NULL > 0 is NULL) would erase documents from every
+        # training window, so fail loudly instead. coalesce evaluates
+        # lazily: non-null rows never reach raise_error.
+        n_tok = F.coalesce(
+            F.col(count_col).cast("long"),
+            F.raise_error(
+                F.concat(
+                    F.lit(f"pack_sequences: NULL {count_col} for id="),
+                    F.col(id_col).cast("string"),
+                    F.lit(" — precomputed token-count join is incomplete"),
+                )
+            ).cast("long"),
+        )
+    else:
+        n_tok = F.size(tokens(F.col(text_col)))
     staged = (
         docs.select(
             F.col(id_col),

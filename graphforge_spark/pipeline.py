@@ -36,6 +36,49 @@ from graphforge_spark.sinks.tables import read_triples, write_nodes_edges, write
 DEFAULT_BUCKETS = 16
 
 
+def _write_stage_marker(marker_path: str, stage: str) -> None:
+    """Record WHICH stage config produced the artifact at a shared path.
+
+    Config-suffixed stage names (entail vs entail_curies, shape
+    fingerprints, materialize vs materialize_entailed, link vs
+    passthrough) all write to ONE output path per artifact, so the
+    checkpoint row alone cannot tell whether the LANDED artifact matches
+    this run's config after a toggle-back: A → B → A would find A's
+    checkpoint row still valid and silently serve B's data. The marker
+    is written AFTER the artifact, so a crash between the two recomputes
+    on resume. (On an object store the same one-line metadata file works;
+    Iceberg snapshots subsume it.)
+    """
+    with open(marker_path, "w") as fh:
+        fh.write(stage)
+
+
+def _stage_marker(marker_path: str) -> str | None:
+    try:
+        with open(marker_path) as fh:
+            return fh.read()
+    except OSError:
+        return None
+
+
+def _apply_tombstones(spark: SparkSession, warehouse: str, triples: DataFrame) -> DataFrame:
+    """Drop triples of retracted conversations at extraction time.
+
+    ``retract_conversations`` records every retracted conv_id in a
+    persistent tombstone table; filtering here makes retraction DURABLE:
+    a retracted conversation can never (re-)enter the store — not from a
+    bucket that crashed in the window between landing data and its
+    checkpoint row, not from a source that still contains it, not from a
+    later upload. The tombstone set is bounded by retraction volume
+    (tiny next to the corpus), so AQE broadcasts the anti-join side.
+    """
+    tomb_path = os.path.join(warehouse, "retractions")
+    if not os.path.exists(tomb_path):
+        return triples
+    tomb = spark.read.parquet(tomb_path).select("conv_id").distinct()
+    return triples.join(tomb, triples.src_conv_id == tomb.conv_id, "left_anti")
+
+
 def forge(
     spark: SparkSession,
     transcripts: DataFrame,
@@ -81,7 +124,9 @@ def forge(
 
     if todo_ids:
         pending = with_part.filter(F.col("part_id").isin(todo_ids)).drop("part_id")
-        triples = dedup_triples(extract_all(pending))
+        triples = _apply_tombstones(
+            spark, warehouse, dedup_triples(extract_all(pending))
+        )
         write_triples_partition(triples, warehouse, n_buckets)
         # per-partition metrics (one aggregation pass, no collect loops)
         in_counts = {
@@ -142,8 +187,9 @@ def forge(
     # ---- stage 2: entity linking + canonicalization (global) ----------
     stage2 = "link_canonicalize" if do_link else "canonical_passthrough"
     canonical_path = os.path.join(warehouse, "triples_canonical")
+    canonical_marker = os.path.join(canonical_path, "_GF_STAGE")
     lsh_drops = {"dropped_buckets": 0, "dropped_ids": 0}
-    if not _stage_done(stage2):
+    if not (_stage_done(stage2) and _stage_marker(canonical_marker) == stage2):
         t2 = time.time()
         if do_link:
             surfaces = (
@@ -186,6 +232,7 @@ def forge(
         else:
             canonical = triples
         canonical.write.mode("overwrite").parquet(canonical_path)
+        _write_stage_marker(canonical_marker, stage2)
         ckpt.append_checkpoints(
             spark, warehouse, stage2, run_id,
             [(-1, extract_version, 0, int((time.time() - t2) * 1000))],
@@ -196,8 +243,9 @@ def forge(
     # ---- stage 2.5 (optional): RDFS entailment materialize -------------
     if entail:
         entailed_path = os.path.join(warehouse, "triples_entailed")
+        entailed_marker = os.path.join(entailed_path, "_GF_STAGE")
         stage_e = "entail_curies" if entail_expand_curies else "entail"
-        if not _stage_done(stage_e):
+        if not (_stage_done(stage_e) and _stage_marker(entailed_marker) == stage_e):
             te = time.time()
             from graphforge_spark.operators.entailment import rdfs_closure
 
@@ -216,12 +264,27 @@ def forge(
                 "subj", "pred", "obj", "obj_is_literal",
                 "graph", "src_conv_id", "src_turn_idx",
             ]
-            entailed = (
-                canonical.select(*base_cols)
-                .withColumn("inferred", F.lit(False))
-                .unionByName(inferred_rows)
+            asserted = canonical.select(*base_cols)
+            if entail_expand_curies:
+                # the closure derives consequences on EXPANDED IRIs; the
+                # asserted rows must carry the same spelling, or one
+                # predicate splits into two (CURIE + full IRI) that never
+                # match in SHACL path lookups or edge-table joins
+                from graphforge_spark.functions.terms import expand_curie
+
+                asserted = asserted.select(
+                    expand_curie(F.col("subj")).alias("subj"),
+                    expand_curie(F.col("pred")).alias("pred"),
+                    F.when(F.col("obj_is_literal"), F.col("obj"))
+                    .otherwise(expand_curie(F.col("obj")))
+                    .alias("obj"),
+                    "obj_is_literal", "graph", "src_conv_id", "src_turn_idx",
+                )
+            entailed = asserted.withColumn("inferred", F.lit(False)).unionByName(
+                inferred_rows
             )
             entailed.write.mode("overwrite").parquet(entailed_path)
+            _write_stage_marker(entailed_marker, stage_e)
             ckpt.append_checkpoints(
                 spark, warehouse, stage_e, run_id,
                 [(-1, extract_version, 0, int((time.time() - te) * 1000))],
@@ -240,8 +303,9 @@ def forge(
         shape_fp = hashlib.md5(
             repr(sorted(repr(sh) for sh in shapes)).encode()
         ).hexdigest()[:12]
+        viol_marker = os.path.join(viol_path, "_GF_STAGE")
         stage_v = f"validate_{shape_fp}" + ("_entailed" if entail else "")
-        if not _stage_done(stage_v):
+        if not (_stage_done(stage_v) and _stage_marker(viol_marker) == stage_v):
             tv = time.time()
             from graphforge_spark.operators.validate import validate_with_handle
 
@@ -249,6 +313,7 @@ def forge(
                 graph.select("subj", "pred", "obj", "obj_is_literal"), shapes
             )
             violations.write.mode("overwrite").parquet(viol_path)
+            _write_stage_marker(viol_marker, stage_v)
             _vals.unpersist()
             ckpt.append_checkpoints(
                 spark, warehouse, stage_v, run_id,
@@ -263,7 +328,10 @@ def forge(
     stage3 = ("materialize_export" if export_nt else "materialize") + (
         "_entailed" if entail else ""
     )
-    if not _stage_done(stage3):
+    # nodes/edges/export_nt are separate dirs, so the marker lives at the
+    # warehouse root rather than inside any one of them
+    mat_marker = os.path.join(warehouse, "_GF_STAGE_materialize")
+    if not (_stage_done(stage3) and _stage_marker(mat_marker) == stage3):
         t3 = time.time()
         write_nodes_edges(graph, warehouse)
         if export_nt:
@@ -272,6 +340,7 @@ def forge(
                 os.path.join(warehouse, "export_nt"),
                 with_graph=True,
             )
+        _write_stage_marker(mat_marker, stage3)
         ckpt.append_checkpoints(
             spark, warehouse, stage3, run_id,
             [(-1, extract_version, 0, int((time.time() - t3) * 1000))],
@@ -308,9 +377,16 @@ def retract_conversations(
     retracted conversations' rows), and fresh `extract` checkpoint rows
     are appended for the touched buckets. The new rows bump the
     extraction version, so link/canonicalize/entail/validate/materialize
-    all recompute on the next `forge()` run — and because the buckets
-    are marked COMPLETE, re-extraction will NOT resurrect the
-    conversations even if they still exist in the transcript source.
+    all recompute on the next `forge()` run.
+
+    DURABLE: the conv ids are recorded in a persistent tombstone table
+    (``warehouse/retractions``) that `forge()` anti-joins at extraction
+    time, so a retracted conversation can never (re-)enter the store —
+    not via a bucket that crashed between landing data and its
+    checkpoint row, not from a source that still contains it, not from
+    a later upload. The tombstones are written FIRST, so even a crash
+    mid-retraction leaves the guarantee intact (the partial scrub
+    finishes on the next retract or is filtered on the next forge).
 
     Edge case handled explicitly: a bucket whose every triple came from
     retracted conversations produces ZERO output rows, and dynamic
@@ -326,6 +402,8 @@ def retract_conversations(
     if not conv_ids:
         return {"buckets_rewritten": 0, "triples_removed": 0, "run_id": run_id}
     conv_df = spark.createDataFrame([(c,) for c in conv_ids], "conv_id string")
+    # tombstone FIRST (see docstring: durability even across a crash here)
+    conv_df.write.mode("append").parquet(os.path.join(warehouse, "retractions"))
     affected = [
         r.part_id
         for r in conv_df.select(
@@ -373,9 +451,11 @@ def retract_conversations(
     # Only buckets that were already extracted get fresh checkpoint rows:
     # marking a PENDING bucket complete would make the next forge() skip
     # extracting it entirely (silently losing every conversation that
-    # hashes there). A pending bucket has no landed data to scrub anyway
-    # — its retraction is a no-op until forge extracts it WITHOUT the
-    # conversations the caller removed from the source.
+    # hashes there). A pending bucket's retracted conversations are
+    # handled by the tombstone filter when forge eventually extracts it
+    # — including the crash window where data landed without a
+    # checkpoint row (that bucket re-extracts, and the tombstones keep
+    # the retracted conversations out).
     done = {
         r.part_id
         for r in ckpt.completed_parts(spark, warehouse, "extract").collect()

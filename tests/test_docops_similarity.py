@@ -649,3 +649,22 @@ def test_keep_list_priority_null_loses_and_type_validated(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="numeric"):
         neardup_keep_list(ts_docs, priority_col="prio").collect()
+
+
+def test_pack_sequences_null_count_raises(spark):
+    """A NULL precomputed count is a wiring bug (incomplete counts join)
+    and must fail loudly — a silent drop would erase documents from
+    every training window. Zero counts stay a legitimate drop."""
+    from graphforge_spark.operators.docops import pack_sequences
+
+    bad = spark.createDataFrame(
+        [("a", 3), ("b", None)], "doc_id string, n_bpe_tokens int"
+    )
+    with pytest.raises(Exception, match="NULL n_bpe_tokens"):
+        pack_sequences(bad, budget=4, count_col="n_bpe_tokens").collect()
+    ok = pack_sequences(
+        spark.createDataFrame([("a", 3), ("b", 0)], "doc_id string, n_bpe_tokens int"),
+        budget=4,
+        count_col="n_bpe_tokens",
+    ).collect()
+    assert {r.doc_id for r in ok} == {"a"}

@@ -218,34 +218,42 @@ def test_retract_never_marks_pending_buckets_complete(spark, corpus, warehouse):
     }
     assert len(done_before) < 8  # some buckets genuinely pending
 
-    # retract a conversation that was never forged (its bucket is pending)
-    pending_convs = [
+    # retract HALF the conversations that were never forged (their
+    # buckets are pending)
+    never_forged = sorted(
         r.conv_id
         for r in corpus.join(partial.select("conv_id"), "conv_id", "left_anti")
         .select("conv_id").distinct().collect()
-    ]
-    assert pending_convs
-    retract_conversations(spark, warehouse, pending_convs, n_buckets=8)
+    )
+    assert never_forged
+    victims = never_forged[: max(1, len(never_forged) // 2)]
+    retract_conversations(spark, warehouse, victims, n_buckets=8)
     done_after = {
         r.part_id for r in ckpt.completed_parts(spark, warehouse, "extract").collect()
     }
     assert done_after == done_before  # no pending bucket was marked complete
 
     # the full forge still extracts every PENDING bucket (retraction did
-    # not poison them). Buckets completed by the partial forge stay
-    # complete — the freshness-gate contract: new conversations landing
-    # in a completed bucket belong to the streaming/incremental path.
+    # not poison them) — but retraction is DURABLE: the tombstoned
+    # conversations never enter the store even though they still exist
+    # in the source, while the other pending conversations land
+    # normally. Buckets completed by the partial forge stay complete —
+    # the freshness-gate contract: new conversations landing in a
+    # completed bucket belong to the streaming/incremental path.
     forge(spark, corpus, warehouse, n_buckets=8, do_link=False)
     from graphforge_spark.functions.hashing import portable_bucket
 
-    expected = {
-        r.conv_id
-        for r in corpus.select(
-            "conv_id", portable_bucket(F.col("conv_id"), 8).alias("b")
-        )
-        .filter(~F.col("b").isin(list(done_before)))
-        .collect()
-    } | set(some_convs)
+    expected = (
+        {
+            r.conv_id
+            for r in corpus.select(
+                "conv_id", portable_bucket(F.col("conv_id"), 8).alias("b")
+            )
+            .filter(~F.col("b").isin(list(done_before)))
+            .collect()
+        }
+        | set(some_convs)
+    ) - set(victims)
     got = {
         r.src_conv_id
         for r in read_triples(spark, warehouse).select("src_conv_id").distinct().collect()
@@ -263,3 +271,120 @@ def test_toggling_entail_rematerializes(spark, corpus, warehouse):
     inferred = spark.read.parquet(f"{warehouse}/triples_entailed").filter("inferred").count()
     assert inferred > 0
     assert nodes_entailed >= nodes_plain
+
+
+def test_toggle_back_recomputes_entailed_table(spark, corpus, warehouse):
+    """triples_entailed is ONE path shared by the 'entail' and
+    'entail_curies' stage configs; an A → B → A toggle must recompute,
+    not serve B's landed table from A's still-valid checkpoint row."""
+    kw = dict(n_buckets=8, do_link=False, entail=True)
+    forge(spark, corpus, warehouse, entail_expand_curies=True, **kw)
+    preds_a = {
+        r.pred
+        for r in spark.read.parquet(f"{warehouse}/triples_entailed")
+        .select("pred").distinct().collect()
+    }
+    forge(spark, corpus, warehouse, entail_expand_curies=False, **kw)
+    preds_b = {
+        r.pred
+        for r in spark.read.parquet(f"{warehouse}/triples_entailed")
+        .select("pred").distinct().collect()
+    }
+    assert preds_a != preds_b  # the toggle genuinely changes the table
+    forge(spark, corpus, warehouse, entail_expand_curies=True, **kw)
+    preds_a2 = {
+        r.pred
+        for r in spark.read.parquet(f"{warehouse}/triples_entailed")
+        .select("pred").distinct().collect()
+    }
+    assert preds_a2 == preds_a
+
+
+def test_toggling_entail_off_restores_asserted_tables(spark, corpus, warehouse):
+    """entail True → False must rematerialize nodes/edges from the
+    ASSERTED graph, not leave the entailed tables landed under a
+    still-valid 'materialize_export' checkpoint row."""
+    forge(spark, corpus, warehouse, n_buckets=8, do_link=False)
+    plain = (
+        spark.read.parquet(f"{warehouse}/nodes").count(),
+        spark.read.parquet(f"{warehouse}/edges").count(),
+    )
+    forge(spark, corpus, warehouse, n_buckets=8, do_link=False,
+          entail=True, entail_expand_curies=True)
+    entailed = (
+        spark.read.parquet(f"{warehouse}/nodes").count(),
+        spark.read.parquet(f"{warehouse}/edges").count(),
+    )
+    assert entailed != plain  # sanity: the closure actually differs
+    forge(spark, corpus, warehouse, n_buckets=8, do_link=False)
+    back = (
+        spark.read.parquet(f"{warehouse}/nodes").count(),
+        spark.read.parquet(f"{warehouse}/edges").count(),
+    )
+    assert back == plain
+
+
+def test_shape_swap_back_recomputes_violations(spark, corpus, warehouse):
+    """The violations table path is shared across shape fingerprints;
+    swapping back to a previously-run shape set must recompute, not
+    serve the other shape set's landed rows."""
+    from graphforge_spark.operators.validate import Shape
+
+    s1 = [Shape("co-label", "http://ex.org/c/company",
+                "http://www.w3.org/2000/01/rdf-schema#label",
+                min_count=1, node_kind="literal")]
+    # every company violates s2 (the path does not exist in the corpus)
+    s2 = [Shape("co-missing", "http://ex.org/c/company",
+                "http://ex.org/p/definitely-absent", min_count=1)]
+    kw = dict(n_buckets=8, do_link=False, entail=True, entail_expand_curies=True)
+    m1 = forge(spark, corpus, warehouse, shapes=s1, **kw)
+    m2 = forge(spark, corpus, warehouse, shapes=s2, **kw)
+    assert m2["violations"] > 0  # sanity: s2 genuinely fires
+    m3 = forge(spark, corpus, warehouse, shapes=s1, **kw)
+    assert m3["violations"] == m1["violations"]
+    landed = spark.read.parquet(f"{warehouse}/violations")
+    names = {r.shape for r in landed.select("shape").distinct().collect()}
+    assert "co-missing" not in names  # s2's rows are gone
+    assert landed.count() == m1["violations"]
+
+
+def test_retract_survives_checkpoint_loss_reextraction(spark, corpus, warehouse):
+    """The forge crash window: bucket data landed but its extract
+    checkpoint row is missing. Retraction scrubs the landed rows AND
+    tombstones the conv ids, so the bucket's re-extraction cannot
+    resurrect them even though the source still contains them."""
+    from graphforge_spark.pipeline import retract_conversations
+
+    forge(spark, corpus, warehouse, n_buckets=8, do_link=False)
+    victim = read_triples(spark, warehouse).select("src_conv_id").first().src_conv_id
+    # simulate the window: every extract checkpoint row lost, data landed
+    ckpt.delete_checkpoints(spark, warehouse, F.col("stage") != "extract")
+    m = retract_conversations(spark, warehouse, [victim], n_buckets=8)
+    assert m["triples_removed"] > 0
+    # full re-extraction of every bucket from the UNPURGED source
+    forge(spark, corpus, warehouse, n_buckets=8, do_link=False)
+    raw = read_triples(spark, warehouse)
+    assert raw.filter(F.col("src_conv_id") == victim).count() == 0
+    canon = spark.read.parquet(f"{warehouse}/triples_canonical")
+    assert canon.filter(F.col("src_conv_id") == victim).count() == 0
+    # everyone else came back
+    assert (
+        raw.select("src_conv_id").distinct().count()
+        == corpus.select("conv_id").distinct().count() - 1
+    )
+
+
+def test_entailed_union_spelling_consistent(spark, corpus, warehouse):
+    """With expand_curies the ASSERTED rows are expanded too — one
+    predicate must never appear in both CURIE and full-IRI spellings
+    (SHACL path matching and edge joins are exact-string)."""
+    from graphforge_spark.functions.terms import DEFAULT_PREFIXES
+
+    forge(spark, corpus, warehouse, n_buckets=8, do_link=False,
+          entail=True, entail_expand_curies=True)
+    ent = spark.read.parquet(f"{warehouse}/triples_entailed")
+    curie_re = "^(" + "|".join(DEFAULT_PREFIXES) + "):"
+    assert ent.filter(F.col("pred").rlike(curie_re)).count() == 0
+    assert ent.filter(
+        ~F.col("obj_is_literal") & F.col("obj").rlike(curie_re)
+    ).count() == 0
