@@ -272,13 +272,18 @@ def forge(
                 # match in SHACL path lookups or edge-table joins
                 from graphforge_spark.functions.terms import expand_curie
 
-                asserted = asserted.select(
-                    expand_curie(F.col("subj")).alias("subj"),
-                    expand_curie(F.col("pred")).alias("pred"),
-                    F.when(F.col("obj_is_literal"), F.col("obj"))
-                    .otherwise(expand_curie(F.col("obj")))
-                    .alias("obj"),
-                    "obj_is_literal", "graph", "src_conv_id", "src_turn_idx",
+                asserted = dedup_triples(
+                    # re-dedup: two CURIE spellings of one quad collide
+                    # only AFTER expansion (set semantics on the
+                    # expanded graph, same rule as the extract stage)
+                    asserted.select(
+                        expand_curie(F.col("subj")).alias("subj"),
+                        expand_curie(F.col("pred")).alias("pred"),
+                        F.when(F.col("obj_is_literal"), F.col("obj"))
+                        .otherwise(expand_curie(F.col("obj")))
+                        .alias("obj"),
+                        "obj_is_literal", "graph", "src_conv_id", "src_turn_idx",
+                    )
                 )
             entailed = asserted.withColumn("inferred", F.lit(False)).unionByName(
                 inferred_rows

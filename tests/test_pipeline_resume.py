@@ -388,3 +388,8 @@ def test_entailed_union_spelling_consistent(spark, corpus, warehouse):
     assert ent.filter(
         ~F.col("obj_is_literal") & F.col("obj").rlike(curie_re)
     ).count() == 0
+    # set semantics survive expansion: two CURIE spellings of one quad
+    # collide after expansion and must keep a single copy
+    asserted = ent.filter(~F.col("inferred"))
+    quad = ["subj", "pred", "obj", "obj_is_literal", "graph"]
+    assert asserted.count() == asserted.select(*quad).distinct().count()
