@@ -345,6 +345,13 @@ def forge(
                 os.path.join(warehouse, "export_nt"),
                 with_graph=True,
             )
+        else:
+            # a stale export from an earlier export_nt=True run no longer
+            # matches the landed graph — remove it rather than leave a
+            # wrong-config artifact (same class as the marker fix)
+            import shutil
+
+            shutil.rmtree(os.path.join(warehouse, "export_nt"), ignore_errors=True)
         _write_stage_marker(mat_marker, stage3)
         ckpt.append_checkpoints(
             spark, warehouse, stage3, run_id,

@@ -393,3 +393,18 @@ def test_entailed_union_spelling_consistent(spark, corpus, warehouse):
     asserted = ent.filter(~F.col("inferred"))
     quad = ["subj", "pred", "obj", "obj_is_literal", "graph"]
     assert asserted.count() == asserted.select(*quad).distinct().count()
+
+
+def test_export_toggle_off_removes_stale_export(spark, corpus, warehouse):
+    """export_nt True → False: the stale export no longer matches the
+    landed graph (different stage config) and must not remain as a
+    wrong-config artifact."""
+    import os
+
+    forge(spark, corpus, warehouse, n_buckets=8, do_link=False, export_nt=True)
+    assert os.path.exists(f"{warehouse}/export_nt")
+    forge(spark, corpus, warehouse, n_buckets=8, do_link=False, export_nt=False)
+    assert not os.path.exists(f"{warehouse}/export_nt")
+    # toggling back re-exports
+    forge(spark, corpus, warehouse, n_buckets=8, do_link=False, export_nt=True)
+    assert spark.read.text(f"{warehouse}/export_nt").count() > 0
