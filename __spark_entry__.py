@@ -75,14 +75,20 @@ def q_dedup_triples(spark, sf_dir):
 
 
 def q_extract_ntriples(spark, sf_dir):
-    return extract_ntriples(corpus.derive_nt_transcripts(spark, sf_dir))
+    return extract_ntriples(
+        corpus.derive_nt_transcripts(spark, sf_dir), with_annotations=True
+    )
 
 
 def q_ntriples_export(spark, sf_dir):
-    t = extract_ntriples(corpus.derive_nt_transcripts(spark, sf_dir))
+    # annotated parse → export round trip: @lang survives serialization
+    t = extract_ntriples(
+        corpus.derive_nt_transcripts(spark, sf_dir), with_annotations=True
+    )
     return t.select(
         ntriples_line(
-            F.col("subj"), F.col("pred"), F.col("obj"), F.col("obj_is_literal")
+            F.col("subj"), F.col("pred"), F.col("obj"), F.col("obj_is_literal"),
+            obj_lang=F.col("obj_lang"), obj_dt=F.col("obj_dt"),
         ).alias("line")
     )
 
@@ -94,7 +100,9 @@ def q_extract_rdfxml(spark, sf_dir):
 def q_extract_turtle(spark, sf_dir):
     from graphforge_spark.operators.extract import extract_turtle
 
-    return extract_turtle(corpus.derive_ttl_transcripts(spark, sf_dir))
+    return extract_turtle(
+        corpus.derive_ttl_transcripts(spark, sf_dir), with_annotations=True
+    )
 
 
 def q_bgp_join(spark, sf_dir):
@@ -1056,11 +1064,12 @@ def oracle_sql() -> dict[str, str]:
             WITH {_NT}
             SELECT subj, 'http://ex.org/p/supplies' AS pred,
                    'http://ex.org/e/Part_' || pk AS obj, FALSE AS obj_is_literal,
-                   conv_id AS graph, conv_id AS src_conv_id, turn_idx AS src_turn_idx
+                   conv_id AS graph, conv_id AS src_conv_id, turn_idx AS src_turn_idx,
+                   CAST(NULL AS VARCHAR) AS obj_lang, CAST(NULL AS VARCHAR) AS obj_dt
             FROM nt
             UNION ALL
             SELECT subj, 'http://ex.org/p/note', 'unit ' || k, TRUE,
-                   conv_id, conv_id, turn_idx
+                   conv_id, conv_id, turn_idx, 'en', CAST(NULL AS VARCHAR)
             FROM nt
         """,
         "ntriples_export": f"""
@@ -1068,7 +1077,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT '<' || subj || '> <http://ex.org/p/supplies> <http://ex.org/e/Part_'
                    || pk || '> .' AS line FROM nt
             UNION ALL
-            SELECT '<' || subj || '> <http://ex.org/p/note> "unit ' || k || '" .' FROM nt
+            SELECT '<' || subj || '> <http://ex.org/p/note> "unit ' || k || '"@en .'
+            FROM nt
         """,
         "extract_rdfxml": """
             WITH p AS (
@@ -1095,6 +1105,7 @@ def oracle_sql() -> dict[str, str]:
         "extract_turtle": """
             WITH o AS (
               SELECT 'http://ex.org/order' || CAST(o_orderkey AS VARCHAR) AS subj,
+                     CAST(o_orderkey AS VARCHAR) AS k,
                      CAST(o_custkey AS VARCHAR) AS ck,
                      o_orderstatus, o_orderpriority,
                      'ttl-' || lpad(CAST(o_orderkey % 10 AS VARCHAR), 3, '0') AS conv_id,
@@ -1103,17 +1114,24 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT subj, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS pred,
                    'http://ex.org/Order' AS obj, FALSE AS obj_is_literal,
-                   conv_id AS graph, conv_id AS src_conv_id, turn_idx AS src_turn_idx
+                   conv_id AS graph, conv_id AS src_conv_id, turn_idx AS src_turn_idx,
+                   CAST(NULL AS VARCHAR) AS obj_lang, CAST(NULL AS VARCHAR) AS obj_dt
             FROM o
             UNION ALL
             SELECT subj, 'http://ex.org/customer', 'http://ex.org/cust' || ck,
-                   FALSE, conv_id, conv_id, turn_idx FROM o
+                   FALSE, conv_id, conv_id, turn_idx,
+                   CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR) FROM o
             UNION ALL
             SELECT subj, 'http://ex.org/status', o_orderstatus, TRUE,
-                   conv_id, conv_id, turn_idx FROM o
+                   conv_id, conv_id, turn_idx, 'en', CAST(NULL AS VARCHAR) FROM o
             UNION ALL
             SELECT subj, 'http://ex.org/status', o_orderpriority, TRUE,
-                   conv_id, conv_id, turn_idx FROM o
+                   conv_id, conv_id, turn_idx,
+                   CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR) FROM o
+            UNION ALL
+            SELECT subj, 'http://ex.org/seq', k, TRUE,
+                   conv_id, conv_id, turn_idx, CAST(NULL AS VARCHAR),
+                   'http://www.w3.org/2001/XMLSchema#integer' FROM o
         """,
         "bgp_join": f"""
             WITH {_PT},

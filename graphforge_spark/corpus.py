@@ -107,7 +107,9 @@ def derive_nt_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("s_suppkey") % 100).cast("string"),
         F.lit("> ."),
     )
-    line2 = F.concat(subj, F.lit(' <http://ex.org/p/note> "unit '), k, F.lit('" .'))
+    line2 = F.concat(
+        subj, F.lit(' <http://ex.org/p/note> "unit '), k, F.lit('"@en .')
+    )
     return sup.select(
         F.format_string("nt-%03d", F.col("s_suppkey") % 10).alias("conv_id"),
         turn_idx.alias("turn_idx"),
@@ -170,10 +172,12 @@ def derive_ttl_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     turn_idx = F.floor(F.col("o_orderkey") / 10).cast("int")
     text = F.concat(
         F.lit("@prefix ex: <http://ex.org/> .\n"),
+        F.lit("@prefix xsd: <http://www.w3.org/2001/XMLSchema#> .\n"),
         F.lit("ex:order"), k, F.lit(" a ex:Order ;\n"),
         F.lit("  ex:customer ex:cust"), F.col("o_custkey").cast("string"), F.lit(" ;\n"),
-        F.lit('  ex:status "'), F.col("o_orderstatus"), F.lit('" , "'),
-        F.col("o_orderpriority"), F.lit('" .'),
+        F.lit('  ex:status "'), F.col("o_orderstatus"), F.lit('"@en , "'),
+        F.col("o_orderpriority"), F.lit('" ;\n'),
+        F.lit('  ex:seq "'), k, F.lit('"^^xsd:integer .'),
     )
     return orders.select(
         F.format_string("ttl-%03d", F.col("o_orderkey") % 10).alias("conv_id"),

@@ -72,17 +72,38 @@ def _term_iri(term: Column) -> Column:
 
 
 def ntriples_line(
-    subj: Column, pred: Column, obj: Column, obj_is_literal: Column, graph: Column | None = None
+    subj: Column,
+    pred: Column,
+    obj: Column,
+    obj_is_literal: Column,
+    graph: Column | None = None,
+    obj_lang: Column | None = None,
+    obj_dt: Column | None = None,
 ) -> Column:
     """Format one triple/quad as an N-Triples/N-Quads line.
 
     Matches N3.Writer's application/n-quads output shape
     (graphProcessor.js:76): IRIs bracketed, literals quoted+escaped,
-    blank nodes bare, terminating ``.``.
+    blank nodes bare, terminating ``.``. Optional ``obj_lang``/``obj_dt``
+    columns emit ``@lang`` / ``^^<datatype>`` suffixes on literals (lang
+    wins when both are set, per RDF: a language-tagged literal's datatype
+    is implied and never written).
     """
-    obj_part = F.when(
-        obj_is_literal, F.concat(F.lit('"'), _escape_literal(obj), F.lit('"'))
-    ).otherwise(_term_iri(obj))
+    lit_body = F.concat(F.lit('"'), _escape_literal(obj), F.lit('"'))
+    if obj_lang is not None or obj_dt is not None:
+        suffix = F.lit("")
+        if obj_dt is not None:
+            suffix = F.when(
+                obj_dt.isNotNull() & (obj_dt != ""),
+                F.concat(F.lit("^^<"), obj_dt, F.lit(">")),
+            ).otherwise(suffix)
+        if obj_lang is not None:
+            suffix = F.when(
+                obj_lang.isNotNull() & (obj_lang != ""),
+                F.concat(F.lit("@"), obj_lang),
+            ).otherwise(suffix)
+        lit_body = F.concat(lit_body, suffix)
+    obj_part = F.when(obj_is_literal, lit_body).otherwise(_term_iri(obj))
     parts = [_term_iri(subj), F.lit(" "), _term_iri(pred), F.lit(" "), obj_part]
     if graph is not None:
         parts += [

@@ -212,12 +212,14 @@ def extract_rdfxml(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 _NT_LINE = (
     r"^\s*(?:<([^>]*)>|(_:\S+))\s+<([^>]*)>\s+"
-    r'(?:<([^>]*)>|(_:\S+)|"((?:[^"\\]|\\.)*)"(?:\^\^<[^>]*>|@[\w-]+)?)'
+    r'(?:<([^>]*)>|(_:\S+)|"((?:[^"\\]|\\.)*)"(?:\^\^<([^>]*)>|@([\w-]+))?)'
     r"\s*(?:<([^>]*)>)?\s*\.\s*$"
 )
 
 
-def extract_ntriples(df: DataFrame, text_col: str = "text") -> DataFrame:
+def extract_ntriples(
+    df: DataFrame, text_col: str = "text", with_annotations: bool = False
+) -> DataFrame:
     """Parse N-Triples/N-Quads text blobs into triples, fully JVM-side.
 
     Reference: loadQuadsToStore / parseWithN3 over quads.nq
@@ -225,6 +227,10 @@ def extract_ntriples(df: DataFrame, text_col: str = "text") -> DataFrame:
     serialized document; lines are exploded then regex-destructured.
     Unparseable lines are dropped (N3.Parser would raise; at 100 TB we
     quarantine instead — callers can count dropped lines via lineage).
+    ``with_annotations`` adds nullable ``obj_lang``/``obj_dt`` columns
+    carrying literal ``@lang`` / ``^^<datatype>`` annotations — the
+    fidelity N3's store keeps through its N-Quads round trip
+    (fileSystem.js:483-487).
     """
     lines = spread_small_scan(df).select(
         F.col("conv_id").alias("src_conv_id"),
@@ -273,12 +279,17 @@ def extract_ntriples(df: DataFrame, text_col: str = "text") -> DataFrame:
         )
         .alias("obj"),
         ((g(4) == "") & (g(5) == "")).alias("obj_is_literal"),
-        F.when(g(7) != "", g(7)).otherwise(F.col("src_conv_id")).alias("graph"),
+        F.when(g(9) != "", g(9)).otherwise(F.col("src_conv_id")).alias("graph"),
+        F.when(g(8) != "", g(8)).alias("obj_lang"),
+        F.when(g(7) != "", g(7)).alias("obj_dt"),
     ).filter((F.col("pred") != "") & (F.col("subj") != ""))
 
-    return parsed.select(
+    out_cols = [
         "subj", "pred", "obj", "obj_is_literal", "graph", "src_conv_id", "src_turn_idx"
-    )
+    ]
+    if with_annotations:
+        out_cols += ["obj_lang", "obj_dt"]
+    return parsed.select(*out_cols)
 
 
 # ---------------------------------------------------------------------------
@@ -287,6 +298,7 @@ def extract_ntriples(df: DataFrame, text_col: str = "text") -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+_XSD_NS = "http://www.w3.org/2001/XMLSchema#"
 
 
 class _TurtleError(Exception):
@@ -302,9 +314,13 @@ class _TurtleParser:
     lists ``[...]``, collections ``(...)`` (expanded to rdf:first/rest/
     nil), numeric/boolean literals, short+long ('\"\"\"') strings in both
     quote styles with single-pass escape decoding (\\t \\n \\r \\" \\'
-    \\\\ \\uXXXX \\UXXXXXXXX). Language tags and datatype suffixes are
-    parsed and dropped (the quad schema stores the lexical form only —
-    same policy as the previous subset parser and the N-Triples path).
+    \\\\ \\uXXXX \\UXXXXXXXX). Language tags and datatype annotations
+    are captured (the reference's N3.Parser keeps them through the
+    store→N-Quads round trip, fileSystem.js:483-487); bare numeric and
+    boolean literals get their implicit XSD datatype the way N3.js
+    assigns it. ``extract_turtle`` drops the annotation columns unless
+    ``with_annotations=True`` — the core quad schema stores the lexical
+    form only.
 
     Quarantine policy: triples are buffered per statement and committed
     only when the whole statement parses; on error the parser resyncs at
@@ -324,8 +340,9 @@ class _TurtleParser:
         self.pos = 0
         self.prefixes: dict[str, str] = {}
         self.base = ""
-        self.out: list[tuple[str, str, str, bool]] = []
-        self.stmt: list[tuple[str, str, str, bool]] = []
+        # rows are (subj, pred, obj, obj_is_literal, obj_lang, obj_dt)
+        self.out: list[tuple[str, str, str, bool, str | None, str | None]] = []
+        self.stmt: list[tuple[str, str, str, bool, str | None, str | None]] = []
         self.anon = 0
         self._scheme = _re.compile(r"^[A-Za-z][A-Za-z0-9+.\-]*:")
         self._esc = _re.compile(r"\\(U[0-9a-fA-F]{8}|u[0-9a-fA-F]{4}|.)")
@@ -391,7 +408,7 @@ class _TurtleParser:
             return self.base + val
         return val
 
-    def _read_string(self) -> tuple[str, bool]:
+    def _read_string(self) -> tuple[str, bool, str | None, str | None]:
         q = self.t[self.pos]
         if self.t.startswith(q * 3, self.pos):
             i = self.pos + 3
@@ -424,17 +441,21 @@ class _TurtleParser:
                 self._err("unterminated string")
             body = self.t[self.pos + 1 : i]
             self.pos = i + 1
-        # optional @lang or ^^datatype — parsed, annotation dropped
+        # optional @lang or ^^datatype — captured (pname datatypes expand
+        # through the prefix table like any other term)
+        lang: str | None = None
+        dt: str | None = None
         m = self._langtag.match(self.t, self.pos)
         if m:
+            lang = m.group(0)[1:]
             self.pos = m.end()
         elif self.t.startswith("^^", self.pos):
             self.pos += 2
             if self._peek() == "<":
-                self._read_iri()
+                dt = self._read_iri()
             else:
-                self._read_pname()
-        return self._unescape(body), True
+                dt = self._read_pname()
+        return self._unescape(body), True, lang, dt
 
     def _read_pname(self) -> str:
         m = self._pname.match(self.t, self.pos)
@@ -468,12 +489,12 @@ class _TurtleParser:
             self._err("invalid predicate term")
         return self._read_pname()
 
-    def _read_term(self) -> tuple[str, bool]:
+    def _read_term(self) -> tuple[str, bool, str | None, str | None]:
         c = self._peek()
         if c == "":
             self._err("unexpected end of input")
         if c == "<":
-            return self._read_iri(), False
+            return self._read_iri(), False, None, None
         if c in "\"'":
             return self._read_string()
         m = self._bnode.match(self.t, self.pos)
@@ -483,53 +504,61 @@ class _TurtleParser:
             while label.endswith("."):
                 label = label[:-1]
                 self.pos -= 1
-            return label, False
+            return label, False, None, None
         if c == "[":
             self.pos += 1
             node = self._fresh_bnode()
             if self._peek() != "]":
                 self._predicate_object_list(node, closer="]")
             self._expect("]")
-            return node, False
+            return node, False, None, None
         if c == "(":
             return self._read_collection()
         m = self._number.match(self.t, self.pos)
         if m and (c.isdigit() or c in "+-."):
             self.pos = m.end()
-            return m.group(0), True
+            lex = m.group(0)
+            # implicit XSD datatype, the way N3.Parser assigns it
+            if "e" in lex or "E" in lex:
+                num_dt = _XSD_NS + "double"
+            elif "." in lex:
+                num_dt = _XSD_NS + "decimal"
+            else:
+                num_dt = _XSD_NS + "integer"
+            return lex, True, None, num_dt
         w = self._word.match(self.t, self.pos)
         if w and w.group(0) in ("true", "false") and self._is_word_end(w.end()):
             self.pos = w.end()
-            return w.group(0), True
+            return w.group(0), True, None, _XSD_NS + "boolean"
         if w and w.group(0) == "a" and self._is_word_end(w.end()):
             self.pos = w.end()
-            return _RDF_NS + "type", False
-        return self._read_pname(), False
+            return _RDF_NS + "type", False, None, None
+        return self._read_pname(), False, None, None
 
-    def _read_collection(self) -> tuple[str, bool]:
+    def _read_collection(self) -> tuple[str, bool, str | None, str | None]:
         self._expect("(")
-        items: list[tuple[str, bool]] = []
+        items: list[tuple[str, bool, str | None, str | None]] = []
         while self._peek() != ")":
             if self.pos >= self.n:
                 self._err("unterminated collection")
             items.append(self._read_term())
         self.pos += 1
         if not items:
-            return _RDF_NS + "nil", False
+            return _RDF_NS + "nil", False, None, None
         nodes = [self._fresh_bnode() for _ in items]
-        for i, (node, (val, lit)) in enumerate(zip(nodes, items)):
-            self.stmt.append((node, _RDF_NS + "first", val, lit))
+        for i, (node, (val, lit, lang, dt)) in enumerate(zip(nodes, items)):
+            self.stmt.append((node, _RDF_NS + "first", val, lit, lang, dt))
             rest = nodes[i + 1] if i + 1 < len(nodes) else _RDF_NS + "nil"
-            self.stmt.append((node, _RDF_NS + "rest", rest, False))
-        return nodes[0], False
+            self.stmt.append((node, _RDF_NS + "rest", rest, False, None, None))
+        return nodes[0], False, None, None
 
     # ---- statements -------------------------------------------------------
     def _predicate_object_list(self, subj: str, closer: str = ".") -> None:
         while True:
             pred = self._read_predicate()
             while True:
-                val, lit = self._read_term()
-                self.stmt.append((subj, pred, val, lit))
+                val, lit, lang, dt = self._read_term()
+                self.stmt.append((subj, pred, val, lit, lang, dt))
                 if self._peek() == ",":
                     self.pos += 1
                     continue
@@ -581,11 +610,11 @@ class _TurtleParser:
         c = self._peek()
         if c == "[":
             # bnode property list as subject; a following POL is optional
-            subj, _ = self._read_term()
+            subj, _, _, _ = self._read_term()
             if self._peek() != ".":
                 self._predicate_object_list(subj)
         else:
-            subj, is_lit = self._read_term()
+            subj, is_lit, _, _ = self._read_term()
             if is_lit:
                 self._err("literal cannot be a subject")
             self._predicate_object_list(subj)
@@ -628,7 +657,7 @@ class _TurtleParser:
             i += 1
         self.pos = self.n
 
-    def parse(self) -> list[tuple[str, str, str, bool]]:
+    def parse(self) -> list[tuple[str, str, str, bool, str | None, str | None]]:
         while True:
             self._skip_ws()
             if self.pos >= self.n:
@@ -642,24 +671,36 @@ class _TurtleParser:
                 self._resync(start)
 
 
-def _parse_turtle(text: str) -> list[tuple[str, str, str, bool]]:
-    """Parse one Turtle document → (subj, pred, obj, obj_is_literal) rows.
-    See _TurtleParser for grammar coverage and the quarantine policy."""
+def _parse_turtle(text: str) -> list[tuple[str, str, str, bool, str | None, str | None]]:
+    """Parse one Turtle document → (subj, pred, obj, obj_is_literal,
+    obj_lang, obj_dt) rows. See _TurtleParser for grammar coverage and
+    the quarantine policy."""
     return _TurtleParser(text).parse()
 
 
-def extract_turtle(df: DataFrame, text_col: str = "text") -> DataFrame:
+def extract_turtle(
+    df: DataFrame, text_col: str = "text", with_annotations: bool = False
+) -> DataFrame:
     """Arrow-batched Turtle extraction over transcript turns (one Turtle
-    document per turn). Same output shape as the other extractors."""
+    document per turn). Same output shape as the other extractors; with
+    ``with_annotations`` two nullable columns ``obj_lang``/``obj_dt``
+    carry literal language tags and datatype IRIs (the fidelity the
+    reference's N3 store keeps through its N-Quads round trip,
+    fileSystem.js:483-487)."""
     src = spread_small_scan(df).select(
         F.col("conv_id").alias("src_conv_id"),
         F.col("turn_idx").alias("src_turn_idx"),
         F.col(text_col).alias("_text"),
     )
+    ann = ", obj_lang string, obj_dt string" if with_annotations else ""
     out_schema = (
         "subj string, pred string, obj string, obj_is_literal boolean, "
-        "graph string, src_conv_id string, src_turn_idx int"
+        f"graph string, src_conv_id string, src_turn_idx int{ann}"
     )
+    cols = ["subj", "pred", "obj", "obj_is_literal",
+            "graph", "src_conv_id", "src_turn_idx"]
+    if with_annotations:
+        cols += ["obj_lang", "obj_dt"]
 
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
@@ -671,15 +712,12 @@ def extract_turtle(df: DataFrame, text_col: str = "text") -> DataFrame:
             ):
                 if not text:
                     continue
-                for s, p, o, lit in _parse_turtle(text):
-                    rows.append((s, p, o, lit, conv, conv, idx))
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    "subj", "pred", "obj", "obj_is_literal",
-                    "graph", "src_conv_id", "src_turn_idx",
-                ],
-            )
+                for s, p, o, lit, lang, dt in _parse_turtle(text):
+                    row = (s, p, o, lit, conv, conv, idx)
+                    if with_annotations:
+                        row += (lang, dt)
+                    rows.append(row)
+            yield pd.DataFrame(rows, columns=cols)
 
     return src.mapInPandas(batches, schema=out_schema)
 

@@ -25,9 +25,14 @@ def export_ntriples(triples: DataFrame, path: str, with_graph: bool = False) -> 
     graph_col = (
         F.concat(F.lit(GRAPH_NS), F.col("graph")) if with_graph else None
     )
+    # annotation columns ride along automatically when present, so an
+    # annotated parse → export round trip preserves @lang / ^^datatype
+    lang_col = F.col("obj_lang") if "obj_lang" in triples.columns else None
+    dt_col = F.col("obj_dt") if "obj_dt" in triples.columns else None
     lines = triples.select(
         ntriples_line(
-            F.col("subj"), F.col("pred"), F.col("obj"), F.col("obj_is_literal"), graph_col
+            F.col("subj"), F.col("pred"), F.col("obj"), F.col("obj_is_literal"),
+            graph_col, lang_col, dt_col,
         ).alias("value")
     )
     lines.write.mode("overwrite").text(path)

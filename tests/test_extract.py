@@ -280,7 +280,7 @@ class TestTurtleParser:
             ex:v ex:esc "tab\\there \\\\t kept \\u0041" .
             ex:empty ex:l () .
         """
-        got = set(_parse_turtle(ttl))
+        got = {(s, p, o, lit) for s, p, o, lit, _, _ in _parse_turtle(ttl)}
         EX = "http://ex.org/"
         assert ("http://base.org/rel", EX + "p", "http://base.org/#frag", False) in got
         # collection spine: s → gb1 →first 1, →rest gb2 … → nil
@@ -299,7 +299,7 @@ class TestTurtleParser:
         assert (EX + "t", EX + "flag", "true", True) in got
         assert (EX + "t", EX + "flag", "false", True) in got
         # long string with newline + escaped quotes
-        note = next(o for s, p, o, _ in got if p == EX + "note")
+        note = next(o for s, p, o, *_ in got if p == EX + "note")
         assert '"q"' in note and "\n" in note
         # single-pass escapes: \\t stays backslash-t, \t decodes, A='A'
         assert (EX + "v", EX + "esc", "tab\there \\t kept A", True) in got
@@ -317,8 +317,102 @@ class TestTurtleParser:
             'ex:bad ex:p "unterminated ;\n'
             "ex:also_good ex:p ex:r .\n"
         )
-        got = {(s, p, o) for s, p, o, _ in _parse_turtle(ttl)}
+        got = {(s, p, o) for s, p, o, *_ in _parse_turtle(ttl)}
         EX = "http://ex.org/"
         assert (EX + "good", EX + "p", EX + "q") in got
         assert (EX + "also_good", EX + "p", EX + "r") in got
         assert not any(s == EX + "bad" for s, _, _ in got)
+
+
+class TestLiteralAnnotations:
+    """Literal @lang / ^^datatype fidelity (the reference's N3 store keeps
+    annotations through its N-Quads round trip, fileSystem.js:483-487)."""
+
+    def test_turtle_parser_captures_annotations(self):
+        from graphforge_spark.operators.extract import _parse_turtle
+
+        ttl = (
+            "@prefix ex: <http://ex.org/> .\n"
+            "@prefix xsd: <http://www.w3.org/2001/XMLSchema#> .\n"
+            'ex:s ex:l "pizza"@en , "pizza"@it-IT , "plain" ;\n'
+            '  ex:d "12.50"^^xsd:decimal ;\n'
+            '  ex:w "2020-01-01"^^<http://www.w3.org/2001/XMLSchema#date> ;\n'
+            "  ex:n 42 ; ex:f 3.5 ; ex:e 1e3 ; ex:b true .\n"
+        )
+        XSD = "http://www.w3.org/2001/XMLSchema#"
+        got = {(p.rsplit("/", 1)[1], o, lang, dt) for _, p, o, _, lang, dt in _parse_turtle(ttl)}
+        assert ("l", "pizza", "en", None) in got
+        assert ("l", "pizza", "it-IT", None) in got
+        assert ("l", "plain", None, None) in got
+        # pname datatype expands through the prefix table; <iri> stays as-is
+        assert ("d", "12.50", None, XSD + "decimal") in got
+        assert ("w", "2020-01-01", None, XSD + "date") in got
+        # bare numerics/booleans get their implicit XSD datatype (N3.js rule)
+        assert ("n", "42", None, XSD + "integer") in got
+        assert ("f", "3.5", None, XSD + "decimal") in got
+        assert ("e", "1e3", None, XSD + "double") in got
+        assert ("b", "true", None, XSD + "boolean") in got
+
+    def test_extract_turtle_annotation_columns_opt_in(self, spark):
+        from graphforge_spark.operators.extract import extract_turtle
+        from graphforge_spark.schemas import TRANSCRIPT_SCHEMA
+
+        ttl = '@prefix ex: <http://ex.org/> .\nex:s ex:l "pizza"@en .'
+        df = spark.createDataFrame([("c", 0, "tool", ttl, "turtle", None)], TRANSCRIPT_SCHEMA)
+        # default: schema unchanged (no annotation columns)
+        assert "obj_lang" not in extract_turtle(df).columns
+        rows = extract_turtle(df, with_annotations=True).collect()
+        assert [(r.obj, r.obj_lang, r.obj_dt) for r in rows] == [("pizza", "en", None)]
+
+    def test_extract_ntriples_annotations_and_roundtrip(self, spark):
+        from graphforge_spark.functions.terms import ntriples_line
+
+        nt = "\n".join(
+            [
+                '<http://a> <http://p> "hola"@es .',
+                '<http://a> <http://p> "3"^^<http://www.w3.org/2001/XMLSchema#integer> .',
+                '<http://a> <http://p> "plain" .',
+                "<http://a> <http://p> <http://b> .",
+            ]
+        )
+        df = spark.createDataFrame(
+            [("c", 0, "tool", nt, "ntriples", None)],
+            "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+        )
+        assert "obj_lang" not in extract_ntriples(df).columns
+        parsed = extract_ntriples(df, with_annotations=True)
+        got = {(r.obj, r.obj_lang, r.obj_dt) for r in parsed.collect()}
+        assert got == {
+            ("hola", "es", None),
+            ("3", None, "http://www.w3.org/2001/XMLSchema#integer"),
+            ("plain", None, None),
+            ("http://b", None, None),
+        }
+        # serialize back with annotations: every source line survives verbatim
+        out = parsed.select(
+            ntriples_line(
+                F.col("subj"), F.col("pred"), F.col("obj"), F.col("obj_is_literal"),
+                obj_lang=F.col("obj_lang"), obj_dt=F.col("obj_dt"),
+            ).alias("line")
+        ).collect()
+        assert sorted(r.line for r in out) == sorted(nt.split("\n"))
+
+    def test_export_ntriples_autodetects_annotation_columns(self, spark, tmp_path):
+        from graphforge_spark.sinks.ntriples import export_ntriples
+
+        df = spark.createDataFrame(
+            [
+                ("http://s", "http://p", "bonjour", True, "g", "fr", None),
+                ("http://s", "http://p", "5", True, "g", None,
+                 "http://www.w3.org/2001/XMLSchema#integer"),
+            ],
+            "subj string, pred string, obj string, obj_is_literal boolean, "
+            "graph string, obj_lang string, obj_dt string",
+        )
+        path = str(tmp_path / "nt")
+        export_ntriples(df, path)
+        lines = sorted(r.value for r in spark.read.text(path).collect())
+        assert lines == [
+            '<http://s> <http://p> "5"^^<http://www.w3.org/2001/XMLSchema#integer> .',
+            '<http://s> <http://p> "bonjour"@fr .',
+        ]
