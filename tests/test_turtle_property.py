@@ -36,9 +36,22 @@ _ESCAPES = [
 ]
 
 
+XSD = "http://www.w3.org/2001/XMLSchema#"
+
+# literal annotation: (rendered suffix, expected lang, expected dt)
+_ANNOTATIONS = [
+    ("", None, None),
+    ("@en", "en", None),
+    ("@en-US", "en-US", None),
+    ("@fr", "fr", None),
+    (f"^^<{XSD}string>", None, XSD + "string"),
+    ("^^xsd:date", None, XSD + "date"),
+]
+
+
 @st.composite
 def _object(draw):
-    """Return (rendered_turtle, expected_obj, is_literal)."""
+    """Return (rendered_turtle, expected_obj, is_literal, lang, dt)."""
     kind = draw(
         st.sampled_from(
             ["iri", "curie", "str", "esc", "longstr", "int", "dec", "bool"]
@@ -46,30 +59,35 @@ def _object(draw):
     )
     if kind == "iri":
         name = draw(_SAFE)
-        return f"<{EX}{name}>", f"{EX}{name}", False
+        return f"<{EX}{name}>", f"{EX}{name}", False, None, None
     if kind == "curie":
         name = draw(_SAFE)
-        return f"ex:{name}", f"{EX}{name}", False
+        return f"ex:{name}", f"{EX}{name}", False, None, None
     if kind == "str":
         body = draw(_SAFE)
-        return f'"{body}"', body, True
+        suf, lang, dt = draw(st.sampled_from(_ANNOTATIONS))
+        return f'"{body}"{suf}', body, True, lang, dt
     if kind == "esc":
         pieces = draw(st.lists(st.sampled_from(_ESCAPES), min_size=1, max_size=4))
         pre = draw(_SAFE)
         rendered = pre + "".join(w for w, _ in pieces)
         decoded = pre + "".join(d for _, d in pieces)
-        return f'"{rendered}"', decoded, True
+        suf, lang, dt = draw(st.sampled_from(_ANNOTATIONS))
+        return f'"{rendered}"{suf}', decoded, True, lang, dt
     if kind == "longstr":
         lines = draw(st.lists(_SAFE, min_size=1, max_size=3))
         body = "\n".join(lines)
-        return f'"""{body}"""', body, True
+        suf, lang, dt = draw(st.sampled_from(_ANNOTATIONS))
+        return f'"""{body}"""{suf}', body, True, lang, dt
+    # bare numerics/booleans carry their implicit XSD datatype (N3.js rule)
     if kind == "int":
         n = draw(st.integers(-999, 999))
-        return str(n), str(n), True
+        return str(n), str(n), True, None, XSD + "integer"
     if kind == "dec":
         a, b = draw(st.integers(0, 99)), draw(st.integers(0, 99))
-        return f"{a}.{b}", f"{a}.{b}", True
-    return draw(st.sampled_from([("true", "true", True), ("false", "false", True)]))
+        return f"{a}.{b}", f"{a}.{b}", True, None, XSD + "decimal"
+    lex = draw(st.sampled_from(["true", "false"]))
+    return lex, lex, True, None, XSD + "boolean"
 
 
 @st.composite
@@ -88,12 +106,13 @@ def turtle_docs(draw):
             po_chunks.append(
                 f"{pred_txt} " + " , ".join(o[0] for o in objs)
             )
-            for _, expected, lit in objs:
-                facts.add((subj, pred, expected, lit))
+            for _, expected, lit, lang, dt in objs:
+                facts.add((subj, pred, expected, lit, lang, dt))
         sep = draw(st.sampled_from([" ;\n    ", " ; "]))
         blocks.append(f"{subj_txt} {sep.join(po_chunks)} .")
     doc = (
-        f"@prefix ex: <{EX}> .\n@prefix p: <{P}> .\n" + "\n".join(blocks)
+        f"@prefix ex: <{EX}> .\n@prefix p: <{P}> .\n"
+        f"@prefix xsd: <{XSD}> .\n" + "\n".join(blocks)
     )
     return doc, facts
 
@@ -118,10 +137,51 @@ def test_turtle_parser_matches_writer(_shared, doc):
         "tool string, ts timestamp",
     )
     got = {
-        (r.subj, r.pred, r.obj, r.obj_is_literal)
-        for r in extract_turtle(df).collect()
+        (r.subj, r.pred, r.obj, r.obj_is_literal, r.obj_lang, r.obj_dt)
+        for r in extract_turtle(df, with_annotations=True).collect()
     }
     assert got == expected, text
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(doc=turtle_docs())
+def test_turtle_to_ntriples_roundtrip(_shared, doc):
+    """Full serialization closure: Turtle parse → N-Triples serialize →
+    N-Triples parse must preserve every fact INCLUDING @lang/^^datatype
+    annotations (the reference round-trips its store through N3 N-Quads
+    text, fileSystem.js:483-487 — annotations must survive)."""
+    from graphforge_spark.functions.terms import ntriples_line
+    from graphforge_spark.operators.extract import extract_ntriples
+
+    spark = _shared
+    text, expected = doc
+    df = spark.createDataFrame(
+        [("c0", 0, "tool", text, "turtle", None)],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    parsed = extract_turtle(df, with_annotations=True)
+    lines = parsed.select(
+        ntriples_line(
+            F.col("subj"), F.col("pred"), F.col("obj"), F.col("obj_is_literal"),
+            obj_lang=F.col("obj_lang"), obj_dt=F.col("obj_dt"),
+        ).alias("line")
+    ).collect()
+    nt_text = "\n".join(r.line for r in lines)
+    df2 = spark.createDataFrame(
+        [("c0", 0, "tool", nt_text, "ntriples", None)],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    got = {
+        (r.subj, r.pred, r.obj, r.obj_is_literal, r.obj_lang, r.obj_dt)
+        for r in extract_ntriples(df2, with_annotations=True).collect()
+    }
+    assert got == expected, nt_text
 
 
 # ---------------------------------------------------------------------------
