@@ -883,6 +883,7 @@ def extract_patterns(
 def extract_all(
     transcripts: DataFrame,
     rules: list[PatternRule] | None = None,
+    with_annotations: bool = False,
 ) -> DataFrame:
     """Route each turn to the right extractor by its ``tool`` tag and union.
 
@@ -890,6 +891,11 @@ def extract_all(
     parser; everything else → free-text pattern rules. Mirrors the
     extension dispatch at graphProcessor.js:151-163 ('.owl/.rdf' vs '.ttl'),
     generalized to transcript turns.
+
+    ``with_annotations`` threads literal ``@lang``/``^^datatype`` capture
+    through the serialized-RDF parsers (Turtle, N-Triples); the RDF/XML
+    walker and the free-text pattern rules have no annotation source, so
+    their rows carry NULL ``obj_lang``/``obj_dt``.
     """
     xml_turns = transcripts.filter(F.col("tool") == "rdfxml")
     nt_turns = transcripts.filter(F.col("tool") == "ntriples")
@@ -897,6 +903,18 @@ def extract_all(
     text_turns = transcripts.filter(
         (F.col("tool").isNull()) | (~F.col("tool").isin("rdfxml", "ntriples", "turtle"))
     )
+    if with_annotations:
+        def _null_ann(df: DataFrame) -> DataFrame:
+            return df.withColumn("obj_lang", F.lit(None).cast("string")).withColumn(
+                "obj_dt", F.lit(None).cast("string")
+            )
+
+        return (
+            _null_ann(extract_rdfxml(xml_turns))
+            .unionByName(extract_ntriples(nt_turns, with_annotations=True))
+            .unionByName(extract_turtle(ttl_turns, with_annotations=True))
+            .unionByName(_null_ann(extract_patterns(text_turns, rules)))
+        )
     return (
         extract_rdfxml(xml_turns)
         .unionByName(extract_ntriples(nt_turns))
@@ -919,11 +937,18 @@ def dedup_triples(triples: DataFrame) -> DataFrame:
     on one long instead of five strings — measured ~15-20% off the dedup
     stage at 200k rows, and the comparator saving grows with key width at
     corpus scale. The hash column is dropped on the way out.
+
+    Annotation-aware: when the frame carries ``obj_lang``/``obj_dt``
+    (``extract_all(with_annotations=True)``), they join the group key —
+    in RDF ``"a"@en`` and ``"a"@fr`` are DISTINCT terms, so they must not
+    collapse into one quad.
     """
-    quad_hash = F.xxhash64("subj", "pred", "obj", "obj_is_literal", "graph")
+    ann = [c for c in ("obj_lang", "obj_dt") if c in triples.columns]
+    key = ["subj", "pred", "obj", "obj_is_literal", "graph", *ann]
+    quad_hash = F.xxhash64(*key)
     return (
         triples.withColumn("_qh", quad_hash)
-        .groupBy("_qh", "subj", "pred", "obj", "obj_is_literal", "graph")
+        .groupBy("_qh", *key)
         .agg(
             F.min(F.struct("src_conv_id", "src_turn_idx")).alias("_prov"),
         )
@@ -935,5 +960,6 @@ def dedup_triples(triples: DataFrame) -> DataFrame:
             "graph",
             F.col("_prov.src_conv_id").alias("src_conv_id"),
             F.col("_prov.src_turn_idx").alias("src_turn_idx"),
+            *ann,
         )
     )

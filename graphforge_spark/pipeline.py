@@ -98,6 +98,14 @@ def forge(
     interrupted buckets are overwritten in place (dynamic partition
     overwrite). Running twice == running once.
 
+    Literal fidelity: extraction captures ``@lang``/``^^datatype`` as
+    nullable ``obj_lang``/``obj_dt`` columns (distinct annotation =
+    distinct quad through dedup, per RDF), they survive linking/
+    canonicalization (only IRIs rewrite), and the N-Quads export emits
+    them. The ENTAILED graph is core-schema (inference works on lexical
+    identity; asserted-row annotations are dropped in entail mode).
+    Pre-annotation warehouses resume cleanly (columns backfilled NULL).
+
     Optional KG stages, checkpointed like the others:
     - ``entail=True`` materializes the RDFS closure after
       canonicalization (operators/entailment): asserted rows keep their
@@ -124,8 +132,12 @@ def forge(
 
     if todo_ids:
         pending = with_part.filter(F.col("part_id").isin(todo_ids)).drop("part_id")
+        # annotations always on: literal @lang/^^datatype capture costs two
+        # mostly-null string columns through one shuffle, and a fixed-on
+        # schema avoids the stale-toggle class entirely (an A → B → A
+        # config flip can never serve the other config's landed columns)
         triples = _apply_tombstones(
-            spark, warehouse, dedup_triples(extract_all(pending))
+            spark, warehouse, dedup_triples(extract_all(pending, with_annotations=True))
         )
         write_triples_partition(triples, warehouse, n_buckets)
         # per-partition metrics (one aggregation pass, no collect loops)
@@ -158,6 +170,12 @@ def forge(
         )
 
     triples = read_triples(spark, warehouse)
+    # a warehouse extracted before annotation capture lacks the columns —
+    # backfill NULLs so resume keeps working (honest: that data was
+    # extracted without annotations)
+    for _ac in ("obj_lang", "obj_dt"):
+        if _ac not in triples.columns:
+            triples = triples.withColumn(_ac, F.lit(None).cast("string"))
 
     # Stages 2–3 are global (not per-bucket), so their checkpoint rows use
     # part_id = -1 and carry the EXTRACTION VERSION in the rows_in slot:
@@ -226,7 +244,7 @@ def forge(
             canonical = dedup_triples(
                 rewrite_triples(triples, mapping).select(
                     "subj", "pred", "obj", "obj_is_literal", "graph",
-                    "src_conv_id", "src_turn_idx",
+                    "src_conv_id", "src_turn_idx", "obj_lang", "obj_dt",
                 )
             )
         else:

@@ -106,6 +106,16 @@ scan are all string-literal-aware (and the keyword scan also blanks
 The reference's prepareQuery rewrites are applied first: 'a' → rdf:type,
 PREFIX extraction + re-injection of the global prefix map, bare-IRI
 bracketing.
+
+Literal annotations: the extraction layer can carry ``@lang``/``^^dt``
+as opt-in ``obj_lang``/``obj_dt`` store columns (extract.py) and the
+N-Triples sink round-trips them, but this query surface binds the
+lexical form only — ``LANG()``/``DATATYPE()``/``STRLANG()``/``STRDT()``
+raise loudly (unsupported-expression path) rather than approximating:
+threading per-variable annotation companions through UNION null-
+extension, MINUS/EXISTS compatible-mapping joins, and subqueries would
+risk exactly the silently-divergent bindings this module's loud-failure
+contract exists to prevent.
 """
 
 from __future__ import annotations

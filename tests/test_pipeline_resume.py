@@ -408,3 +408,64 @@ def test_export_toggle_off_removes_stale_export(spark, corpus, warehouse):
     # toggling back re-exports
     forge(spark, corpus, warehouse, n_buckets=8, do_link=False, export_nt=True)
     assert spark.read.text(f"{warehouse}/export_nt").count() > 0
+
+
+def test_forge_annotation_fidelity(spark, warehouse):
+    """@lang/^^datatype survive the whole forge: extraction → dedup
+    (distinct annotation = distinct quad) → canonicalize passthrough →
+    N-Quads export."""
+    rows = [
+        # same lexical form under two language tags: TWO quads, not one
+        ("cA", 0, "tool",
+         '@prefix ex: <http://ex.org/> .\n'
+         'ex:s ex:label "pizza"@en , "pizza"@it ; ex:n 7 .',
+         "turtle", None),
+        ("cB", 0, "tool",
+         '<http://ex.org/s> <http://ex.org/note> "unit"@en .',
+         "ntriples", None),
+    ]
+    corpus = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    m = forge(spark, corpus, warehouse, n_buckets=4, do_link=False)
+    t = read_triples(spark, warehouse)
+    assert {"obj_lang", "obj_dt"} <= set(t.columns)
+    labels = {
+        (r.obj, r.obj_lang)
+        for r in t.filter(F.col("pred") == "http://ex.org/label").collect()
+    }
+    assert labels == {("pizza", "en"), ("pizza", "it")}
+    n7 = t.filter(F.col("pred") == "http://ex.org/n").collect()
+    assert [(r.obj, r.obj_dt) for r in n7] == [
+        ("7", "http://www.w3.org/2001/XMLSchema#integer")
+    ]
+    export = "\n".join(
+        r.value for r in spark.read.text(f"{warehouse}/export_nt").collect()
+    )
+    assert '"pizza"@en' in export and '"pizza"@it' in export
+    assert '"7"^^<http://www.w3.org/2001/XMLSchema#integer>' in export
+    assert m["triples"] == t.count()
+
+
+def test_forge_resumes_pre_annotation_warehouse(spark, corpus, warehouse):
+    """A warehouse landed before annotation capture (no obj_lang/obj_dt
+    columns) must resume cleanly: the columns backfill as NULL instead of
+    crashing stage 2's select."""
+    forge(spark, corpus, warehouse, n_buckets=8, do_link=False)
+    t1 = _triple_set(spark, warehouse)
+    # simulate the old layout: rewrite the triples table minus the columns
+    old = read_triples(spark, warehouse).drop("obj_lang", "obj_dt").cache()
+    old.count()
+    old.write.mode("overwrite").parquet(f"{warehouse}/triples")
+    # deleting the stage-2 checkpoint row forces it to recompute from the
+    # stripped table (same config, so the canonical set must round-trip);
+    # delete_checkpoints takes a KEEP predicate
+    ckpt.delete_checkpoints(spark, warehouse, F.col("stage") != "canonical_passthrough")
+    m = forge(spark, corpus, warehouse, n_buckets=8, do_link=False)
+    assert m["buckets_processed"] == 0  # extraction stayed checkpointed
+    canonical = spark.read.parquet(f"{warehouse}/triples_canonical")
+    assert {"obj_lang", "obj_dt"} <= set(canonical.columns)
+    assert canonical.filter(F.col("obj_lang").isNotNull()).count() == 0
+    assert _triple_set(spark, warehouse) == t1
