@@ -7,7 +7,11 @@ per property path, ``minCount`` / ``maxCount`` cardinality,
 ``nodeKind`` (IRI / Literal / BlankNode, mapped onto the engine's
 ``obj_is_literal`` + ``_:`` discriminators — the reference's own typing
 rule, graphProcessor.js:222), ``class`` (each value must be rdf:type'd
-with the given class), and ``pattern`` (regex over literal values).
+with the given class), ``pattern`` (regex over literal values), and
+``datatype`` (sh:datatype over the store's ``obj_dt``/``obj_lang``
+annotation columns: a plain literal's effective datatype is xsd:string,
+a language-tagged literal's is rdf:langString, per SHACL; a store
+without annotation columns is treated as all-plain).
 
 Reference parity note: GraphForge ships no validator; this operator is
 a §2C addition in the north_rule's KG-construction framing — forge,
@@ -47,6 +51,9 @@ TYPE_PREDS = (RDF_TYPE, "rdf:type")
 
 NODE_KINDS = ("iri", "literal", "blank")
 
+XSD_STRING = "http://www.w3.org/2001/XMLSchema#string"
+RDF_LANGSTRING = "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"
+
 
 @dataclass(frozen=True)
 class Shape:
@@ -65,6 +72,7 @@ class Shape:
     node_kind: str | None = None
     class_constraint: str | None = None
     pattern: str | None = None
+    datatype: str | None = None
 
     def __post_init__(self):
         if self.min_count < 0:
@@ -87,11 +95,12 @@ def _shapes_df(spark, shapes: list[Shape]) -> DataFrame:
     return spark.createDataFrame(
         [
             (s.name, s.target_class, s.path, s.min_count, s.max_count,
-             s.node_kind, s.class_constraint, s.pattern)
+             s.node_kind, s.class_constraint, s.pattern, s.datatype)
             for s in shapes
         ],
         "shape string, target_class string, path string, min_count int, "
-        "max_count int, node_kind string, class_constraint string, pattern string",
+        "max_count int, node_kind string, class_constraint string, "
+        "pattern string, datatype string",
     )
 
 
@@ -139,23 +148,33 @@ def validate_with_handle(
     )
     focus = types.join(sh, types.cls == sh.target_class).select(
         "shape", "target_class", "path", "min_count", "max_count",
-        "node_kind", "class_constraint", "pattern",
+        "node_kind", "class_constraint", "pattern", "datatype",
         F.col("inst").alias("focus"),
     )
 
+    # a core-schema store (no annotation columns) is all-plain literals:
+    # backfill NULLs so the datatype branch sees xsd:string for them
+    ann_src = triples
+    for _ac in ("obj_lang", "obj_dt"):
+        if _ac not in ann_src.columns:
+            ann_src = ann_src.withColumn(_ac, F.lit(None).cast("string"))
+
     vals = focus.join(
-        triples.select(
+        ann_src.select(
             F.col("subj").alias("_vs"), F.col("pred").alias("_vp"),
             F.col("obj").alias("obj"), F.col("obj_is_literal").alias("obj_is_literal"),
+            F.col("obj_lang").alias("obj_lang"), F.col("obj_dt").alias("obj_dt"),
         ),
         (F.col("focus") == F.col("_vs")) & (F.col("path") == F.col("_vp")),
         "left",
     ).dropDuplicates(
         # RDF graphs are sets: a duplicate triple in pre-dedup input must
         # count ONCE toward cardinality (and violate nodeKind/class/
-        # pattern once), mirroring the distinct on the types slice above
-        ["shape", "focus", "obj", "obj_is_literal"]
-    ).persist()  # five violation branches share ONE value expansion —
+        # pattern once), mirroring the distinct on the types slice above.
+        # Annotations are part of term identity ("a"@en vs "a"@fr are two
+        # values), so they join the dedup key — NULLs compare equal here.
+        ["shape", "focus", "obj", "obj_is_literal", "obj_lang", "obj_dt"]
+    ).persist()  # six violation branches share ONE value expansion —
     # without this each branch re-runs the focus⋈store join (audited:
     # 22 parquet scans → 14, branches read InMemoryTableScan; persist
     # is lazy, so validate stays a single job)
@@ -214,9 +233,30 @@ def validate_with_handle(
         F.col("pattern").alias("expected"), F.col("obj").alias("actual"),
     )
 
+    # ---- datatype (sh:datatype over the annotation columns) -------------
+    # SHACL effective datatype: non-literal → violation; lang-tagged →
+    # rdf:langString; explicit ^^dt → that dt; plain → xsd:string
+    effective_dt = (
+        F.when(~F.col("obj_is_literal"), F.lit(None).cast("string"))
+        .when(F.col("obj_lang").isNotNull(), F.lit(RDF_LANGSTRING))
+        .otherwise(F.coalesce(F.col("obj_dt"), F.lit(XSD_STRING)))
+    )
+    bad_datatype = present.filter(
+        F.col("datatype").isNotNull()
+        & (
+            ~F.col("obj_is_literal")
+            | (effective_dt != F.col("datatype"))
+        )
+    ).select(
+        "shape", "focus", F.lit("datatype").alias("constraint"),
+        F.col("obj").alias("value"),
+        F.col("datatype").alias("expected"),
+        F.coalesce(effective_dt, F.lit("non-literal")).alias("actual"),
+    )
+
     violations = too_few.unionByName(too_many).unionByName(bad_kind).unionByName(
         bad_class
-    ).unionByName(bad_pattern)
+    ).unionByName(bad_pattern).unionByName(bad_datatype)
     return violations, vals
 
 

@@ -172,3 +172,82 @@ def test_duplicate_triples_count_once(spark):
                   node_kind="iri", class_constraint=ORG)
     assert validate(dup, [shape]).count() == 0  # no false maxCount
     assert conforms(dup, [shape])
+
+
+class TestDatatypeConstraint:
+    """sh:datatype over the annotation columns (obj_lang/obj_dt)."""
+
+    XSD = "http://www.w3.org/2001/XMLSchema#"
+    RDF_LS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"
+
+    def _store(self, spark):
+        X = self.XSD
+        rows = [
+            # dave: age typed xsd:integer (conformant), name plain (string)
+            (EX + "dave", TYPE, PERSON, False, None, None, None),
+            (EX + "dave", AGE, "41", True, None, None, X + "integer"),
+            (EX + "dave", NAME, "Dave", True, None, None, None),
+            # erin: age typed xsd:decimal (wrong dt), name lang-tagged
+            # (effective rdf:langString, not xsd:string)
+            (EX + "erin", TYPE, PERSON, False, None, None, None),
+            (EX + "erin", AGE, "7.5", True, None, None, X + "decimal"),
+            (EX + "erin", NAME, "Erin", True, None, "en", None),
+            # frank: age is an IRI (non-literal under a datatype constraint)
+            (EX + "frank", TYPE, PERSON, False, None, None, None),
+            (EX + "frank", AGE, EX + "forty", True, None, None, None),
+            (EX + "frank", AGE, EX + "iri_age", False, None, None, None),
+        ]
+        return spark.createDataFrame(
+            rows,
+            "subj string, pred string, obj string, obj_is_literal boolean, "
+            "graph string, obj_lang string, obj_dt string",
+        )
+
+    def test_effective_datatype_semantics(self, spark):
+        X = self.XSD
+        shapes = [
+            Shape("age_int", PERSON, AGE, datatype=X + "integer"),
+            Shape("name_str", PERSON, NAME, datatype=X + "string"),
+        ]
+        got = {
+            (r.shape, r.focus, r.value, r.actual)
+            for r in validate(self._store(spark), shapes)
+            .filter("constraint = 'datatype'")
+            .collect()
+        }
+        assert got == {
+            # wrong explicit datatype
+            ("age_int", EX + "erin", "7.5", X + "decimal"),
+            # plain literal whose lexical form happens to look like an IRI
+            ("age_int", EX + "frank", EX + "forty", X + "string"),
+            # actual non-literal value
+            ("age_int", EX + "frank", EX + "iri_age", "non-literal"),
+            # lang-tagged literal is rdf:langString, never xsd:string
+            ("name_str", EX + "erin", "Erin", self.RDF_LS),
+        }
+
+    def test_core_schema_store_is_all_plain(self, spark, triples):
+        # a store without annotation columns: every literal is xsd:string
+        shapes = [Shape("name_str", PERSON, NAME, datatype=self.XSD + "string")]
+        assert (
+            validate(triples, shapes).filter("constraint = 'datatype'").count() == 0
+        )
+        shapes = [Shape("name_int", PERSON, NAME, datatype=self.XSD + "integer")]
+        bad = validate(triples, shapes).filter("constraint = 'datatype'")
+        assert bad.count() == 3  # every person's name literal violates
+        assert {r.actual for r in bad.collect()} == {self.XSD + "string"}
+
+    def test_annotated_values_count_separately(self, spark):
+        # "a"@en and "a"@fr are two values → maxCount=1 violates
+        rows = [
+            (EX + "gail", TYPE, PERSON, False, None, None, None),
+            (EX + "gail", NAME, "Gail", True, None, "en", None),
+            (EX + "gail", NAME, "Gail", True, None, "fr", None),
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "subj string, pred string, obj string, obj_is_literal boolean, "
+            "graph string, obj_lang string, obj_dt string",
+        )
+        got = validate(df, [Shape("one_name", PERSON, NAME, max_count=1)])
+        assert [r.constraint for r in got.collect()] == ["maxCount"]
