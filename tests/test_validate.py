@@ -251,3 +251,112 @@ class TestDatatypeConstraint:
         )
         got = validate(df, [Shape("one_name", PERSON, NAME, max_count=1)])
         assert [r.constraint for r in got.collect()] == ["maxCount"]
+
+
+RDF_LS_T = "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"
+
+
+def _python_validate_annotated(triples, shapes):
+    """Independent replay over 7-tuple rows (s, p, o, lit, g, lang, dt),
+    including sh:datatype effective-datatype semantics and annotation-
+    aware value identity."""
+    XSD_STR = "http://www.w3.org/2001/XMLSchema#string"
+    RDF_LS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"
+    types = {
+        (s, o)
+        for s, p, o, lit, g, lang, dt in triples
+        if p in (TYPE, "http://www.w3.org/1999/02/22-rdf-syntax-ns#type")
+    }
+    out = set()
+    for sh in shapes:
+        focus = {s for s, c in types if c == sh.target_class}
+        for f in focus:
+            vals = list(
+                dict.fromkeys(
+                    (o, lit, lang, dt)
+                    for s, p, o, lit, g, lang, dt in triples
+                    if s == f and p == sh.path
+                )
+            )
+            n = len(vals)
+            if n < sh.min_count:
+                out.add((sh.name, f, "minCount", None))
+            if sh.max_count is not None and n > sh.max_count:
+                out.add((sh.name, f, "maxCount", None))
+            for o, lit, lang, dt in vals:
+                kind = "literal" if lit else ("blank" if o.startswith("_:") else "iri")
+                if sh.node_kind and kind != sh.node_kind:
+                    out.add((sh.name, f, "nodeKind", o))
+                if sh.class_constraint and (o, sh.class_constraint) not in types:
+                    out.add((sh.name, f, "class", o))
+                if sh.pattern and lit and not re.search(sh.pattern, o):
+                    out.add((sh.name, f, "pattern", o))
+                if sh.datatype:
+                    if not lit:
+                        eff = None
+                    elif lang is not None:
+                        eff = RDF_LS
+                    else:
+                        eff = dt or XSD_STR
+                    if eff != sh.datatype:
+                        out.add((sh.name, f, "datatype", o))
+    return out
+
+
+def test_differential_fuzzer_annotated(spark):
+    """Randomized differential with annotated literals: datatype
+    constraints plus annotation-aware cardinality."""
+    X = "http://www.w3.org/2001/XMLSchema#"
+    rng = random.Random(23)
+    classes = [EX + c for c in ("A", "B")]
+    preds = [EX + p for p in ("p1", "p2")]
+    nodes = [EX + f"n{i}" for i in range(10)]
+    langs = [None, "en", "fr"]
+    dts = [None, X + "integer", X + "date"]
+    for trial in range(5):
+        triples = []
+        for n in nodes:
+            if rng.random() < 0.85:
+                triples.append((n, TYPE, rng.choice(classes), False, None, None, None))
+            for p in preds:
+                for _ in range(rng.randrange(0, 3)):
+                    if rng.random() < 0.35:
+                        triples.append(
+                            (n, p, rng.choice(nodes), False, None, None, None)
+                        )
+                    else:
+                        lang = rng.choice(langs)
+                        dt = None if lang is not None else rng.choice(dts)
+                        triples.append(
+                            (n, p, rng.choice(["Val", "7", "zed"]), True, None, lang, dt)
+                        )
+        triples = list(dict.fromkeys(triples))
+        shapes = [
+            Shape(
+                f"s{i}", rng.choice(classes), rng.choice(preds),
+                min_count=rng.randrange(0, 2),
+                max_count=rng.choice([None, 1, 2]),
+                node_kind=rng.choice([None, "literal"]),
+                pattern=rng.choice([None, r"^[A-Z0-9]"]),
+                datatype=rng.choice([None, X + "integer", X + "string", RDF_LS_T]),
+            )
+            for i in range(3)
+        ]
+        # normalize max_count >= min_count (Shape validates)
+        shapes = [
+            sh if sh.max_count is None or sh.max_count >= sh.min_count
+            else Shape(sh.name, sh.target_class, sh.path, sh.min_count, None,
+                       sh.node_kind, sh.class_constraint, sh.pattern, sh.datatype)
+            for sh in shapes
+        ]
+        df = spark.createDataFrame(
+            triples,
+            "subj string, pred string, obj string, obj_is_literal boolean, "
+            "graph string, obj_lang string, obj_dt string",
+        )
+        got = {
+            (r.shape, r.focus, r.constraint, r.value)
+            for r in validate(df, shapes).collect()
+        }
+        want = _python_validate_annotated(triples, shapes)
+        assert got == want, f"trial {trial}: {got ^ want}"
