@@ -101,10 +101,11 @@ def forge(
     Literal fidelity: extraction captures ``@lang``/``^^datatype`` as
     nullable ``obj_lang``/``obj_dt`` columns (distinct annotation =
     distinct quad through dedup, per RDF), they survive linking/
-    canonicalization (only IRIs rewrite), and the N-Quads export emits
-    them. The ENTAILED graph is core-schema (inference works on lexical
-    identity; asserted-row annotations are dropped in entail mode).
-    Pre-annotation warehouses resume cleanly (columns backfilled NULL).
+    canonicalization (only IRIs rewrite), survive into the ENTAILED
+    graph (asserted rows keep theirs; inferred rows carry NULLs — ρdf
+    consequences are IRI-object), feed sh:datatype validation, and the
+    N-Quads export emits them. Pre-annotation warehouses resume cleanly
+    (columns backfilled NULL).
 
     Optional KG stages, checkpointed like the others:
     - ``entail=True`` materializes the RDFS closure after
@@ -276,11 +277,15 @@ def forge(
                 F.lit(None).cast("string").alias("graph"),
                 F.lit(None).cast("string").alias("src_conv_id"),
                 F.lit(None).cast("int").alias("src_turn_idx"),
+                # inference works on lexical identity; inferred rows have
+                # no annotation source (ρdf consequences are IRI-object)
+                F.lit(None).cast("string").alias("obj_lang"),
+                F.lit(None).cast("string").alias("obj_dt"),
                 F.col("inferred"),
             )
             base_cols = [
                 "subj", "pred", "obj", "obj_is_literal",
-                "graph", "src_conv_id", "src_turn_idx",
+                "graph", "src_conv_id", "src_turn_idx", "obj_lang", "obj_dt",
             ]
             asserted = canonical.select(*base_cols)
             if entail_expand_curies:
@@ -301,6 +306,7 @@ def forge(
                         .otherwise(expand_curie(F.col("obj")))
                         .alias("obj"),
                         "obj_is_literal", "graph", "src_conv_id", "src_turn_idx",
+                        "obj_lang", "obj_dt",
                     )
                 )
             entailed = asserted.withColumn("inferred", F.lit(False)).unionByName(
@@ -332,9 +338,10 @@ def forge(
             tv = time.time()
             from graphforge_spark.operators.validate import validate_with_handle
 
-            violations, _vals = validate_with_handle(
-                graph.select("subj", "pred", "obj", "obj_is_literal"), shapes
-            )
+            _vcols = ["subj", "pred", "obj", "obj_is_literal"] + [
+                c for c in ("obj_lang", "obj_dt") if c in graph.columns
+            ]
+            violations, _vals = validate_with_handle(graph.select(*_vcols), shapes)
             violations.write.mode("overwrite").parquet(viol_path)
             _write_stage_marker(viol_marker, stage_v)
             _vals.unpersist()

@@ -469,3 +469,49 @@ def test_forge_resumes_pre_annotation_warehouse(spark, corpus, warehouse):
     assert {"obj_lang", "obj_dt"} <= set(canonical.columns)
     assert canonical.filter(F.col("obj_lang").isNotNull()).count() == 0
     assert _triple_set(spark, warehouse) == t1
+
+
+def test_forge_entail_and_validate_keep_annotations(spark, warehouse):
+    """Entail mode keeps asserted-row annotations (inferred rows NULL) and
+    the pipeline's validation stage sees them: a datatype shape catches a
+    planted wrong-datatype literal end to end."""
+    from graphforge_spark.operators.validate import Shape
+
+    X = "http://www.w3.org/2001/XMLSchema#"
+    ttl = (
+        "@prefix ex: <http://ex.org/> .\n"
+        "@prefix xsd: <http://www.w3.org/2001/XMLSchema#> .\n"
+        "@prefix rdfs: <http://www.w3.org/2000/01/rdf-schema#> .\n"
+        "ex:Emp rdfs:subClassOf ex:Agent .\n"
+        "ex:a a ex:Emp ; ex:age \"41\"^^xsd:integer .\n"
+        "ex:b a ex:Emp ; ex:age \"young\"@en .\n"
+    )
+    corpus = spark.createDataFrame(
+        [("c0", 0, "tool", ttl, "turtle", None)],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    m = forge(
+        spark, corpus, warehouse, n_buckets=2, do_link=False,
+        entail=True, entail_expand_curies=True,
+        shapes=[Shape("age_int", "http://ex.org/Emp", "http://ex.org/age",
+                      datatype=X + "integer")],
+    )
+    entailed = spark.read.parquet(f"{warehouse}/triples_entailed")
+    assert {"obj_lang", "obj_dt"} <= set(entailed.columns)
+    kept = {
+        (r.obj, r.obj_lang, r.obj_dt)
+        for r in entailed.filter(
+            F.col("pred") == "http://ex.org/age"
+        ).collect()
+    }
+    assert kept == {("41", None, X + "integer"), ("young", "en", None)}
+    # rdfs:subClassOf fired: ex:a is inferred an Agent, with NULL annotations
+    inferred = entailed.filter(F.col("inferred"))
+    assert inferred.count() > 0
+    assert inferred.filter(F.col("obj_lang").isNotNull()).count() == 0
+    # the validation stage saw the annotations: "young"@en is rdf:langString
+    viol = spark.read.parquet(f"{warehouse}/violations")
+    rows = [(r.focus, r.constraint, r.value) for r in viol.collect()]
+    assert rows == [("http://ex.org/b", "datatype", "young")]
+    assert m["violations"] == 1
