@@ -281,7 +281,11 @@ def extract_ntriples(
         ((g(4) == "") & (g(5) == "")).alias("obj_is_literal"),
         F.when(g(9) != "", g(9)).otherwise(F.col("src_conv_id")).alias("graph"),
         F.when(g(8) != "", g(8)).alias("obj_lang"),
-        F.when(g(7) != "", g(7)).alias("obj_dt"),
+        # RDF 1.1: "a"^^xsd:string IS the plain literal "a" — normalize so
+        # one term never splits into two quads through dedup
+        F.when(
+            (g(7) != "") & (g(7) != _XSD_NS + "string"), g(7)
+        ).alias("obj_dt"),
     ).filter((F.col("pred") != "") & (F.col("subj") != ""))
 
     out_cols = [
@@ -455,6 +459,10 @@ class _TurtleParser:
                 dt = self._read_iri()
             else:
                 dt = self._read_pname()
+            # RDF 1.1: "a" and "a"^^xsd:string are the SAME term — store
+            # the plain form so dedup/cardinality never split one term
+            if dt == _XSD_NS + "string":
+                dt = None
         return self._unescape(body), True, lang, dt
 
     def _read_pname(self) -> str:
@@ -880,6 +888,17 @@ def extract_patterns(
 # Format dispatch (reference: triplify() switch, graphProcessor.js:151-163)
 # ---------------------------------------------------------------------------
 
+def ensure_annotation_columns(df: DataFrame) -> DataFrame:
+    """Backfill NULL ``obj_lang``/``obj_dt`` when absent — the one
+    definition of the annotation-column contract (extractors without an
+    annotation source, pre-annotation warehouses on resume, core-schema
+    stores handed to the validator)."""
+    for c in ("obj_lang", "obj_dt"):
+        if c not in df.columns:
+            df = df.withColumn(c, F.lit(None).cast("string"))
+    return df
+
+
 def extract_all(
     transcripts: DataFrame,
     rules: list[PatternRule] | None = None,
@@ -903,24 +922,17 @@ def extract_all(
     text_turns = transcripts.filter(
         (F.col("tool").isNull()) | (~F.col("tool").isin("rdfxml", "ntriples", "turtle"))
     )
-    if with_annotations:
-        def _null_ann(df: DataFrame) -> DataFrame:
-            return df.withColumn("obj_lang", F.lit(None).cast("string")).withColumn(
-                "obj_dt", F.lit(None).cast("string")
-            )
-
-        return (
-            _null_ann(extract_rdfxml(xml_turns))
-            .unionByName(extract_ntriples(nt_turns, with_annotations=True))
-            .unionByName(extract_turtle(ttl_turns, with_annotations=True))
-            .unionByName(_null_ann(extract_patterns(text_turns, rules)))
-        )
-    return (
-        extract_rdfxml(xml_turns)
-        .unionByName(extract_ntriples(nt_turns))
-        .unionByName(extract_turtle(ttl_turns))
-        .unionByName(extract_patterns(text_turns, rules))
-    )
+    ann = ensure_annotation_columns if with_annotations else (lambda df: df)
+    parts = [
+        ann(extract_rdfxml(xml_turns)),
+        extract_ntriples(nt_turns, with_annotations=with_annotations),
+        extract_turtle(ttl_turns, with_annotations=with_annotations),
+        ann(extract_patterns(text_turns, rules)),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def dedup_triples(triples: DataFrame) -> DataFrame:

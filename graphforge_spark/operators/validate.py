@@ -154,10 +154,9 @@ def validate_with_handle(
 
     # a core-schema store (no annotation columns) is all-plain literals:
     # backfill NULLs so the datatype branch sees xsd:string for them
-    ann_src = triples
-    for _ac in ("obj_lang", "obj_dt"):
-        if _ac not in ann_src.columns:
-            ann_src = ann_src.withColumn(_ac, F.lit(None).cast("string"))
+    from graphforge_spark.operators.extract import ensure_annotation_columns
+
+    ann_src = ensure_annotation_columns(triples)
 
     vals = focus.join(
         ann_src.select(

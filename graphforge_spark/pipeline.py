@@ -27,7 +27,11 @@ from pyspark.sql import functions as F
 
 from graphforge_spark.functions.hashing import portable_bucket
 from graphforge_spark.operators.canonicalize import canonical_mapping, rewrite_triples
-from graphforge_spark.operators.extract import dedup_triples, extract_all
+from graphforge_spark.operators.extract import (
+    dedup_triples,
+    ensure_annotation_columns,
+    extract_all,
+)
 from graphforge_spark.operators.link import link_entities
 from graphforge_spark.sinks import checkpoint as ckpt
 from graphforge_spark.sinks.ntriples import export_ntriples
@@ -170,13 +174,10 @@ def forge(
             ],
         )
 
-    triples = read_triples(spark, warehouse)
     # a warehouse extracted before annotation capture lacks the columns —
     # backfill NULLs so resume keeps working (honest: that data was
     # extracted without annotations)
-    for _ac in ("obj_lang", "obj_dt"):
-        if _ac not in triples.columns:
-            triples = triples.withColumn(_ac, F.lit(None).cast("string"))
+    triples = ensure_annotation_columns(read_triples(spark, warehouse))
 
     # Stages 2–3 are global (not per-bucket), so their checkpoint rows use
     # part_id = -1 and carry the EXTRACTION VERSION in the rows_in slot:

@@ -96,7 +96,14 @@ def read_triples(
     — read the materialized graph back; MVCC snapshot replaces 'clear store'."""
     if table_format == "iceberg":
         return spark.read.table(_iceberg_table(catalog, "triples"))
-    return spark.read.parquet(os.path.join(warehouse, "triples"))
+    # mergeSchema: a warehouse can mix pre-annotation 7-column partitions
+    # with 9-column ones (old buckets checkpointed, new buckets landed
+    # after the upgrade); without merging, whichever file footer wins the
+    # schema inference would silently drop the new columns for ALL rows
+    return (
+        spark.read.option("mergeSchema", "true")
+        .parquet(os.path.join(warehouse, "triples"))
+    )
 
 
 def write_bucketed(

@@ -416,3 +416,55 @@ class TestLiteralAnnotations:
             '<http://s> <http://p> "5"^^<http://www.w3.org/2001/XMLSchema#integer> .',
             '<http://s> <http://p> "bonjour"@fr .',
         ]
+
+    def test_xsd_string_normalizes_to_plain(self, spark):
+        """RDF 1.1 term identity: "a" and "a"^^xsd:string are ONE term —
+        both parsers normalize the explicit form, so dedup keeps one quad."""
+        from graphforge_spark.operators.extract import _parse_turtle, dedup_triples
+        from graphforge_spark.schemas import TRANSCRIPT_SCHEMA
+
+        ttl = (
+            "@prefix ex: <http://ex.org/> .\n"
+            "@prefix xsd: <http://www.w3.org/2001/XMLSchema#> .\n"
+            'ex:s ex:p "a" , "a"^^xsd:string .'
+        )
+        rows = _parse_turtle(ttl)
+        assert [(o, lang, dt) for _, _, o, _, lang, dt in rows] == [
+            ("a", None, None), ("a", None, None)
+        ]
+        nt = (
+            '<http://s> <http://p> "a" .\n'
+            '<http://s> <http://p> "a"^^<http://www.w3.org/2001/XMLSchema#string> .'
+        )
+        df = spark.createDataFrame([("c", 0, "t", nt, "ntriples", None)], TRANSCRIPT_SCHEMA)
+        parsed = extract_ntriples(df, with_annotations=True).withColumn(
+            "graph", F.lit("g")
+        )
+        assert parsed.count() == 2
+        assert dedup_triples(parsed).count() == 1  # one term, one quad
+
+
+def test_read_triples_merges_mixed_annotation_schemas(spark, tmp_path):
+    """A warehouse mixing pre-annotation 7-column partitions with
+    9-column ones must surface the annotation columns for ALL rows
+    (mergeSchema), never silently drop them on footer-inference luck."""
+    from graphforge_spark.sinks.tables import read_triples
+
+    wh = str(tmp_path / "wh")
+    old = spark.createDataFrame(
+        [("http://s", "http://p", "x", True, "g", "c0", 0, 1)],
+        "subj string, pred string, obj string, obj_is_literal boolean, "
+        "graph string, src_conv_id string, src_turn_idx int, part_id int",
+    )
+    new = spark.createDataFrame(
+        [("http://s", "http://p", "y", True, "g", "c1", 0, "en", None, 2)],
+        "subj string, pred string, obj string, obj_is_literal boolean, "
+        "graph string, src_conv_id string, src_turn_idx int, "
+        "obj_lang string, obj_dt string, part_id int",
+    )
+    old.write.partitionBy("part_id").parquet(f"{wh}/triples")
+    new.write.mode("append").partitionBy("part_id").parquet(f"{wh}/triples")
+    t = read_triples(spark, wh)
+    assert {"obj_lang", "obj_dt"} <= set(t.columns)
+    got = {(r.obj, r.obj_lang) for r in t.collect()}
+    assert got == {("x", None), ("y", "en")}

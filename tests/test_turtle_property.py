@@ -44,7 +44,8 @@ _ANNOTATIONS = [
     ("@en", "en", None),
     ("@en-US", "en-US", None),
     ("@fr", "fr", None),
-    (f"^^<{XSD}string>", None, XSD + "string"),
+    # RDF 1.1: ^^xsd:string IS the plain literal — normalized away at capture
+    (f"^^<{XSD}string>", None, None),
     ("^^xsd:date", None, XSD + "date"),
 ]
 
