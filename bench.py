@@ -965,6 +965,77 @@ def run_stress() -> None:
     }
     _log(str(results["tfidf_200k_docs_dim512"]))
 
+    # 8. tombstone anti-join on the extraction spine: durable retraction
+    #    filters every freshly-extracted bucket against the retracted
+    #    conv_ids. The tombstone side is bounded by retraction volume, so
+    #    it broadcasts; at meaningful kill rates the row elimination pays
+    #    for the join. 2M turns, 100k tombstoned conversations (~5%).
+    from graphforge_spark.fixtures import gen_transcripts_dist as _gen
+    from graphforge_spark.operators.extract import dedup_triples as _dedup
+    from graphforge_spark.operators.extract import extract_patterns as _xpat
+
+    tr2 = _gen(spark, 200_000, 10)
+    tombs = spark.range(100_000).select(
+        F.concat(F.lit("conv-"), F.format_string("%06d", F.col("id") * 2)).alias(
+            "conv_id"
+        )
+    )
+    t_walls = {"plain": [], "tomb": []}
+    n_plain = n_tomb = 0
+    for _trial in range(3):  # round 0 = warm-up, excluded
+        t0 = time.time()
+        n_plain = _dedup(_xpat(tr2)).count()
+        w = round(time.time() - t0, 2)
+        if _trial:
+            t_walls["plain"].append(w)
+        t0 = time.time()
+        spine = _dedup(_xpat(tr2))
+        n_tomb = spine.join(
+            tombs, spine.src_conv_id == tombs.conv_id, "left_anti"
+        ).count()
+        w = round(time.time() - t0, 2)
+        if _trial:
+            t_walls["tomb"].append(w)
+    results["tombstone_antijoin_2m_turns_100k_tombs"] = {
+        "turns": 2_000_000, "tombstoned_convs": 100_000,
+        "walls_no_tombstones_s": t_walls["plain"],
+        "walls_with_tombstones_s": t_walls["tomb"],
+        "overhead_ratio": round(min(t_walls["tomb"]) / min(t_walls["plain"]), 3),
+        "triples_unfiltered": n_plain, "triples_kept": n_tomb,
+    }
+    _log(str(results["tombstone_antijoin_2m_turns_100k_tombs"]))
+
+    # 9. annotation-capture overhead on the four-format forge spine:
+    #    forge() now always extracts @lang/^^datatype — the cost is two
+    #    mostly-null string columns through the dedup shuffle (its group
+    #    key widens by those columns behind the leading quad hash). Two
+    #    interleaved trials per config; the ratio is the evidence.
+    from graphforge_spark import corpus as _corpus
+    from graphforge_spark.operators.extract import dedup_triples as _dedup
+    from graphforge_spark.operators.extract import extract_all as _xall
+
+    tr = (
+        _corpus.derive_transcripts(spark, SF_DIR)
+        .unionByName(_corpus.derive_nt_transcripts(spark, SF_DIR))
+        .unionByName(_corpus.derive_rdfxml_transcripts(spark, SF_DIR))
+        .unionByName(_corpus.derive_ttl_transcripts(spark, SF_DIR))
+    )
+    walls = {False: [], True: []}
+    for _trial in range(3):
+        for ann_flag in (False, True):
+            t0 = time.time()
+            n = _dedup(_xall(tr, with_annotations=ann_flag)).count()
+            w = round(time.time() - t0, 2)
+            if _trial:  # round 0 is JIT/codegen warm-up, excluded
+                walls[ann_flag].append(w)
+    results["forge_spine_annotation_overhead"] = {
+        "distinct_triples": n,
+        "plain_walls_s": walls[False],
+        "annotated_walls_s": walls[True],
+        "overhead_ratio": round(min(walls[True]) / min(walls[False]), 3),
+    }
+    _log(str(results["forge_spine_annotation_overhead"]))
+
     os.makedirs("BENCH", exist_ok=True)
     # preserve manually-added narrative sections (everything from the
     # first '## ' heading onward)

@@ -9,7 +9,7 @@ The BASELINE.json north_rule ships the job via ``spark-submit
         tools/submit_job.py \
         --sf-dir /root/testdata/sf0.001 --warehouse /tmp/forge_wh
 
-It derives the three-format transcript corpus from the sf dir, runs the
+It derives the four-format transcript corpus from the sf dir, runs the
 resumable forge (extract → dedup → link → canonicalize → materialize +
 N-Triples export), and prints one JSON metrics line. Re-running with the
 same warehouse resumes from the checkpoint gate (idempotent).
@@ -42,6 +42,7 @@ def main() -> None:
         corpus.derive_transcripts(spark, args.sf_dir)
         .unionByName(corpus.derive_nt_transcripts(spark, args.sf_dir))
         .unionByName(corpus.derive_rdfxml_transcripts(spark, args.sf_dir))
+        .unionByName(corpus.derive_ttl_transcripts(spark, args.sf_dir))
     )
     metrics = forge(
         spark,
