@@ -672,12 +672,7 @@ def entry(spark: SparkSession) -> DataFrame:
     four formats, extract (pattern rules + N-Triples parse + Turtle parse
     + RDF/XML DOM-walk), dedup to set semantics, aggregate by predicate."""
     sf_dir = "/root/testdata/sf0.001"
-    tr = (
-        corpus.derive_transcripts(spark, sf_dir)
-        .unionByName(corpus.derive_nt_transcripts(spark, sf_dir))
-        .unionByName(corpus.derive_rdfxml_transcripts(spark, sf_dir))
-        .unionByName(corpus.derive_ttl_transcripts(spark, sf_dir))
-    )
+    tr = corpus.derive_all_transcripts(spark, sf_dir)
     from graphforge_spark.operators.extract import extract_all
 
     triples = dedup_triples(extract_all(tr))

@@ -145,6 +145,8 @@ def _headline_queries():
     from graphforge_spark.operators.extract import dedup_triples, extract_all
 
     def forge_extract_dedup(spark, sf_dir):
+        # deliberately THREE formats (no Turtle): this leg's workload is
+        # comparable across rounds r1→rN; Turtle parse has its own leg
         tr = (
             corpus.derive_transcripts(spark, sf_dir)
             .unionByName(corpus.derive_nt_transcripts(spark, sf_dir))
@@ -968,8 +970,12 @@ def run_stress() -> None:
     # 8. tombstone anti-join on the extraction spine: durable retraction
     #    filters every freshly-extracted bucket against the retracted
     #    conv_ids. The tombstone side is bounded by retraction volume, so
-    #    it broadcasts; at meaningful kill rates the row elimination pays
-    #    for the join. 2M turns, 100k tombstoned conversations (~5%).
+    #    it broadcasts; measured cost is a few percent of the spine wall
+    #    (see STRESS.md — an earlier single-trial "filtered is faster"
+    #    reading was warm-up noise). 2M turns, 100k tombstoned
+    #    conversations = 50% of the 200k (an aggressive kill rate; the
+    #    join cost is rate-independent, the broadcast side is what's
+    #    bounded).
     from graphforge_spark.fixtures import gen_transcripts_dist as _gen
     from graphforge_spark.operators.extract import dedup_triples as _dedup
     from graphforge_spark.operators.extract import extract_patterns as _xpat
@@ -1008,28 +1014,27 @@ def run_stress() -> None:
     # 9. annotation-capture overhead on the four-format forge spine:
     #    forge() now always extracts @lang/^^datatype — the cost is two
     #    mostly-null string columns through the dedup shuffle (its group
-    #    key widens by those columns behind the leading quad hash). Two
-    #    interleaved trials per config; the ratio is the evidence.
+    #    key widens by those columns behind the leading quad hash).
+    #    Interleaved trials, warm-up excluded; the ratio is the evidence.
+    #    Both counts are recorded: annotation capture CAN legitimately
+    #    split quads that differ only by @lang/^^dt, so the ratio's
+    #    apples-to-apples premise must be checkable.
     from graphforge_spark import corpus as _corpus
-    from graphforge_spark.operators.extract import dedup_triples as _dedup
     from graphforge_spark.operators.extract import extract_all as _xall
 
-    tr = (
-        _corpus.derive_transcripts(spark, SF_DIR)
-        .unionByName(_corpus.derive_nt_transcripts(spark, SF_DIR))
-        .unionByName(_corpus.derive_rdfxml_transcripts(spark, SF_DIR))
-        .unionByName(_corpus.derive_ttl_transcripts(spark, SF_DIR))
-    )
+    tr = _corpus.derive_all_transcripts(spark, SF_DIR)
     walls = {False: [], True: []}
+    counts = {False: 0, True: 0}
     for _trial in range(3):
         for ann_flag in (False, True):
             t0 = time.time()
-            n = _dedup(_xall(tr, with_annotations=ann_flag)).count()
+            counts[ann_flag] = _dedup(_xall(tr, with_annotations=ann_flag)).count()
             w = round(time.time() - t0, 2)
             if _trial:  # round 0 is JIT/codegen warm-up, excluded
                 walls[ann_flag].append(w)
     results["forge_spine_annotation_overhead"] = {
-        "distinct_triples": n,
+        "distinct_triples_plain": counts[False],
+        "distinct_triples_annotated": counts[True],
         "plain_walls_s": walls[False],
         "annotated_walls_s": walls[True],
         "overhead_ratio": round(min(walls[True]) / min(walls[False]), 3),

@@ -189,6 +189,19 @@ def derive_ttl_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def derive_all_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The four-format transcript corpus (free text + N-Triples + RDF/XML
+    + Turtle) — ONE definition of the forge's demo input, shared by the
+    driver entry, the bench spine, and the spark-submit job so the
+    corpora cannot silently drift apart."""
+    return (
+        derive_transcripts(spark, sf_dir)
+        .unionByName(derive_nt_transcripts(spark, sf_dir))
+        .unionByName(derive_rdfxml_transcripts(spark, sf_dir))
+        .unionByName(derive_ttl_transcripts(spark, sf_dir))
+    )
+
+
 def nation_chain_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chain edges over nations: k → k-1 within blocks of 5 — the closure
     fixture (reachability = all same-block descending pairs)."""

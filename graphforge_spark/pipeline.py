@@ -95,12 +95,19 @@ def forge(
     entail: bool = False,
     entail_expand_curies: bool = False,
     shapes: list | None = None,
+    input_fingerprint: str | None = None,
 ) -> dict:
     """Run (or resume) the full forge. Returns a metrics dict.
 
     Idempotent: completed buckets are skipped via the checkpoint gate;
     interrupted buckets are overwritten in place (dynamic partition
-    overwrite). Running twice == running once.
+    overwrite). Running twice == running once — FOR THE SAME INPUT.
+    ``input_fingerprint`` lets the caller make that precondition
+    checkable: pass any string that identifies the corpus composition
+    (source list, format set, sf dir); a mismatch against the landed
+    fingerprint invalidates every extract checkpoint and re-extracts,
+    instead of silently skipping buckets whose conv ids collide with
+    the previous input's.
 
     Literal fidelity: extraction captures ``@lang``/``^^datatype`` as
     nullable ``obj_lang``/``obj_dt`` columns (distinct annotation =
@@ -127,6 +134,24 @@ def forge(
     """
     run_id = run_id or uuid.uuid4().hex
     os.makedirs(warehouse, exist_ok=True)
+
+    # ---- input-composition gate ----------------------------------------
+    # The per-bucket checkpoint gate resumes THE SAME INPUT: it keys on
+    # conv-id buckets, so a changed corpus composition (a format added,
+    # a source swapped) whose conv ids hash into already-done buckets
+    # would silently no-op. Callers that can describe their input pass a
+    # fingerprint; a mismatch against the landed one invalidates every
+    # extract checkpoint (full re-extraction; downstream stages recompute
+    # via the version bump). Order is crash-safe: checkpoints are
+    # deleted FIRST, the marker written after — a crash between the two
+    # re-runs the (idempotent) invalidation on the next call.
+    if input_fingerprint is not None:
+        fp_path = os.path.join(warehouse, "_GF_INPUT")
+        landed_fp = _stage_marker(fp_path)
+        if landed_fp is not None and landed_fp != input_fingerprint:
+            ckpt.delete_checkpoints(spark, warehouse, F.col("stage") != "extract")
+        if landed_fp != input_fingerprint:
+            _write_stage_marker(fp_path, input_fingerprint)
 
     # ---- stage 1: extraction, per conv-bucket, resumable --------------
     t0 = time.time()

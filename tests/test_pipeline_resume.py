@@ -515,3 +515,34 @@ def test_forge_entail_and_validate_keep_annotations(spark, warehouse):
     rows = [(r.focus, r.constraint, r.value) for r in viol.collect()]
     assert rows == [("http://ex.org/b", "datatype", "young")]
     assert m["violations"] == 1
+
+
+def test_input_fingerprint_invalidates_extraction(spark, corpus, warehouse):
+    """A resumed warehouse built from a DIFFERENT corpus composition must
+    re-extract (the bucket checkpoint gate alone would silently no-op
+    when the new input's conv ids hash into already-done buckets)."""
+    m1 = forge(spark, corpus, warehouse, n_buckets=8, do_link=False,
+               input_fingerprint="three-format:v1")
+    assert m1["buckets_processed"] > 0
+    # same input, same fingerprint: full no-op resume
+    m2 = forge(spark, corpus, warehouse, n_buckets=8, do_link=False,
+               input_fingerprint="three-format:v1")
+    assert m2["buckets_processed"] == 0
+    # changed composition: one extra turtle turn whose conv id collides
+    # with an already-checkpointed bucket
+    extra = spark.createDataFrame(
+        [(corpus.select("conv_id").first().conv_id, 999, "tool",
+          '@prefix ex: <http://ex.org/> .\nex:new ex:marker "added"@en .',
+          "turtle", None)],
+        corpus.schema,
+    )
+    grown = corpus.unionByName(extra)
+    m3 = forge(spark, grown, warehouse, n_buckets=8, do_link=False,
+               input_fingerprint="four-format:v1")
+    assert m3["buckets_processed"] == m1["buckets_processed"]  # full re-extract
+    t = read_triples(spark, warehouse)
+    assert t.filter(F.col("subj") == "http://ex.org/new").count() == 1
+    # and the no-op property holds again under the NEW fingerprint
+    m4 = forge(spark, grown, warehouse, n_buckets=8, do_link=False,
+               input_fingerprint="four-format:v1")
+    assert m4["buckets_processed"] == 0

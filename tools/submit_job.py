@@ -38,18 +38,17 @@ def main() -> None:
     from graphforge_spark import corpus
     from graphforge_spark.pipeline import forge
 
-    transcripts = (
-        corpus.derive_transcripts(spark, args.sf_dir)
-        .unionByName(corpus.derive_nt_transcripts(spark, args.sf_dir))
-        .unionByName(corpus.derive_rdfxml_transcripts(spark, args.sf_dir))
-        .unionByName(corpus.derive_ttl_transcripts(spark, args.sf_dir))
-    )
+    transcripts = corpus.derive_all_transcripts(spark, args.sf_dir)
     metrics = forge(
         spark,
         transcripts,
         warehouse=args.warehouse,
         n_buckets=args.buckets,
         do_link=not args.no_link,
+        # corpus composition is part of the input's identity: a resumed
+        # warehouse built from a DIFFERENT composition must re-extract,
+        # not silently skip buckets whose conv ids happen to collide
+        input_fingerprint=f"four-format-v1:{args.sf_dir}",
     )
     print(json.dumps(metrics))
 
