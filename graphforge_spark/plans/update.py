@@ -1,0 +1,330 @@
+"""SPARQL Update front-end: the standard mutation surface over a triples
+store frame.
+
+The reference mutates its graph two ways — append-on-upload
+(docs/test HTML/documentQueryTest.html:362-438, parse new doc + append
+quads to ``quads.nq``) and truncate-then-rebuild
+(docs/scripts/graphProcessor.js:57-113). Those are exactly INSERT and
+CLEAR-then-INSERT in SPARQL Update terms; this module exposes the
+standard grammar for them (plus the pattern-driven DELETE/INSERT forms a
+Comunica user would expect), compiled to the same DataFrame algebra as
+the query surface.
+
+Supported grammar (whitespace-insensitive, case-insensitive keywords;
+operations separated by ``;`` apply sequentially, each seeing the
+previous result, per SPARQL 1.1 Update §3):
+
+    update  := PREFIX* op (';' PREFIX* op)*     (prefix decls accumulate)
+    op      := INSERT DATA '{' ground+ '}'
+             | DELETE DATA '{' ground+ '}'
+             | DELETE WHERE '{' pattern+ '}'    (body doubles as template)
+             | (DELETE template)? (INSERT template)? WHERE group
+             | CLEAR SILENT? (DEFAULT | ALL)
+    ground  := plain triple with no variables (Turtle ';'/',' sugar ok)
+    template:= '{' pattern+ '}'   (plain patterns only: no paths, no
+                                   blank-node lists, no GRAPH blocks)
+    group   := full group graph pattern — everything the SELECT compiler
+               accepts (OPTIONAL/UNION/FILTER/BIND/VALUES/MINUS/EXISTS/
+               paths/subqueries/constant+variable GRAPH)
+
+Semantics (SPARQL 1.1 Update §3.1.3): for one DELETE/INSERT operation the
+WHERE group is evaluated ONCE against the current store; the delete set
+and the insert set are both instantiated from that same solution
+sequence; deletes apply before inserts. A template triple with an
+unbound (null-extended) variable in a given solution produces no triple
+for that solution, per spec. The updated store is returned as a new
+DataFrame with the input's full column set — the caller persists it
+(sinks/tables.py); nothing here mutates storage.
+
+Engine-mapping notes (documented, deliberate):
+
+- **Term identity is lexical (subj, pred, obj)** — the same identity the
+  query surface binds. A store carrying ``graph`` / ``obj_lang`` /
+  ``obj_dt`` columns is read as the union default graph (the query
+  surface's convention), so DELETE removes EVERY row whose lexical
+  triple matches (all graphs, all annotation variants), and INSERT is a
+  no-op when the lexical triple is already visible anywhere. Annotated
+  literals (``"a"@en`` / ``"x"^^xsd:int``) in DATA or templates are
+  rejected loudly — this surface cannot bind them, so it must not
+  half-handle them.
+- Inserted rows derive ``obj_is_literal`` from the engine discriminator
+  (graphProcessor.js:222 ``startsWith('http')``, plus the ``_:`` blank
+  marker), get ``graph = insert_graph`` (default ``urn:graphforge:update``
+  — a named graph that cannot collide with the forge's per-conversation
+  graphs, which are conv ids), and NULL for any other store column
+  (provenance columns have no meaningful value for query-made rows).
+- Set semantics are preserved by construction: inserts are
+  ``distinct``-ed and anti-joined against the post-delete store before
+  the union, so an existing row (with its provenance) is never
+  duplicated and never rewritten — the result needs no global re-dedup.
+- GRAPH management operations (LOAD / CREATE / DROP / MOVE / COPY / ADD),
+  ``WITH``, ``USING``, and GRAPH blocks inside DATA or templates raise
+  ``ValueError`` naming the feature — same loud-failure contract as
+  plans/sparql.py.
+
+Scale shape: one operation = the WHERE plan (whatever the query compiler
+builds) + at most two shuffle-free template projections + one anti-join
+per delete/insert side, all on the (subj, pred, obj) key. No Python in
+any path; ground DATA frames are driver literals (bounded by query text
+size, like VALUES).
+"""
+
+from __future__ import annotations
+
+import re
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from graphforge_spark.functions.terms import DEFAULT_PREFIXES
+from graphforge_spark.plans.bgp import Var
+from graphforge_spark.plans.sparql import (
+    _PREFIX_RE,
+    _balanced_end,
+    _expand_statements,
+    _mask_strings,
+    _parse_pattern,
+    _select_query,
+    _strip_comments,
+)
+
+__all__ = ["sparql_update"]
+
+_LEX_KEY = ["subj", "pred", "obj"]
+
+# Update features we knowingly do NOT support — named so the error says
+# which one, not just "cannot parse".
+_UNSUPPORTED_UPDATE = re.compile(
+    r"\b(LOAD|CREATE|DROP|MOVE|COPY|ADD|WITH|USING|GRAPH)\b", re.IGNORECASE
+)
+
+
+def _scan_mask(text: str) -> str:
+    """String-literal AND <IRI>-content blanked copy (same length) for
+    structural scans, so quoted/IRI ';' '{' keywords cannot derail them."""
+    masked = list(_mask_strings(text))
+    in_iri = False
+    for i, ch in enumerate(masked):
+        if ch == "<":
+            in_iri = True
+        elif ch == ">":
+            in_iri = False
+        elif in_iri:
+            masked[i] = " "
+    return "".join(masked)
+
+
+def _split_ops(update: str) -> list[str]:
+    """Split an update request on ';' at brace depth 0 (the operation
+    separator); ';' inside braces is Turtle predicate-object sugar."""
+    masked = _scan_mask(update)
+    out, depth, start = [], 0, 0
+    for i, ch in enumerate(masked):
+        if ch == "{":
+            depth += 1
+        elif ch == "}":
+            depth -= 1
+        elif ch == ";" and depth == 0:
+            out.append(update[start:i])
+            start = i + 1
+    out.append(update[start:])
+    return out
+
+
+def _take_braced(op: str, head: str) -> tuple[str, str] | None:
+    """Match ``head { body }`` at the START of op; return (body, rest)
+    or None when the head keyword is absent."""
+    m = re.match(rf"\s*{head}\s*\{{", op, re.IGNORECASE)
+    if not m:
+        return None
+    masked = _scan_mask(op)
+    end = _balanced_end(masked, m.end() - 1)
+    return op[m.end() : end - 1], op[end:]
+
+
+def _ground_rows(body: str, pmap: dict) -> list[tuple[str, str, str]]:
+    """Parse INSERT DATA / DELETE DATA ground triples. Variables, paths,
+    and blank-node sugar raise (DATA blocks are ground by definition;
+    bnodes in INSERT DATA are legal SPARQL we deliberately refuse —
+    fresh-bnode allocation per update is an identity policy this lexical
+    store does not have)."""
+    rows = []
+    for stmt in _expand_statements(body, allow_bnode=False):
+        s, p, o = _parse_pattern(stmt, pmap)
+        for slot in (s, p, o):
+            if isinstance(slot, Var):
+                raise ValueError(
+                    f"variables are not allowed in a DATA block: ?{slot.name}"
+                )
+            if isinstance(slot, tuple):
+                raise ValueError(
+                    "property-path syntax is not allowed in a DATA block"
+                )
+        rows.append((s, p, o))
+    if not rows:
+        raise ValueError("empty DATA block")
+    return rows
+
+
+def _parse_templates(body: str, pmap: dict, what: str) -> list[tuple]:
+    """Parse a DELETE/INSERT template into plain (s, p, o) pattern
+    triples; paths raise (same restriction as CONSTRUCT templates)."""
+    templates = [
+        _parse_pattern(stmt, pmap)
+        for stmt in _expand_statements(body, allow_bnode=False)
+    ]
+    if not templates:
+        raise ValueError(f"empty {what} template")
+    for _, p, _ in templates:
+        if isinstance(p, tuple):
+            raise ValueError(
+                f"property paths are not allowed in a {what} template"
+            )
+    return templates
+
+
+def _instantiate(sol: DataFrame, templates: list[tuple], what: str) -> DataFrame:
+    """Template × solutions → distinct (subj, pred, obj). Unbound
+    variables drop that solution's instantiation (spec §3.1.3.2)."""
+
+    def tcol(slot):
+        if isinstance(slot, Var):
+            if slot.name not in sol.columns:
+                raise ValueError(
+                    f"{what} template variable ?{slot.name} is not bound in WHERE"
+                )
+            return F.col(slot.name)
+        return F.lit(slot)
+
+    frames = [
+        sol.select(
+            tcol(s).alias("subj"), tcol(p).alias("pred"), tcol(o).alias("obj")
+        ).na.drop()
+        for s, p, o in templates
+    ]
+    return reduce(lambda a, b: a.unionByName(b), frames).distinct()
+
+
+def _delete_rows(store: DataFrame, doomed: DataFrame) -> DataFrame:
+    return store.join(doomed.select(*_LEX_KEY), _LEX_KEY, "left_anti")
+
+
+def _insert_rows(store: DataFrame, fresh: DataFrame, graph: str) -> DataFrame:
+    """Union fresh (subj, pred, obj) rows into the store, engine-typing
+    the object, skipping lexical triples already visible, NULLing any
+    other store column via ``allowMissingColumns``."""
+    cols = [F.col("subj"), F.col("pred"), F.col("obj")]
+    if "obj_is_literal" in store.columns:
+        cols.append(
+            (~(F.col("obj").startswith("http") | F.col("obj").startswith("_:")))
+            .alias("obj_is_literal")
+        )
+    if "graph" in store.columns:
+        cols.append(F.lit(graph).alias("graph"))
+    fresh = fresh.distinct().join(
+        store.select(*_LEX_KEY), _LEX_KEY, "left_anti"
+    ).select(*cols)
+    return store.unionByName(fresh, allowMissingColumns=True)
+
+
+def sparql_update(
+    triples: DataFrame,
+    update: str,
+    prefixes: dict[str, str] | None = None,
+    insert_graph: str = "urn:graphforge:update",
+) -> DataFrame:
+    """Apply a SPARQL Update request (supported grammar in the module
+    docstring) to a triples store frame and return the updated store —
+    same columns, set semantics preserved. Raises ``ValueError`` on
+    anything outside the grammar; never a silently-wrong mutation."""
+    if "subj" not in triples.columns:
+        raise ValueError("sparql_update needs a triples store frame")
+    pmap = dict(DEFAULT_PREFIXES)
+    if prefixes:
+        pmap.update(prefixes)
+    store = triples
+    for op in _split_ops(_strip_comments(update)):
+        for pfx, iri in _PREFIX_RE.findall(op):
+            pmap[pfx] = iri
+        op = _PREFIX_RE.sub(" ", op)
+        if not op.strip():
+            continue
+        store = _apply_op(store, op, pmap, insert_graph)
+    return store
+
+
+def _apply_op(
+    store: DataFrame, op: str, pmap: dict, insert_graph: str
+) -> DataFrame:
+    spark = store.sparkSession
+
+    m = re.match(r"\s*CLEAR\s+(?:SILENT\s+)?(DEFAULT|ALL)\s*$", op, re.IGNORECASE)
+    if m:
+        return store.limit(0)
+
+    taken = _take_braced(op, r"INSERT\s+DATA")
+    if taken:
+        body, rest = taken
+        _no_rest(rest, "INSERT DATA")
+        fresh = spark.createDataFrame(
+            _ground_rows(body, pmap), "subj string, pred string, obj string"
+        )
+        return _insert_rows(store, fresh, insert_graph)
+
+    taken = _take_braced(op, r"DELETE\s+DATA")
+    if taken:
+        body, rest = taken
+        _no_rest(rest, "DELETE DATA")
+        doomed = spark.createDataFrame(
+            _ground_rows(body, pmap), "subj string, pred string, obj string"
+        )
+        return _delete_rows(store, doomed)
+
+    taken = _take_braced(op, r"DELETE\s+WHERE")
+    if taken:
+        body, rest = taken
+        _no_rest(rest, "DELETE WHERE")
+        templates = _parse_templates(body, pmap, "DELETE WHERE")
+        sol = _select_query(store, f"SELECT * WHERE {{ {body} }}", pmap)
+        return _delete_rows(store, _instantiate(sol, templates, "DELETE WHERE"))
+
+    # (DELETE { t })? (INSERT { t })? WHERE { group }
+    del_t = _take_braced(op, r"DELETE")
+    rest = del_t[1] if del_t else op
+    ins_t = _take_braced(rest, r"INSERT")
+    rest = ins_t[1] if ins_t else rest
+    if del_t or ins_t:
+        w = _take_braced(rest, r"WHERE")
+        if not w:
+            raise ValueError(
+                "DELETE/INSERT operation requires a WHERE { ... } block"
+            )
+        body, tail = w
+        _no_rest(tail, "DELETE/INSERT ... WHERE")
+        sol = _select_query(store, f"SELECT * WHERE {{ {body} }}", pmap)
+        if del_t:
+            doomed = _instantiate(
+                sol, _parse_templates(del_t[0], pmap, "DELETE"), "DELETE"
+            )
+            store = _delete_rows(store, doomed)
+        if ins_t:
+            fresh = _instantiate(
+                sol, _parse_templates(ins_t[0], pmap, "INSERT"), "INSERT"
+            )
+            store = _insert_rows(store, fresh, insert_graph)
+        return store
+
+    feat = _UNSUPPORTED_UPDATE.search(_scan_mask(op))
+    if feat:
+        raise ValueError(
+            f"unsupported SPARQL Update feature: {feat.group(1).upper()}"
+        )
+    raise ValueError(f"cannot parse SPARQL Update operation: {op.strip()[:80]!r}")
+
+
+def _no_rest(rest: str, what: str) -> None:
+    if rest.strip():
+        raise ValueError(
+            f"unsupported syntax after {what} block: {rest.strip()[:60]!r}"
+        )

@@ -1,0 +1,214 @@
+"""SPARQL Update surface (plans/update.py): the standard mutation grammar
+over a triples store frame. The reference's mutations are append-on-upload
+(documentQueryTest.html:362-438) and truncate-then-rebuild
+(graphProcessor.js:57-113) — INSERT DATA and CLEAR; the pattern-driven
+DELETE/INSERT forms are verified against hand-computed set algebra and a
+DuckDB replay of the same operations."""
+
+import duckdb
+import pytest
+
+from graphforge_spark.plans.update import sparql_update
+
+EX = "http://ex.org/"
+
+TRIPLES = [
+    (EX + "a", EX + "p/knows", EX + "b", False, "g1"),
+    (EX + "b", EX + "p/knows", EX + "c", False, "g1"),
+    (EX + "a", EX + "p/name", "Alice", True, "g2"),
+    (EX + "b", EX + "p/name", "Bob", True, "g2"),
+    (EX + "c", EX + "p/age", "30", True, "g2"),
+]
+
+SCHEMA = "subj string, pred string, obj string, obj_is_literal boolean, graph string"
+
+
+@pytest.fixture()
+def store(spark):
+    return spark.createDataFrame(TRIPLES, SCHEMA)
+
+
+def triples_set(df):
+    return {(r.subj, r.pred, r.obj) for r in df.collect()}
+
+
+def test_insert_data(store):
+    out = sparql_update(
+        store,
+        f'INSERT DATA {{ <{EX}d> <{EX}p/knows> <{EX}a> . <{EX}d> <{EX}p/name> "Dee" }}',
+    )
+    assert triples_set(out) == triples_set(store) | {
+        (EX + "d", EX + "p/knows", EX + "a"),
+        (EX + "d", EX + "p/name", "Dee"),
+    }
+    rows = {r.subj: r for r in out.collect() if r.subj == EX + "d"}
+    assert rows[EX + "d"].graph == "urn:graphforge:update"
+    lits = {(r.obj, r.obj_is_literal) for r in out.collect() if r.subj == EX + "d"}
+    assert lits == {(EX + "a", False), ("Dee", True)}
+
+
+def test_insert_data_existing_is_noop(store):
+    out = sparql_update(
+        store, f"INSERT DATA {{ <{EX}a> <{EX}p/knows> <{EX}b> }}"
+    )
+    assert out.count() == store.count()
+    # provenance of the existing row (its graph) is untouched
+    g = out.filter(out.subj == EX + "a").filter(out.pred == EX + "p/knows")
+    assert g.collect()[0].graph == "g1"
+
+
+def test_delete_data(store):
+    out = sparql_update(
+        store, f"DELETE DATA {{ <{EX}a> <{EX}p/knows> <{EX}b> }}"
+    )
+    assert triples_set(out) == triples_set(store) - {(EX + "a", EX + "p/knows", EX + "b")}
+
+
+def test_delete_where_template_is_body(store):
+    out = sparql_update(store, f"DELETE WHERE {{ ?s <{EX}p/name> ?n }}")
+    assert triples_set(out) == {
+        t[:3] for t in TRIPLES if t[1] != EX + "p/name"
+    }
+
+
+def test_delete_insert_where_rename_predicate(store):
+    q = f"""
+        DELETE {{ ?s <{EX}p/knows> ?o }}
+        INSERT {{ ?s <{EX}p/acquaintedWith> ?o }}
+        WHERE  {{ ?s <{EX}p/knows> ?o }}
+    """
+    out = sparql_update(store, q)
+    expected = {
+        (s, EX + "p/acquaintedWith" if p == EX + "p/knows" else p, o)
+        for s, p, o, _, _ in TRIPLES
+    }
+    assert triples_set(out) == expected
+
+
+def test_insert_where_with_filter_and_prefix(store):
+    q = f"""
+        PREFIX ex: <{EX}p/>
+        INSERT {{ ?s ex:adult "true" }}
+        WHERE  {{ ?s ex:age ?a FILTER(?a >= 18) }}
+    """
+    out = sparql_update(store, q)
+    assert (EX + "c", EX + "p/adult", "true") in triples_set(out)
+    assert out.count() == len(TRIPLES) + 1
+
+
+def test_unbound_template_var_drops_solution(store):
+    # OPTIONAL leaves ?n unbound for subjects without a name; those
+    # solutions instantiate nothing (spec 3.1.3.2), they do not error.
+    q = f"""
+        INSERT {{ ?o <{EX}p/knownAs> ?n }}
+        WHERE  {{ ?s <{EX}p/knows> ?o OPTIONAL {{ ?o <{EX}p/name> ?n }} }}
+    """
+    out = sparql_update(store, q)
+    added = triples_set(out) - triples_set(store)
+    assert added == {(EX + "b", EX + "p/knownAs", "Bob")}
+
+
+def test_sequential_ops_each_see_previous_result(store):
+    q = f"""
+        INSERT DATA {{ <{EX}d> <{EX}p/age> "40" }} ;
+        PREFIX ex: <{EX}p/>
+        DELETE {{ ?s ex:age ?a }} WHERE {{ ?s ex:age ?a FILTER(?a > 35) }}
+    """
+    out = sparql_update(store, q)
+    # the inserted row is visible to (and deleted by) the second op
+    assert triples_set(out) == triples_set(store)
+
+
+def test_delete_then_insert_same_op_order(store):
+    # §3.1.3: deletes apply before inserts; re-inserting a deleted triple keeps it
+    q = f"""
+        DELETE {{ ?s ?p ?o }}
+        INSERT {{ <{EX}a> <{EX}p/knows> <{EX}b> }}
+        WHERE  {{ ?s ?p ?o }}
+    """
+    out = sparql_update(store, q)
+    assert triples_set(out) == {(EX + "a", EX + "p/knows", EX + "b")}
+
+
+def test_clear(store):
+    assert sparql_update(store, "CLEAR ALL").count() == 0
+    assert sparql_update(store, "CLEAR SILENT DEFAULT").count() == 0
+    assert sparql_update(store, "CLEAR ALL").columns == store.columns
+
+
+def test_turtle_sugar_in_data_block(store):
+    q = f'INSERT DATA {{ <{EX}d> <{EX}p/name> "Dee" ; <{EX}p/age> "7", "8" }}'
+    out = sparql_update(store, q)
+    assert triples_set(out) - triples_set(store) == {
+        (EX + "d", EX + "p/name", "Dee"),
+        (EX + "d", EX + "p/age", "7"),
+        (EX + "d", EX + "p/age", "8"),
+    }
+
+
+def test_bare_store_without_graph_columns(spark):
+    bare = spark.createDataFrame(
+        [(EX + "a", EX + "p", EX + "b")], "subj string, pred string, obj string"
+    )
+    out = sparql_update(bare, f'INSERT DATA {{ <{EX}a> <{EX}p> "lit" }}')
+    assert out.columns == ["subj", "pred", "obj"]
+    assert triples_set(out) == {(EX + "a", EX + "p", EX + "b"), (EX + "a", EX + "p", "lit")}
+
+
+@pytest.mark.parametrize(
+    "bad",
+    [
+        "LOAD <http://ex.org/data.nt>",
+        "CREATE GRAPH <http://ex.org/g>",
+        "DROP GRAPH <http://ex.org/g>",
+        f"WITH <{EX}g> DELETE {{ ?s ?p ?o }} WHERE {{ ?s ?p ?o }}",
+        f"INSERT DATA {{ GRAPH <{EX}g> {{ <{EX}a> <{EX}p> <{EX}b> }} }}",
+        f"INSERT DATA {{ ?s <{EX}p> <{EX}b> }}",
+        f"INSERT DATA {{ <{EX}a> <{EX}p>+ <{EX}b> }}",
+        "CLEAR NAMED",
+        "INSERT DATA { }",
+        f"DELETE {{ ?s ?p ?o }} FOO {{ ?s ?p ?o }}",
+        f'INSERT DATA {{ <{EX}a> <{EX}p> "x"@en }}',
+    ],
+)
+def test_unsupported_raises(store, bad):
+    with pytest.raises(ValueError):
+        sparql_update(store, bad)
+
+
+def test_duckdb_replay_delete_insert(spark, store):
+    """Differential check: the DELETE/INSERT WHERE algebra vs a DuckDB
+    replay of the same set operations on the same rows."""
+    q = f"""
+        DELETE {{ ?s <{EX}p/knows> ?o }}
+        INSERT {{ ?o <{EX}p/knownBy> ?s }}
+        WHERE  {{ ?s <{EX}p/knows> ?o }}
+    """
+    got = sorted(triples_set(sparql_update(store, q)))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t (subj text, pred text, obj text)"
+    )
+    con.executemany(
+        "INSERT INTO t VALUES (?, ?, ?)", [t[:3] for t in TRIPLES]
+    )
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            f"""
+            WITH sol AS (SELECT subj s, obj o FROM t WHERE pred = '{EX}p/knows'),
+            kept AS (
+              SELECT * FROM t WHERE NOT EXISTS (
+                SELECT 1 FROM sol
+                WHERE t.subj = sol.s AND t.pred = '{EX}p/knows' AND t.obj = sol.o
+              )
+            )
+            SELECT DISTINCT * FROM (
+              SELECT * FROM kept
+              UNION ALL
+              SELECT o, '{EX}p/knownBy', s FROM sol
+            )
+            """
+        ).fetchall()
+    )
+    assert got == want
