@@ -42,6 +42,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from graphforge_spark.operators.closure import _ckpt as _ckpt_frame
 from graphforge_spark.operators.closure import transitive_closure
 
 RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
@@ -49,8 +50,12 @@ RDFS_SUBCLASS = "http://www.w3.org/2000/01/rdf-schema#subClassOf"
 RDFS_SUBPROP = "http://www.w3.org/2000/01/rdf-schema#subPropertyOf"
 RDFS_DOMAIN = "http://www.w3.org/2000/01/rdf-schema#domain"
 RDFS_RANGE = "http://www.w3.org/2000/01/rdf-schema#range"
+OWL_INVERSE = "http://www.w3.org/2002/07/owl#inverseOf"
+OWL_SYMMETRIC = "http://www.w3.org/2002/07/owl#SymmetricProperty"
+OWL_TRANSITIVE = "http://www.w3.org/2002/07/owl#TransitiveProperty"
 
 _SCHEMA_PREDS = [RDF_TYPE, RDFS_SUBCLASS, RDFS_SUBPROP, RDFS_DOMAIN, RDFS_RANGE]
+_OWL_SCHEMA_PREDS = _SCHEMA_PREDS + [OWL_INVERSE]
 
 
 def _pairs(triples: DataFrame, pred: str) -> DataFrame:
@@ -221,4 +226,228 @@ def rdfs_closure(triples: DataFrame, expand_curies: bool = False) -> DataFrame:
     )
     return base.withColumn("inferred", F.lit(False)).unionByName(
         inferred.withColumn("inferred", F.lit(True))
+    )
+
+
+def owl_closure(
+    triples: DataFrame,
+    expand_curies: bool = False,
+    max_rounds: int = 10,
+) -> DataFrame:
+    """RDFS + OWL-lite entailment: the ρdf core of :func:`rdfs_closure`
+    plus the OWL RL *property* rules —
+
+    - prp-inv1/inv2  (p owl:inverseOf q), (x p y)           → (y q x)
+      (and the inverseOf relation's own symmetry: p inv q → q inv p)
+    - prp-symp       (p a owl:SymmetricProperty), (x p y)   → (y p x)
+    - prp-trp        (p a owl:TransitiveProperty), (x p y), (y p z)
+                                                            → (x p z)
+
+    Output matches :func:`rdfs_closure`: input triples PLUS every
+    consequence, distinct, with an ``inferred`` flag on the added rows.
+
+    Evaluation: the edge-producing rules (rdfs7 inheritance, inversion,
+    symmetrization, per-predicate transitive closure) feed each other —
+    an inverted edge can inherit into a transitive superproperty — so
+    they run as an OUTER fixpoint over the instance edges; each round is
+    schema-keyed equi-joins (schema sides are tiny → broadcast) plus the
+    doubling closure from operators/closure.py restricted per transitive
+    predicate via composite struct keys. Outer rounds are bounded by the
+    schema's property-dependency chains (not the data), so the loop
+    converges in a handful of rounds; ``max_rounds`` without convergence
+    raises rather than under-entailing. Typing rules (rdfs2/3/9/11) and
+    schema closures then run ONCE over the closed edge set by delegating
+    to :func:`rdfs_closure` — over an inheritance-closed edge set its
+    one-pass evaluation is exact.
+
+    Stratification guards (all raise ``ValueError`` — the shapes where
+    instance data could create NEW schema and silently under-entail):
+    meta-schema subPropertyOf (inherited from :func:`rdfs_closure`),
+    subPropertyOf/inverseOf edges touching a schema predicate,
+    symmetric/transitive declarations ON a schema predicate, and
+    subClassOf/domain/range targeting owl:SymmetricProperty /
+    owl:TransitiveProperty (rdfs9/2/3 could then mint declarations).
+
+    OWL RL applies these rules to individuals: literal-object edges are
+    never inverted, symmetrized, or chained (a literal cannot be a
+    subject), but they DO inherit (rdfs7), matching rdfs_closure.
+
+    Reference parity: the reference's only OWL awareness is the
+    equivalence expansion A11 (graphProcessor.js:265-282); this operator
+    is the §2C materialization pass extended to the OWL property
+    vocabulary its .owl sources actually use."""
+    if expand_curies:
+        from graphforge_spark.functions.terms import expand_curie
+
+        triples = triples.select(
+            expand_curie(F.col("subj")).alias("subj"),
+            expand_curie(F.col("pred")).alias("pred"),
+            F.when(
+                F.col("obj_is_literal")
+                if "obj_is_literal" in triples.columns
+                else F.lit(False),
+                F.col("obj"),
+            )
+            .otherwise(expand_curie(F.col("obj")))
+            .alias("obj"),
+            *(
+                [F.col("obj_is_literal")]
+                if "obj_is_literal" in triples.columns
+                else []
+            ),
+        )
+    base = triples.select(
+        "subj",
+        "pred",
+        "obj",
+        *(
+            [F.col("obj_is_literal")]
+            if "obj_is_literal" in triples.columns
+            else [F.lit(False).alias("obj_is_literal")]
+        ),
+    ).dropDuplicates(["subj", "pred", "obj"])
+
+    bad = (
+        base.filter(
+            (
+                F.col("pred").isin(RDFS_SUBPROP, OWL_INVERSE)
+                & (
+                    F.col("subj").isin(_OWL_SCHEMA_PREDS)
+                    | F.col("obj").isin(_OWL_SCHEMA_PREDS)
+                )
+            )
+            | (
+                (F.col("pred") == RDF_TYPE)
+                & F.col("obj").isin(OWL_SYMMETRIC, OWL_TRANSITIVE)
+                & F.col("subj").isin(_OWL_SCHEMA_PREDS)
+            )
+            | (
+                F.col("pred").isin(RDFS_SUBCLASS, RDFS_DOMAIN, RDFS_RANGE)
+                & F.col("obj").isin(OWL_SYMMETRIC, OWL_TRANSITIVE)
+            )
+        )
+        .limit(1)
+        .count()
+    )
+    if bad:
+        raise ValueError(
+            "owl_closure: schema shape where instance rules could mint "
+            "new schema (subPropertyOf/inverseOf touching a schema "
+            "predicate, symmetric/transitive declared on a schema "
+            "predicate, or subClassOf/domain/range into the OWL "
+            "property classes) — stratified evaluation refuses rather "
+            "than silently under-entail"
+        )
+
+    # Tiny schema relations (read once; guards above make them static).
+    subprop = transitive_closure(
+        _pairs(base, RDFS_SUBPROP), include_zero_step=False
+    )
+    # inverseOf relation, symmetric-closed (p inv q ⊨ q inv p); a
+    # literal-object inverseOf row is meaningless schema and is ignored
+    inv = (
+        base.filter((F.col("pred") == OWL_INVERSE) & ~F.col("obj_is_literal"))
+        .select(F.col("subj").alias("s"), F.col("obj").alias("o"))
+    )
+    inv = inv.unionByName(
+        inv.select(F.col("o").alias("s"), F.col("s").alias("o"))
+    ).distinct()
+    sym_props = base.filter(
+        (F.col("pred") == RDF_TYPE) & (F.col("obj") == OWL_SYMMETRIC)
+    ).select(F.col("subj").alias("pred")).distinct()
+    trans_props = base.filter(
+        (F.col("pred") == RDF_TYPE) & (F.col("obj") == OWL_TRANSITIVE)
+    ).select(F.col("subj").alias("pred")).distinct()
+
+    edges = _ckpt_frame(
+        base.filter(~F.col("pred").isin(_OWL_SCHEMA_PREDS)).select(
+            "subj", "pred", "obj", "obj_is_literal"
+        )
+    )
+    for _ in range(max_rounds):
+        inherited = edges.join(
+            subprop.withColumnRenamed("s", "pred"), "pred"
+        ).select("subj", F.col("o").alias("pred"), "obj", "obj_is_literal")
+        inverted = (
+            edges.filter(~F.col("obj_is_literal"))
+            .join(inv.withColumnRenamed("s", "pred"), "pred")
+            .select(
+                F.col("obj").alias("subj"),
+                F.col("o").alias("pred"),
+                F.col("subj").alias("obj"),
+                F.lit(False).alias("obj_is_literal"),
+            )
+        )
+        symmetrized = (
+            edges.filter(~F.col("obj_is_literal"))
+            .join(sym_props, "pred", "left_semi")
+            .select(
+                F.col("obj").alias("subj"),
+                "pred",
+                F.col("subj").alias("obj"),
+                F.lit(False).alias("obj_is_literal"),
+            )
+        )
+        # prp-trp: per-predicate reflexive-free closure; the struct key
+        # (pred, node) keeps every chain inside its own predicate while
+        # riding the shared doubling fixpoint.
+        chained = transitive_closure(
+            edges.filter(~F.col("obj_is_literal"))
+            .join(trans_props, "pred", "left_semi")
+            .select(
+                F.struct("pred", F.col("subj").alias("n")).alias("s"),
+                F.struct("pred", F.col("obj").alias("n")).alias("o"),
+            ),
+            include_zero_step=False,
+        ).select(
+            F.col("s.n").alias("subj"),
+            F.col("s.pred").alias("pred"),
+            F.col("o.n").alias("obj"),
+            F.lit(False).alias("obj_is_literal"),
+        )
+        fresh = _ckpt_frame(
+            inherited.unionByName(inverted)
+            .unionByName(symmetrized)
+            .unionByName(chained)
+            .dropDuplicates(["subj", "pred", "obj"])
+            .join(
+                edges.select("subj", "pred", "obj"),
+                ["subj", "pred", "obj"],
+                "left_anti",
+            )
+        )
+        if fresh.limit(1).count() == 0:
+            break
+        edges = _ckpt_frame(edges.unionByName(fresh))
+    else:
+        raise ValueError(
+            f"owl_closure: edge rules did not converge in {max_rounds} "
+            "rounds — raise max_rounds (schema dependency chains are "
+            "deeper than expected)"
+        )
+
+    # schema rows pass through; the symmetric-closed inverseOf relation
+    # is itself entailed triples (q inv p), so it joins the output
+    inv_rows = inv.select(
+        F.col("s").alias("subj"),
+        F.lit(OWL_INVERSE).alias("pred"),
+        F.col("o").alias("obj"),
+        F.lit(False).alias("obj_is_literal"),
+    )
+    schema_rows = base.filter(F.col("pred").isin(_OWL_SCHEMA_PREDS)).unionByName(
+        inv_rows
+    )
+    closed = rdfs_closure(
+        schema_rows.unionByName(edges).dropDuplicates(["subj", "pred", "obj"])
+    ).drop("inferred")
+    return closed.join(
+        base.select("subj", "pred", "obj").withColumn("_a", F.lit(True)),
+        ["subj", "pred", "obj"],
+        "left",
+    ).select(
+        "subj",
+        "pred",
+        "obj",
+        "obj_is_literal",
+        F.col("_a").isNull().alias("inferred"),
     )

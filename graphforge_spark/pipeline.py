@@ -92,7 +92,7 @@ def forge(
     link_threshold: float = 0.60,
     do_link: bool = True,
     export_nt: bool = True,
-    entail: bool = False,
+    entail: bool | str = False,
     entail_expand_curies: bool = False,
     shapes: list | None = None,
     input_fingerprint: str | None = None,
@@ -119,11 +119,16 @@ def forge(
     (columns backfilled NULL).
 
     Optional KG stages, checkpointed like the others:
-    - ``entail=True`` materializes the RDFS closure after
-      canonicalization (operators/entailment): asserted rows keep their
+    - ``entail=True`` (or ``"rdfs"``) materializes the RDFS closure
+      after canonicalization (operators/entailment); ``entail="owl"``
+      runs the extended OWL-lite closure (RDFS + inverseOf/symmetric/
+      transitive property rules). Asserted rows keep their
       graph/provenance, inferred rows carry NULL provenance and
       ``inferred=True`` (they derive from multiple sources).
       ``entail_expand_curies`` normalizes CURIE predicates first.
+      Switching rule sets is a config toggle like any other: the stage
+      name and artifact marker carry the mode, so an rdfs→owl flip
+      recomputes instead of serving the other mode's landed closure.
       The N-Quads export stays the ASSERTED graph (inferred rows have
       no named graph to serialize into); the node/edge tables
       materialize the full entailed graph.
@@ -287,14 +292,22 @@ def forge(
 
     # ---- stage 2.5 (optional): RDFS entailment materialize -------------
     if entail:
+        if entail not in (True, "rdfs", "owl"):
+            raise ValueError(f"entail must be True, 'rdfs' or 'owl', got {entail!r}")
+        owl_mode = entail == "owl"
         entailed_path = os.path.join(warehouse, "triples_entailed")
         entailed_marker = os.path.join(entailed_path, "_GF_STAGE")
-        stage_e = "entail_curies" if entail_expand_curies else "entail"
+        stage_e = ("entail_owl" if owl_mode else "entail") + (
+            "_curies" if entail_expand_curies else ""
+        )
         if not (_stage_done(stage_e) and _stage_marker(entailed_marker) == stage_e):
             te = time.time()
-            from graphforge_spark.operators.entailment import rdfs_closure
+            from graphforge_spark.operators.entailment import (
+                owl_closure,
+                rdfs_closure,
+            )
 
-            closure = rdfs_closure(
+            closure = (owl_closure if owl_mode else rdfs_closure)(
                 canonical.select("subj", "pred", "obj", "obj_is_literal"),
                 expand_curies=entail_expand_curies,
             )

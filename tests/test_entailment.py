@@ -10,11 +10,15 @@ from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
 from graphforge_spark.operators.entailment import (
+    OWL_INVERSE,
+    OWL_SYMMETRIC,
+    OWL_TRANSITIVE,
     RDF_TYPE,
     RDFS_DOMAIN,
     RDFS_RANGE,
     RDFS_SUBCLASS,
     RDFS_SUBPROP,
+    owl_closure,
     rdfs_closure,
 )
 
@@ -170,3 +174,159 @@ def test_rdfs_closure_matches_fixpoint_oracle(spark, rows):
     stratified one-pass evaluation never under-entails."""
     got, _, _ = _run(spark, rows)
     assert got == _python_fixpoint(rows)
+
+
+# ---------------------------------------------------------------- OWL-lite
+
+
+def _owl_python_fixpoint(rows):
+    """Naive global fixpoint of the RDFS rules PLUS the OWL RL property
+    rules (prp-inv1/2, prp-symp, prp-trp, inverseOf symmetry) — the
+    oracle the stratified outer-fixpoint evaluation must match exactly."""
+    schema5 = {RDF_TYPE, RDFS_SUBCLASS, RDFS_SUBPROP, RDFS_DOMAIN, RDFS_RANGE}
+    triples = {(s, p, o) for s, p, o, _ in rows}
+    lit = {(s, p, o): l for s, p, o, l in rows}
+
+    def is_lit(t):
+        return lit.get(t, False)
+
+    changed = True
+    while changed:
+        changed = False
+        new = set()
+        subprop = {(s, o) for s, p, o in triples if p == RDFS_SUBPROP}
+        subclass = {(s, o) for s, p, o in triples if p == RDFS_SUBCLASS}
+        inv = {
+            (s, o)
+            for s, p, o in triples
+            if p == OWL_INVERSE and not is_lit((s, p, o))
+        }
+        inv |= {(o, s) for s, o in inv}
+        sym = {s for s, p, o in triples if p == RDF_TYPE and o == OWL_SYMMETRIC}
+        trans = {
+            s for s, p, o in triples if p == RDF_TYPE and o == OWL_TRANSITIVE
+        }
+        new |= {(p, OWL_INVERSE, q) for p, q in inv}
+        new |= {(a, RDFS_SUBPROP, c) for a, b in subprop for b2, c in subprop if b == b2}
+        new |= {(a, RDFS_SUBCLASS, c) for a, b in subclass for b2, c in subclass if b == b2}
+        for s, p, o in list(triples):
+            if p in schema5 or p == OWL_INVERSE:
+                if p != OWL_INVERSE:
+                    continue
+            t = (s, p, o)
+            if p not in schema5 and p != OWL_INVERSE:
+                for p2, q in subprop:
+                    if p2 == p:
+                        new.add((s, q, o))
+                        lit.setdefault((s, q, o), is_lit(t))
+                if not is_lit(t):
+                    for p2, q in inv:
+                        if p2 == p:
+                            new.add((o, q, s))
+                            lit.setdefault((o, q, s), False)
+                    if p in sym:
+                        new.add((o, p, s))
+                        lit.setdefault((o, p, s), False)
+                    if p in trans:
+                        for s2, p2, o2 in list(triples):
+                            if p2 == p and s2 == o and not is_lit((s2, p2, o2)):
+                                new.add((s, p, o2))
+                                lit.setdefault((s, p, o2), False)
+            # rdfs2/3 apply to every non-rdfs-schema pred (incl. inverseOf rows)
+            for p2, c in {(a, b) for a, x, b in triples if x == RDFS_DOMAIN}:
+                if p2 == p:
+                    new.add((s, RDF_TYPE, c))
+            if not is_lit(t):
+                for p2, c in {(a, b) for a, x, b in triples if x == RDFS_RANGE}:
+                    if p2 == p:
+                        new.add((o, RDF_TYPE, c))
+        types = {(s, o) for s, p, o in triples if p == RDF_TYPE}
+        for x, c in types:
+            for c2, d in subclass:
+                if c2 == c:
+                    new.add((x, RDF_TYPE, d))
+        if new - triples:
+            triples |= new
+            changed = True
+    return triples
+
+
+def test_owl_closure_curated(spark):
+    P, Q, R, T, U = (f"http://e/{n}" for n in "pqrtu")
+    rows = [
+        # p inverseOf q; q has a domain
+        (P, OWL_INVERSE, Q, False),
+        (Q, RDFS_DOMAIN, "http://e/D", False),
+        ("http://e/x", P, "http://e/y", False),
+        # r symmetric, with a literal edge that must NOT flip
+        (R, RDF_TYPE, OWL_SYMMETRIC, False),
+        ("http://e/a", R, "http://e/b", False),
+        ("http://e/a", R, "a literal", True),
+        # t ⊑ u and u transitive: inheritance then chaining (outer round 2)
+        (T, RDFS_SUBPROP, U, False),
+        (U, RDF_TYPE, OWL_TRANSITIVE, False),
+        ("http://e/m", T, "http://e/n", False),
+        ("http://e/n", T, "http://e/o", False),
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    out = owl_closure(df).collect()
+    got = {(r.subj, r.pred, r.obj) for r in out}
+    inferred = {(r.subj, r.pred, r.obj) for r in out if r.inferred}
+    # prp-inv + inverseOf symmetry
+    assert ("http://e/y", Q, "http://e/x") in got
+    assert (Q, OWL_INVERSE, P) in inferred
+    # rdfs2 over the INVERTED edge: y gets q's domain type
+    assert ("http://e/y", RDF_TYPE, "http://e/D") in got
+    # prp-symp, literals never flipped
+    assert ("http://e/b", R, "http://e/a") in got
+    assert not any(r.subj == "a literal" for r in out)
+    # inherit → chain across the outer fixpoint
+    assert ("http://e/m", U, "http://e/n") in got
+    assert ("http://e/m", U, "http://e/o") in inferred
+    # t itself is NOT transitive
+    assert ("http://e/m", T, "http://e/o") not in got
+    assert got == _owl_python_fixpoint(rows)
+
+
+@pytest.mark.parametrize(
+    "row",
+    [
+        (RDFS_SUBCLASS, RDFS_SUBPROP, "http://e/p", False),
+        ("http://e/p", OWL_INVERSE, RDF_TYPE, False),
+        (RDFS_SUBCLASS, RDF_TYPE, OWL_TRANSITIVE, False),
+        ("http://e/C", RDFS_SUBCLASS, OWL_SYMMETRIC, False),
+        ("http://e/p", RDFS_DOMAIN, OWL_TRANSITIVE, False),
+    ],
+)
+def test_owl_closure_meta_schema_is_loud(spark, row):
+    with pytest.raises(ValueError):
+        owl_closure(spark.createDataFrame([row], SCHEMA)).collect()
+
+
+@st.composite
+def owl_ontologies(draw):
+    rows = list(draw(ontologies()))
+    for _ in range(draw(st.integers(0, 2))):
+        p, q = draw(st.sampled_from(PROPS)), draw(st.sampled_from(PROPS))
+        rows.append((p, OWL_INVERSE, q, False))
+    for _ in range(draw(st.integers(0, 2))):
+        p = draw(st.sampled_from(PROPS))
+        kind = draw(st.sampled_from([OWL_SYMMETRIC, OWL_TRANSITIVE]))
+        rows.append((p, RDF_TYPE, kind, False))
+    return list(dict.fromkeys(rows))
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(rows=owl_ontologies())
+def test_owl_closure_matches_fixpoint_oracle(spark, rows):
+    """Random ontologies mixing RDFS hierarchies with inverse/symmetric/
+    transitive declarations (cycles included) must entail exactly the
+    naive global-fixpoint set — the check that the stratified outer
+    fixpoint + one-pass typing never under-entails."""
+    df = spark.createDataFrame(rows, SCHEMA)
+    got = {(r.subj, r.pred, r.obj) for r in owl_closure(df).collect()}
+    assert got == _owl_python_fixpoint(rows)

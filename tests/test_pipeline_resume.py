@@ -546,3 +546,31 @@ def test_input_fingerprint_invalidates_extraction(spark, corpus, warehouse):
     m4 = forge(spark, grown, warehouse, n_buckets=8, do_link=False,
                input_fingerprint="four-format:v1")
     assert m4["buckets_processed"] == 0
+
+
+def test_entail_owl_mode_toggle_and_conservativity(spark, corpus, warehouse):
+    """entail='owl' is a distinct stage config: an rdfs→owl flip must
+    recompute the entailed table (marker mismatch), never serve the rdfs
+    closure under the owl flag. And over a corpus with NO OWL property
+    vocabulary the OWL closure must equal the RDFS closure exactly
+    (conservativity of the added rules)."""
+    kw = dict(n_buckets=8, do_link=False, entail_expand_curies=True)
+    forge(spark, corpus, warehouse, entail=True, **kw)
+    rdfs_set = {
+        (r.subj, r.pred, r.obj, r.inferred)
+        for r in spark.read.parquet(f"{warehouse}/triples_entailed").collect()
+    }
+    marker_rdfs = open(f"{warehouse}/triples_entailed/_GF_STAGE").read()
+    forge(spark, corpus, warehouse, entail="owl", **kw)
+    marker_owl = open(f"{warehouse}/triples_entailed/_GF_STAGE").read()
+    assert marker_rdfs != marker_owl  # genuinely recomputed under the owl config
+    owl_set = {
+        (r.subj, r.pred, r.obj, r.inferred)
+        for r in spark.read.parquet(f"{warehouse}/triples_entailed").collect()
+    }
+    assert owl_set == rdfs_set  # no OWL vocab in the corpus → same closure
+
+
+def test_entail_rejects_unknown_mode(spark, corpus, warehouse):
+    with pytest.raises(ValueError, match="entail must be"):
+        forge(spark, corpus, warehouse, n_buckets=8, do_link=False, entail="owl2")
