@@ -545,3 +545,97 @@ def retract_conversations(
         "triples_removed": n_before - n_after,
         "run_id": run_id,
     }
+
+
+def apply_update(
+    spark: SparkSession,
+    warehouse: str,
+    update: str,
+    prefixes: dict[str, str] | None = None,
+    n_buckets: int = DEFAULT_BUCKETS,
+    run_id: str | None = None,
+) -> dict:
+    """Apply a SPARQL Update request (plans/update.py grammar) to the
+    warehouse's materialized triples table — the administrative mutation
+    path beside :func:`retract_conversations` (the reference analog is
+    the append-on-upload flow, documentQueryTest.html:362-438, lifted to
+    the standard Update grammar).
+
+    Pipeline integration:
+
+    - Inserted rows get a synthetic subject-derived ``src_conv_id``
+      (``urn:graphforge:update:<subj>``) so they hash across the bucket
+      layout instead of piling into the NULL bucket, and are
+      distinguishable from forged rows forever after.
+    - The WHOLE table is rewritten (static overwrite): unlike
+      retraction, a pattern-driven DELETE can touch any bucket, so
+      there is no partition pruning to exploit. Updates are rare
+      administrative operations; per-bucket pruning for conv-scoped
+      updates is possible but deliberately not special-cased. On the
+      Iceberg branch this rewrite would be a snapshot commit (atomic);
+      on plain parquet it has the same non-atomic-crash caveat as every
+      overwrite in this warehouse.
+    - Fresh ``extract`` checkpoint rows are appended for every
+      COMPLETED bucket (same policy as retraction: pending buckets are
+      never marked done), bumping the extraction version so
+      link/canonicalize/entail/validate/materialize recompute on the
+      next ``forge()`` run — landed downstream artifacts can never
+      serve a pre-update graph.
+    - DATA operations are idempotent by construction (INSERT anti-joins
+      what is already visible; DELETE of absent rows is a no-op), so
+      re-applying a crashed update is safe.
+
+    Returns {triples_before, triples_after, run_id}.
+    """
+    from graphforge_spark.operators.closure import _ckpt
+    from graphforge_spark.plans.update import sparql_update
+
+    run_id = run_id or uuid.uuid4().hex
+    store = read_triples(spark, warehouse).drop("part_id")
+    updated = sparql_update(store, update, prefixes)
+    updated = updated.withColumn(
+        "src_conv_id",
+        F.coalesce(
+            F.col("src_conv_id"),
+            F.concat(F.lit("urn:graphforge:update:"), F.col("subj")),
+        ),
+    )
+    # materialize BEFORE overwriting — the plan reads the very files the
+    # write replaces
+    updated = _ckpt(updated)
+    n_before = store.count()
+    n_after = updated.count()
+    write_triples_partition(updated, warehouse, n_buckets)
+    spark.catalog.refreshByPath(os.path.join(warehouse, "triples"))
+    # static-overwrite semantics for emptied buckets: dynamic overwrite
+    # only replaces partitions present in the written data, so drop any
+    # bucket directory the update emptied entirely
+    import shutil
+
+    remaining = {
+        r.part_id
+        for r in updated.select(
+            portable_bucket(F.col("src_conv_id"), n_buckets).alias("part_id")
+        )
+        .distinct()
+        .collect()
+    }
+    for p in range(n_buckets):
+        if p not in remaining:
+            shutil.rmtree(
+                os.path.join(warehouse, "triples", f"part_id={p}"),
+                ignore_errors=True,
+            )
+    done = {
+        r.part_id
+        for r in ckpt.completed_parts(spark, warehouse, "extract").collect()
+    }
+    ckpt.append_checkpoints(
+        spark, warehouse, "extract", run_id,
+        [(p, 0, 0, 0) for p in sorted(done)],
+    )
+    return {
+        "triples_before": n_before,
+        "triples_after": n_after,
+        "run_id": run_id,
+    }

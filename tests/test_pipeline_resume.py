@@ -574,3 +574,54 @@ def test_entail_owl_mode_toggle_and_conservativity(spark, corpus, warehouse):
 def test_entail_rejects_unknown_mode(spark, corpus, warehouse):
     with pytest.raises(ValueError, match="entail must be"):
         forge(spark, corpus, warehouse, n_buckets=8, do_link=False, entail="owl2")
+
+
+def test_apply_update_mutates_warehouse_and_invalidates_downstream(
+    spark, corpus, warehouse
+):
+    from graphforge_spark.pipeline import apply_update
+
+    forge(spark, corpus, warehouse, n_buckets=8, do_link=False)
+
+    def store_set():
+        return {
+            (r.subj, r.pred, r.obj)
+            for r in read_triples(spark, warehouse)
+            .select("subj", "pred", "obj")
+            .collect()
+        }
+
+    before = store_set()
+    victim = sorted(t for t in before if t[2].startswith("http"))[0]
+    m = apply_update(
+        spark,
+        warehouse,
+        f"""
+        INSERT DATA {{ <http://ex.org/upd> <http://ex.org/p> "v" }} ;
+        DELETE DATA {{ <{victim[0]}> <{victim[1]}> <{victim[2]}> }}
+        """,
+    )
+    after = store_set()
+    assert after == ((before - {victim}) | {("http://ex.org/upd", "http://ex.org/p", "v")})
+    # triples_after counts store ROWS (quads keep per-graph variants),
+    # not distinct (s,p,o)
+    assert m["triples_after"] == read_triples(spark, warehouse).count()
+    # re-applying the same update is a no-op (DATA ops are idempotent)
+    m2 = apply_update(
+        spark,
+        warehouse,
+        'INSERT DATA { <http://ex.org/upd> <http://ex.org/p> "v" }',
+    )
+    assert m2["triples_after"] == m2["triples_before"]
+    # the inserted row's synthetic provenance spreads it across buckets
+    src = read_triples(spark, warehouse).filter("subj = 'http://ex.org/upd'").collect()[0]
+    assert src.src_conv_id == "urn:graphforge:update:http://ex.org/upd"
+    # downstream stages recompute on the next forge and SEE the update
+    n_stage2_before = _stage_rows(spark, warehouse, "canonical_passthrough")
+    forge(spark, corpus, warehouse, n_buckets=8, do_link=False)
+    assert _stage_rows(spark, warehouse, "canonical_passthrough") > n_stage2_before
+    canonical = spark.read.parquet(f"{warehouse}/triples_canonical")
+    assert canonical.filter("subj = 'http://ex.org/upd'").count() == 1
+    assert canonical.filter(
+        f"subj = '{victim[0]}' and pred = '{victim[1]}' and obj = '{victim[2]}'"
+    ).count() == 0
