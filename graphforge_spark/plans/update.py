@@ -15,11 +15,14 @@ operations separated by ``;`` apply sequentially, each seeing the
 previous result, per SPARQL 1.1 Update §3):
 
     update  := PREFIX* op (';' PREFIX* op)*     (prefix decls accumulate)
-    op      := INSERT DATA '{' ground+ '}'
-             | DELETE DATA '{' ground+ '}'
+    op      := INSERT DATA '{' data '}'
+             | DELETE DATA '{' data '}'
              | DELETE WHERE '{' pattern+ '}'    (body doubles as template)
              | (DELETE template)? (INSERT template)? WHERE group
-             | CLEAR SILENT? (DEFAULT | ALL)
+             | CLEAR SILENT? (DEFAULT | ALL | GRAPH iri)
+             | DROP  SILENT? GRAPH iri
+             | (ADD | COPY | MOVE) SILENT? GRAPH? iri TO GRAPH? iri
+    data    := ground+ | GRAPH iri '{' ground+ '}'   (one wrapping graph)
     ground  := plain triple with no variables (Turtle ';'/',' sugar ok)
     template:= '{' pattern+ '}'   (plain patterns only: no paths, no
                                    blank-node lists, no GRAPH blocks)
@@ -43,10 +46,24 @@ Engine-mapping notes (documented, deliberate):
   ``obj_dt`` columns is read as the union default graph (the query
   surface's convention), so DELETE removes EVERY row whose lexical
   triple matches (all graphs, all annotation variants), and INSERT is a
-  no-op when the lexical triple is already visible anywhere. Annotated
-  literals (``"a"@en`` / ``"x"^^xsd:int``) in DATA or templates are
-  rejected loudly — this surface cannot bind them, so it must not
-  half-handle them.
+  no-op when the lexical triple is already visible anywhere. The ONE
+  graph-scoped exception: a ``GRAPH <g>``-wrapped DATA block pins both
+  sides to that graph — DELETE DATA removes only g's rows, INSERT DATA
+  lands in g and dedups against g alone. Annotated literals
+  (``"a"@en`` / ``"x"^^xsd:int``) in DATA or templates are rejected
+  loudly — this surface cannot bind them, so it must not half-handle
+  them.
+- **Graph management is real here** — the forge's ``graph`` column IS a
+  named-graph layout (one graph per source conversation), so CLEAR
+  GRAPH / DROP GRAPH delete a graph's rows (DROP without SILENT raises
+  on an absent graph, per spec; CLEAR of an absent graph is a no-op),
+  and ADD/COPY/MOVE shuffle whole graphs: ADD unions g1's triples into
+  g2 (skipping ones g2 already has), COPY replaces g2's contents with
+  g1's, MOVE is COPY + drop g1. Copied rows keep their provenance
+  columns; only ``graph`` changes. ``DEFAULT`` as an ADD/COPY/MOVE
+  operand is refused — this store's default graph is the union of all
+  graphs, not a container rows can live in. All graph operations refuse
+  loudly on a store without a ``graph`` column.
 - Inserted rows derive ``obj_is_literal`` from the engine discriminator
   (graphProcessor.js:222 ``startsWith('http')``, plus the ``_:`` blank
   marker), get ``graph = insert_graph`` (default ``urn:graphforge:update``
@@ -82,6 +99,7 @@ from graphforge_spark.plans.bgp import Var
 from graphforge_spark.plans.sparql import (
     _PREFIX_RE,
     _balanced_end,
+    _expand,
     _expand_statements,
     _mask_strings,
     _parse_pattern,
@@ -94,9 +112,12 @@ __all__ = ["sparql_update"]
 _LEX_KEY = ["subj", "pred", "obj"]
 
 # Update features we knowingly do NOT support — named so the error says
-# which one, not just "cannot parse".
+# which one, not just "cannot parse". (GRAPH is supported as CLEAR/DROP
+# target, in ADD/COPY/MOVE, and as a DATA-block wrapper; the scan only
+# fires at fallthrough, where it is in an unsupported position such as
+# a DELETE/INSERT template.)
 _UNSUPPORTED_UPDATE = re.compile(
-    r"\b(LOAD|CREATE|DROP|MOVE|COPY|ADD|WITH|USING|GRAPH)\b", re.IGNORECASE
+    r"\b(LOAD|CREATE|WITH|USING|GRAPH)\b", re.IGNORECASE
 )
 
 
@@ -143,12 +164,34 @@ def _take_braced(op: str, head: str) -> tuple[str, str] | None:
     return op[m.end() : end - 1], op[end:]
 
 
-def _ground_rows(body: str, pmap: dict) -> list[tuple[str, str, str]]:
-    """Parse INSERT DATA / DELETE DATA ground triples. Variables, paths,
-    and blank-node sugar raise (DATA blocks are ground by definition;
-    bnodes in INSERT DATA are legal SPARQL we deliberately refuse —
-    fresh-bnode allocation per update is an identity policy this lexical
-    store does not have)."""
+def _ground_rows(
+    body: str, pmap: dict
+) -> tuple[list[tuple[str, str, str]], str | None]:
+    """Parse INSERT DATA / DELETE DATA ground triples → (rows, graph).
+    One wrapping ``GRAPH <iri> { … }`` block pins the rows to that named
+    graph (graph is None for the plain form). Variables, paths, and
+    blank-node sugar raise (DATA blocks are ground by definition; bnodes
+    in INSERT DATA are legal SPARQL we deliberately refuse — fresh-bnode
+    allocation per update is an identity policy this lexical store does
+    not have)."""
+    graph = None
+    m = re.match(
+        r"\s*GRAPH\s+(<(?P<iri>[^>]*)>|(?P<curie>[\w-]*:[\w./#-]+))\s*\{",
+        body,
+        re.IGNORECASE,
+    )
+    if m:
+        end = _balanced_end(_scan_mask(body), m.end() - 1)
+        if body[end:].strip():
+            raise ValueError(
+                "a DATA block supports at most ONE wrapping GRAPH group"
+            )
+        graph = (
+            m.group("iri")
+            if m.group("iri") is not None
+            else _expand(m.group("curie"), pmap)
+        )
+        body = body[m.end() : end - 1]
     rows = []
     for stmt in _expand_statements(body, allow_bnode=False):
         s, p, o = _parse_pattern(stmt, pmap)
@@ -164,7 +207,7 @@ def _ground_rows(body: str, pmap: dict) -> list[tuple[str, str, str]]:
         rows.append((s, p, o))
     if not rows:
         raise ValueError("empty DATA block")
-    return rows
+    return rows, graph
 
 
 def _parse_templates(body: str, pmap: dict, what: str) -> list[tuple]:
@@ -206,13 +249,32 @@ def _instantiate(sol: DataFrame, templates: list[tuple], what: str) -> DataFrame
     return reduce(lambda a, b: a.unionByName(b), frames).distinct()
 
 
-def _delete_rows(store: DataFrame, doomed: DataFrame) -> DataFrame:
-    return store.join(doomed.select(*_LEX_KEY), _LEX_KEY, "left_anti")
+def _require_graph_col(store: DataFrame, what: str) -> None:
+    if "graph" not in store.columns:
+        raise ValueError(f"{what} needs a store with a graph column")
 
 
-def _insert_rows(store: DataFrame, fresh: DataFrame, graph: str) -> DataFrame:
+def _delete_rows(
+    store: DataFrame, doomed: DataFrame, graph: str | None = None
+) -> DataFrame:
+    """Anti-join on lexical identity; a graph-scoped DATA block deletes
+    only within that graph (the other graphs' copies survive)."""
+    if graph is None:
+        return store.join(doomed.select(*_LEX_KEY), _LEX_KEY, "left_anti")
+    _require_graph_col(store, "GRAPH-scoped DELETE DATA")
+    in_graph = store.filter(F.col("graph") == graph)
+    kept = in_graph.join(doomed.select(*_LEX_KEY), _LEX_KEY, "left_anti")
+    return store.filter(
+        ~F.col("graph").eqNullSafe(F.lit(graph))
+    ).unionByName(kept)
+
+
+def _insert_rows(
+    store: DataFrame, fresh: DataFrame, graph: str, scoped: bool = False
+) -> DataFrame:
     """Union fresh (subj, pred, obj) rows into the store, engine-typing
-    the object, skipping lexical triples already visible, NULLing any
+    the object, skipping triples already visible (anywhere for the plain
+    form; within the target graph for a GRAPH-scoped block), NULLing any
     other store column via ``allowMissingColumns``."""
     cols = [F.col("subj"), F.col("pred"), F.col("obj")]
     if "obj_is_literal" in store.columns:
@@ -222,9 +284,12 @@ def _insert_rows(store: DataFrame, fresh: DataFrame, graph: str) -> DataFrame:
         )
     if "graph" in store.columns:
         cols.append(F.lit(graph).alias("graph"))
-    fresh = fresh.distinct().join(
-        store.select(*_LEX_KEY), _LEX_KEY, "left_anti"
-    ).select(*cols)
+    elif scoped:
+        _require_graph_col(store, "GRAPH-scoped INSERT DATA")
+    seen = (
+        store.filter(F.col("graph") == graph) if scoped else store
+    ).select(*_LEX_KEY)
+    fresh = fresh.distinct().join(seen, _LEX_KEY, "left_anti").select(*cols)
     return store.unionByName(fresh, allowMissingColumns=True)
 
 
@@ -263,23 +328,82 @@ def _apply_op(
     if m:
         return store.limit(0)
 
+    _GRAPH_REF = r"(?:GRAPH\s+)?(?:<(?P<iri>[^>]*)>|(?P<curie>[\w-]*:[\w./#-]+))"
+
+    def _gref(mm, suffix: str = "") -> str:
+        iri, curie = mm.group("iri" + suffix), mm.group("curie" + suffix)
+        return iri if iri is not None else _expand(curie, pmap)
+
+    m = re.match(
+        rf"\s*(?P<kw>CLEAR|DROP)\s+(?P<silent>SILENT\s+)?{_GRAPH_REF}\s*$",
+        op,
+        re.IGNORECASE,
+    )
+    if m:
+        _require_graph_col(store, f"{m.group('kw').upper()} GRAPH")
+        g = _gref(m)
+        if m.group("kw").upper() == "DROP" and not m.group("silent"):
+            if store.filter(F.col("graph") == g).limit(1).count() == 0:
+                raise ValueError(
+                    f"DROP GRAPH <{g}>: no such graph (use DROP SILENT "
+                    "to make this a no-op)"
+                )
+        return store.filter(~F.col("graph").eqNullSafe(F.lit(g)))
+
+    m = re.match(
+        rf"\s*(?P<kw>ADD|COPY|MOVE)\s+(?P<silent>SILENT\s+)?{_GRAPH_REF}"
+        rf"\s+TO\s+{_GRAPH_REF.replace('?P<iri>', '?P<iri2>').replace('?P<curie>', '?P<curie2>')}\s*$",
+        op,
+        re.IGNORECASE,
+    )
+    if m:
+        kw = m.group("kw").upper()
+        _require_graph_col(store, kw)
+        src, dst = _gref(m), _gref(m, "2")
+        if not m.group("silent"):
+            if store.filter(F.col("graph") == src).limit(1).count() == 0:
+                raise ValueError(
+                    f"{kw} <{src}>: no such source graph (use {kw} SILENT "
+                    "to make this a no-op)"
+                )
+        if src == dst:
+            return store  # all three are no-ops on identical operands
+        moved = store.filter(F.col("graph") == src).withColumn(
+            "graph", F.lit(dst)
+        )
+        if kw == "ADD":
+            dst_keys = store.filter(F.col("graph") == dst).select(*_LEX_KEY)
+            return store.unionByName(
+                moved.join(dst_keys, _LEX_KEY, "left_anti")
+            )
+        rest_rows = store.filter(~F.col("graph").eqNullSafe(F.lit(dst)))
+        if kw == "MOVE":
+            rest_rows = rest_rows.filter(
+                ~F.col("graph").eqNullSafe(F.lit(src))
+            )
+        return rest_rows.unionByName(moved)
+
     taken = _take_braced(op, r"INSERT\s+DATA")
     if taken:
         body, rest = taken
         _no_rest(rest, "INSERT DATA")
+        rows, g = _ground_rows(body, pmap)
         fresh = spark.createDataFrame(
-            _ground_rows(body, pmap), "subj string, pred string, obj string"
+            rows, "subj string, pred string, obj string"
         )
-        return _insert_rows(store, fresh, insert_graph)
+        return _insert_rows(
+            store, fresh, g if g is not None else insert_graph, scoped=g is not None
+        )
 
     taken = _take_braced(op, r"DELETE\s+DATA")
     if taken:
         body, rest = taken
         _no_rest(rest, "DELETE DATA")
+        rows, g = _ground_rows(body, pmap)
         doomed = spark.createDataFrame(
-            _ground_rows(body, pmap), "subj string, pred string, obj string"
+            rows, "subj string, pred string, obj string"
         )
-        return _delete_rows(store, doomed)
+        return _delete_rows(store, doomed, graph=g)
 
     taken = _take_braced(op, r"DELETE\s+WHERE")
     if taken:

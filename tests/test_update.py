@@ -160,9 +160,11 @@ def test_bare_store_without_graph_columns(spark):
     [
         "LOAD <http://ex.org/data.nt>",
         "CREATE GRAPH <http://ex.org/g>",
-        "DROP GRAPH <http://ex.org/g>",
+        "DROP GRAPH <http://ex.org/absent>",  # non-SILENT + absent graph
+        "ADD <http://ex.org/absent> TO <http://ex.org/g>",
         f"WITH <{EX}g> DELETE {{ ?s ?p ?o }} WHERE {{ ?s ?p ?o }}",
-        f"INSERT DATA {{ GRAPH <{EX}g> {{ <{EX}a> <{EX}p> <{EX}b> }} }}",
+        f"INSERT {{ GRAPH <{EX}g> {{ ?s <{EX}p> ?o }} }} WHERE {{ ?s ?p ?o }}",
+        f"INSERT DATA {{ GRAPH <{EX}g> {{ <{EX}a> <{EX}p> <{EX}b> }} GRAPH <{EX}h> {{ <{EX}a> <{EX}p> <{EX}c> }} }}",
         f"INSERT DATA {{ ?s <{EX}p> <{EX}b> }}",
         f"INSERT DATA {{ <{EX}a> <{EX}p>+ <{EX}b> }}",
         "CLEAR NAMED",
@@ -174,6 +176,81 @@ def test_bare_store_without_graph_columns(spark):
 def test_unsupported_raises(store, bad):
     with pytest.raises(ValueError):
         sparql_update(store, bad)
+
+
+def graphs_of(df):
+    return {
+        (r.subj, r.pred, r.obj, r.graph)
+        for r in df.select("subj", "pred", "obj", "graph").collect()
+    }
+
+
+def test_clear_and_drop_graph(store):
+    out = sparql_update(store, f"CLEAR GRAPH <g2>")
+    assert {r.graph for r in out.collect()} == {"g1"}
+    # CLEAR of an absent graph is a no-op; non-SILENT DROP raises
+    assert sparql_update(store, "CLEAR GRAPH <absent>").count() == store.count()
+    assert sparql_update(store, "DROP SILENT GRAPH <absent>").count() == store.count()
+    out2 = sparql_update(store, "DROP GRAPH <g1>")
+    assert {r.graph for r in out2.collect()} == {"g2"}
+
+
+def test_add_copy_move_graph(store):
+    n_g1 = store.filter("graph = 'g1'").count()
+    n_g2 = store.filter("graph = 'g2'").count()
+    added = sparql_update(store, "ADD <g1> TO <g2>")
+    assert added.filter("graph = 'g2'").count() == n_g2 + n_g1
+    assert added.filter("graph = 'g1'").count() == n_g1  # source untouched
+    # ADD is idempotent (already-present triples skipped)
+    assert sparql_update(added, "ADD <g1> TO <g2>").count() == added.count()
+    copied = sparql_update(store, "COPY <g1> TO <g2>")
+    assert graphs_of(copied.filter("graph = 'g2'")) == {
+        (s, p, o, "g2") for s, p, o, g in graphs_of(store) if g == "g1"
+    }
+    moved = sparql_update(store, "MOVE <g1> TO <g2>")
+    assert {r.graph for r in moved.collect()} == {"g2"}
+    assert moved.count() == n_g1
+    # provenance column (obj_is_literal) rides along unchanged
+    assert {
+        (r.subj, r.obj_is_literal) for r in moved.collect()
+    } == {
+        (r.subj, r.obj_is_literal)
+        for r in store.filter("graph = 'g1'").collect()
+    }
+
+
+def test_graph_scoped_data_blocks(store):
+    # scoped insert lands in the named graph and dedups within it only
+    out = sparql_update(
+        store,
+        f"INSERT DATA {{ GRAPH <g9> {{ <{EX}a> <{EX}p/knows> <{EX}b> }} }}",
+    )
+    assert (EX + "a", EX + "p/knows", EX + "b", "g9") in graphs_of(out)
+    assert (EX + "a", EX + "p/knows", EX + "b", "g1") in graphs_of(out)
+    # re-inserting into g9 is a no-op; the plain form also no-ops now
+    assert (
+        sparql_update(
+            out,
+            f"INSERT DATA {{ GRAPH <g9> {{ <{EX}a> <{EX}p/knows> <{EX}b> }} }}",
+        ).count()
+        == out.count()
+    )
+    # scoped delete removes only that graph's copy
+    out2 = sparql_update(
+        out, f"DELETE DATA {{ GRAPH <g9> {{ <{EX}a> <{EX}p/knows> <{EX}b> }} }}"
+    )
+    assert (EX + "a", EX + "p/knows", EX + "b", "g9") not in graphs_of(out2)
+    assert (EX + "a", EX + "p/knows", EX + "b", "g1") in graphs_of(out2)
+
+
+def test_graph_ops_need_graph_column(spark):
+    bare = spark.createDataFrame(
+        [(EX + "a", EX + "p", EX + "b")], "subj string, pred string, obj string"
+    )
+    for bad in ("CLEAR GRAPH <g1>", "ADD <g1> TO <g2>",
+                f"INSERT DATA {{ GRAPH <g> {{ <{EX}a> <{EX}p> <{EX}c> }} }}"):
+        with pytest.raises(ValueError, match="graph column"):
+            sparql_update(bare, bad)
 
 
 def test_duckdb_replay_delete_insert(spark, store):
