@@ -58,6 +58,44 @@ _SCHEMA_PREDS = [RDF_TYPE, RDFS_SUBCLASS, RDFS_SUBPROP, RDFS_DOMAIN, RDFS_RANGE]
 _OWL_SCHEMA_PREDS = _SCHEMA_PREDS + [OWL_INVERSE]
 
 
+def _normalize_triples(triples: DataFrame, expand_curies: bool) -> DataFrame:
+    """Shared closure prologue: optional CURIE → full-IRI expansion
+    (literal objects exempt — the obj_is_literal guard), obj_is_literal
+    backfill for stores lacking the column, and set-semantics dedup on
+    the lexical key. Both closures call this so the literal-gated
+    expansion rule can never drift between them."""
+    if expand_curies:
+        from graphforge_spark.functions.terms import expand_curie
+
+        triples = triples.select(
+            expand_curie(F.col("subj")).alias("subj"),
+            expand_curie(F.col("pred")).alias("pred"),
+            F.when(
+                F.col("obj_is_literal")
+                if "obj_is_literal" in triples.columns
+                else F.lit(False),
+                F.col("obj"),
+            )
+            .otherwise(expand_curie(F.col("obj")))
+            .alias("obj"),
+            *(
+                [F.col("obj_is_literal")]
+                if "obj_is_literal" in triples.columns
+                else []
+            ),
+        )
+    return triples.select(
+        "subj",
+        "pred",
+        "obj",
+        *(
+            [F.col("obj_is_literal")]
+            if "obj_is_literal" in triples.columns
+            else [F.lit(False).alias("obj_is_literal")]
+        ),
+    ).dropDuplicates(["subj", "pred", "obj"])
+
+
 def _pairs(triples: DataFrame, pred: str) -> DataFrame:
     return triples.filter(F.col("pred") == pred).select(
         F.col("subj").alias("s"), F.col("obj").alias("o")
@@ -82,36 +120,7 @@ def rdfs_closure(triples: DataFrame, expand_curies: bool = False) -> DataFrame:
     Raises ValueError when a subPropertyOf declaration targets an RDFS
     vocabulary term (see module docstring): that is the one input shape
     where stratified evaluation would silently under-entail."""
-    if expand_curies:
-        from graphforge_spark.functions.terms import expand_curie
-
-        triples = triples.select(
-            expand_curie(F.col("subj")).alias("subj"),
-            expand_curie(F.col("pred")).alias("pred"),
-            F.when(
-                F.col("obj_is_literal")
-                if "obj_is_literal" in triples.columns
-                else F.lit(False),
-                F.col("obj"),
-            )
-            .otherwise(expand_curie(F.col("obj")))
-            .alias("obj"),
-            *(
-                [F.col("obj_is_literal")]
-                if "obj_is_literal" in triples.columns
-                else []
-            ),
-        )
-    base = triples.select(
-        "subj",
-        "pred",
-        "obj",
-        *(
-            [F.col("obj_is_literal")]
-            if "obj_is_literal" in triples.columns
-            else [F.lit(False).alias("obj_is_literal")]
-        ),
-    ).dropDuplicates(["subj", "pred", "obj"])
+    base = _normalize_triples(triples, expand_curies)
 
     meta = (
         base.filter(
@@ -276,36 +285,7 @@ def owl_closure(
     equivalence expansion A11 (graphProcessor.js:265-282); this operator
     is the §2C materialization pass extended to the OWL property
     vocabulary its .owl sources actually use."""
-    if expand_curies:
-        from graphforge_spark.functions.terms import expand_curie
-
-        triples = triples.select(
-            expand_curie(F.col("subj")).alias("subj"),
-            expand_curie(F.col("pred")).alias("pred"),
-            F.when(
-                F.col("obj_is_literal")
-                if "obj_is_literal" in triples.columns
-                else F.lit(False),
-                F.col("obj"),
-            )
-            .otherwise(expand_curie(F.col("obj")))
-            .alias("obj"),
-            *(
-                [F.col("obj_is_literal")]
-                if "obj_is_literal" in triples.columns
-                else []
-            ),
-        )
-    base = triples.select(
-        "subj",
-        "pred",
-        "obj",
-        *(
-            [F.col("obj_is_literal")]
-            if "obj_is_literal" in triples.columns
-            else [F.lit(False).alias("obj_is_literal")]
-        ),
-    ).dropDuplicates(["subj", "pred", "obj"])
+    base = _normalize_triples(triples, expand_curies)
 
     bad = (
         base.filter(

@@ -83,6 +83,82 @@ def _apply_tombstones(spark: SparkSession, warehouse: str, triples: DataFrame) -
     return triples.join(tomb, triples.src_conv_id == tomb.conv_id, "left_anti")
 
 
+_UPDATE_SRC_PREFIX = "urn:graphforge:update:"
+
+
+def _preserve_update_rows(
+    spark: SparkSession, warehouse: str, triples: DataFrame, todo_ids: list[int]
+) -> DataFrame:
+    """Rows INSERTed by :func:`apply_update` carry a synthetic
+    ``urn:graphforge:update:…`` provenance and derive from NO
+    conversation, but they live in the same part_id bucket layout. An
+    update row can hash into a bucket no conversation has reached yet —
+    when a later transcript finally lands there, extraction's dynamic
+    partition overwrite of that bucket must carry the update rows
+    forward, not silently wipe them. Bounded: update rows only, in the
+    to-be-overwritten buckets only; localCheckpoint cuts the
+    read-while-overwrite hazard."""
+    from graphforge_spark.operators.closure import _ckpt
+
+    if not os.path.exists(os.path.join(warehouse, "triples")):
+        return triples
+    kept = (
+        ensure_annotation_columns(read_triples(spark, warehouse))
+        .filter(F.col("part_id").isin(todo_ids))
+        .filter(F.col("src_conv_id").startswith(_UPDATE_SRC_PREFIX))
+        .drop("part_id")
+    )
+    return triples.unionByName(_ckpt(kept).select(*triples.columns))
+
+
+def _overwrite_triples_buckets(
+    spark: SparkSession,
+    warehouse: str,
+    cleaned: DataFrame,
+    n_buckets: int,
+    affected: list[int],
+    run_id: str,
+) -> set[int]:
+    """Shared post-rewrite machinery for the two administrative mutation
+    paths (:func:`retract_conversations`, :func:`apply_update`): land
+    ``cleaned`` (caller must have materialized it — the plan reads the
+    very partitions the write replaces), refresh Spark's file-listing
+    cache, drop partition directories the rewrite emptied (dynamic
+    overwrite never touches a partition absent from the written data),
+    and append fresh ``extract`` checkpoint rows for the affected buckets
+    that were ALREADY complete — marking a pending bucket complete would
+    make the next forge() skip extracting it entirely. Returns the set of
+    part ids still populated. (On the Iceberg branch this whole helper is
+    a DELETE WHERE / MERGE snapshot commit.)"""
+    import shutil
+
+    write_triples_partition(cleaned, warehouse, n_buckets)
+    spark.catalog.refreshByPath(os.path.join(warehouse, "triples"))
+    remaining = {
+        r.part_id
+        for r in cleaned.select(
+            portable_bucket(F.col("src_conv_id"), n_buckets).alias("part_id")
+        )
+        .distinct()
+        .collect()
+    }
+    for p in affected:
+        if p not in remaining:
+            shutil.rmtree(
+                os.path.join(warehouse, "triples", f"part_id={p}"),
+                ignore_errors=True,
+            )
+    done = {
+        r.part_id
+        for r in ckpt.completed_parts(spark, warehouse, "extract").collect()
+    }
+    ckpt.append_checkpoints(
+        spark, warehouse, "extract", run_id,
+        [(p, 0, 0, 0) for p in sorted(set(affected) & done)],
+    )
+    return remaining
+
+
 def forge(
     spark: SparkSession,
     transcripts: DataFrame,
@@ -174,6 +250,7 @@ def forge(
         triples = _apply_tombstones(
             spark, warehouse, dedup_triples(extract_all(pending, with_annotations=True))
         )
+        triples = _preserve_update_rows(spark, warehouse, triples, todo_ids)
         write_triples_partition(triples, warehouse, n_buckets)
         # per-partition metrics (one aggregation pass, no collect loops)
         in_counts = {
@@ -291,6 +368,7 @@ def forge(
     graph = canonical
 
     # ---- stage 2.5 (optional): RDFS entailment materialize -------------
+    entail_sfx = ""  # downstream stages must recompute when the MODE flips
     if entail:
         if entail not in (True, "rdfs", "owl"):
             raise ValueError(f"entail must be True, 'rdfs' or 'owl', got {entail!r}")
@@ -300,6 +378,7 @@ def forge(
         stage_e = ("entail_owl" if owl_mode else "entail") + (
             "_curies" if entail_expand_curies else ""
         )
+        entail_sfx = "_" + stage_e
         if not (_stage_done(stage_e) and _stage_marker(entailed_marker) == stage_e):
             te = time.time()
             from graphforge_spark.operators.entailment import (
@@ -372,7 +451,9 @@ def forge(
             repr(sorted(repr(sh) for sh in shapes)).encode()
         ).hexdigest()[:12]
         viol_marker = os.path.join(viol_path, "_GF_STAGE")
-        stage_v = f"validate_{shape_fp}" + ("_entailed" if entail else "")
+        # entail_sfx (not a bare "_entailed") so an rdfs→owl flip recomputes
+        # the violations over the NEW closure instead of serving stale rows
+        stage_v = f"validate_{shape_fp}{entail_sfx}"
         if not (_stage_done(stage_v) and _stage_marker(viol_marker) == stage_v):
             tv = time.time()
             from graphforge_spark.operators.validate import validate_with_handle
@@ -391,12 +472,11 @@ def forge(
         n_violations = spark.read.parquet(viol_path).count()
 
     # ---- stage 3: materialize + export ---------------------------------
-    # the stage name carries the graph-config suffix: toggling entail
-    # changes WHAT stage 3 materializes, so it must recompute even at an
-    # unchanged extraction version
-    stage3 = ("materialize_export" if export_nt else "materialize") + (
-        "_entailed" if entail else ""
-    )
+    # the stage name carries the graph-config suffix: toggling entail —
+    # including flipping the MODE between rdfs and owl — changes WHAT
+    # stage 3 materializes, so it must recompute even at an unchanged
+    # extraction version
+    stage3 = ("materialize_export" if export_nt else "materialize") + entail_sfx
     # nodes/edges/export_nt are separate dirs, so the marker lives at the
     # warehouse root rather than inside any one of them
     mat_marker = os.path.join(warehouse, "_GF_STAGE_materialize")
@@ -472,8 +552,6 @@ def retract_conversations(
 
     Returns {buckets_rewritten, triples_removed, run_id}.
     """
-    import shutil
-
     run_id = run_id or uuid.uuid4().hex
     if not conv_ids:
         return {"buckets_rewritten": 0, "triples_removed": 0, "run_id": run_id}
@@ -502,44 +580,17 @@ def retract_conversations(
     from graphforge_spark.operators.closure import _ckpt
 
     cleaned = _ckpt(cleaned)
-    write_triples_partition(cleaned, warehouse, n_buckets)
-    # invalidate Spark's cached file listing for the rewritten path
-    spark.catalog.refreshByPath(os.path.join(warehouse, "triples"))
-    # buckets that became empty are absent from the written data — drop
-    # their stale partition directories explicitly
-    remaining = {
-        r.part_id
-        for r in cleaned.select(
-            portable_bucket(F.col("src_conv_id"), n_buckets).alias("part_id")
-        )
-        .distinct()
-        .collect()
-    }
-    for p in affected:
-        if p not in remaining:
-            shutil.rmtree(
-                os.path.join(warehouse, "triples", f"part_id={p}"),
-                ignore_errors=True,
-            )
+    # A pending bucket's retracted conversations are handled by the
+    # tombstone filter when forge eventually extracts it — including the
+    # crash window where data landed without a checkpoint row (that
+    # bucket re-extracts, and the tombstones keep the retracted
+    # conversations out).
+    remaining = _overwrite_triples_buckets(
+        spark, warehouse, cleaned, n_buckets, affected, run_id
+    )
     n_after = read_triples(spark, warehouse).filter(
         F.col("part_id").isin(affected)
     ).count() if (set(affected) & remaining) else 0
-    # Only buckets that were already extracted get fresh checkpoint rows:
-    # marking a PENDING bucket complete would make the next forge() skip
-    # extracting it entirely (silently losing every conversation that
-    # hashes there). A pending bucket's retracted conversations are
-    # handled by the tombstone filter when forge eventually extracts it
-    # — including the crash window where data landed without a
-    # checkpoint row (that bucket re-extracts, and the tombstones keep
-    # the retracted conversations out).
-    done = {
-        r.part_id
-        for r in ckpt.completed_parts(spark, warehouse, "extract").collect()
-    }
-    ckpt.append_checkpoints(
-        spark, warehouse, "extract", run_id,
-        [(p, 0, 0, 0) for p in affected if p in done],
-    )
     return {
         "buckets_rewritten": len(affected),
         "triples_removed": n_before - n_after,
@@ -597,7 +648,7 @@ def apply_update(
         "src_conv_id",
         F.coalesce(
             F.col("src_conv_id"),
-            F.concat(F.lit("urn:graphforge:update:"), F.col("subj")),
+            F.concat(F.lit(_UPDATE_SRC_PREFIX), F.col("subj")),
         ),
     )
     # materialize BEFORE overwriting — the plan reads the very files the
@@ -605,34 +656,10 @@ def apply_update(
     updated = _ckpt(updated)
     n_before = store.count()
     n_after = updated.count()
-    write_triples_partition(updated, warehouse, n_buckets)
-    spark.catalog.refreshByPath(os.path.join(warehouse, "triples"))
-    # static-overwrite semantics for emptied buckets: dynamic overwrite
-    # only replaces partitions present in the written data, so drop any
-    # bucket directory the update emptied entirely
-    import shutil
-
-    remaining = {
-        r.part_id
-        for r in updated.select(
-            portable_bucket(F.col("src_conv_id"), n_buckets).alias("part_id")
-        )
-        .distinct()
-        .collect()
-    }
-    for p in range(n_buckets):
-        if p not in remaining:
-            shutil.rmtree(
-                os.path.join(warehouse, "triples", f"part_id={p}"),
-                ignore_errors=True,
-            )
-    done = {
-        r.part_id
-        for r in ckpt.completed_parts(spark, warehouse, "extract").collect()
-    }
-    ckpt.append_checkpoints(
-        spark, warehouse, "extract", run_id,
-        [(p, 0, 0, 0) for p in sorted(done)],
+    # a pattern-driven DELETE can touch any bucket → every bucket is
+    # "affected" (static-overwrite semantics for emptied ones)
+    _overwrite_triples_buckets(
+        spark, warehouse, updated, n_buckets, list(range(n_buckets)), run_id
     )
     return {
         "triples_before": n_before,

@@ -95,6 +95,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from graphforge_spark.functions.terms import DEFAULT_PREFIXES
+from graphforge_spark.operators.closure import _ckpt
 from graphforge_spark.plans.bgp import Var
 from graphforge_spark.plans.sparql import (
     _PREFIX_RE,
@@ -123,17 +124,13 @@ _UNSUPPORTED_UPDATE = re.compile(
 
 def _scan_mask(text: str) -> str:
     """String-literal AND <IRI>-content blanked copy (same length) for
-    structural scans, so quoted/IRI ';' '{' keywords cannot derail them."""
-    masked = list(_mask_strings(text))
-    in_iri = False
-    for i, ch in enumerate(masked):
-        if ch == "<":
-            in_iri = True
-        elif ch == ">":
-            in_iri = False
-        elif in_iri:
-            masked[i] = " "
-    return "".join(masked)
+    structural scans, so quoted/IRI ';' '{' keywords cannot derail them.
+    An IRI span needs a closing '>' — a bare '<' (the less-than operator
+    in a FILTER) is left alone, matching the query compiler's masking."""
+    masked = _mask_strings(text)
+    return re.sub(
+        r"<[^<>\s]*>", lambda m: "<" + " " * (len(m.group(0)) - 2) + ">", masked
+    )
 
 
 def _split_ops(update: str) -> list[str]:
@@ -309,13 +306,22 @@ def sparql_update(
     if prefixes:
         pmap.update(prefixes)
     store = triples
+    mutated = False
     for op in _split_ops(_strip_comments(update)):
         for pfx, iri in _PREFIX_RE.findall(op):
             pmap[pfx] = iri
         op = _PREFIX_RE.sub(" ", op)
         if not op.strip():
             continue
+        if mutated:
+            # Each op references the accumulated store several times
+            # (anti-join + dedup + union + WHERE solution); without a
+            # barrier the logical plan grows ~3^N in the number of
+            # ';'-sequenced ops. Same loop-checkpoint discipline as the
+            # closure fixpoints.
+            store = _ckpt(store)
         store = _apply_op(store, op, pmap, insert_graph)
+        mutated = True
     return store
 
 

@@ -571,6 +571,34 @@ def test_entail_owl_mode_toggle_and_conservativity(spark, corpus, warehouse):
     assert owl_set == rdfs_set  # no OWL vocab in the corpus → same closure
 
 
+def test_entail_mode_flip_rematerializes_stage3(spark, warehouse):
+    """Stage 3 (nodes/edges/export) keys on the entail MODE, not a bare
+    '_entailed' flag: over a corpus where the OWL closure genuinely adds
+    edges (a symmetric property), an rdfs→owl flip must rematerialize the
+    edges table, never serve the RDFS-closure artifact under a still-valid
+    checkpoint row."""
+    ttl = (
+        "@prefix ex: <http://ex.org/> .\n"
+        "@prefix owl: <http://www.w3.org/2002/07/owl#> .\n"
+        "ex:knows a owl:SymmetricProperty .\n"
+        "ex:a ex:knows ex:b .\n"
+    )
+    corpus = spark.createDataFrame(
+        [("c0", 0, "tool", ttl, "turtle", None)],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    kw = dict(n_buckets=2, do_link=False, entail_expand_curies=True)
+    forge(spark, corpus, warehouse, entail="rdfs", **kw)
+    edges_rdfs = spark.read.parquet(f"{warehouse}/edges").count()
+    forge(spark, corpus, warehouse, entail="owl", **kw)
+    edges_owl = spark.read.parquet(f"{warehouse}/edges").count()
+    assert edges_owl > edges_rdfs  # the symmetric inverse edge landed
+    # and flipping back restores the RDFS artifact
+    forge(spark, corpus, warehouse, entail="rdfs", **kw)
+    assert spark.read.parquet(f"{warehouse}/edges").count() == edges_rdfs
+
+
 def test_entail_rejects_unknown_mode(spark, corpus, warehouse):
     with pytest.raises(ValueError, match="entail must be"):
         forge(spark, corpus, warehouse, n_buckets=8, do_link=False, entail="owl2")
@@ -625,3 +653,48 @@ def test_apply_update_mutates_warehouse_and_invalidates_downstream(
     assert canonical.filter(
         f"subj = '{victim[0]}' and pred = '{victim[1]}' and obj = '{victim[2]}'"
     ).count() == 0
+
+
+def test_update_insert_survives_extraction_of_its_bucket(
+    spark, corpus, warehouse
+):
+    """An INSERTed row can hash into a bucket NO conversation has reached
+    yet; when a later transcript finally lands in that bucket, the
+    extraction overwrite must carry the update row forward, not wipe it."""
+    from graphforge_spark.functions.hashing import portable_bucket
+    from graphforge_spark.pipeline import apply_update
+
+    subj = "http://ex.org/pending-upd"
+    target = (
+        spark.createDataFrame([(f"urn:graphforge:update:{subj}",)], "k string")
+        .select(portable_bucket(F.col("k"), 8).alias("b"))
+        .collect()[0]
+        .b
+    )
+    # forge WITHOUT the conversations of the target bucket → that bucket
+    # has no extract checkpoint and no partition directory
+    withb = corpus.withColumn("b", portable_bucket(F.col("conv_id"), 8))
+    assert withb.filter(F.col("b") == target).count() > 0  # flip exists
+    forge(spark, withb.filter(F.col("b") != target).drop("b"),
+          warehouse, n_buckets=8, do_link=False)
+    apply_update(
+        spark, warehouse,
+        f'INSERT DATA {{ <{subj}> <http://ex.org/p> "v" }}',
+    )
+    assert read_triples(spark, warehouse).filter(
+        F.col("subj") == subj
+    ).count() == 1
+    # the full corpus now reaches the target bucket → extraction
+    # overwrites its partition — the update row must survive
+    forge(spark, corpus, warehouse, n_buckets=8, do_link=False)
+    landed = read_triples(spark, warehouse)
+    assert landed.filter(F.col("subj") == subj).count() == 1
+    # and the newly-extracted conversations landed too
+    new_convs = {
+        r.conv_id for r in withb.filter(F.col("b") == target).collect()
+    }
+    got = {
+        r.src_conv_id
+        for r in landed.select("src_conv_id").distinct().collect()
+    }
+    assert new_convs <= got

@@ -96,6 +96,21 @@ def test_insert_where_with_filter_and_prefix(store):
     assert out.count() == len(TRIPLES) + 1
 
 
+def test_filter_less_than_comparison_parses(store):
+    """A bare '<' is the less-than operator, not an IRI opener: the
+    structural mask must not blank '}'/';' after it. Covers both a
+    FILTER inside one op and the ';' split between ops."""
+    out = sparql_update(
+        store,
+        f"DELETE {{ ?s <{EX}p/age> ?a }} "
+        f'WHERE {{ ?s <{EX}p/age> ?a FILTER(?a < "99") }} ; '
+        f'INSERT DATA {{ <{EX}z> <{EX}p/name> "Zed" }}',
+    )
+    got = triples_set(out)
+    assert (EX + "c", EX + "p/age", "30") not in got
+    assert (EX + "z", EX + "p/name", "Zed") in got
+
+
 def test_unbound_template_var_drops_solution(store):
     # OPTIONAL leaves ?n unbound for subjects without a name; those
     # solutions instantiate nothing (spec 3.1.3.2), they do not error.
