@@ -65,6 +65,63 @@ def degree_stats(
     )
 
 
+def shortest_paths(
+    edges: DataFrame,
+    landmarks: list[str],
+    max_iterations: int = 64,
+    src_col: str = "s",
+    dst_col: str = "o",
+) -> DataFrame:
+    """Unweighted shortest-path distances TO each landmark →
+    (node, landmark, dist) — GraphFrames-compatible semantics: ``dist``
+    is the length of the shortest DIRECTED path from ``node`` to
+    ``landmark``; unreachable pairs emit no row; every landmark carries
+    its own (landmark, landmark, 0) row.
+
+    Delta-iteration BFS over the reversed edge set: the frontier holds
+    only pairs discovered THIS round (first arrival is minimal in an
+    unweighted graph, so a left_anti against the settled set is the
+    whole min-combine), each round is one shuffle join + one dedup
+    exchange, lineage cut per round (the closure discipline). Round
+    count = graph eccentricity, the right cluster cost model; a frontier
+    still live after ``max_iterations`` raises rather than returning
+    silently-truncated distances."""
+    if not landmarks:
+        raise ValueError("shortest_paths needs at least one landmark")
+    spark = edges.sparkSession
+    # reversed edges: BFS expands from the landmark along in-edges
+    rev = edges.select(
+        F.col(dst_col).alias("_from"), F.col(src_col).alias("_to")
+    ).distinct()
+    dist = _ckpt(
+        spark.createDataFrame(
+            [(l, l, 0) for l in sorted(set(landmarks))],
+            "node string, landmark string, dist int",
+        )
+    )
+    frontier = dist
+    for _ in range(max_iterations):
+        cand = (
+            frontier.join(rev, frontier["node"] == rev["_from"])
+            .select(
+                F.col("_to").alias("node"),
+                "landmark",
+                (F.col("dist") + 1).alias("dist"),
+            )
+            .dropDuplicates(["node", "landmark"])
+        )
+        frontier = _ckpt(cand.join(dist, ["node", "landmark"], "left_anti"))
+        if frontier.limit(1).count() == 0:
+            return dist
+        dist = _ckpt(dist.unionByName(frontier))
+    # reachable only when the final round's frontier was non-empty (an
+    # empty frontier returns inside the loop)
+    raise ValueError(
+        f"shortest_paths: frontier still live after {max_iterations} "
+        "rounds — raise max_iterations (needs ≥ graph eccentricity)"
+    )
+
+
 def pagerank(
     edges: DataFrame,
     damping: float = 0.85,

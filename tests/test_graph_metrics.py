@@ -94,3 +94,69 @@ def test_pagerank_random_graphs(spark, edges):
     for v in want:
         assert got[v] == pytest.approx(want[v], abs=1e-6)
     assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def _python_bfs_to(edge_list, landmarks):
+    """Distance from every node TO each landmark — pure-Python BFS over
+    the reversed adjacency, the oracle shortest_paths must match."""
+    pred = {}
+    for s, d in set(edge_list):
+        pred.setdefault(d, set()).add(s)
+    want = {}
+    for l in set(landmarks):
+        seen, frontier, dist = {l}, {l}, 0
+        want[(l, l)] = 0
+        while frontier:
+            dist += 1
+            frontier = {
+                p for v in frontier for p in pred.get(v, ()) if p not in seen
+            }
+            for p in frontier:
+                want[(p, l)] = dist
+            seen |= frontier
+    return want
+
+
+def test_shortest_paths_curated(spark):
+    # diamond + unreachable island + a cycle back-edge
+    edges = [("a", "b"), ("a", "c"), ("b", "d"), ("c", "d"), ("d", "a"),
+             ("x", "y")]
+    df = spark.createDataFrame(edges, "s string, o string")
+    from graphforge_spark.operators.graph_metrics import shortest_paths
+
+    got = {
+        (r.node, r.landmark): r.dist
+        for r in shortest_paths(df, ["d", "y"]).collect()
+    }
+    assert got == _python_bfs_to(edges, ["d", "y"])
+    assert got[("a", "d")] == 2  # via b or c
+    assert got[("d", "d")] == 0
+    assert ("a", "y") not in got  # unreachable pair emits no row
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(edges=_edges, lms=st.sets(st.sampled_from(["a", "b", "c"]), min_size=1, max_size=2))
+def test_shortest_paths_random_graphs(spark, edges, lms):
+    from graphforge_spark.operators.graph_metrics import shortest_paths
+
+    df = spark.createDataFrame(edges, "s string, o string")
+    got = {
+        (r.node, r.landmark): r.dist
+        for r in shortest_paths(df, sorted(lms)).collect()
+    }
+    assert got == _python_bfs_to(edges, lms)
+
+
+def test_shortest_paths_raises_on_iteration_cap(spark):
+    from graphforge_spark.operators.graph_metrics import shortest_paths
+
+    chain = [(f"n{i}", f"n{i+1}") for i in range(6)]
+    df = spark.createDataFrame(chain, "s string, o string")
+    with pytest.raises(ValueError, match="frontier still live"):
+        shortest_paths(df, ["n6"], max_iterations=3)
+    full = shortest_paths(df, ["n6"], max_iterations=10)
+    assert full.count() == 7  # every chain node reaches n6
