@@ -1098,6 +1098,25 @@ def run_stress() -> None:
     }
     _log(str(results["owl_closure_2m_edges"]))
 
+    # 11. shortest paths: 1M-node 10-ary tree (parent(i) = (i-1)//10),
+    #     BFS to the root — every node reaches the landmark, eccentricity
+    #     ≈ log₁₀(n) rounds, each one shuffle join + one dedup exchange.
+    #     The quantity that matters at cluster scale: the settled set
+    #     grows to n·|landmarks| rows but each round's join touches only
+    #     the FRONTIER (delta iteration), never the settled set.
+    from graphforge_spark.operators.graph_metrics import shortest_paths
+
+    tree = spark.range(1, 1_000_000).select(
+        F.concat(F.lit("v"), F.col("id").cast("string")).alias("s"),
+        F.concat(F.lit("v"), ((F.col("id") - 1) / 10).cast("long").cast("string")).alias("o"),
+    )
+    t0 = time.time()
+    n = shortest_paths(tree, ["v0"], max_iterations=16).count()
+    results["shortest_paths_1m_tree"] = {
+        "pairs": n, "wall_s": round(time.time() - t0, 2),
+    }
+    _log(str(results["shortest_paths_1m_tree"]))
+
     os.makedirs("BENCH", exist_ok=True)
     # preserve manually-added narrative sections (everything from the
     # first '## ' heading onward)
