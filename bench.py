@@ -1117,6 +1117,46 @@ def run_stress() -> None:
     }
     _log(str(results["shortest_paths_1m_tree"]))
 
+    # 12. triangle count + k-core under a pathological hot hub: 1M chain
+    #     nodes (segments of 10) + a 150k-degree hub whose first 50k
+    #     spoke pairs close triangles. Naive wedge generation enumerates
+    #     C(150k, 2) ≈ 1.1·10¹⁰ pairs at the hub; the degree-ordered
+    #     orientation makes the hub the HIGH endpoint of every edge, so
+    #     it generates ZERO wedges — the leg finishing at all is the
+    #     skew-bound proof. k=2 core then peels the chains (tree parts)
+    #     and keeps exactly the hub + its 100k triangle spokes.
+    from graphforge_spark.operators.graph_metrics import k_core, triangle_count
+
+    base = spark.range(1_000_000)
+    chain = base.filter(F.col("id") % 10 != 0).select(
+        F.concat(F.lit("v"), F.col("id").cast("string")).alias("s"),
+        F.concat(F.lit("v"), (F.col("id") - 1).cast("string")).alias("o"),
+    )
+    hub = spark.range(100_000).select(
+        F.lit("hub").alias("s"),
+        F.concat(F.lit("v"), (F.col("id") * 10).cast("string")).alias("o"),
+    )
+    closers = spark.range(50_000).select(
+        F.lit("hub").alias("s"),
+        F.concat(F.lit("v"), (F.col("id") * 10 + 1).cast("string")).alias("o"),
+    )
+    g = chain.union(hub).union(closers)
+    t0 = time.time()
+    tri = triangle_count(g)
+    hub_tri = {r.node: r.triangles for r in tri.filter(F.col("node") == "hub").collect()}
+    n_tri_nodes = tri.count()
+    t_tri = round(time.time() - t0, 2)
+    t0 = time.time()
+    core = k_core(g, 2, max_iterations=32).count()
+    results["triangles_kcore_1m_hot_hub"] = {
+        "hub_triangles": hub_tri.get("hub", 0),
+        "nodes_in_triangles": n_tri_nodes,
+        "k2_core_nodes": core,
+        "wall_triangles_s": t_tri,
+        "wall_kcore_s": round(time.time() - t0, 2),
+    }
+    _log(str(results["triangles_kcore_1m_hot_hub"]))
+
     os.makedirs("BENCH", exist_ok=True)
     # preserve manually-added narrative sections (everything from the
     # first '## ' heading onward)

@@ -15,6 +15,19 @@ computes no graph statistics).
   check adds one tiny aggregate per round. Edge weights are uniform
   1/outdeg (the RDF default).
 
+- ``shortest_paths``: multi-source BFS distances (delta iteration —
+  see its docstring).
+- ``triangle_count``: per-node + global triangle counts over the
+  undirected simple graph, via DEGREE-ORDERED edge orientation
+  (node-iterator++): every triangle is counted at exactly one node —
+  the one whose two triangle edges both point "up" the (degree, id)
+  total order — which bounds wedge generation by Σ min-degree per edge
+  instead of Σ degree², the difference between feasible and O(d_max²)
+  on a skewed KG.
+- ``k_core``: iterative peeling to the maximal subgraph of minimum
+  degree k — the standard web-graph spam/quality cut. Round count =
+  peeling depth; loud error at the cap.
+
 All column algebra; no Python in any per-row path.
 """
 
@@ -197,3 +210,110 @@ def pagerank(
         else:
             ranks = new
     return ranks
+
+
+def _undirected_simple(edges: DataFrame, src_col: str, dst_col: str) -> DataFrame:
+    """Canonical undirected simple graph: drop self-loops, orient each
+    edge (min, max) lexically, dedup — set semantics like the store."""
+    s, d = F.col(src_col), F.col(dst_col)
+    return (
+        edges.filter(s != d)
+        .select(F.least(s, d).alias("a"), F.greatest(s, d).alias("b"))
+        .distinct()
+    )
+
+
+def triangle_count(
+    edges: DataFrame, src_col: str = "s", dst_col: str = "o"
+) -> DataFrame:
+    """Per-node triangle participation over the UNDIRECTED simple graph
+    induced by the edge set → (node, triangles); nodes in no triangle
+    emit no row (left-join against degree_stats for the dashboard).
+
+    Degree-ordered orientation (node-iterator++): each undirected edge
+    points from its lower (degree, node) endpoint to the higher, making
+    an acyclic orientation in which every triangle has exactly ONE node
+    with two out-edges. Wedges are generated only from ordered
+    out-neighbor pairs and closed with one equi-join against the
+    oriented edges — O(Σ_e min-deg(e)) wedges instead of Σ deg², so a
+    hot entity with 10⁶ neighbors contributes its degree only through
+    edges where it is the LOW endpoint (rare by construction). Three
+    shuffles total: degree agg, wedge self-join, closing join.
+    """
+    und = _undirected_simple(edges, src_col, dst_col)
+    deg = und.select(F.col("a").alias("n")).unionAll(
+        und.select(F.col("b").alias("n"))
+    ).groupBy("n").agg(F.count("*").alias("d"))
+    # total order (degree, node); struct comparison gives the orientation
+    withk = (
+        und.join(deg.withColumnRenamed("n", "a"), "a")
+        .withColumnRenamed("d", "da")
+        .join(deg.withColumnRenamed("n", "b"), "b")
+        .withColumnRenamed("d", "db")
+        .select(
+            "a", "b",
+            F.struct(F.col("da").alias("d"), F.col("a").alias("n")).alias("ka"),
+            F.struct(F.col("db").alias("d"), F.col("b").alias("n")).alias("kb"),
+        )
+    )
+    oriented = withk.select(
+        F.when(F.col("ka") < F.col("kb"), F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(F.col("ka") < F.col("kb"), F.col("b")).otherwise(F.col("a")).alias("dst"),
+        F.when(F.col("ka") < F.col("kb"), F.col("kb")).otherwise(F.col("ka")).alias("kdst"),
+    )
+    o1, o2 = oriented.alias("o1"), oriented.alias("o2")
+    wedges = o1.join(o2, "src").filter(F.col("o1.kdst") < F.col("o2.kdst")).select(
+        F.col("src").alias("u"),
+        F.col("o1.dst").alias("v"),
+        F.col("o2.dst").alias("w"),
+    )
+    closing = oriented.select(
+        F.col("src").alias("v"), F.col("dst").alias("w")
+    )
+    tri = wedges.join(closing, ["v", "w"])
+    return (
+        tri.select(F.explode(F.array("u", "v", "w")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("triangles"))
+    )
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    max_iterations: int = 64,
+    src_col: str = "s",
+    dst_col: str = "o",
+) -> DataFrame:
+    """Nodes of the k-core — the maximal subgraph in which every node
+    has undirected degree ≥ k → (node, degree) with degrees measured
+    WITHIN the core. The classic web-graph quality cut: low-core nodes
+    are leaves/tendrils, high-core nodes the dense center.
+
+    Iterative peeling: drop all nodes of degree < k, re-derive degrees
+    over the surviving edge set, repeat to fixpoint. Each round is one
+    degree aggregation + two semi-joins, lineage cut per round. Round
+    count is the peeling depth (≤ graph diameter in practice; a chain
+    is the worst case) — still live at ``max_iterations`` raises rather
+    than returning a subgraph that is not yet a core."""
+    if k < 1:
+        raise ValueError("k_core needs k >= 1")
+    live = _ckpt(_undirected_simple(edges, src_col, dst_col))
+    for _ in range(max_iterations):
+        deg = live.select(F.col("a").alias("n")).unionAll(
+            live.select(F.col("b").alias("n"))
+        ).groupBy("n").agg(F.count("*").alias("d"))
+        keep = deg.filter(F.col("d") >= k).select("n")
+        nxt = _ckpt(
+            live.join(keep.withColumnRenamed("n", "a"), "a", "left_semi")
+            .join(keep.withColumnRenamed("n", "b"), "b", "left_semi")
+        )
+        if nxt.count() == live.count():
+            return deg.filter(F.col("d") >= k).select(
+                F.col("n").alias("node"), F.col("d").alias("degree")
+            )
+        live = nxt
+    raise ValueError(
+        f"k_core: still peeling after {max_iterations} rounds — raise "
+        "max_iterations (worst case is the graph's peeling depth)"
+    )

@@ -160,3 +160,106 @@ def test_shortest_paths_raises_on_iteration_cap(spark):
         shortest_paths(df, ["n6"], max_iterations=3)
     full = shortest_paths(df, ["n6"], max_iterations=10)
     assert full.count() == 7  # every chain node reaches n6
+
+
+def _python_triangles(edge_list):
+    adj = {}
+    for s, d in set(edge_list):
+        if s == d:
+            continue
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    per = {}
+    # every triangle is enumerated exactly once per member as the apex u
+    # (its other two nodes forming the ordered pair v<w), so crediting
+    # the apex alone yields each node's true participation count
+    for u in adj:
+        for v in adj[u]:
+            for w in adj[u]:
+                if v < w and w in adj[v]:
+                    per[u] = per.get(u, 0) + 1
+    return per
+
+
+def test_triangle_count_curated(spark):
+    from graphforge_spark.operators.graph_metrics import triangle_count
+
+    # two triangles sharing edge (a,b); plus a chord-free square; plus a
+    # parallel/reversed duplicate edge and a self-loop (must not count)
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("b", "a"), ("a", "d"),
+             ("d", "b"), ("p", "q"), ("q", "r"), ("r", "s"), ("s", "p"),
+             ("a", "a")]
+    df = spark.createDataFrame(edges, "s string, o string")
+    got = {r.node: r.triangles for r in triangle_count(df).collect()}
+    assert got == _python_triangles(edges)
+    assert got == {"a": 2, "b": 2, "c": 1, "d": 1}
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(edges=_edges)
+def test_triangle_count_random_graphs(spark, edges):
+    from graphforge_spark.operators.graph_metrics import triangle_count
+
+    df = spark.createDataFrame(edges, "s string, o string")
+    got = {r.node: r.triangles for r in triangle_count(df).collect()}
+    assert got == _python_triangles(edges)
+
+
+def _python_k_core(edge_list, k):
+    adj = {}
+    for s, d in set(edge_list):
+        if s == d:
+            continue
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    changed = True
+    while changed:
+        changed = False
+        for v in [v for v in adj if len(adj[v]) < k]:
+            for u in adj.pop(v):
+                adj[u].discard(v)
+            changed = True
+    return {v: len(n) for v, n in adj.items() if n}
+
+
+def test_k_core_curated(spark):
+    from graphforge_spark.operators.graph_metrics import k_core
+
+    # K4 (3-core) with a tail of tendrils that peel away round by round
+    k4 = [(a, b) for a in "abcd" for b in "abcd" if a < b]
+    tail = [("d", "t1"), ("t1", "t2"), ("t2", "t3")]
+    df = spark.createDataFrame(k4 + tail, "s string, o string")
+    got = {r.node: r.degree for r in k_core(df, 3).collect()}
+    assert got == _python_k_core(k4 + tail, 3) == {v: 3 for v in "abcd"}
+    # 1-core of the same graph keeps everything
+    assert set(r.node for r in k_core(df, 1).collect()) == set("abcd") | {
+        "t1", "t2", "t3"
+    }
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(edges=_edges, k=st.integers(min_value=1, max_value=3))
+def test_k_core_random_graphs(spark, edges, k):
+    from graphforge_spark.operators.graph_metrics import k_core
+
+    df = spark.createDataFrame(edges, "s string, o string")
+    got = {r.node: r.degree for r in k_core(df, k).collect()}
+    assert got == _python_k_core(edges, k)
+
+
+def test_k_core_raises_on_iteration_cap(spark):
+    from graphforge_spark.operators.graph_metrics import k_core
+
+    chain = [(f"n{i}", f"n{i+1}") for i in range(8)]
+    df = spark.createDataFrame(chain, "s string, o string")
+    with pytest.raises(ValueError, match="still peeling"):
+        k_core(df, 2, max_iterations=2)
+    assert k_core(df, 2, max_iterations=16).count() == 0  # a chain has no 2-core
