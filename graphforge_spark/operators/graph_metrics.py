@@ -317,3 +317,56 @@ def k_core(
         f"k_core: still peeling after {max_iterations} rounds — raise "
         "max_iterations (worst case is the graph's peeling depth)"
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    max_iterations: int = 10,
+    src_col: str = "s",
+    dst_col: str = "o",
+) -> DataFrame:
+    """Community detection by synchronous label propagation →
+    (node, label). GraphFrames-compatible semantics: labels start as the
+    node's own id; each round EVERY node simultaneously adopts the most
+    frequent label among its undirected neighbors, ties broken by the
+    smallest label — fully deterministic. LPA on bipartite-ish graphs
+    can oscillate, so the contract is a FIXED round count (an anytime
+    algorithm), not convergence; ``max_iterations`` is the knob, exactly
+    like GraphFrames' ``maxIter``.
+
+    Each round is one shuffle join (labels onto the adjacency), one
+    combinable count aggregation, and one per-node top-1 window (keyed
+    by node — never a global window), lineage cut per round. At cluster
+    scale the adjacency is the big side and stays put; only the
+    (node → label) frame moves."""
+    s, d = F.col(src_col), F.col(dst_col)
+    und = (
+        edges.filter(s != d)
+        .select(F.least(s, d).alias("a"), F.greatest(s, d).alias("b"))
+        .distinct()
+    )
+    adj = _ckpt(
+        und.select(F.col("a").alias("node"), F.col("b").alias("nbr")).unionAll(
+            und.select(F.col("b").alias("node"), F.col("a").alias("nbr"))
+        )
+    )
+    labels = _ckpt(adj.select("node").distinct().withColumn("label", F.col("node")))
+    from pyspark.sql import Window
+
+    top1 = Window.partitionBy("node").orderBy(
+        F.col("votes").desc(), F.col("label").asc()
+    )
+    for _ in range(max_iterations):
+        votes = (
+            adj.join(
+                labels.withColumnRenamed("node", "nbr"), "nbr"
+            )
+            .groupBy("node", "label")
+            .agg(F.count("*").alias("votes"))
+        )
+        labels = _ckpt(
+            votes.withColumn("_rn", F.row_number().over(top1))
+            .filter(F.col("_rn") == 1)
+            .select("node", "label")
+        )
+    return labels

@@ -263,3 +263,57 @@ def test_k_core_raises_on_iteration_cap(spark):
     with pytest.raises(ValueError, match="still peeling"):
         k_core(df, 2, max_iterations=2)
     assert k_core(df, 2, max_iterations=16).count() == 0  # a chain has no 2-core
+
+
+def _python_lpa(edge_list, rounds):
+    adj = {}
+    for s, d in set(edge_list):
+        if s == d:
+            continue
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    labels = {v: v for v in adj}
+    for _ in range(rounds):
+        new = {}
+        for v in adj:
+            freq = {}
+            for u in adj[v]:
+                freq[labels[u]] = freq.get(labels[u], 0) + 1
+            top = max(freq.values())
+            new[v] = min(l for l, c in freq.items() if c == top)
+        labels = new
+    return labels
+
+
+def test_label_propagation_curated(spark):
+    from graphforge_spark.operators.graph_metrics import label_propagation
+
+    # two dense cliques bridged by one edge → two communities
+    k1 = [(a, b) for a in "abcd" for b in "abcd" if a < b]
+    k2 = [(a, b) for a in "wxyz" for b in "wxyz" if a < b]
+    bridge = [("d", "w")]
+    df = spark.createDataFrame(k1 + k2 + bridge, "s string, o string")
+    got = {r.node: r.label for r in label_propagation(df, max_iterations=5).collect()}
+    assert got == _python_lpa(k1 + k2 + bridge, 5)
+    # the cliques settle on one label each
+    assert len({got[v] for v in "abcd"}) == 1
+    assert len({got[v] for v in "wxyz"}) == 1
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(edges=_edges, rounds=st.integers(min_value=1, max_value=4))
+def test_label_propagation_random_graphs(spark, edges, rounds):
+    from graphforge_spark.operators.graph_metrics import label_propagation
+
+    df = spark.createDataFrame(edges, "s string, o string")
+    got = {
+        r.node: r.label
+        for r in label_propagation(df, max_iterations=rounds).collect()
+    }
+    want = _python_lpa(edges, rounds)
+    # nodes with no non-loop edge are absent from both
+    assert got == want
