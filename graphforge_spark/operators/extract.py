@@ -885,6 +885,260 @@ def extract_patterns(
 
 
 # ---------------------------------------------------------------------------
+# 4. JSON-LD-lite extraction — the "JSON-to-RDF" half of the forge
+# ---------------------------------------------------------------------------
+
+_XSD = "http://www.w3.org/2001/XMLSchema#"
+_RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+# JSON-LD keywords we knowingly do NOT process; any appearance
+# quarantines the document (no partial emission — the Turtle policy)
+_JSONLD_UNSUPPORTED = {
+    "@list", "@set", "@reverse", "@container", "@base", "@index",
+    "@version", "@nest", "@included", "@direction",
+}
+
+
+class _JsonLdError(Exception):
+    pass
+
+
+def _jsonld_expand_term(term, ctx: dict, vocab: str | None, *, is_key: bool):
+    """Resolve a context alias / CURIE / absolute IRI. Keys (predicates,
+    @type values) additionally fall back to @vocab; an unresolvable key
+    is an error (a strict processor refuses rather than silently drops
+    the property, and quarantine keeps the no-partial-emission rule)."""
+    if not isinstance(term, str) or not term:
+        raise _JsonLdError(f"cannot expand non-string term {term!r}")
+    if term in ctx:
+        return ctx[term]
+    if ":" in term:
+        pfx, rest = term.split(":", 1)
+        if pfx in ctx and not rest.startswith("//"):
+            return ctx[pfx] + rest
+        return term  # absolute IRI (scheme:…) — http, urn, mailto, …
+    if is_key:
+        if vocab is not None:
+            return vocab + term
+        raise _JsonLdError(f"term {term!r} has no context mapping and no @vocab")
+    return None  # bare string in @id position without mapping
+
+
+def _jsonld_walk(node, ctx, vocab, bnode, out):
+    """Emit (s, p, o, is_literal, lang, dt) rows for one node object;
+    returns the node's subject term (IRI or blank label)."""
+    if not isinstance(node, dict):
+        raise _JsonLdError(f"node must be a JSON object, got {type(node).__name__}")
+    bad = _JSONLD_UNSUPPORTED.intersection(node)
+    if bad:
+        raise _JsonLdError(f"unsupported JSON-LD keyword {sorted(bad)[0]}")
+    if "@value" in node:
+        raise _JsonLdError("@value object in node position")
+    subj = None
+    if "@id" in node:
+        raw = node["@id"]
+        if not isinstance(raw, str):
+            raise _JsonLdError("@id must be a string")
+        if raw.startswith("_:"):
+            subj = bnode(raw)
+        else:
+            subj = _jsonld_expand_term(raw, ctx, None, is_key=False)
+            if subj is None or ":" not in subj:
+                raise _JsonLdError(f"@id {raw!r} is not an absolute IRI or CURIE")
+    if subj is None:
+        subj = bnode(None)
+
+    def emit_value(pred, v):
+        if v is None:
+            return  # JSON-LD null = no value
+        if isinstance(v, list):
+            for item in v:
+                emit_value(pred, item)
+        elif isinstance(v, dict):
+            bad_kw = _JSONLD_UNSUPPORTED.intersection(v)
+            if bad_kw:
+                raise _JsonLdError(f"unsupported JSON-LD keyword {sorted(bad_kw)[0]}")
+            if "@value" in v:
+                val = v["@value"]
+                if isinstance(val, bool):
+                    sval, dt = ("true" if val else "false"), _XSD + "boolean"
+                elif isinstance(val, (int, float)) and not isinstance(val, bool):
+                    sval, dt = _jsonld_number(val)
+                elif isinstance(val, str):
+                    sval, dt = val, None
+                else:
+                    raise _JsonLdError(f"unsupported @value type {type(val).__name__}")
+                lang = None
+                if "@language" in v:
+                    lang = v["@language"]
+                    if not isinstance(lang, str) or not lang:
+                        raise _JsonLdError("@language must be a non-empty string")
+                    if not isinstance(val, str):
+                        raise _JsonLdError("@language on a non-string @value")
+                    if "@type" in v:
+                        raise _JsonLdError("@language and @type are exclusive")
+                if "@type" in v:
+                    t = _jsonld_expand_term(v["@type"], ctx, vocab, is_key=True)
+                    dt = None if t == _XSD + "string" else t
+                extra = set(v) - {"@value", "@type", "@language"}
+                if extra:
+                    raise _JsonLdError(f"unsupported key {sorted(extra)[0]} in value object")
+                out.append((subj, pred, sval, True, lang, dt))
+            else:
+                child = _jsonld_walk(v, ctx, vocab, bnode, out)
+                out.append((subj, pred, child, False, None, None))
+        elif isinstance(v, bool):
+            out.append((subj, pred, "true" if v else "false", True, None, _XSD + "boolean"))
+        elif isinstance(v, (int, float)):
+            sval, dt = _jsonld_number(v)
+            out.append((subj, pred, sval, True, None, dt))
+        elif isinstance(v, str):
+            out.append((subj, pred, v, True, None, None))
+        else:
+            raise _JsonLdError(f"unsupported JSON value type {type(v).__name__}")
+
+    for key, v in node.items():
+        if key == "@id" or key == "@context":
+            continue
+        if key == "@type":
+            types = v if isinstance(v, list) else [v]
+            for t in types:
+                tiri = _jsonld_expand_term(t, ctx, vocab, is_key=True)
+                out.append((subj, _RDF_TYPE, tiri, False, None, None))
+            continue
+        if key.startswith("@"):
+            raise _JsonLdError(f"unsupported JSON-LD keyword {key}")
+        emit_value(_jsonld_expand_term(key, ctx, vocab, is_key=True), v)
+    return subj
+
+
+def _jsonld_number(val):
+    """JSON-LD number → (lexical, datatype): integral values are
+    xsd:integer, everything else xsd:double (JSON-LD 1.1 §8.6)."""
+    if isinstance(val, int) or (isinstance(val, float) and val.is_integer()):
+        return str(int(val)), _XSD + "integer"
+    return repr(float(val)), _XSD + "double"
+
+
+def _parse_jsonld(text: str, doc_key: str):
+    """Parse one JSON-LD-lite document → rows, or None to QUARANTINE the
+    whole document (malformed JSON or any unsupported construct — no
+    partial emission, the Turtle statement policy at doc granularity).
+
+    Supported subset: top-level node object, array of node objects, or
+    {@context, @graph:[…]}; @context with string prefix/term mappings and
+    @vocab only; @id (absolute IRI / CURIE / ``_:`` label — scoped to the
+    document via ``doc_key``), @type (string or list), nested node
+    objects (become blank nodes unless they carry @id), arrays as
+    multi-valued properties, @value objects with @type or @language
+    (lang-tagged literals — exclusive per spec), JSON scalars with the
+    spec's implicit datatypes (integer → xsd:integer, non-integral
+    number → xsd:double, boolean → xsd:boolean, string → plain literal;
+    ``^^xsd:string`` normalizes to the plain form per RDF 1.1 term
+    identity, the Turtle parser's rule). Everything else —
+    @list/@set/@reverse/@container/context-level @language/@base/nested
+    contexts/… — quarantines. Blank labels are deterministic: traversal order over
+    ``json.loads``'s order-preserving dicts."""
+    import itertools
+    import json
+
+    try:
+        doc = json.loads(text)
+    except (ValueError, TypeError):
+        return None
+    counter = itertools.count()
+    labels: dict = {}
+
+    def bnode(label):
+        if label is None:
+            return f"_:j_{doc_key}_n{next(counter)}"
+        return labels.setdefault(label, f"_:j_{doc_key}_{label[2:]}")
+
+    out: list = []
+    try:
+        ctx_src = doc.get("@context", {}) if isinstance(doc, dict) else {}
+        if not isinstance(ctx_src, dict):
+            raise _JsonLdError("@context must be a JSON object")
+        ctx, vocab = {}, None
+        for k, v in ctx_src.items():
+            if k == "@vocab":
+                if not isinstance(v, str):
+                    raise _JsonLdError("@vocab must be a string")
+                vocab = v
+            elif k.startswith("@"):
+                raise _JsonLdError(f"unsupported context keyword {k}")
+            elif not isinstance(v, str):
+                raise _JsonLdError(f"unsupported non-string context mapping for {k!r}")
+            else:
+                ctx[k] = v
+        if isinstance(doc, list):
+            nodes = doc
+        elif isinstance(doc, dict) and "@graph" in doc:
+            nodes = doc["@graph"]
+            extra = set(doc) - {"@context", "@graph"}
+            if extra:
+                raise _JsonLdError(f"unsupported key {sorted(extra)[0]} beside @graph")
+            if not isinstance(nodes, list):
+                raise _JsonLdError("@graph must be an array")
+        else:
+            nodes = [doc]
+        for n in nodes:
+            _jsonld_walk(n, ctx, vocab, bnode, out)
+    except _JsonLdError:
+        return None
+    return out
+
+
+def extract_jsonld(
+    df: DataFrame, text_col: str = "text", with_annotations: bool = False
+) -> DataFrame:
+    """Arrow-batched JSON-LD-lite extraction over transcript turns (one
+    JSON document per turn) — the "JSON-to-RDF" half of the forge: agent
+    tool results are JSON far more often than Turtle. Same output shape
+    as the other extractors; ``with_annotations`` surfaces literal
+    language tags (@language in @value objects) and datatypes (implicit
+    XSD on JSON scalars, explicit @type on @value objects).
+    Undecodable or unsupported documents quarantine
+    whole (count them by comparing turn counts — the lineage metrics
+    pattern)."""
+    src = spread_small_scan(df).select(
+        F.col("conv_id").alias("src_conv_id"),
+        F.col("turn_idx").alias("src_turn_idx"),
+        F.col(text_col).alias("_text"),
+    )
+    ann = ", obj_lang string, obj_dt string" if with_annotations else ""
+    out_schema = (
+        "subj string, pred string, obj string, obj_is_literal boolean, "
+        f"graph string, src_conv_id string, src_turn_idx int{ann}"
+    )
+    cols = ["subj", "pred", "obj", "obj_is_literal",
+            "graph", "src_conv_id", "src_turn_idx"]
+    if with_annotations:
+        cols += ["obj_lang", "obj_dt"]
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for conv, idx, text in zip(
+                pdf["src_conv_id"], pdf["src_turn_idx"], pdf["_text"]
+            ):
+                if not text:
+                    continue
+                parsed = _parse_jsonld(text, f"{conv}_{idx}")
+                if parsed is None:
+                    continue  # quarantined document
+                for s, p, o, lit, lang, dt in parsed:
+                    row = (s, p, o, lit, conv, conv, idx)
+                    if with_annotations:
+                        row += (lang, dt)
+                    rows.append(row)
+            yield pd.DataFrame(rows, columns=cols)
+
+    return src.mapInPandas(batches, schema=out_schema)
+
+
+# ---------------------------------------------------------------------------
 # Format dispatch (reference: triplify() switch, graphProcessor.js:151-163)
 # ---------------------------------------------------------------------------
 
@@ -907,26 +1161,31 @@ def extract_all(
     """Route each turn to the right extractor by its ``tool`` tag and union.
 
     tool='rdfxml' → DOM-walk extractor; tool='ntriples'/'turtle' → line
-    parser; everything else → free-text pattern rules. Mirrors the
+    parser; tool='jsonld' → JSON-LD-lite walker (the north-star's
+    "JSON-to-RDF" half — agent tool results are JSON far more often than
+    Turtle); everything else → free-text pattern rules. Mirrors the
     extension dispatch at graphProcessor.js:151-163 ('.owl/.rdf' vs '.ttl'),
     generalized to transcript turns.
 
     ``with_annotations`` threads literal ``@lang``/``^^datatype`` capture
-    through the serialized-RDF parsers (Turtle, N-Triples); the RDF/XML
-    walker and the free-text pattern rules have no annotation source, so
-    their rows carry NULL ``obj_lang``/``obj_dt``.
+    through the serialized-RDF parsers (Turtle, N-Triples, JSON-LD); the
+    RDF/XML walker and the free-text pattern rules have no annotation
+    source, so their rows carry NULL ``obj_lang``/``obj_dt``.
     """
     xml_turns = transcripts.filter(F.col("tool") == "rdfxml")
     nt_turns = transcripts.filter(F.col("tool") == "ntriples")
     ttl_turns = transcripts.filter(F.col("tool") == "turtle")
+    jl_turns = transcripts.filter(F.col("tool") == "jsonld")
     text_turns = transcripts.filter(
-        (F.col("tool").isNull()) | (~F.col("tool").isin("rdfxml", "ntriples", "turtle"))
+        (F.col("tool").isNull())
+        | (~F.col("tool").isin("rdfxml", "ntriples", "turtle", "jsonld"))
     )
     ann = ensure_annotation_columns if with_annotations else (lambda df: df)
     parts = [
         ann(extract_rdfxml(xml_turns)),
         extract_ntriples(nt_turns, with_annotations=with_annotations),
         extract_turtle(ttl_turns, with_annotations=with_annotations),
+        extract_jsonld(jl_turns, with_annotations=with_annotations),
         ann(extract_patterns(text_turns, rules)),
     ]
     out = parts[0]

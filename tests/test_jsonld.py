@@ -1,0 +1,205 @@
+"""JSON-LD-lite extraction (operators/extract.extract_jsonld) — the
+"JSON-to-RDF" half of the forge per the north-star. Verified three ways:
+curated golden documents, quarantine behavior (whole-document, no
+partial emission — the Turtle statement policy at doc granularity), and
+a hypothesis cross-parser property: parsed rows serialized as N-Triples
+must reparse IDENTICALLY through the independent Turtle parser."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from graphforge_spark.operators.extract import (
+    _parse_jsonld,
+    _parse_turtle,
+    extract_all,
+    extract_jsonld,
+)
+
+EX = "http://ex.org/"
+XSD = "http://www.w3.org/2001/XMLSchema#"
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+DOC = json.dumps(
+    {
+        "@context": {
+            "ex": EX,
+            "name": EX + "name",
+            "@vocab": "http://voc.org/",
+        },
+        "@graph": [
+            {
+                "@id": "ex:a",
+                "@type": "ex:Person",
+                "name": "Alice",
+                "age": {"@value": 41, "@type": "xsd_int"},
+                "label": {"@value": "pizza", "@language": "en"},
+                "knows": [{"@id": "ex:b"}, {"name": "Anon", "score": 1.5}],
+                "active": True,
+                "note": None,
+            },
+            {"@id": "_:x", "name": "Blank"},
+        ],
+    }
+)
+
+
+def _transcripts(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+
+
+def test_extract_jsonld_golden(spark):
+    df = _transcripts(spark, [("c0", 1, "tool", DOC, "jsonld", None)])
+    got = {
+        (r.subj, r.pred, r.obj, r.obj_is_literal, r.obj_lang, r.obj_dt)
+        for r in extract_jsonld(df, with_annotations=True).collect()
+    }
+    a, anon, blank = EX + "a", "_:j_c0_1_n0", "_:j_c0_1_x"
+    assert got == {
+        (a, RDF_TYPE, EX + "Person", False, None, None),
+        (a, EX + "name", "Alice", True, None, None),
+        (a, "http://voc.org/age", "41", True, None, "http://voc.org/xsd_int"),
+        (a, "http://voc.org/label", "pizza", True, "en", None),
+        (a, "http://voc.org/knows", EX + "b", False, None, None),
+        (a, "http://voc.org/knows", anon, False, None, None),
+        (anon, EX + "name", "Anon", True, None, None),
+        (anon, "http://voc.org/score", "1.5", True, None, XSD + "double"),
+        (a, "http://voc.org/active", "true", True, None, XSD + "boolean"),
+        (blank, EX + "name", "Blank", True, None, None),
+    }
+    # graph/provenance columns follow the extractor contract
+    one = extract_jsonld(df).first()
+    assert one.graph == "c0" and one.src_conv_id == "c0" and one.src_turn_idx == 1
+
+
+def test_extract_all_routes_jsonld(spark):
+    df = _transcripts(
+        spark,
+        [
+            ("c0", 0, "tool", '{"@id": "http://ex.org/j", "http://p/x": 7}', "jsonld", None),
+            ("c0", 1, "tool", "<http://ex.org/t> <http://p/x> <http://o> .", "ntriples", None),
+        ],
+    )
+    got = {(r.subj, r.pred, r.obj) for r in extract_all(df).collect()}
+    assert ("http://ex.org/j", "http://p/x", "7") in got
+    assert ("http://ex.org/t", "http://p/x", "http://o") in got
+
+
+@pytest.mark.parametrize(
+    "text",
+    [
+        "not json at all",
+        '{"@id": "http://a", "http://p": {"@list": [1, 2]}}',
+        '{"unmapped_no_vocab": 1}',
+        '{"@context": {"@language": "en"}, "http://p": 1}',
+        '{"@context": {"ex": {"@id": "http://complex"}}, "http://p": 1}',
+        '{"@id": "relative-iri", "http://p": 1}',
+        '{"@id": "http://a", "http://p": {"@value": "x", "@language": "en", "@type": "http://t"}}',
+    ],
+)
+def test_quarantine_whole_document(spark, text):
+    df = _transcripts(spark, [("c0", 0, "tool", text, "jsonld", None)])
+    assert extract_jsonld(df).count() == 0
+
+
+def test_quarantine_is_per_document(spark):
+    df = _transcripts(
+        spark,
+        [
+            ("c0", 0, "tool", "garbage {", "jsonld", None),
+            ("c0", 1, "tool", '{"@id": "http://ok", "http://p": "v"}', "jsonld", None),
+        ],
+    )
+    rows = extract_jsonld(df).collect()
+    assert [(r.subj, r.obj) for r in rows] == [("http://ok", "v")]
+
+
+def test_blank_labels_scoped_per_turn(spark):
+    doc = '{"@id": "_:x", "http://p/v": {"http://p/w": 1}}'
+    df = _transcripts(
+        spark,
+        [("c0", 0, "tool", doc, "jsonld", None), ("c1", 0, "tool", doc, "jsonld", None)],
+    )
+    subs = {r.subj for r in extract_jsonld(df).collect()}
+    # the same _:x label in two turns yields DISTINCT scoped blanks
+    assert {"_:j_c0_0_x", "_:j_c1_0_x", "_:j_c0_0_n0", "_:j_c1_0_n0"} == subs
+
+
+# --- cross-parser round-trip property --------------------------------------
+
+_names = st.sampled_from(["alpha", "beta", "gamma", "delta"])
+_safe_text = st.text(
+    alphabet="abcdefghijklmnopqrstuvwxyz0123456789 ", min_size=0, max_size=12
+)
+_scalar = st.one_of(
+    _safe_text,
+    st.integers(min_value=-1000, max_value=1000),
+    st.booleans(),
+    st.floats(min_value=-100, max_value=100, allow_nan=False).filter(
+        lambda f: not float(f).is_integer()
+    ),
+)
+
+
+@st.composite
+def _docs(draw):
+    def node(depth):
+        n = {}
+        if draw(st.booleans()):
+            n["@id"] = EX + draw(_names)
+        if draw(st.booleans()):
+            n["@type"] = EX + "T" + draw(_names)
+        for _ in range(draw(st.integers(min_value=1, max_value=3))):
+            key = EX + "p/" + draw(_names)
+            choice = draw(st.integers(min_value=0, max_value=4 if depth < 2 else 3))
+            if choice == 0:
+                n[key] = draw(_scalar)
+            elif choice == 1:
+                n[key] = {"@value": draw(_safe_text), "@language": draw(st.sampled_from(["en", "fr"]))}
+            elif choice == 2:
+                n[key] = {"@value": draw(_safe_text), "@type": EX + "dt/" + draw(_names)}
+            elif choice == 3:
+                n[key] = [draw(_scalar), draw(_scalar)]
+            else:
+                n[key] = node(depth + 1)
+        return n
+
+    return json.dumps(node(0))
+
+
+def _to_ntriples(rows):
+    out = []
+    for s, p, o, lit, lang, dt in rows:
+        st_ = s if s.startswith("_:") else f"<{s}>"
+        if not lit:
+            ot = o if o.startswith("_:") else f"<{o}>"
+        else:
+            ot = json.dumps(o)  # json string escaping == N-Triples for our alphabet
+            if lang:
+                ot += f"@{lang}"
+            elif dt:
+                ot += f"^^<{dt}>"
+        out.append(f"{st_} <{p}> {ot} .")
+    return "\n".join(out)
+
+
+@settings(
+    max_examples=60,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(doc=_docs())
+def test_jsonld_rows_roundtrip_through_turtle_parser(doc):
+    rows = _parse_jsonld(doc, "k0")
+    assert rows is not None, doc
+    reparsed = _parse_turtle(_to_ntriples(rows))
+    assert sorted(reparsed) == sorted(rows)
