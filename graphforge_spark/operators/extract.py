@@ -1139,6 +1139,119 @@ def extract_jsonld(
 
 
 # ---------------------------------------------------------------------------
+# 5. Tabular-to-RDF direct mapping — the "tabular" half of the forge
+# ---------------------------------------------------------------------------
+
+_SPARK_TO_XSD = {
+    "tinyint": _XSD + "integer",
+    "smallint": _XSD + "integer",
+    "int": _XSD + "integer",
+    "bigint": _XSD + "integer",
+    "float": _XSD + "double",
+    "double": _XSD + "double",
+    "boolean": _XSD + "boolean",
+    "date": _XSD + "date",
+    "string": None,  # plain literal (RDF 1.1: == xsd:string)
+}
+
+
+def extract_table(
+    df: DataFrame,
+    subject_col: str,
+    base_iri: str,
+    predicate_base: str | None = None,
+    columns: list[str] | None = None,
+    with_annotations: bool = False,
+) -> DataFrame:
+    """W3C-Direct-Mapping-style tabular-to-RDF: every row of ANY
+    DataFrame becomes a subject ``<base_iri><subject_col value>``, every
+    other (or listed) column a predicate ``<predicate_base><name>``, and
+    every non-null cell a typed literal triple — the "tabular" half of
+    the north-star's tabular/JSON-to-RDF forge (turn a dimension table,
+    a metrics table, or the transcript table itself into graph rows).
+
+    Pure JVM column algebra: one codegen'd explode over an inline
+    (pred, value, dt) struct array per row — no Python, no shuffle; at
+    100 TB this is a narrow map over the scan and the downstream dedup
+    is the only exchange, exactly like the free-text extractor.
+
+    Cell typing follows the Direct Mapping's XSD mapping (int family →
+    xsd:integer, float family → xsd:double, boolean, date, timestamp →
+    xsd:dateTime with a 'T' separator, decimal → xsd:decimal; strings
+    stay plain per RDF 1.1 term identity). NULL cells emit no triple.
+    Unsupported cell types (arrays, maps, structs, binary) raise — a
+    silent stringification would fabricate lexical forms no consumer
+    could round-trip. ``with_annotations`` adds the ``obj_lang``/
+    ``obj_dt`` columns; without it datatypes are dropped (the other
+    extractors' contract). The graph/provenance columns carry the
+    subject key (a table row has no conversation)."""
+    if subject_col not in df.columns:
+        raise ValueError(f"subject column {subject_col!r} not in {df.columns}")
+    predicate_base = predicate_base if predicate_base is not None else base_iri + "p/"
+    data_cols = [c for c in (columns or df.columns) if c != subject_col]
+    if not data_cols:
+        raise ValueError("extract_table needs at least one data column")
+    dtypes = dict(df.dtypes)
+    missing = [c for c in data_cols if c not in dtypes]
+    if missing:
+        raise ValueError(f"columns not in frame: {missing}")
+
+    def cell(c: str):
+        t = dtypes[c]
+        if t.startswith("decimal"):
+            return F.col(c).cast("string"), _XSD + "decimal"
+        if t == "timestamp" or t == "timestamp_ntz":
+            return F.date_format(F.col(c), "yyyy-MM-dd'T'HH:mm:ss"), _XSD + "dateTime"
+        if t in _SPARK_TO_XSD:
+            return F.col(c).cast("string"), _SPARK_TO_XSD[t]
+        raise ValueError(
+            f"extract_table: unsupported cell type {t!r} for column {c!r} "
+            "(arrays/maps/structs/binary have no Direct-Mapping lexical form)"
+        )
+
+    pairs = []
+    for c in data_cols:
+        val, dt = cell(c)
+        pairs += [
+            F.lit(predicate_base + c),
+            val,
+            F.lit(dt),
+        ]
+    n = len(data_cols)
+    subj = F.concat(F.lit(base_iri), F.col(subject_col).cast("string"))
+    stacked = df.filter(F.col(subject_col).isNotNull()).select(
+        subj.alias("subj"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        pairs[3 * i].alias("p"),
+                        pairs[3 * i + 1].alias("o"),
+                        pairs[3 * i + 2].alias("dt"),
+                    )
+                    for i in range(n)
+                ]
+            )
+        ).alias("_x"),
+    )
+    out_cols = [
+        "subj",
+        F.col("_x.p").alias("pred"),
+        F.col("_x.o").alias("obj"),
+        F.lit(True).alias("obj_is_literal"),
+        F.col("subj").alias("graph"),
+        F.col("subj").alias("src_conv_id"),
+        F.lit(0).alias("src_turn_idx"),
+    ]
+    if with_annotations:
+        out_cols += [
+            F.lit(None).cast("string").alias("obj_lang"),
+            F.col("_x.dt").alias("obj_dt"),
+        ]
+    return stacked.filter(F.col("_x.o").isNotNull()).select(*out_cols)
+
+
+# ---------------------------------------------------------------------------
 # Format dispatch (reference: triplify() switch, graphProcessor.js:151-163)
 # ---------------------------------------------------------------------------
 
