@@ -1043,7 +1043,10 @@ def _parse_jsonld(text: str, doc_key: str):
 
     try:
         doc = json.loads(text)
-    except (ValueError, TypeError):
+    except (ValueError, TypeError, RecursionError):
+        # RecursionError: a hostile deeply-nested document must
+        # quarantine like any other undecodable payload, not kill the
+        # executor task (the json C scanner recurses per nesting level)
         return None
     counter = itertools.count()
     labels: dict = {}
@@ -1083,7 +1086,8 @@ def _parse_jsonld(text: str, doc_key: str):
             nodes = [doc]
         for n in nodes:
             _jsonld_walk(n, ctx, vocab, bnode, out)
-    except _JsonLdError:
+    except (_JsonLdError, RecursionError):
+        # RecursionError: _jsonld_walk recurses per nesting level too
         return None
     return out
 

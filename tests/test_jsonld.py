@@ -111,6 +111,19 @@ def test_quarantine_whole_document(spark, text):
     assert extract_jsonld(df).count() == 0
 
 
+def test_hostile_deep_nesting_quarantines_not_crashes():
+    # both the json scanner and the walker recurse per nesting level; a
+    # hostile document must quarantine, never RecursionError the task
+    deep = '{"http://p": ' * 5000 + "1" + "}" * 5000
+    assert _parse_jsonld(deep, "k") is None
+    arr = "[" * 5000 + "]" * 5000
+    assert _parse_jsonld(arr, "k") is None
+    # depth under the json scanner's limit still recurses in the WALKER;
+    # merely returning (rows or quarantine) without raising is the test
+    mid = '{"http://p": ' * 900 + "1" + "}" * 900
+    _parse_jsonld(mid, "k")
+
+
 def test_quarantine_is_per_document(spark):
     df = _transcripts(
         spark,
