@@ -1,0 +1,146 @@
+"""W3C SPARQL results serializers: JSON / CSV / TSV structure, term
+typing, unbound handling, annotation-column convention, hostile-value
+escaping (verified by round-tripping through Python's csv/json parsers),
+and the distributed CSV export read back through Spark itself."""
+
+import csv
+import io
+import json
+
+import pytest
+
+from graphforge_spark.plans.sparql import sparql_query as sparql
+from graphforge_spark.sinks.results import (
+    ask_results_json,
+    export_results_csv,
+    sparql_results_csv,
+    sparql_results_json,
+    sparql_results_tsv,
+)
+
+ROWS = [
+    # (s, name, name__lang, age, age__dt)
+    ("http://ex.org/alice", "Alice, \"the boss\"\nline2", "en", "42",
+     "http://www.w3.org/2001/XMLSchema#integer"),
+    ("_:b0", "Bøb\ttabbed", None, None, None),
+    ("http://ex.org/carol", None, None, "7", None),
+]
+COLS = ["s", "name", "name__lang", "age", "age__dt"]
+
+
+@pytest.fixture(scope="module")
+def bindings(spark):
+    return spark.createDataFrame(ROWS, COLS).coalesce(1)
+
+
+def test_json_structure_and_typing(bindings):
+    doc = json.loads(sparql_results_json(bindings))
+    assert doc["head"]["vars"] == ["s", "name", "age"]
+    b = doc["results"]["bindings"]
+    assert len(b) == 3
+    # IRI / bnode discriminator
+    assert b[0]["s"] == {"type": "uri", "value": "http://ex.org/alice"}
+    assert b[1]["s"] == {"type": "bnode", "value": "b0"}  # label only, per spec
+    # lang-tagged literal (lang wins; no datatype key emitted)
+    assert b[0]["name"]["type"] == "literal"
+    assert b[0]["name"]["xml:lang"] == "en"
+    assert "datatype" not in b[0]["name"]
+    # typed literal
+    assert b[0]["age"]["datatype"].endswith("#integer")
+    # unbound vars are OMITTED, not null
+    assert "name" not in b[2] and "age" not in b[1]
+    # raw value survives exactly (quotes, newline, unicode)
+    assert b[0]["name"]["value"] == 'Alice, "the boss"\nline2'
+    assert b[1]["name"]["value"] == "Bøb\ttabbed"
+
+
+def test_json_annotation_column_without_base_raises(spark):
+    df = spark.createDataFrame([("x",)], ["name__lang"])
+    with pytest.raises(ValueError, match="no base variable"):
+        sparql_results_json(df)
+
+
+def test_csv_rfc4180_roundtrip(bindings):
+    text = sparql_results_csv(bindings)
+    assert text.endswith("\r\n")
+    parsed = list(csv.reader(io.StringIO(text)))
+    assert parsed[0] == ["s", "name", "age"]
+    # plain lexical forms: IRI bare, bnode keeps _:, hostile chars intact
+    assert parsed[1] == ["http://ex.org/alice", 'Alice, "the boss"\nline2', "42"]
+    assert parsed[2][0] == "_:b0"
+    # unbound → empty field
+    assert parsed[3] == ["http://ex.org/carol", "", "7"]
+
+
+def test_tsv_term_syntax(bindings):
+    text = sparql_results_tsv(bindings)
+    lines = text.split("\n")
+    assert lines[0] == "?s\t?name\t?age"
+    f1 = lines[1].split("\t")
+    assert f1[0] == "<http://ex.org/alice>"
+    # escapes: quote, newline; lang tag suffix
+    assert f1[1] == '"Alice, \\"the boss\\"\\nline2"@en'
+    assert f1[2] == '"42"^^<http://www.w3.org/2001/XMLSchema#integer>'
+    f2 = lines[2].split("\t")
+    assert f2[0] == "_:b0"
+    assert f2[1] == '"Bøb\\ttabbed"'  # tab escaped — field count stays 3
+    assert len(f2) == 3
+    assert lines[3].split("\t") == ["<http://ex.org/carol>", "", '"7"']
+
+
+def test_ask_json(spark):
+    store = spark.createDataFrame(
+        [("http://ex.org/a", "http://ex.org/p", "http://ex.org/b", False)],
+        ["subj", "pred", "obj", "obj_is_literal"],
+    )
+    yes = sparql(store, "ASK { <http://ex.org/a> <http://ex.org/p> ?o }")
+    no = sparql(store, "ASK { <http://ex.org/b> <http://ex.org/p> ?o }")
+    assert json.loads(ask_results_json(yes)) == {"head": {}, "boolean": True}
+    assert json.loads(ask_results_json(no)) == {"head": {}, "boolean": False}
+    assert json.loads(ask_results_json(True))["boolean"] is True
+    with pytest.raises(ValueError, match="'ask'"):
+        ask_results_json(yes.withColumnRenamed("ask", "x"))
+
+
+def test_json_from_real_sparql_query(spark):
+    """End-to-end: a SPARQL OPTIONAL result (with a genuinely unbound
+    var) serializes with the unbound binding omitted."""
+    store = spark.createDataFrame(
+        [
+            ("http://ex.org/a", "http://ex.org/name", "Ann", True),
+            ("http://ex.org/b", "http://ex.org/name", "Ben", True),
+            ("http://ex.org/a", "http://ex.org/age", "30", True),
+        ],
+        ["subj", "pred", "obj", "obj_is_literal"],
+    )
+    res = sparql(
+        store,
+        "SELECT ?who ?age WHERE { ?who <http://ex.org/name> ?n . "
+        "OPTIONAL { ?who <http://ex.org/age> ?age } } ORDER BY ?who",
+    )
+    doc = json.loads(sparql_results_json(res))
+    assert doc["head"]["vars"] == ["who", "age"]
+    by_who = {b["who"]["value"]: b for b in doc["results"]["bindings"]}
+    assert by_who["http://ex.org/a"]["age"]["value"] == "30"
+    assert "age" not in by_who["http://ex.org/b"]
+
+
+def test_export_csv_distributed_roundtrip(bindings, tmp_path):
+    path = str(tmp_path / "out_csv")
+    export_results_csv(bindings, path)
+    back = (
+        bindings.sparkSession.read.option("header", True)
+        .option("escape", '"')
+        .option("multiLine", True)
+        .csv(path)
+    )
+    assert back.columns == ["s", "name", "age"]
+    rows = {r["s"]: r for r in back.collect()}
+    assert rows["http://ex.org/alice"]["name"] == 'Alice, "the boss"\nline2'
+    assert rows["http://ex.org/carol"]["name"] is None  # unbound survives as null
+    assert rows["_:b0"]["age"] is None
+
+
+def test_bounded_rows_cap(bindings):
+    doc = json.loads(sparql_results_json(bindings, max_rows=1))
+    assert len(doc["results"]["bindings"]) == 1
