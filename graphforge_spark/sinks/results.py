@@ -191,6 +191,55 @@ def sparql_results_tsv(result: DataFrame, max_rows: int = 10_000) -> str:
     return "\n".join(lines) + "\n"
 
 
+def _xml_term(value: str, lang: str | None, dt: str | None) -> str:
+    """One RDF term → its sparql-results+xml element."""
+    from xml.sax.saxutils import escape, quoteattr
+
+    if value.startswith("_:"):
+        return f"<bnode>{escape(value[2:])}</bnode>"
+    if value.startswith("http"):
+        return f"<uri>{escape(value)}</uri>"
+    if lang:
+        return f"<literal xml:lang={quoteattr(lang)}>{escape(value)}</literal>"
+    if dt:
+        return f"<literal datatype={quoteattr(dt)}>{escape(value)}</literal>"
+    return f"<literal>{escape(value)}</literal>"
+
+
+def sparql_results_xml(result: DataFrame, max_rows: int = 10_000) -> str:
+    """Serialize a bindings frame — or the one-column boolean ``ask``
+    frame — as ``application/sparql-results+xml`` (the original W3C
+    result format). Bindings for unbound (NULL) variables are omitted,
+    per spec; ASK frames serialize as ``<boolean>``."""
+    from xml.sax.saxutils import escape, quoteattr
+
+    head = '<?xml version="1.0"?>\n<sparql xmlns="http://www.w3.org/2005/sparql-results#">'
+    if result.columns == ["ask"]:
+        rows = _bounded_rows(result, 2)
+        if len(rows) != 1:
+            raise ValueError(f"ASK frame must have exactly one row, got {len(rows)}")
+        flag = "true" if rows[0]["ask"] else "false"
+        return f"{head}<head/><boolean>{flag}</boolean></sparql>"
+    vars_, lang_cols, dt_cols = _split_vars(result.columns)
+    parts = [head, "<head>"]
+    parts += [f"<variable name={quoteattr(v)}/>" for v in vars_]
+    parts.append("</head><results>")
+    for row in _bounded_rows(result, max_rows):
+        parts.append("<result>")
+        for v in vars_:
+            val = row[v]
+            if val is None:
+                continue
+            lg = row[lang_cols[v]] if v in lang_cols else None
+            dt = row[dt_cols[v]] if v in dt_cols else None
+            parts.append(
+                f"<binding name={quoteattr(v)}>{_xml_term(str(val), lg, dt)}</binding>"
+            )
+        parts.append("</result>")
+    parts.append("</results></sparql>")
+    return "".join(parts)
+
+
 def export_results_csv(result: DataFrame, path: str, mode: str = "error") -> None:
     """Distributed CSV export for data-sized results: every variable
     column cast to string and written through Spark's csv writer with

@@ -144,3 +144,38 @@ def test_export_csv_distributed_roundtrip(bindings, tmp_path):
 def test_bounded_rows_cap(bindings):
     doc = json.loads(sparql_results_json(bindings, max_rows=1))
     assert len(doc["results"]["bindings"]) == 1
+
+
+def test_xml_structure_and_escaping(bindings):
+    import xml.etree.ElementTree as ET
+
+    from graphforge_spark.sinks.results import sparql_results_xml
+
+    ns = "{http://www.w3.org/2005/sparql-results#}"
+    root = ET.fromstring(sparql_results_xml(bindings))
+    assert [v.get("name") for v in root.find(f"{ns}head")] == ["s", "name", "age"]
+    results = root.find(f"{ns}results").findall(f"{ns}result")
+    assert len(results) == 3
+    b0 = {b.get("name"): b[0] for b in results[0]}
+    assert b0["s"].tag == f"{ns}uri" and b0["s"].text == "http://ex.org/alice"
+    assert b0["name"].get("{http://www.w3.org/XML/1998/namespace}lang") == "en"
+    assert b0["name"].text == 'Alice, "the boss"\nline2'  # XML-escapes round-trip
+    assert b0["age"].get("datatype").endswith("#integer")
+    b1 = {b.get("name"): b[0] for b in results[1]}
+    assert b1["s"].tag == f"{ns}bnode" and b1["s"].text == "b0"
+    b2 = {b.get("name"): b[0] for b in results[2]}
+    assert "name" not in b2  # unbound binding omitted
+
+
+def test_xml_ask(spark):
+    import xml.etree.ElementTree as ET
+
+    from graphforge_spark.sinks.results import sparql_results_xml
+
+    store = spark.createDataFrame(
+        [("http://ex.org/a", "http://ex.org/p", "x", True)],
+        ["subj", "pred", "obj", "obj_is_literal"],
+    )
+    doc = sparql_results_xml(sparql(store, "ASK { ?s ?p ?o }"))
+    ns = "{http://www.w3.org/2005/sparql-results#}"
+    assert ET.fromstring(doc).find(f"{ns}boolean").text == "true"
