@@ -171,6 +171,7 @@ def forge(
     entail: bool | str = False,
     entail_expand_curies: bool = False,
     shapes: list | None = None,
+    graph_stats: bool = False,
     input_fingerprint: str | None = None,
 ) -> dict:
     """Run (or resume) the full forge. Returns a metrics dict.
@@ -212,6 +213,13 @@ def forge(
       graph and lands a ``violations`` table; the metrics dict reports
       ``violations`` so the caller gates (the pipeline itself never
       aborts on data quality — violations are data, not errors).
+    - ``graph_stats=True`` lands a ``graph_quality`` table — the
+      analytics dashboard over the final graph's IRI-object edges
+      (per-node degrees + predicate fan-out, PageRank at 10 rounds /
+      1e-4 tolerance, triangle participation) — the hot-entity/skew
+      table canonicalization salting decisions read. Like validation,
+      it recomputes on extraction-version bumps AND entail-mode flips
+      (the dashboard describes the final graph).
     """
     run_id = run_id or uuid.uuid4().hex
     os.makedirs(warehouse, exist_ok=True)
@@ -471,6 +479,43 @@ def forge(
             )
         n_violations = spark.read.parquet(viol_path).count()
 
+    # ---- stage 2.9 (optional): graph-quality dashboard -------------------
+    n_quality_nodes = None
+    if graph_stats:
+        quality_path = os.path.join(warehouse, "graph_quality")
+        quality_marker = os.path.join(quality_path, "_GF_STAGE")
+        # entail_sfx: the dashboard describes the FINAL graph, so an
+        # entail toggle/mode flip must recompute it (same rule as stage 3)
+        stage_q = f"graph_stats{entail_sfx}"
+        if not (_stage_done(stage_q) and _stage_marker(quality_marker) == stage_q):
+            tq = time.time()
+            from graphforge_spark.operators.graph_metrics import (
+                degree_stats,
+                pagerank,
+                triangle_count,
+            )
+
+            edges = graph.filter(~F.col("obj_is_literal")).select(
+                F.col("subj").alias("s"), F.col("obj").alias("o")
+            )
+            quality = (
+                degree_stats(graph)
+                .join(pagerank(edges, max_iterations=10, tol=1e-4), "node", "left")
+                .join(triangle_count(edges), "node", "left")
+                .select(
+                    "node", "out_degree", "in_degree", "out_preds", "in_preds",
+                    F.coalesce("rank", F.lit(0.0)).alias("rank"),
+                    F.coalesce("triangles", F.lit(0)).alias("triangles"),
+                )
+            )
+            quality.write.mode("overwrite").parquet(quality_path)
+            _write_stage_marker(quality_marker, stage_q)
+            ckpt.append_checkpoints(
+                spark, warehouse, stage_q, run_id,
+                [(-1, extract_version, 0, int((time.time() - tq) * 1000))],
+            )
+        n_quality_nodes = spark.read.parquet(quality_path).count()
+
     # ---- stage 3: materialize + export ---------------------------------
     # the stage name carries the graph-config suffix: toggling entail —
     # including flipping the MODE between rdfs and owl — changes WHAT
@@ -513,6 +558,8 @@ def forge(
     }
     if n_violations is not None:
         out["violations"] = n_violations
+    if n_quality_nodes is not None:
+        out["graph_quality_nodes"] = n_quality_nodes
     return out
 
 

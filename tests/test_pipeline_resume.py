@@ -698,3 +698,29 @@ def test_update_insert_survives_extraction_of_its_bucket(
         for r in landed.select("src_conv_id").distinct().collect()
     }
     assert new_convs <= got
+
+
+def test_graph_stats_stage(spark, corpus, warehouse):
+    import os
+    import math
+
+    m = forge(spark, corpus, warehouse, n_buckets=8, do_link=False,
+              graph_stats=True)
+    q = spark.read.parquet(f"{warehouse}/graph_quality")
+    assert m["graph_quality_nodes"] == q.count() > 0
+    assert set(q.columns) == {
+        "node", "out_degree", "in_degree", "out_preds", "in_preds",
+        "rank", "triangles",
+    }
+    # PageRank mass is conserved over the dashboard's node set
+    assert math.isclose(q.agg(F.sum("rank")).collect()[0][0], 1.0, rel_tol=1e-6)
+    # resume: the stage is checkpointed — rerun must not rewrite the table
+    mtime = os.path.getmtime(f"{warehouse}/graph_quality/_GF_STAGE")
+    m2 = forge(spark, corpus, warehouse, n_buckets=8, do_link=False,
+               graph_stats=True)
+    assert os.path.getmtime(f"{warehouse}/graph_quality/_GF_STAGE") == mtime
+    assert m2["graph_quality_nodes"] == m["graph_quality_nodes"]
+    # entail flip changes the FINAL graph → dashboard recomputes
+    forge(spark, corpus, warehouse, n_buckets=8, do_link=False,
+          graph_stats=True, entail=True)
+    assert os.path.getmtime(f"{warehouse}/graph_quality/_GF_STAGE") != mtime
