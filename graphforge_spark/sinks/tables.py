@@ -70,6 +70,17 @@ def write_triples_partition(
     partition overwrite; iceberg: ``overwritePartitions()`` (same
     semantics, snapshot-isolated)."""
     out = triples.withColumn("part_id", portable_bucket(F.col("src_conv_id"), n_buckets))
+    # Sorted file layout: a LOCAL sort (no shuffle) ordered (part_id,
+    # pred, subj) before the write. part_id leads so the partitioned
+    # writer's required ordering is already satisfied (otherwise
+    # FileFormatWriter re-sorts by partition columns and destroys the
+    # layout); within each file, (pred, subj) runs give parquet
+    # dictionary/RLE pages their best case and make the per-row-group
+    # min/max stats selective for the engine's dominant scan shape —
+    # `filter(pred == …)` (B2 pattern lookup) prunes row groups instead
+    # of reading them. At 100 TB this is the difference between a
+    # predicate scan touching ~1/|preds| of the bytes and all of them.
+    out = out.sortWithinPartitions("part_id", "pred", "subj")
     if table_format == "iceberg":
         spark = triples.sparkSession
         tbl = _iceberg_table(catalog, "triples")
