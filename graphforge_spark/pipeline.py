@@ -713,3 +713,80 @@ def apply_update(
         "triples_after": n_after,
         "run_id": run_id,
     }
+
+
+def query_warehouse(
+    spark: SparkSession,
+    warehouse: str,
+    query: str,
+    prefixes: dict[str, str] | None = None,
+    layer: str = "auto",
+    results_format: str | None = None,
+    max_rows: int = 10_000,
+):
+    """One-call query service over a forged warehouse — the analog of
+    the reference's select-project → loadQuadsToStore → executeQuery
+    flow (document.js:824-868, :930-985): pick the graph layer, run the
+    SPARQL front-end, optionally serialize to a standard result format.
+
+    ``layer``: ``"auto"`` queries the most-derived landed layer
+    (entailed ▸ canonical ▸ raw triples — what stage 3 materialized
+    from); or pin ``"raw"`` / ``"canonical"`` / ``"entailed"``
+    explicitly (pinning a layer that never landed raises — loudly, not
+    an empty store). The entailed layer drops its bookkeeping
+    ``inferred`` column: SPARQL sees the union graph, per RDF
+    entailment regimes.
+
+    ``results_format``: ``None`` → the bindings DataFrame (compose
+    further); ``"json"`` / ``"xml"`` / ``"csv"`` / ``"tsv"`` → the
+    serialized string (``max_rows``-bounded presentation sinks — ASK
+    frames serialize through the boolean forms of json/xml).
+    """
+    paths = {
+        "entailed": os.path.join(warehouse, "triples_entailed"),
+        "canonical": os.path.join(warehouse, "triples_canonical"),
+    }
+    if layer == "auto":
+        for name in ("entailed", "canonical"):
+            if os.path.exists(paths[name]):
+                layer = name
+                break
+        else:
+            layer = "raw"
+    if layer == "raw":
+        store = read_triples(spark, warehouse).drop("part_id")
+    elif layer in paths:
+        if not os.path.exists(paths[layer]):
+            raise ValueError(
+                f"layer {layer!r} was never landed in {warehouse!r} "
+                f"(run forge with the matching config first)"
+            )
+        store = spark.read.parquet(paths[layer])
+        if "inferred" in store.columns:
+            store = store.drop("inferred")
+    else:
+        raise ValueError(
+            f"layer must be 'auto', 'raw', 'canonical' or 'entailed', got {layer!r}"
+        )
+
+    from graphforge_spark.plans.sparql import sparql_query
+
+    result = sparql_query(store, query, prefixes)
+    if results_format is None:
+        return result
+    from graphforge_spark.sinks import results as res
+
+    if results_format == "json":
+        if result.columns == ["ask"]:
+            return res.ask_results_json(result)
+        return res.sparql_results_json(result, max_rows)
+    if results_format == "xml":
+        return res.sparql_results_xml(result, max_rows)
+    if results_format == "csv":
+        return res.sparql_results_csv(result, max_rows)
+    if results_format == "tsv":
+        return res.sparql_results_tsv(result, max_rows)
+    raise ValueError(
+        f"results_format must be None, 'json', 'xml', 'csv' or 'tsv', "
+        f"got {results_format!r}"
+    )

@@ -724,3 +724,32 @@ def test_graph_stats_stage(spark, corpus, warehouse):
     forge(spark, corpus, warehouse, n_buckets=8, do_link=False,
           graph_stats=True, entail=True)
     assert os.path.getmtime(f"{warehouse}/graph_quality/_GF_STAGE") != mtime
+
+
+def test_query_warehouse(spark, corpus, warehouse):
+    import json
+
+    from graphforge_spark.pipeline import query_warehouse
+
+    forge(spark, corpus, warehouse, n_buckets=8, do_link=False)
+    # auto resolves to the canonical layer; result is a live DataFrame
+    df = query_warehouse(
+        spark, warehouse,
+        "SELECT ?p (COUNT(?o) AS ?n) WHERE { ?s ?p ?o } GROUP BY ?p",
+    )
+    assert df.count() > 0
+    # serialized forms work end to end, ASK included
+    doc = json.loads(query_warehouse(
+        spark, warehouse, "ASK { ?s ?p ?o }", results_format="json"))
+    assert doc == {"head": {}, "boolean": True}
+    csv_text = query_warehouse(
+        spark, warehouse, "SELECT ?p WHERE { ?s ?p ?o } LIMIT 3",
+        results_format="csv")
+    assert csv_text.splitlines()[0] == "p"
+    # pinning a never-landed layer raises loudly
+    with pytest.raises(ValueError, match="never landed"):
+        query_warehouse(spark, warehouse, "ASK { ?s ?p ?o }", layer="entailed")
+    # raw layer works straight off the triples table
+    assert query_warehouse(
+        spark, warehouse, "ASK { ?s ?p ?o }", layer="raw"
+    ).collect()[0].ask
