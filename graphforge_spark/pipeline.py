@@ -786,7 +786,27 @@ def query_warehouse(
         return res.sparql_results_csv(result, max_rows)
     if results_format == "tsv":
         return res.sparql_results_tsv(result, max_rows)
+    if results_format == "ntriples":
+        # graph-form results only (CONSTRUCT/DESCRIBE emit subj/pred/obj);
+        # typing re-derives through the engine's single discriminator
+        if result.columns != ["subj", "pred", "obj"]:
+            raise ValueError(
+                "results_format='ntriples' needs a graph-form result "
+                f"(CONSTRUCT/DESCRIBE), got columns {result.columns}"
+            )
+        from graphforge_spark.functions.terms import is_iri, ntriples_line
+        from graphforge_spark.sinks.render import _bounded_rows
+
+        lines = result.select(
+            ntriples_line(
+                F.col("subj"), F.col("pred"), F.col("obj"),
+                ~is_iri(F.col("obj")) & ~F.col("obj").startswith("_:"),
+            ).alias("line")
+        )
+        return "".join(
+            r.line + "\n" for r in _bounded_rows(lines, max_rows)
+        )
     raise ValueError(
-        f"results_format must be None, 'json', 'xml', 'csv' or 'tsv', "
-        f"got {results_format!r}"
+        f"results_format must be None, 'json', 'xml', 'csv', 'tsv' or "
+        f"'ntriples', got {results_format!r}"
     )

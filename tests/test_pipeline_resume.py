@@ -753,3 +753,26 @@ def test_query_warehouse(spark, corpus, warehouse):
     assert query_warehouse(
         spark, warehouse, "ASK { ?s ?p ?o }", layer="raw"
     ).collect()[0].ask
+
+
+def test_query_warehouse_construct_ntriples(spark, corpus, warehouse):
+    from graphforge_spark.pipeline import query_warehouse
+
+    forge(spark, corpus, warehouse, n_buckets=8, do_link=False)
+    nt = query_warehouse(
+        spark, warehouse,
+        "CONSTRUCT { ?s <http://ex.org/p/rel> ?o } "
+        "WHERE { ?s ?p ?o FILTER(!isLiteral(?o)) } LIMIT 5",
+        results_format="ntriples",
+    )
+    lines = [l for l in nt.splitlines() if l]
+    assert 0 < len(lines) <= 5
+    for l in lines:
+        assert l.endswith(" .")
+        assert " <http://ex.org/p/rel> " in l
+        assert l.startswith("<") or l.startswith("_:")
+    # bindings results refuse the graph serialization loudly
+    with pytest.raises(ValueError, match="graph-form"):
+        query_warehouse(spark, warehouse,
+                        "SELECT ?s WHERE { ?s ?p ?o } LIMIT 1",
+                        results_format="ntriples")
