@@ -179,3 +179,106 @@ def test_xml_ask(spark):
     doc = sparql_results_xml(sparql(store, "ASK { ?s ?p ?o }"))
     ns = "{http://www.w3.org/2005/sparql-results#}"
     assert ET.fromstring(doc).find(f"{ns}boolean").text == "true"
+
+
+# ---------------------------------------------------------------------------
+# Property fuzzer: every serializer round-trips arbitrary term values
+# through an independent stdlib parser (json / csv / ElementTree) — the
+# same values, the same unbound cells, no format can corrupt or leak.
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_text = st.text(
+    alphabet=st.characters(
+        codec="utf-8",
+        exclude_categories=("Cs", "Cc"),  # XML 1.0 forbids most controls
+    ),
+    min_size=0,
+    max_size=40,
+)
+_term = st.one_of(
+    st.none(),
+    _text,
+    _text.map(lambda s: "http://ex.org/" + s.replace("\n", "")),
+    _text.map(lambda s: "_:" + s),
+)
+_rows = st.lists(st.tuples(_term, _term), min_size=0, max_size=5)
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(rows=_rows)
+def test_serializers_roundtrip_fuzz(spark, rows):
+    import xml.etree.ElementTree as ET
+
+    from graphforge_spark.sinks.results import sparql_results_xml
+
+    df = spark.createDataFrame(rows, "x string, y string").coalesce(1)
+
+    # JSON: independent parse, values exact, unbound omitted
+    doc = json.loads(sparql_results_json(df))
+    got = []
+    for b in doc["results"]["bindings"]:
+        def val(v):
+            if v not in b:
+                return None
+            t = b[v]
+            return {"uri": t["value"], "bnode": "_:" + t["value"],
+                    "literal": t["value"]}[t["type"]]
+        got.append((val("x"), val("y")))
+    assert sorted(got, key=repr) == sorted(rows, key=repr)
+
+    # CSV erases typing but keeps lexical forms; unbound and the EMPTY
+    # LITERAL both serialize as the empty field (documented lossiness —
+    # the spec's own: CSV has no null marker), so compare modulo that.
+    parsed = list(csv.reader(io.StringIO(sparql_results_csv(df))))
+    assert parsed[0] == ["x", "y"]
+    norm = lambda v: "" if v is None else v
+    assert sorted((r[0], r[1]) for r in parsed[1:]) == sorted(
+        (norm(a), norm(b)) for a, b in rows
+    )
+
+    # XML: independent parse, typed terms reconstruct exactly
+    ns = "{http://www.w3.org/2005/sparql-results#}"
+    root = ET.fromstring(sparql_results_xml(df))
+    got_x = []
+    for r in root.find(f"{ns}results").findall(f"{ns}result"):
+        byname = {b.get("name"): b[0] for b in r}
+        def xval(v):
+            if v not in byname:
+                return None
+            el = byname[v]
+            txt = el.text or ""
+            return "_:" + txt if el.tag == f"{ns}bnode" else txt
+        got_x.append((xval("x"), xval("y")))
+    assert sorted(got_x, key=repr) == sorted(rows, key=repr)
+
+    # TSV: split on ordinary tabs is safe BECAUSE in-term tabs are
+    # escaped; undo Turtle escapes and strip term syntax
+    def untsv(f):
+        if f == "":
+            return None
+        if f.startswith("<"):
+            return f[1:-1]
+        if f.startswith("_:"):
+            return f
+        body = f[1:-1]
+        out, i = [], 0
+        while i < len(body):
+            if body[i] == "\\":
+                out.append({"n": "\n", "r": "\r", "t": "\t", '"': '"',
+                            "\\": "\\"}[body[i + 1]])
+                i += 2
+            else:
+                out.append(body[i])
+                i += 1
+        return "".join(out)
+
+    lines = sparql_results_tsv(df).split("\n")[:-1]
+    got_t = [tuple(untsv(f) for f in l.split("\t")) for l in lines[1:]]
+    assert sorted(got_t, key=repr) == sorted(rows, key=repr)
