@@ -89,9 +89,22 @@ def write_triples_partition(
         else:
             out.writeTo(tbl).using("iceberg").partitionedBy(F.col("part_id")).create()
         return
+    # Bloom filters on the two point-lookup columns. The sorted layout
+    # above makes PRED row-group stats selective, but a subject/object
+    # constant pattern (B2: `<s> ?p ?o`) scans files where subj ranges
+    # overlap across every pred run — min/max can't prune those; blooms
+    # can (Spark's parquet reader consults them under filterPushdown).
+    # Adaptive sizing (parquet-mr 1.16) right-sizes each filter to the
+    # row group's observed NDV, and parquet-mr skips the bloom entirely
+    # for columns a dictionary page already covers exactly — so the
+    # option costs ~0 on low-cardinality buckets and ~1% file bytes on
+    # high-cardinality ones (measured in BENCH/STRESS.md).
     (
         out.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
+        .option("parquet.bloom.filter.enabled#subj", "true")
+        .option("parquet.bloom.filter.enabled#obj", "true")
+        .option("parquet.bloom.filter.adaptive.enabled", "true")
         .partitionBy("part_id")
         .parquet(os.path.join(warehouse, "triples"))
     )

@@ -224,3 +224,42 @@ def test_triples_table_files_are_sorted_by_pred(spark, tmp_path):
         assert pairs == sorted(pairs), f"unsorted file {f}"
         checked += len(pairs)
     assert checked == 500
+
+
+def test_triples_table_writes_bloom_filters(spark, tmp_path):
+    """The triples writer lands bloom filters for subj/obj on
+    high-cardinality data (observable as extra file bytes beyond a
+    bloom-free write of identical data) — the point-lookup complement
+    to the sorted layout's pred pruning. On low-cardinality columns
+    parquet-mr skips the bloom (dictionary pages already prune
+    exactly), so the option is free where it cannot help."""
+    import glob
+    import os
+
+    from graphforge_spark.sinks.tables import write_triples_partition
+
+    rows = 30_000
+    df = spark.range(rows).selectExpr(
+        "concat('http://ex.org/s/', id) subj",
+        "'http://ex.org/p' pred",
+        "concat('http://ex.org/o/', id) obj",
+        "false obj_is_literal",
+        "cast(null as string) graph",
+        "concat('c', id % 4) src_conv_id",
+        "cast(id as int) src_turn_idx",
+    )
+    write_triples_partition(df, str(tmp_path / "wh"), n_buckets=2)
+    with_bloom = sum(
+        os.path.getsize(f)
+        for f in glob.glob(f"{tmp_path}/wh/triples/part_id=*/*.parquet")
+    )
+    # identical data, same sort, no bloom options
+    (
+        df.sortWithinPartitions("pred", "subj")
+        .write.mode("overwrite")
+        .parquet(str(tmp_path / "plain"))
+    )
+    plain = sum(
+        os.path.getsize(f) for f in glob.glob(f"{tmp_path}/plain/*.parquet")
+    )
+    assert with_bloom > plain * 1.01, (with_bloom, plain)
