@@ -282,3 +282,134 @@ def test_serializers_roundtrip_fuzz(spark, rows):
     lines = sparql_results_tsv(df).split("\n")[:-1]
     got_t = [tuple(untsv(f) for f in l.split("\t")) for l in lines[1:]]
     assert sorted(got_t, key=repr) == sorted(rows, key=repr)
+
+
+def test_export_turtle_real_roundtrip(spark, tmp_path):
+    """The REAL Turtle writer (prefix compaction, subject grouping, 'a',
+    object lists, annotations) round-trips through the engine's own
+    Turtle PARSER: every part file is a standalone valid document and
+    the re-parsed triple multiset equals the input exactly."""
+    from graphforge_spark.operators.extract import extract_turtle
+    from graphforge_spark.sinks.ntriples import export_turtle
+
+    rows = [
+        # grouping: same subject, repeated predicate, rdf:type → 'a'
+        ("http://ex.org/alice", "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+         "http://ex.org/Person", False, None, None),
+        ("http://ex.org/alice", "http://ex.org/knows", "http://ex.org/bob",
+         False, None, None),
+        ("http://ex.org/alice", "http://ex.org/knows", "http://ex.org/carol",
+         False, None, None),
+        # annotations + hostile literal
+        ("http://ex.org/alice", "http://ex.org/name", 'Ali "ce"\n\t', True,
+         "en", None),
+        ("http://ex.org/bob", "http://ex.org/age", "30", True, None,
+         "http://www.w3.org/2001/XMLSchema#integer"),
+        # blank node subject and non-compactable IRI (space in local part)
+        ("_:b0", "http://ex.org/p", "http://ex.org/some thing", False,
+         None, None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "subj string, pred string, obj string, obj_is_literal boolean, "
+        "obj_lang string, obj_dt string",
+    )
+    out = str(tmp_path / "ttl")
+    export_turtle(df, out)
+
+    import glob
+
+    docs = []
+    for i, f in enumerate(sorted(glob.glob(f"{out}/part-*"))):
+        text = open(f).read()
+        if text.strip():
+            assert text.startswith("@prefix")  # every file standalone
+            docs.append((f"c{i}", i, text))
+    parsed = extract_turtle(
+        spark.createDataFrame(docs, "conv_id string, turn_idx int, text string"),
+        with_annotations=True,
+    )
+    got = {
+        (r.subj, r.pred, r.obj, r.obj_is_literal, r.obj_lang, r.obj_dt)
+        for r in parsed.collect()
+    }
+    # the parser expands rdf:type ('a') to the full IRI — as the writer
+    # compacted it; everything must match the input set exactly
+    want = {(s, p, o, l, lg, dt) for s, p, o, l, lg, dt in rows}
+    assert got == want
+    # compaction actually happened: prefixed names and 'a' in the text
+    alltext = "".join(d[2] for d in docs)
+    assert " a " in alltext and '"30"^^xsd:integer' in alltext
+    assert ", " in alltext and " ;" in alltext  # grouping forms
+
+
+_iri_local = st.text(
+    alphabet=st.characters(codec="utf-8", exclude_categories=("Cs", "Cc"),
+                           exclude_characters="<>\"{}|^`\\ "),
+    min_size=1, max_size=12,
+)
+_lit = st.text(
+    alphabet=st.characters(codec="utf-8", exclude_categories=("Cs", "Cc")),
+    min_size=0, max_size=20,
+)
+_triple = st.tuples(
+    _iri_local.map(lambda s: "http://ex.org/" + s),
+    st.one_of(
+        _iri_local.map(lambda s: "http://ex.org/p/" + s),
+        st.just("http://www.w3.org/1999/02/22-rdf-syntax-ns#type"),
+    ),
+    st.one_of(
+        st.tuples(_iri_local.map(lambda s: "http://ex.org/" + s),
+                  st.just(False), st.none(), st.none()),
+        st.tuples(_lit, st.just(True),
+                  st.one_of(st.none(), st.just("en"), st.just("de-AT")),
+                  st.none()),
+        st.tuples(_lit, st.just(True), st.none(),
+                  st.just("http://www.w3.org/2001/XMLSchema#string")),
+    ),
+)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(triples=st.lists(_triple, min_size=1, max_size=8))
+def test_export_turtle_fuzz_roundtrip(spark, tmp_path_factory, triples):
+    """Arbitrary IRIs (any non-delimiter unicode local part) and hostile
+    literals survive the compacting writer → engine parser round trip as
+    an exact multiset."""
+    from collections import Counter
+
+    import glob
+
+    from graphforge_spark.operators.extract import extract_turtle
+    from graphforge_spark.sinks.ntriples import export_turtle
+
+    rows = [(s, p, o, lit, lg, dt) for s, p, (o, lit, lg, dt) in triples]
+    df = spark.createDataFrame(
+        rows,
+        "subj string, pred string, obj string, obj_is_literal boolean, "
+        "obj_lang string, obj_dt string",
+    ).coalesce(2)
+    out = str(tmp_path_factory.mktemp("fz") / "ttl")
+    export_turtle(df, out)
+    docs = [
+        (f"c{i}", i, open(f).read())
+        for i, f in enumerate(sorted(glob.glob(f"{out}/part-*")))
+        if open(f).read().strip()
+    ]
+    parsed = extract_turtle(
+        spark.createDataFrame(docs, "conv_id string, turn_idx int, text string"),
+        with_annotations=True,
+    )
+    # RDF 1.1: "x"^^xsd:string IS the plain literal "x" — the parser
+    # canonicalizes the explicit spelling away, so compare modulo it
+    xsd_str = "http://www.w3.org/2001/XMLSchema#string"
+    canon = lambda t: t[:5] + (None,) if t[5] == xsd_str else t
+    got = Counter(
+        canon((r.subj, r.pred, r.obj, r.obj_is_literal, r.obj_lang, r.obj_dt))
+        for r in parsed.collect()
+    )
+    assert got == Counter(canon(t) for t in rows)
