@@ -21,7 +21,11 @@ Protocol behavior:
 - CONSTRUCT/DESCRIBE: ``application/n-triples`` (their only form here);
 - parse errors / unsupported syntax → 400 with the loud ValueError text
   (the module's no-silent-failure contract carried onto the wire);
-- anything else → 500.
+- anything else → 500;
+- the protocol's UPDATE operation (POST /update) is served only when
+  the operator passes ``allow_update=True`` (else 403) and applies
+  through ``pipeline.apply_update`` — warehouse mutation with the
+  version-bump recompute semantics documented there.
 """
 
 from __future__ import annotations
@@ -51,8 +55,23 @@ def _pick_format(accept: str) -> tuple[str, str]:
     return _FORMATS[0]
 
 
-def make_handler(spark, warehouse: str, layer: str = "auto", max_rows: int = 10_000):
-    """Build the request-handler class bound to one warehouse."""
+def make_handler(
+    spark,
+    warehouse: str,
+    layer: str = "auto",
+    max_rows: int = 10_000,
+    allow_update: bool = False,
+    n_buckets: int | None = None,
+):
+    """Build the request-handler class bound to one warehouse.
+
+    ``allow_update=True`` additionally serves the protocol's update
+    operation at ``/update`` (POST only, ``application/sparql-update``
+    body or form-encoded ``update=``), applied through
+    :func:`graphforge_spark.pipeline.apply_update` — the warehouse
+    mutates and downstream stages recompute on the next forge. Off by
+    default: a query endpoint must not mutate unless the operator
+    opted in."""
     from graphforge_spark.pipeline import query_warehouse
 
     class SparqlHandler(BaseHTTPRequestHandler):
@@ -112,27 +131,55 @@ def make_handler(spark, warehouse: str, layer: str = "auto", max_rows: int = 10_
                 return
             self._run(qs["query"][0])
 
+        def _update(self, update: str) -> None:
+            import json as _json
+
+            from graphforge_spark.pipeline import apply_update
+
+            try:
+                kw = {} if n_buckets is None else {"n_buckets": n_buckets}
+                m = apply_update(spark, warehouse, update, **kw)
+            except ValueError as e:
+                self._respond(400, "text/plain", str(e))
+                return
+            except Exception as e:  # noqa: BLE001 — wire boundary
+                self._respond(500, "text/plain", f"internal error: {e}")
+                return
+            self._respond(
+                200,
+                "application/json",
+                _json.dumps(
+                    {k: m[k] for k in ("triples_before", "triples_after")}
+                ),
+            )
+
         def do_POST(self) -> None:
             length = int(self.headers.get("Content-Length", 0))
             body = self.rfile.read(length).decode("utf-8")
             ctype = (self.headers.get("Content-Type") or "").split(";")[0].strip()
-            if ctype == "application/sparql-query":
-                query = body
+            is_update = urlparse(self.path).path.rstrip("/").endswith("/update")
+            if is_update and not allow_update:
+                self._respond(403, "text/plain", "update operations are disabled")
+                return
+            direct = "application/sparql-update" if is_update else "application/sparql-query"
+            param = "update" if is_update else "query"
+            if ctype == direct:
+                text = body
             elif ctype == "application/x-www-form-urlencoded":
                 qs = parse_qs(body)
-                if "query" not in qs:
-                    self._respond(400, "text/plain", "missing 'query' parameter")
+                if param not in qs:
+                    self._respond(400, "text/plain", f"missing {param!r} parameter")
                     return
-                query = qs["query"][0]
+                text = qs[param][0]
             else:
                 self._respond(
                     415,
                     "text/plain",
                     f"unsupported Content-Type {ctype!r} (use "
-                    "application/sparql-query or x-www-form-urlencoded)",
+                    f"{direct} or x-www-form-urlencoded)",
                 )
                 return
-            self._run(query)
+            (self._update if is_update else self._run)(text)
 
     return SparqlHandler
 
@@ -144,6 +191,8 @@ def serve(
     port: int = 0,
     layer: str = "auto",
     max_rows: int = 10_000,
+    allow_update: bool = False,
+    n_buckets: int | None = None,
     background: bool = False,
 ) -> ThreadingHTTPServer:
     """Start the endpoint. ``port=0`` picks a free port (read it back
@@ -152,7 +201,11 @@ def serve(
     blocks in ``serve_forever`` until interrupted. Always returns the
     server object — call ``.shutdown()`` to stop a background server."""
     server = ThreadingHTTPServer(
-        (host, port), make_handler(spark, warehouse, layer=layer, max_rows=max_rows)
+        (host, port),
+        make_handler(
+            spark, warehouse, layer=layer, max_rows=max_rows,
+            allow_update=allow_update, n_buckets=n_buckets,
+        ),
     )
     if background:
         t = threading.Thread(target=server.serve_forever, daemon=True)

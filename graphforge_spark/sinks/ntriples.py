@@ -117,7 +117,7 @@ def export_turtle(
             return f'"{body}"^^{term(dt)}'
         return f'"{body}"'
 
-    has_ann = "obj_lang" in triples.columns
+    has_ann = "obj_lang" in triples.columns and "obj_dt" in triples.columns
     cols = ["subj", "pred", "obj", "obj_is_literal"] + (
         ["obj_lang", "obj_dt"] if has_ann else []
     )
