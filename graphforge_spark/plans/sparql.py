@@ -29,10 +29,20 @@ Grammar (whitespace-insensitive, case-insensitive keywords):
                  (description = all triples whose subject is a matched
                   resource; REDUCED executes as DISTINCT, a conforming
                   choice — the spec allows any duplicate elimination)
-    proj     := '*' | (var | '(' AGG '(' var ')' AS var ')'
+    proj     := '*' | (var | '(' AGG '(' DISTINCT? var ')' AS var ')'
+              | '(' COUNT '(' '*' ')' AS var ')'   (group cardinality)
               | '(' expr AS var ')'    (expression projection = implicit BIND)
-              | '(' GROUP_CONCAT '(' var (';' SEPARATOR '=' "s")? ')' AS var ')')+
+              | '(' GROUP_CONCAT '(' DISTINCT? var
+                    (';' SEPARATOR '=' "s")? ')' AS var ')')+
     AGG      := COUNT | SUM | MIN | MAX | AVG | SAMPLE
+              (COUNT(DISTINCT *) refuses loudly: distinct-solution
+               counting over null-extended bindings has no faithful
+               count_distinct mapping, and a wrong count is worse.
+               DISTINCT identity: COUNT/GROUP_CONCAT dedupe on the
+               lexical term, the engine's documented term identity;
+               SUM/AVG dedupe on the NUMERIC value after the cast —
+               exactly SQL's SUM(DISTINCT CAST(..)), so the DuckDB
+               oracle states the same semantics)
     stmt     := pattern '.'? | OPTIONAL group
               | FILTER '(' cond ')'
               | FILTER NOT? EXISTS group
@@ -890,8 +900,9 @@ def parse_sparql(query: str, prefixes: dict[str, str] | None = None) -> _Parsed:
     agg_matches = list(
         re.finditer(
             r"""\(\s*(?:
-                  (?P<fn>COUNT|SUM|MIN|MAX|AVG|SAMPLE)\s*\(\s*\?(?P<x>\w+)\s*\)
-                | (?P<gc>GROUP_CONCAT)\s*\(\s*\?(?P<gx>\w+)\s*
+                  (?P<fn>COUNT|SUM|MIN|MAX|AVG|SAMPLE)\s*\(\s*
+                  (?P<dist>DISTINCT\s+)?(?:\?(?P<x>\w+)|(?P<star>\*))\s*\)
+                | (?P<gc>GROUP_CONCAT)\s*\(\s*(?P<gdist>DISTINCT\s+)?\?(?P<gx>\w+)\s*
                   (?:;\s*SEPARATOR\s*=\s*"(?P<sep>(?:[^"\\]|\\.)*)"\s*)?\)
               )\s+AS\s+\?(?P<alias>\w+)\s*\)""",
             proj_text,
@@ -907,12 +918,34 @@ def parse_sparql(query: str, prefixes: dict[str, str] | None = None) -> _Parsed:
             # SPARQL's default separator is a single space
             sep = agg.group("sep") if agg.group("sep") is not None else " "
             proj_items.append(
-                (agg.start(), ("group_concat", agg.group("gx"), agg.group("alias"), sep))
+                (
+                    agg.start(),
+                    (
+                        "group_concat",
+                        agg.group("gx"),
+                        agg.group("alias"),
+                        sep,
+                        bool(agg.group("gdist")),
+                    ),
+                )
             )
         else:
-            proj_items.append(
-                (agg.start(), (agg.group("fn").lower(), agg.group("x"), agg.group("alias"), None))
-            )
+            fn = agg.group("fn").lower()
+            distinct = bool(agg.group("dist"))
+            if agg.group("star") is not None:
+                if fn != "count":
+                    raise ValueError(f"{fn.upper()}(*) is not valid SPARQL")
+                if distinct:
+                    # COUNT(DISTINCT *) counts distinct SOLUTIONS; with
+                    # null-extended (OPTIONAL/UNION) bindings in play,
+                    # count_distinct over the binding columns drops rows
+                    # holding any null — a silently-wrong count. Refuse.
+                    raise ValueError(
+                        "COUNT(DISTINCT *) is unsupported (distinct-solution "
+                        "counting; use SELECT DISTINCT in a subquery instead)"
+                    )
+            x = agg.group("x") if agg.group("star") is None else "*"
+            proj_items.append((agg.start(), (fn, x, agg.group("alias"), None, distinct)))
     rest = _residue(proj_text, agg_matches)
     # expression projections: ( expr AS ?alias ) — compiled as a BIND over
     # the group bindings plus a plain projection of the alias. Scanned on
@@ -2740,20 +2773,30 @@ def _select_frame(
         )
     elif aggs:
 
-        def agg_expr(fn: str, x: str, alias: str, extra):
+        def agg_expr(fn: str, x: str, alias: str, extra, distinct: bool):
+            if fn == "count" and x == "*":
+                # COUNT(*) counts solutions, null-extended bindings
+                # included — count(lit) not count(col), which skips nulls
+                return F.count(F.lit(1)).alias(alias)
             c = F.col(x)
             if fn == "count":
-                return F.count(c).alias(alias)
+                return (F.count_distinct(c) if distinct else F.count(c)).alias(alias)
             if fn == "sum":
                 # terms are strings in the store; SPARQL numeric aggregation
                 # casts (non-numeric terms → null, ignored by the aggregate)
-                return F.sum(c.try_cast("double")).alias(alias)
+                n = c.try_cast("double")
+                return (F.sum_distinct(n) if distinct else F.sum(n)).alias(alias)
             if fn == "avg":
-                return F.avg(c.try_cast("double")).alias(alias)
+                n = c.try_cast("double")
+                if distinct:
+                    # no avg_distinct builtin; both legs ignore nulls, so
+                    # the ratio is the spec's Avg over the distinct multiset
+                    return (F.sum_distinct(n) / F.count_distinct(n)).alias(alias)
+                return F.avg(n).alias(alias)
             if fn == "min":
-                return F.min(c).alias(alias)
+                return F.min(c).alias(alias)  # DISTINCT is a no-op for MIN
             if fn == "max":
-                return F.max(c).alias(alias)
+                return F.max(c).alias(alias)  # and for MAX
             if fn == "sample":
                 # SPARQL SAMPLE may return any element; MIN is the
                 # deterministic choice (stable under retries/speculation)
@@ -2761,21 +2804,25 @@ def _select_frame(
             if fn == "group_concat":
                 # element order is unspecified by SPARQL — sort for
                 # determinism (= string_agg(x, sep ORDER BY x) in SQL)
-                return F.array_join(
-                    F.array_sort(F.collect_list(c)), extra
-                ).alias(alias)
+                bag = F.collect_set(c) if distinct else F.collect_list(c)
+                return F.array_join(F.array_sort(bag), extra).alias(alias)
             raise ValueError(f"unsupported aggregate {fn.upper()}")
 
-        exprs = [agg_expr(fn, x, alias, extra) for (fn, x, alias, extra) in aggs]
+        exprs = [agg_expr(*a) for a in aggs]
         out = out.groupBy(*keys).agg(*exprs)
         # HAVING: rewrite AGG(?v) calls to their projection alias, then
         # compile like any FILTER over the aggregated frame. An aggregate
         # that is not projected (or HAVING without aggregation) raises.
-        alias_of = {(fn, x): alias for (fn, x, alias, _) in aggs}
+        alias_of = {(fn, x, d): alias for (fn, x, alias, _, d) in aggs}
 
         def _rewrite_having(cond: str) -> str:
             def sub(m: re.Match) -> str:
-                key = (m.group(1).lower(), m.group(2))
+                tok = m.group(3)
+                key = (
+                    m.group(1).lower(),
+                    "*" if tok == "*" else tok[1:],
+                    bool(m.group(2)),
+                )
                 if key not in alias_of:
                     raise ValueError(
                         f"HAVING/ORDER BY references {m.group(0)} which is "
@@ -2784,7 +2831,7 @@ def _select_frame(
                 return f"?{alias_of[key]}"
 
             return re.sub(
-                r"(COUNT|SUM|MIN|MAX|AVG)\s*\(\s*\?(\w+)\s*\)",
+                r"(COUNT|SUM|MIN|MAX|AVG)\s*\(\s*(DISTINCT\s+)?(\*|\?\w+)\s*\)",
                 sub,
                 cond,
                 flags=re.IGNORECASE,

@@ -230,6 +230,51 @@ def test_aggregates_sum_min_max(spark):
     assert rows["b"].total == 5.0 and rows["b"].mean == 5.0
 
 
+def test_count_star_and_distinct_aggregates(spark):
+    g = spark.createDataFrame(
+        [
+            ("a", "http://p/v", "1", True),
+            ("a", "http://p/v", "2", True),
+            ("a", "http://p/w", "2", True),
+            ("b", "http://p/v", "2", True),
+            ("b", "http://p/v", "2.5", True),
+            ("b", "http://p/v", "x", True),
+        ],
+        "subj string, pred string, obj string, obj_is_literal boolean",
+    )
+    # COUNT(*) counts solutions — including ones OPTIONAL null-extends
+    q = """SELECT ?s (COUNT(*) AS ?n) WHERE {
+             ?s <http://p/v> ?v . OPTIONAL { ?s <http://p/w> ?w }
+           } GROUP BY ?s"""
+    rows = {r.s: r.n for r in sparql_query(g, q).collect()}
+    assert rows == {"a": 2, "b": 3}
+    # ungrouped COUNT(*) = total solution count
+    q = "SELECT (COUNT(*) AS ?n) WHERE { ?s ?p ?o }"
+    assert sparql_query(g, q).collect()[0].n == 6
+    # DISTINCT inside aggregates: COUNT dedupes lexical terms; SUM/AVG
+    # dedupe numeric values after the cast (SQL SUM(DISTINCT CAST(..)));
+    # non-numerics are eliminated before SUM/AVG per spec
+    q = """SELECT ?s (COUNT(DISTINCT ?v) AS ?n) (SUM(DISTINCT ?v) AS ?sm)
+                  (AVG(DISTINCT ?v) AS ?av)
+           WHERE { ?s <http://p/v> ?v } GROUP BY ?s"""
+    rows = {r.s: r for r in sparql_query(g, q).collect()}
+    assert rows["a"].n == 2 and rows["a"].sm == 3.0 and rows["a"].av == 1.5
+    assert rows["b"].n == 3 and rows["b"].sm == 4.5 and rows["b"].av == 2.25
+    # GROUP_CONCAT(DISTINCT ...) dedupes lexical terms, sorted join
+    q = """SELECT (GROUP_CONCAT(DISTINCT ?v; SEPARATOR="|") AS ?c)
+           WHERE { ?s <http://p/v> ?v }"""
+    assert sparql_query(g, q).collect()[0].c == "1|2|2.5|x"
+    # HAVING / ORDER BY accept the COUNT(*) and DISTINCT call forms
+    q = """SELECT ?s (COUNT(*) AS ?n) WHERE { ?s ?p ?o } GROUP BY ?s
+           HAVING (COUNT(*) >= 3) ORDER BY DESC(COUNT(*)) ?s"""
+    assert [r.s for r in sparql_query(g, q).collect()] == ["a", "b"]
+    # loud refusals: *-form outside COUNT, and COUNT(DISTINCT *)
+    with pytest.raises(ValueError, match=r"SUM\(\*\)"):
+        sparql_query(g, "SELECT (SUM(*) AS ?n) WHERE { ?s ?p ?o }")
+    with pytest.raises(ValueError, match="DISTINCT \\*"):
+        sparql_query(g, "SELECT (COUNT(DISTINCT *) AS ?n) WHERE { ?s ?p ?o }")
+
+
 def test_path_one_or_more_and_zero_or_one(graph):
     # + excludes the reflexive pairs * includes
     q_plus = "SELECT ?s ?o WHERE { ?s (rdfs:subClassOf)+ ?o }"
