@@ -10,7 +10,8 @@ so both renderings have one unambiguous meaning:
 - optional one-pattern OPTIONAL block (left join)
 - FILTER from {string equality, CONTAINS, STRLEN comparison, &&, ||}
 - optional DISTINCT
-- optional GROUP BY one var + COUNT
+- optional GROUP BY one var + one aggregate drawn from {COUNT(?key),
+  COUNT(*), COUNT(DISTINCT ?v), MIN(?v), GROUP_CONCAT(DISTINCT ?v)}
 
 This complements the per-query driver oracles: those pin 50 curated
 queries; this hunts compiler bugs in the combinatorial space around
@@ -110,8 +111,31 @@ def queries(draw):
         body += " OPTIONAL { " + " ".join(opt) + " }"
     if filt:
         body += f" FILTER({filt[0]})"
+    agg = None
     if group:
-        sparql = f"SELECT ?{group} (COUNT(?{group}) AS ?n) WHERE {{ {body} }} GROUP BY ?{group}"
+        # aggregate form: the r3 additions (COUNT(*), DISTINCT-modified
+        # set functions) fuzz alongside the original COUNT(?key). The
+        # aggregated var comes from the REQUIRED part so both renderings
+        # see the same non-null bag.
+        av = draw(st.sampled_from(req_vars))
+        agg = draw(
+            st.sampled_from(
+                [
+                    (f"(COUNT(?{group}) AS ?n)", "CAST(count(*) AS BIGINT) AS n"),
+                    ("(COUNT(*) AS ?n)", "CAST(count(*) AS BIGINT) AS n"),
+                    (
+                        f"(COUNT(DISTINCT ?{av}) AS ?n)",
+                        f"CAST(count(DISTINCT {av}) AS BIGINT) AS n",
+                    ),
+                    (f"(MIN(?{av}) AS ?n)", f"min({av}) AS n"),
+                    (
+                        f'(GROUP_CONCAT(DISTINCT ?{av}; SEPARATOR="|") AS ?n)',
+                        f"string_agg(DISTINCT {av}, '|' ORDER BY {av}) AS n",
+                    ),
+                ]
+            )
+        )
+        sparql = f"SELECT ?{group} {agg[0]} WHERE {{ {body} }} GROUP BY ?{group}"
     else:
         proj = " ".join(f"?{v}" for v in vars_seen)
         head = "SELECT DISTINCT" if distinct else "SELECT"
@@ -162,7 +186,7 @@ def queries(draw):
                 f"SELECT q.*, j.obj AS {ov} FROM ({core}) q LEFT JOIN t j ON {on}"
             )
     if group:
-        sql = f"SELECT {group} AS {group}, CAST(count(*) AS BIGINT) AS n FROM ({core}) GROUP BY 1"
+        sql = f"SELECT {group} AS {group}, {agg[1]} FROM ({core}) GROUP BY 1"
     elif distinct:
         sql = f"SELECT DISTINCT * FROM ({core})"
     else:
