@@ -715,6 +715,39 @@ def apply_update(
     }
 
 
+# join-ordering statistics per (layer path, directory version); entries
+# for the same path are evicted on version change, so the cache holds at
+# most one TripleStats (vocabulary-sized) per live layer
+_STATS_CACHE: dict = {}
+
+
+def _store_version(path: str) -> float | None:
+    """Version token for a layer directory: max mtime of the directory
+    and its immediate children (a bucket overwrite touches its
+    ``part_id=N`` subdir; a layer rewrite touches the files)."""
+    try:
+        mt = os.path.getmtime(path)
+        with os.scandir(path) as it:
+            for e in it:
+                mt = max(mt, e.stat().st_mtime)
+        return mt
+    except OSError:
+        return None
+
+
+def _layer_stats(store, path: str):
+    from graphforge_spark.plans.bgp import triple_stats
+
+    key = (path, _store_version(path))
+    st = _STATS_CACHE.get(key)
+    if st is None:
+        st = triple_stats(store)
+        for k in [k for k in _STATS_CACHE if k[0] == path]:
+            del _STATS_CACHE[k]
+        _STATS_CACHE[key] = st
+    return st
+
+
 def query_warehouse(
     spark: SparkSession,
     warehouse: str,
@@ -723,6 +756,7 @@ def query_warehouse(
     layer: str = "auto",
     results_format: str | None = None,
     max_rows: int = 10_000,
+    use_stats: bool = True,
 ):
     """One-call query service over a forged warehouse — the analog of
     the reference's select-project → loadQuadsToStore → executeQuery
@@ -741,6 +775,14 @@ def query_warehouse(
     further); ``"json"`` / ``"xml"`` / ``"csv"`` / ``"tsv"`` → the
     serialized string (``max_rows``-bounded presentation sinks — ASK
     frames serialize through the boolean forms of json/xml).
+
+    ``use_stats``: compute per-predicate join-ordering statistics for
+    the layer (``plans.bgp.triple_stats`` — one vocabulary-bounded
+    aggregation pass) and cache them keyed on the layer directory's
+    version (max mtime of it and its immediate children — bucket
+    overwrites and layer rewrites both touch one), so a long-lived
+    endpoint pays the pass once per store version, and every BGP in
+    every query gets cardinality-ranked join order.
     """
     paths = {
         "entailed": os.path.join(warehouse, "triples_entailed"),
@@ -755,6 +797,7 @@ def query_warehouse(
             layer = "raw"
     if layer == "raw":
         store = read_triples(spark, warehouse).drop("part_id")
+        store_path = os.path.join(warehouse, "triples")
     elif layer in paths:
         if not os.path.exists(paths[layer]):
             raise ValueError(
@@ -762,6 +805,7 @@ def query_warehouse(
                 f"(run forge with the matching config first)"
             )
         store = spark.read.parquet(paths[layer])
+        store_path = paths[layer]
         if "inferred" in store.columns:
             store = store.drop("inferred")
     else:
@@ -771,7 +815,8 @@ def query_warehouse(
 
     from graphforge_spark.plans.sparql import sparql_query
 
-    result = sparql_query(store, query, prefixes)
+    stats = _layer_stats(store, store_path) if use_stats else None
+    result = sparql_query(store, query, prefixes, stats=stats)
     if results_format is None:
         return result
     from graphforge_spark.sinks import results as res

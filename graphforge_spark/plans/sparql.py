@@ -1870,9 +1870,17 @@ def _bind_col(expr: str, pmap: dict) -> Column:
 def _graph_var_bgp(triples: DataFrame, pats: list, gvar: Var) -> DataFrame:
     """GRAPH ?g { patterns }: each pattern scan additionally binds the
     quad's graph column as ?g, so the conjunction joins on ?g too and the
-    variable projects out — same plan shape as bgp() plus one column."""
-    frames = []
-    for s, p, o in pats:
+    variable projects out — same plan shape as bgp() plus one column,
+    including its selective-first join ordering (every frame carries ?g,
+    so any order stays connected)."""
+    from graphforge_spark.plans.bgp import (
+        ACTIVE_STATS,
+        legacy_join_columns,
+        order_patterns,
+    )
+
+    def frame(pat) -> DataFrame:
+        s, p, o = pat
         df, cols = triples, []
         for slot, col in ((s, "subj"), (p, "pred"), (o, "obj")):
             if isinstance(slot, Var):
@@ -1880,13 +1888,17 @@ def _graph_var_bgp(triples: DataFrame, pats: list, gvar: Var) -> DataFrame:
             else:
                 df = df.filter(F.col(col) == slot)
         cols.append(F.col("graph").alias(gvar.name))
-        frames.append(df.select(*cols))
+        return df.select(*cols)
 
     def join(a: DataFrame, b: DataFrame) -> DataFrame:
         shared = [c for c in a.columns if c in b.columns]
         return a.join(b, shared, "inner")
 
-    return reduce(join, frames)
+    legacy = legacy_join_columns([frame(p).columns for p in pats])
+    out = reduce(join, [frame(p) for p in order_patterns(pats, ACTIVE_STATS.get())])
+    if len(set(legacy)) != len(legacy):
+        return reduce(join, [frame(p) for p in pats])
+    return out.select(*legacy) if out.columns != legacy else out
 
 
 def _join_compat(
@@ -2210,13 +2222,30 @@ def _path_frame(triples: DataFrame, spec: str, s: Var, o: Var, pmap: dict) -> Da
 
 
 def sparql_query(
-    triples: DataFrame, query: str, prefixes: dict[str, str] | None = None
+    triples: DataFrame,
+    query: str,
+    prefixes: dict[str, str] | None = None,
+    stats: "TripleStats | None" = None,
 ) -> DataFrame:
     """Execute a SPARQL query (reference subset) over the triples store.
     Dispatches on the query form: SELECT → bindings frame, ASK → one-row
     boolean frame (column ``ask``), CONSTRUCT → distinct subj/pred/obj
     triples. Unsupported syntax raises ``ValueError`` — never a
-    silently-wrong plan."""
+    silently-wrong plan.
+
+    ``stats`` (``plans.bgp.triple_stats`` over the same store) upgrades
+    BGP join ordering from the boundness heuristic to real cardinality
+    estimates; compute it once per store version and pass it to every
+    query against that store. Threaded via a contextvar so every nested
+    group/subquery BGP sees it without widening the compile functions."""
+    if stats is not None:
+        from graphforge_spark.plans.bgp import ACTIVE_STATS
+
+        token = ACTIVE_STATS.set(stats)
+        try:
+            return sparql_query(triples, query, prefixes)
+        finally:
+            ACTIVE_STATS.reset(token)
     q = _strip_comments(query)
     scan = re.sub(
         r"<[^>]*>", "<>", re.sub(r'"(?:[^"\\]|\\.)*"', '""', _PREFIX_RE.sub(" ", q))

@@ -263,3 +263,144 @@ def test_triples_table_writes_bloom_filters(spark, tmp_path):
         os.path.getsize(f) for f in glob.glob(f"{tmp_path}/plain/*.parquet")
     )
     assert with_bloom > plain * 1.01, (with_bloom, plain)
+
+
+# ---------------------------------------------------------------------------
+# BGP join ordering (plans/bgp.py: order_patterns / triple_stats)
+# ---------------------------------------------------------------------------
+
+
+def test_order_patterns_heuristic_boundness():
+    from graphforge_spark.plans.bgp import Var, order_patterns
+
+    s, o, x = Var("s"), Var("o"), Var("x")
+    unbounded = (s, Var("p"), o)
+    const_pred = (s, "http://p/a", o)
+    const_obj = (o, "http://p/b", "http://ex/k")
+    # most-bound first: constant object+pred beats constant pred beats none,
+    # and after the first pick only connected patterns are candidates
+    got = order_patterns([unbounded, const_pred, const_obj])
+    assert got == [const_obj, const_pred, unbounded]
+    # connectivity beats raw selectivity for the SECOND pick: a highly
+    # selective pattern sharing no variable with the joined set defers
+    # until the connected chain is exhausted (same cross-join count as
+    # the text order, components contiguous)
+    disjoint_selective = (Var("z"), "http://p/c", "http://ex/k2")
+    chain = [(s, "http://p/a", o), (o, "http://p/a", x)]
+    got = order_patterns(chain + [disjoint_selective])
+    assert got == [disjoint_selective, chain[0], chain[1]] or got == [
+        chain[0],
+        chain[1],
+        disjoint_selective,
+    ]
+    # single pattern / empty: unchanged
+    assert order_patterns([unbounded]) == [unbounded]
+    assert order_patterns([]) == []
+
+
+def test_order_patterns_stats_beat_heuristic():
+    from graphforge_spark.plans.bgp import TripleStats, Var, order_patterns
+
+    st = TripleStats(
+        total=1_000_000,
+        ndv_subj=100_000,
+        ndv_obj=50_000,
+        by_pred={
+            "http://p/common": (990_000, 100_000, 40_000),
+            "http://p/rare": (10, 10, 10),
+        },
+    )
+    s, o = Var("s"), Var("o")
+    common_bound_obj = (s, "http://p/common", "http://ex/k")  # ~24.75 rows
+    rare_unbound = (s, "http://p/rare", o)  # 10 rows
+    # the heuristic would rank the bound-object pattern first; real
+    # cardinalities put the rare predicate first
+    assert order_patterns([common_bound_obj, rare_unbound], st) == [
+        rare_unbound,
+        common_bound_obj,
+    ]
+    # a predicate absent from the store estimates to 0 rows -> first,
+    # emptying the join tree at its cheapest point
+    absent = (s, "http://p/never", o)
+    assert order_patterns([common_bound_obj, absent], st)[0] == absent
+
+
+def test_bgp_reorder_preserves_semantics_and_columns(spark):
+    from graphforge_spark.plans.bgp import Var, bgp, triple_stats
+
+    rows = [
+        ("s1", "http://p/works", "org1", False),
+        ("s2", "http://p/works", "org1", False),
+        ("s3", "http://p/works", "org2", False),
+        ("org1", "http://p/in", "r1", False),
+        ("org2", "http://p/in", "r2", False),
+        ("s1", "http://p/rare", "v", False),
+    ]
+    t = spark.createDataFrame(
+        rows, "subj string, pred string, obj string, obj_is_literal boolean"
+    )
+    person, org, region = Var("person"), Var("org"), Var("region")
+    pats = [
+        (person, "http://p/works", org),
+        (org, "http://p/in", region),
+        (person, "http://p/rare", "v"),
+    ]
+    st = triple_stats(t)
+    assert st.total == 6 and st.by_pred["http://p/rare"][0] == 1
+    plain = bgp(t, pats)
+    with_stats = bgp(t, pats, stats=st)
+    # the reorder is invisible: same columns in the same order, same rows
+    assert plain.columns == with_stats.columns == ["person", "org", "region"]
+    assert sorted(map(tuple, plain.collect())) == sorted(
+        map(tuple, with_stats.collect())
+    ) == [("s1", "org1", "r1")]
+    # the stats plan joins the rare pattern before the common ones:
+    # its object-constant filter appears in the FIRST (deepest) join leg
+    p = _plan(with_stats, mode="extended")
+    assert "rare" in p
+
+
+def test_sparql_query_stats_param_same_results(spark):
+    from graphforge_spark.plans.bgp import triple_stats
+    from graphforge_spark.plans.sparql import sparql_query
+
+    rows = [
+        ("s%d" % i, "http://p/common", "o%d" % (i % 3), False) for i in range(50)
+    ] + [("s1", "http://p/rare", "s7", False)]
+    t = spark.createDataFrame(
+        rows, "subj string, pred string, obj string, obj_is_literal boolean"
+    )
+    q = """SELECT ?a ?b ?c WHERE {
+        ?a <http://p/common> ?b . ?a <http://p/rare> ?c .
+        ?c <http://p/common> ?b2 }"""
+    st = triple_stats(t)
+    base = sorted(map(tuple, sparql_query(t, q).collect()))
+    with_st = sorted(map(tuple, sparql_query(t, q, stats=st).collect()))
+    assert base == with_st and len(base) > 0
+
+
+def test_query_warehouse_stats_cache(spark, tmp_path):
+    from graphforge_spark import pipeline
+    from graphforge_spark.fixtures import gen_transcripts
+    from graphforge_spark.pipeline import forge, query_warehouse
+
+    wh = str(tmp_path / "wh")
+    forge(
+        spark,
+        gen_transcripts(seed=5, n_convs=3, turns_per_conv=3).transcripts_df(spark),
+        wh,
+        n_buckets=2,
+        do_link=False,
+        export_nt=False,
+    )
+    pipeline._STATS_CACHE.clear()
+    q = "SELECT ?s ?o WHERE { ?s <http://ex.org/p/worksAt> ?o }"
+    r1 = query_warehouse(spark, wh, q).count()
+    assert len(pipeline._STATS_CACHE) == 1
+    key1 = next(iter(pipeline._STATS_CACHE))
+    r2 = query_warehouse(spark, wh, q).count()
+    assert r1 == r2 and next(iter(pipeline._STATS_CACHE)) == key1
+    # opting out computes no stats and returns the same rows
+    pipeline._STATS_CACHE.clear()
+    r3 = query_warehouse(spark, wh, q, use_stats=False).count()
+    assert r3 == r1 and not pipeline._STATS_CACHE
