@@ -832,9 +832,13 @@ def query_warehouse(
     if results_format == "tsv":
         return res.sparql_results_tsv(result, max_rows)
     if results_format == "ntriples":
-        # graph-form results only (CONSTRUCT/DESCRIBE emit subj/pred/obj);
-        # typing re-derives through the engine's single discriminator
-        if result.columns != ["subj", "pred", "obj"]:
+        # graph-form results only: CONSTRUCT/DESCRIBE emit subj/pred/obj,
+        # plus obj_lang/obj_dt on an annotation-mode store; typing
+        # re-derives through the engine's single discriminator
+        if result.columns not in (
+            ["subj", "pred", "obj"],
+            ["subj", "pred", "obj", "obj_lang", "obj_dt"],
+        ):
             raise ValueError(
                 "results_format='ntriples' needs a graph-form result "
                 f"(CONSTRUCT/DESCRIBE), got columns {result.columns}"
@@ -842,10 +846,13 @@ def query_warehouse(
         from graphforge_spark.functions.terms import is_iri, ntriples_line
         from graphforge_spark.sinks.render import _bounded_rows
 
+        ann = "obj_lang" in result.columns
         lines = result.select(
             ntriples_line(
                 F.col("subj"), F.col("pred"), F.col("obj"),
                 ~is_iri(F.col("obj")) & ~F.col("obj").startswith("_:"),
+                obj_lang=F.col("obj_lang") if ann else None,
+                obj_dt=F.col("obj_dt") if ann else None,
             ).alias("line")
         )
         return "".join(

@@ -117,25 +117,45 @@ The reference's prepareQuery rewrites are applied first: 'a' → rdf:type,
 PREFIX extraction + re-injection of the global prefix map, bare-IRI
 bracketing.
 
-Literal annotations: the extraction layer can carry ``@lang``/``^^dt``
-as opt-in ``obj_lang``/``obj_dt`` store columns (extract.py) and the
-N-Triples sink round-trips them, but this query surface binds the
-lexical form only — ``LANG()``/``DATATYPE()``/``STRLANG()``/``STRDT()``
-raise loudly (unsupported-expression path) rather than approximating:
-threading per-variable annotation companions through UNION null-
-extension, MINUS/EXISTS compatible-mapping joins, and subqueries would
-risk exactly the silently-divergent bindings this module's loud-failure
-contract exists to prevent.
+Literal annotations: when the store carries the opt-in ``obj_lang``/
+``obj_dt`` columns (extract.py; forge warehouses have them fixed-on),
+the compiler runs in ANNOTATION MODE: the object column is rewritten
+once, up front, into an encoded RDF term — ``"lex"`` / ``"lex"@tag`` /
+``"lex"^^dt`` with ``\\``-escaped quotes/backslashes, IRIs and blank
+nodes untouched — and every join, UNION null-extension, MINUS/EXISTS
+compatible-mapping join, VALUES row, DISTINCT, and GROUP BY key then
+operates on full RDF TERM IDENTITY for free ("a"@en ≠ "a"@fr ≠ "a"),
+with zero per-construct threading (the alternative — per-variable
+annotation companion columns — is exactly the silently-divergent-
+bindings risk this module's loud-failure contract forbids). Scalar
+expressions decode a ``?var`` reference to its lexical form (so
+STRLEN/REGEX/numeric casts see what they saw before), ``LANG()``/
+``DATATYPE()``/``LANGMATCHES()``/``STRLANG()``/``STRDT()`` read/build
+the encoded form, and the final projection decodes every term column
+back to the lexical form (opt-in ``with_annotations=True`` adds the
+``{var}__lang``/``{var}__dt`` companion columns the result serializers
+speak). Pattern/VALUES literals accept ``"x"@en`` / ``"x"^^dt`` syntax
+in this mode (matching on term identity; ``^^xsd:string`` normalizes
+to the plain form per RDF 1.1, as the extractors do). On a store
+WITHOUT annotation columns nothing changes: literals bind the lexical
+form, annotated query syntax and LANG()/DATATYPE() raise loudly.
+Documented deviations, both inherited from the engine's stringly-typed
+comparison semantics: ``=`` between variables compares lexical forms
+(term-blind, as before — use sameTerm for term identity), and language
+tags compare case-sensitively in term identity (RDF 1.1 says
+case-insensitive; LANGMATCHES itself is case-insensitive per spec).
 """
 
 from __future__ import annotations
 
+import contextvars
 import re
 from dataclasses import dataclass, field
 from functools import reduce
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import StringType
 
 from graphforge_spark.functions.terms import DEFAULT_PREFIXES
 from graphforge_spark.operators.closure import path_alternation, transitive_closure
@@ -161,6 +181,7 @@ _TERM_RE = re.compile(
       | (?P<pathiri>\^<[^>]*>[*+?]?|<[^>]*>[*+?])
       | <(?P<iri>[^>]*)>
       | "(?P<lit>(?:[^"\\]|\\.)*)"
+        (?P<litsuf>@[A-Za-z0-9-]+|\^\^<[^>]*>|\^\^[\w-]*:[\w.#-]+)?
       | (?P<negset>!\((?:[^()]*)\)|!<[^>]*>|![\w-]*:[\w./#-]+)
       | (?P<path>\^?\((?:[^()]|\([^()]*\))*\)[*+?]?)
       | (?P<curie>\^?[\w-]*:[\w./#-]+[*+?]?)
@@ -179,6 +200,124 @@ _UNSUPPORTED_KEYWORDS = re.compile(
     r"\b(SERVICE)\b",
     re.IGNORECASE,
 )
+
+# ---------------------------------------------------------------------------
+# Annotation mode (module docstring, "Literal annotations"): when the store
+# carries obj_lang/obj_dt, the object column is rewritten ONCE into an
+# encoded RDF term and the whole compiler operates on term identity.
+# Contextvars (not parameters) thread the mode through the recursive group
+# compiles, same pattern as plans.bgp.ACTIVE_STATS — safe under concurrent
+# endpoint threads.
+_ANNOT: contextvars.ContextVar = contextvars.ContextVar(
+    "graphforge_sparql_annot", default=False
+)
+# Column names known to hold COMPUTED values (BIND / aggregate / GROUP BY
+# expression aliases) rather than encoded terms: a ?var reference to one
+# must NOT decode (and must keep its native numeric type for ORDER BY).
+_COMPUTED: contextvars.ContextVar = contextvars.ContextVar(
+    "graphforge_sparql_computed", default=None
+)
+
+XSD_STRING = "http://www.w3.org/2001/XMLSchema#string"
+RDF_LANGSTRING = "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"
+
+# anchored shapes of an encoded literal term ("lex" / "lex"@tag / "lex"^^dt,
+# lexical escapes \" and \\ only). (?s): a datatype IRI from hostile data
+# could carry anything; the lexical class already admits newlines.
+_ENC_LEX = r'(?s)^"((?:[^"\\]|\\.)*)"'
+_ENC_LANG = r'(?s)^"(?:[^"\\]|\\.)*"@([A-Za-z0-9-]+)$'
+_ENC_DT = r'(?s)^"(?:[^"\\]|\\.)*"\^\^(.+)$'
+
+
+def _esc_lex(c: Column) -> Column:
+    return F.regexp_replace(c, r'([\\"])', r"\\$1")
+
+
+def _encode_store(triples: DataFrame) -> DataFrame:
+    """Rewrite the object column into encoded RDF terms (literals quoted
+    with their ``@lang``/``^^dt`` suffix; ``^^xsd:string`` never appears —
+    the extractors normalize it to the plain form) and drop the
+    annotation columns. One narrow projection over the scan."""
+    suffix = (
+        F.when(
+            F.col("obj_lang").isNotNull(), F.concat(F.lit("@"), F.col("obj_lang"))
+        )
+        .when(F.col("obj_dt").isNotNull(), F.concat(F.lit("^^"), F.col("obj_dt")))
+        .otherwise(F.lit(""))
+    )
+    enc = F.concat(F.lit('"'), _esc_lex(F.col("obj")), F.lit('"'), suffix)
+    if "obj_is_literal" in triples.columns:
+        is_lit = F.col("obj_is_literal")
+    else:
+        is_lit = (~F.col("obj").startswith("http")) & (
+            ~F.col("obj").startswith("_:")
+        )
+    return triples.withColumn(
+        "obj", F.when(is_lit, enc).otherwise(F.col("obj"))
+    ).drop("obj_lang", "obj_dt")
+
+
+def _decode_term(c: Column) -> Column:
+    """Encoded literal → lexical form; IRIs/blank nodes/plain strings pass
+    through. NULL-preserving."""
+    s = c.cast("string")
+    lex = F.regexp_replace(F.regexp_extract(s, _ENC_LEX, 1), r"\\(.)", r"$1")
+    return F.when(s.startswith('"'), lex).otherwise(s)
+
+
+def _vref(name: str) -> Column:
+    """A ``?var`` reference in a scalar expression: the VALUE (lexical
+    form) of the binding. In annotation mode term columns hold encoded
+    literals, so the reference decodes; computed columns (BIND /
+    aggregate aliases — never term-encoded) pass through with their
+    native type."""
+    c = F.col(name)
+    if not _ANNOT.get():
+        return c
+    computed = _COMPUTED.get()
+    if computed is not None and name in computed:
+        return c
+    return _decode_term(c)
+
+
+def _lang_col(c: Column) -> Column:
+    """SPARQL LANG over a raw term column: tag for lang-tagged literals,
+    '' for other literals, NULL (type error → row elimination / unbound)
+    for IRIs and blank nodes."""
+    tag = F.regexp_extract(c, _ENC_LANG, 1)
+    return F.when(c.startswith('"'), tag).otherwise(F.lit(None).cast("string"))
+
+
+def _datatype_col(c: Column) -> Column:
+    """SPARQL DATATYPE over a raw term column: the explicit datatype IRI,
+    rdf:langString for lang-tagged, xsd:string for plain literals, NULL
+    for IRIs/blank nodes/unbound."""
+    dt = F.regexp_extract(c, _ENC_DT, 1)
+    tag = F.regexp_extract(c, _ENC_LANG, 1)
+    return (
+        F.when(c.isNull() | ~c.startswith('"'), F.lit(None).cast("string"))
+        .when(dt != "", dt)
+        .when(tag != "", F.lit(RDF_LANGSTRING))
+        .otherwise(F.lit(XSD_STRING))
+    )
+
+
+def _split_term_triples(out: DataFrame) -> DataFrame:
+    """CONSTRUCT/DESCRIBE output in annotation mode: decode the encoded
+    term columns back into the store's (obj, obj_lang, obj_dt) layout —
+    the shape the N-Triples/Turtle sinks serialize. No-op otherwise."""
+    if not _ANNOT.get():
+        return out
+    raw = F.col("obj")
+    lang = F.regexp_extract(raw, _ENC_LANG, 1)
+    dt = F.regexp_extract(raw, _ENC_DT, 1)
+    return out.select(
+        _decode_term(F.col("subj")).alias("subj"),
+        _decode_term(F.col("pred")).alias("pred"),
+        _decode_term(raw).alias("obj"),
+        F.when(lang != "", lang).alias("obj_lang"),
+        F.when(dt != "", dt).alias("obj_dt"),
+    )
 
 
 def _mask_strings(text: str) -> str:
@@ -402,7 +541,21 @@ def _parse_term(tok: re.Match, prefixes: dict):
     if tok.group("iri") is not None:
         return tok.group("iri")
     if tok.group("lit") is not None:
-        return tok.group("lit")
+        lit, suf = tok.group("lit"), tok.group("litsuf")
+        if not _ANNOT.get():
+            if suf:
+                raise ValueError(
+                    f"literal annotation {suf!r} needs a store with "
+                    "annotation columns (obj_lang/obj_dt) — this store "
+                    "binds the lexical form only"
+                )
+            return lit
+        if suf and suf.startswith("^^"):
+            dt = suf[2:]
+            dt = dt[1:-1] if dt.startswith("<") else _expand(dt, prefixes)
+            # RDF 1.1 term identity: ^^xsd:string IS the plain form
+            suf = "" if dt == XSD_STRING else "^^" + dt
+        return f'"{lit}"{suf or ""}'
     if tok.group("kw"):
         return _expand("rdf:type", prefixes)
     if tok.group("negset"):
@@ -1392,9 +1545,9 @@ def parse_sparql(query: str, prefixes: dict[str, str] | None = None) -> _Parsed:
 
 # an operand may be an expression-function call (one paren-nesting level;
 # enough for STRLEN(STR(?x)) — deeper nesting raises at compile)
-_FN_CALL = r"""(?:STRLEN|UCASE|LCASE|STRBEFORE|STRAFTER|STR|SUBSTR|REPLACE
-                 |COALESCE|IF|CONCAT|ABS|CEIL|FLOOR|ROUND|MD5|SHA256|SHA1
-                 |ENCODE_FOR_URI)
+_FN_CALL = r"""(?:STRLEN|UCASE|LCASE|STRBEFORE|STRAFTER|STRLANG|STRDT|STR
+                 |SUBSTR|REPLACE|COALESCE|IF|CONCAT|ABS|CEIL|FLOOR|ROUND
+                 |MD5|SHA256|SHA1|ENCODE_FOR_URI|LANG|DATATYPE)
                \s*\((?:"(?:[^"\\]|\\.)*"|\([^()]*\)|[^()])*\)"""
 _CMP_RE = re.compile(
     rf"""^\s*(?P<a>{_FN_CALL}|\?\w+|"(?:[^"\\]|\\.)*"|<[^>]*>|-?\d+(?:\.\d+)?|[\w-]*:[\w./#-]+)
@@ -1411,6 +1564,10 @@ _FUNC_RE = re.compile(
 )
 _SAMETERM_RE = re.compile(
     r"^\s*(?P<neg>!)?\s*SAMETERM\s*\((?P<args>.*)\)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_LANGMATCHES_RE = re.compile(
+    r"^\s*(?P<neg>!)?\s*LANGMATCHES\s*\((?P<args>.*)\)\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 _ISNUMERIC_RE = re.compile(
@@ -1441,7 +1598,7 @@ def _operand(text: str, pmap: dict, numeric: bool):
         col = _bind_col(text, pmap)
         return col.try_cast("double") if numeric else col
     if text.startswith("?"):
-        col = F.col(text[1:])
+        col = _vref(text[1:])
         return col.try_cast("double") if numeric else col
     if re.fullmatch(r"-?\d+(?:\.\d+)?", text):
         return F.lit(float(text))
@@ -1485,14 +1642,37 @@ def _filter_atom(cond: str, pmap: dict) -> Column:
                         f"unsupported REGEX flags {flags!r} (supported: i m s x)"
                     )
                 arg = f"(?{flags}){arg}"
-            col = F.col(var).rlike(arg)
+            col = _vref(var).rlike(arg)
         elif fn == "CONTAINS":
-            col = F.col(var).contains(arg)
+            col = _vref(var).contains(arg)
         elif fn == "STRENDS":
-            col = F.col(var).endswith(arg)
+            col = _vref(var).endswith(arg)
         else:  # STRSTARTS
-            col = F.col(var).startswith(arg)
+            col = _vref(var).startswith(arg)
         return ~col if fm.group("neg") else col
+    lm = _LANGMATCHES_RE.match(cond)
+    if lm:
+        # RFC 4647 basic filtering, per the SPARQL spec: '*' matches any
+        # non-empty tag; otherwise case-insensitive equality or a
+        # hyphen-extended prefix ('en' matches 'en-US'). NULL (IRI/unbound
+        # first argument) propagates → row eliminated.
+        args = [a.strip() for a in _split_args(lm.group("args"))]
+        if len(args) != 2:
+            raise ValueError(
+                f"LANGMATCHES expects 2 arguments: FILTER({cond.strip()})"
+            )
+        tag = _bind_col(args[0], pmap)
+        if not re.fullmatch(r'"(?:[^"\\]|\\.)*"', args[1]):
+            raise ValueError(
+                f"LANGMATCHES range must be a string literal: FILTER({cond.strip()})"
+            )
+        rng = args[1][1:-1]
+        if rng == "*":
+            col = tag.isNotNull() & (tag != "")
+        else:
+            low = F.lower(tag)
+            col = (low == rng.lower()) | low.startswith(rng.lower() + "-")
+        return ~col if lm.group("neg") else col
     im = _IN_RE.match(cond)
     if im:
         # ?x [NOT] IN (t1, t2, …): equality disjunction — each term uses
@@ -1528,13 +1708,22 @@ def _filter_atom(cond: str, pmap: dict) -> Column:
         args = [a.strip() for a in _split_args(sm.group("args"))]
         if len(args) != 2:
             raise ValueError(f"SAMETERM expects 2 arguments: FILTER({cond.strip()})")
-        col = _bind_col(args[0], pmap) == _bind_col(args[1], pmap)
+
+        def raw_term(a: str) -> Column:
+            # term identity compares the RAW (annotation-encoded) column,
+            # never the decoded lexical form — "a"@en is not sameTerm "a"
+            if re.fullmatch(r"\?\w+", a):
+                return F.col(a[1:])
+            return _bind_col(a, pmap)
+
+        col = raw_term(args[0]) == raw_term(args[1])
         return ~col if sm.group("neg") else col
     nm = _ISNUMERIC_RE.match(cond)
     if nm:
         # stringly-typed store: a term is numeric iff it has the numeric
-        # shape the engine's own aggregates cast (SUM/AVG semantics)
-        col = F.col(nm.group("var")).rlike(_NUMERIC_LIT_RE)
+        # shape the engine's own aggregates cast (SUM/AVG semantics) —
+        # tested on the lexical form, like the aggregates' own cast
+        col = _vref(nm.group("var")).rlike(_NUMERIC_LIT_RE)
         return ~col if nm.group("neg") else col
     cm = _CMP_RE.match(cond)
     if cm:
@@ -1739,9 +1928,9 @@ def _bind_col(expr: str, pmap: dict) -> Column:
         if sp is not None:
             return _bind_col(e, pmap)
     fm = re.match(
-        r"^\s*(CONCAT|STRLEN|STRBEFORE|STRAFTER|STR|UCASE|LCASE|SUBSTR"
-        r"|REPLACE|COALESCE|IF|ABS|CEIL|FLOOR|ROUND|MD5|SHA256|SHA1"
-        r"|ENCODE_FOR_URI)\s*\(",
+        r"^\s*(CONCAT|STRLEN|STRBEFORE|STRAFTER|STRLANG|STRDT|STR|UCASE"
+        r"|LCASE|SUBSTR|REPLACE|COALESCE|IF|ABS|CEIL|FLOOR|ROUND|MD5"
+        r"|SHA256|SHA1|ENCODE_FOR_URI|LANGMATCHES|LANG|DATATYPE)\s*\(",
         masked,
         re.IGNORECASE,
     )
@@ -1779,8 +1968,55 @@ def _bind_col(expr: str, pmap: dict) -> Column:
             need(1, 64)
             return F.concat(*(_bind_col(p, pmap) for p in args))
         if fn == "STR":
+            # lexical form: sub-expressions already decode ?var refs, but
+            # a nested STRLANG/STRDT yields an encoded term — strip it
             need(1)
-            return _bind_col(args[0], pmap).cast("string")
+            c = _bind_col(args[0], pmap).cast("string")
+            return _decode_term(c) if _ANNOT.get() else c
+        if fn in ("LANG", "DATATYPE"):
+            need(1)
+            if not _ANNOT.get():
+                raise ValueError(
+                    f"{fn}() needs a store with annotation columns "
+                    "(obj_lang/obj_dt) — this store binds the lexical "
+                    "form only"
+                )
+            a = args[0].strip()
+            if not re.fullmatch(r"\?\w+", a):
+                raise ValueError(f"{fn} takes a single variable: {expr!r}")
+            raw = F.col(a[1:])
+            return _lang_col(raw) if fn == "LANG" else _datatype_col(raw)
+        if fn == "LANGMATCHES":
+            # boolean builtin — usable inside IF(...) conditions via the
+            # filter compiler; as a scalar it is the same Column
+            return _filter_col(e, pmap)
+        if fn in ("STRLANG", "STRDT"):
+            need(2)
+            if not _ANNOT.get():
+                raise ValueError(
+                    f"{fn}() needs a store with annotation columns "
+                    "(obj_lang/obj_dt) — this store binds the lexical "
+                    "form only"
+                )
+            lex = _esc_lex(_bind_col(args[0], pmap).cast("string"))
+            if fn == "STRLANG":
+                tag = str_arg(1)
+                if not re.fullmatch(r"[A-Za-z]+(?:-[A-Za-z0-9]+)*", tag):
+                    raise ValueError(
+                        f"STRLANG language tag {tag!r} is not well-formed: {expr!r}"
+                    )
+                return F.concat(F.lit('"'), lex, F.lit('"@' + tag))
+            dt_tok = args[1].strip()
+            if re.fullmatch(r"<[^>]*>", dt_tok):
+                dt = dt_tok[1:-1]
+            elif re.fullmatch(r"[\w-]*:[\w.#-]+", dt_tok):
+                dt = _expand(dt_tok, pmap)
+            else:
+                raise ValueError(f"STRDT datatype must be an IRI: {expr!r}")
+            if dt == XSD_STRING:
+                # RDF 1.1: ^^xsd:string IS the plain literal
+                return F.concat(F.lit('"'), lex, F.lit('"'))
+            return F.concat(F.lit('"'), lex, F.lit('"^^' + dt))
         if fn == "UCASE":
             need(1)
             return F.upper(_bind_col(args[0], pmap))
@@ -1855,7 +2091,7 @@ def _bind_col(expr: str, pmap: dict) -> Column:
             enc = F.replace(enc, F.lit("*"), F.lit("%2A"))
             return F.replace(enc, F.lit("%7E"), F.lit("~"))
     if re.fullmatch(r"\?\w+", e):
-        return F.col(e[1:])
+        return _vref(e[1:])
     if re.fullmatch(r'"(?:[^"\\]|\\.)*"', e):
         return F.lit(e[1:-1])
     if re.fullmatch(r"<[^>]*>", e):
@@ -2226,6 +2462,8 @@ def sparql_query(
     query: str,
     prefixes: dict[str, str] | None = None,
     stats: "TripleStats | None" = None,
+    annotations: bool = True,
+    with_annotations: bool = False,
 ) -> DataFrame:
     """Execute a SPARQL query (reference subset) over the triples store.
     Dispatches on the query form: SELECT → bindings frame, ASK → one-row
@@ -2237,15 +2475,43 @@ def sparql_query(
     BGP join ordering from the boundness heuristic to real cardinality
     estimates; compute it once per store version and pass it to every
     query against that store. Threaded via a contextvar so every nested
-    group/subquery BGP sees it without widening the compile functions."""
+    group/subquery BGP sees it without widening the compile functions.
+
+    A store carrying ``obj_lang``/``obj_dt`` compiles in ANNOTATION MODE
+    (module docstring): joins/DISTINCT/GROUP BY on full RDF term
+    identity, LANG()/DATATYPE()/LANGMATCHES()/STRLANG()/STRDT()
+    available, SELECT output decoded to lexical forms (CONSTRUCT/
+    DESCRIBE return the annotation columns). ``annotations=False`` opts
+    out (lexical-only view, as if the columns were absent);
+    ``with_annotations=True`` adds ``{var}__lang``/``{var}__dt``
+    companion columns to SELECT results."""
     if stats is not None:
         from graphforge_spark.plans.bgp import ACTIVE_STATS
 
         token = ACTIVE_STATS.set(stats)
         try:
-            return sparql_query(triples, query, prefixes)
+            return sparql_query(
+                triples,
+                query,
+                prefixes,
+                annotations=annotations,
+                with_annotations=with_annotations,
+            )
         finally:
             ACTIVE_STATS.reset(token)
+    if annotations and {"obj_lang", "obj_dt"} <= set(triples.columns):
+        t_annot = _ANNOT.set(True)
+        t_comp = _COMPUTED.set(set())
+        try:
+            return sparql_query(
+                _encode_store(triples),
+                query,
+                prefixes,
+                with_annotations=with_annotations,
+            )
+        finally:
+            _ANNOT.reset(t_annot)
+            _COMPUTED.reset(t_comp)
     q = _strip_comments(query)
     scan = re.sub(
         r"<[^>]*>", "<>", re.sub(r'"(?:[^"\\]|\\.)*"', '""', _PREFIX_RE.sub(" ", q))
@@ -2258,7 +2524,7 @@ def sparql_query(
         return _construct_query(triples, q, prefixes)
     if form == "DESCRIBE":
         return _describe_query(triples, q, prefixes)
-    return _select_query(triples, query, prefixes)
+    return _select_query(triples, query, prefixes, _companions=with_annotations)
 
 
 def _ask_query(
@@ -2346,7 +2612,9 @@ def _construct_query(
     for _, p, _ in templates:
         if isinstance(p, tuple):
             raise ValueError("property paths are not allowed in a CONSTRUCT template")
-    sol = _select_query(triples, "SELECT * " + rest, prefixes)
+    # annotation mode: the solution keeps ENCODED terms so the template
+    # carries lang/datatype through to the output graph
+    sol = _select_query(triples, "SELECT * " + rest, prefixes, _raw_terms=True)
 
     def tcol(slot) -> Column:
         if isinstance(slot, Var):
@@ -2363,7 +2631,8 @@ def _construct_query(
         ).na.drop()
         for s, p, o in templates
     ]
-    return reduce(lambda a, b: a.unionByName(b), frames).distinct()
+    out = reduce(lambda a, b: a.unionByName(b), frames).distinct()
+    return _split_term_triples(out)
 
 
 def _describe_query(
@@ -2426,17 +2695,24 @@ def _describe_query(
             spark.createDataFrame([(v,) for v in iri_targets], "_r string")
         )
     resources = reduce(lambda a, b: a.unionByName(b), frames).na.drop().distinct()
-    return (
+    out = (
         triples.join(resources, triples["subj"] == resources["_r"], "left_semi")
         .select("subj", "pred", "obj")
         .distinct()
     )
+    return _split_term_triples(out)
 
 
 def _select_query(
-    triples: DataFrame, query: str, prefixes: dict[str, str] | None = None
+    triples: DataFrame,
+    query: str,
+    prefixes: dict[str, str] | None = None,
+    _raw_terms: bool = False,
+    _companions: bool = False,
 ) -> DataFrame:
-    return _select_frame(triples, query, prefixes)[0]
+    return _select_frame(
+        triples, query, prefixes, _raw_terms=_raw_terms, _companions=_companions
+    )[0]
 
 
 def _select_frame(
@@ -2445,6 +2721,8 @@ def _select_frame(
     prefixes: dict[str, str] | None = None,
     dataset: tuple[DataFrame, DataFrame] | None = None,
     _in_group: bool = False,
+    _raw_terms: bool = False,
+    _companions: bool = False,
 ) -> tuple[DataFrame, set]:
     """Compile a SELECT query to (bindings frame, nullable columns) —
     the nullable set names projected columns that can carry UNBOUND
@@ -2700,6 +2978,14 @@ def _select_frame(
         if alias in out.columns:
             raise ValueError(f"BIND target ?{alias} is already bound")
         out = out.withColumn(alias, _bind_col(expr, pmap))
+        computed = _COMPUTED.get()
+        if computed is not None and not re.match(
+            r"\s*(STRLANG|STRDT)\s*\(", expr, re.IGNORECASE
+        ):
+            # the alias holds a computed VALUE, not an encoded term —
+            # later ?alias references must not decode it (STRLANG/STRDT
+            # are the exceptions: their outputs ARE encoded terms)
+            computed.add(alias)
         # a BIND output is unbound when an input is unbound, or when the
         # expression itself errors (e.g. a failed numeric try_cast) — so
         # it is nullable if it references any nullable/unknown var, or
@@ -2780,6 +3066,9 @@ def _select_frame(
             if isinstance(k, tuple):
                 alias, expr_text = k
                 out = out.withColumn(alias, _bind_col(expr_text, pmap))
+                computed = _COMPUTED.get()
+                if computed is not None:
+                    computed.add(alias)
                 keys.append(alias)
             else:
                 keys.append(k)
@@ -2807,7 +3096,11 @@ def _select_frame(
                 # COUNT(*) counts solutions, null-extended bindings
                 # included — count(lit) not count(col), which skips nulls
                 return F.count(F.lit(1)).alias(alias)
-            c = F.col(x)
+            # value aggregates see the lexical form (annotation mode:
+            # SUM("5"^^xsd:integer) casts "5"; MIN/GROUP_CONCAT order and
+            # emit lexical text, matching the SQL oracle). COUNT counts
+            # bound TERMS — distinctness must stay term-level
+            c = F.col(x) if fn == "count" else _vref(x)
             if fn == "count":
                 return (F.count_distinct(c) if distinct else F.count(c)).alias(alias)
             if fn == "sum":
@@ -2839,6 +3132,12 @@ def _select_frame(
 
         exprs = [agg_expr(*a) for a in aggs]
         out = out.groupBy(*keys).agg(*exprs)
+        computed = _COMPUTED.get()
+        if computed is not None:
+            # aggregate outputs are computed values (counts, sums,
+            # joined lexical text) — HAVING/ORDER BY references must not
+            # term-decode them or string-coerce their numeric types
+            computed.update(alias for (_, _, alias, _, _) in aggs)
         # HAVING: rewrite AGG(?v) calls to their projection alias, then
         # compile like any FILTER over the aggregated frame. An aggregate
         # that is not projected (or HAVING without aggregation) raises.
@@ -2913,6 +3212,28 @@ def _select_frame(
         out = out.offset(parsed.offset)
     if parsed.limit is not None:
         out = out.limit(parsed.limit)
+    if _ANNOT.get() and not _in_group and not _raw_terms:
+        # top-level projection in annotation mode: every construct above
+        # operated on encoded terms (= term identity); the caller gets
+        # lexical forms back, plus the {var}__lang/{var}__dt companion
+        # columns (the result serializers' convention) when asked.
+        # Inner groups (_in_group) must stay encoded for their joins.
+        str_cols = {
+            f.name for f in out.schema.fields if isinstance(f.dataType, StringType)
+        }
+        sel, comp = [], []
+        for cname in out.columns:
+            c = F.col(cname)
+            if cname in str_cols:
+                sel.append(_decode_term(c).alias(cname))
+                if _companions:
+                    lang = F.regexp_extract(c, _ENC_LANG, 1)
+                    dt = F.regexp_extract(c, _ENC_DT, 1)
+                    comp.append(F.when(lang != "", lang).alias(cname + "__lang"))
+                    comp.append(F.when(dt != "", dt).alias(cname + "__dt"))
+            else:
+                sel.append(c)
+        out = out.select(*sel, *comp)
     # aggregate aliases are always bound; anything else that survived to
     # the projection keeps its tracked nullability
     return out, {c for c in out.columns if c in out_null}

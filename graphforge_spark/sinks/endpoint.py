@@ -85,7 +85,10 @@ def make_handler(
                 result = query_warehouse(
                     spark, warehouse, query, layer=layer, max_rows=max_rows
                 )
-                if result.columns == ["subj", "pred", "obj"]:
+                if result.columns in (
+                    ["subj", "pred", "obj"],
+                    ["subj", "pred", "obj", "obj_lang", "obj_dt"],
+                ):
                     # graph form (CONSTRUCT/DESCRIBE) serializes as N-Triples
                     media = "application/n-triples"
                     body = query_warehouse(
