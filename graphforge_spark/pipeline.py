@@ -757,6 +757,7 @@ def query_warehouse(
     results_format: str | None = None,
     max_rows: int = 10_000,
     use_stats: bool = True,
+    with_annotations: bool | None = None,
 ):
     """One-call query service over a forged warehouse — the analog of
     the reference's select-project → loadQuadsToStore → executeQuery
@@ -775,6 +776,12 @@ def query_warehouse(
     further); ``"json"`` / ``"xml"`` / ``"csv"`` / ``"tsv"`` → the
     serialized string (``max_rows``-bounded presentation sinks — ASK
     frames serialize through the boolean forms of json/xml).
+
+    ``with_annotations``: emit the ``{var}__lang``/``{var}__dt``
+    companion columns on SELECT bindings (annotation-mode stores only;
+    the serializers turn them into ``xml:lang``/``datatype`` per the
+    W3C Results specs). Default: on for the wire formats, off for the
+    DataFrame return.
 
     ``use_stats``: compute per-predicate join-ordering statistics for
     the layer (``plans.bgp.triple_stats`` — one vocabulary-bounded
@@ -816,7 +823,15 @@ def query_warehouse(
     from graphforge_spark.plans.sparql import sparql_query
 
     stats = _layer_stats(store, store_path) if use_stats else None
-    result = sparql_query(store, query, prefixes, stats=stats)
+    if with_annotations is None:
+        # wire formats carry literal annotations per the W3C Results
+        # specs (xml:lang / datatype on bindings) — emit the companion
+        # columns the serializers speak whenever we serialize; a plain
+        # DataFrame return keeps the lexical-only schema unless asked
+        with_annotations = results_format in ("json", "xml", "csv", "tsv")
+    result = sparql_query(
+        store, query, prefixes, stats=stats, with_annotations=with_annotations
+    )
     if results_format is None:
         return result
     from graphforge_spark.sinks import results as res

@@ -149,6 +149,18 @@ def order_patterns(patterns: list, stats: TripleStats | None = None) -> list:
     return [patterns[i] for i in _order_indices(patterns, stats)]
 
 
+def _const_lexical(term: str) -> str:
+    """Lexical form of an annotation-ENCODED literal constant
+    (``"lex"`` / ``"lex"@tag`` / ``"lex"^^dt`` → unescaped lex); any
+    other term passes through. Pure driver-side string work."""
+    import re
+
+    m = re.match(r'(?s)^"((?:[^"\\]|\\.)*)"', term)
+    if not m:
+        return term
+    return re.sub(r"\\(.)", r"\1", m.group(1))
+
+
 def _apply_pattern(triples: DataFrame, pattern: tuple, idx: int) -> DataFrame:
     """One BGP pattern → filtered/renamed scan (B1/B2)."""
     s, p, o = pattern
@@ -159,6 +171,17 @@ def _apply_pattern(triples: DataFrame, pattern: tuple, idx: int) -> DataFrame:
             cols.append(F.col(col).alias(slot.name))
         else:
             df = df.filter(F.col(col) == slot)
+            if (
+                col == "obj"
+                and slot.startswith('"')
+                and "_obj_raw" in triples.columns
+            ):
+                # annotation mode: the encoded-column equality is an
+                # expression parquet cannot push; this IMPLIED plain
+                # equality on the raw column reaches PushedFilters (and
+                # the warehouse's obj bloom filters) — redundant, never
+                # wrong (correctness comes from the encoded filter)
+                df = df.filter(F.col("_obj_raw") == _const_lexical(slot))
     return df.select(*cols) if cols else df.select(F.lit(1).alias(f"_m{idx}"))
 
 

@@ -252,9 +252,16 @@ def _encode_store(triples: DataFrame) -> DataFrame:
         is_lit = (~F.col("obj").startswith("http")) & (
             ~F.col("obj").startswith("_:")
         )
-    return triples.withColumn(
-        "obj", F.when(is_lit, enc).otherwise(F.col("obj"))
-    ).drop("obj_lang", "obj_dt")
+    return (
+        # _obj_raw keeps the scan-pushable raw column: an object-constant
+        # pattern filter on the encoded expression cannot reach parquet
+        # (PushedFilters/bloom/min-max all need a plain attribute), so
+        # bgp._apply_pattern adds a redundant EqualTo(_obj_raw, lexical)
+        # conjunct that can. Var slots never select it.
+        triples.withColumn("_obj_raw", F.col("obj"))
+        .withColumn("obj", F.when(is_lit, enc).otherwise(F.col("obj")))
+        .drop("obj_lang", "obj_dt")
+    )
 
 
 def _decode_term(c: Column) -> Column:

@@ -83,7 +83,8 @@ def make_handler(
             media, fmt = _pick_format(accept)
             try:
                 result = query_warehouse(
-                    spark, warehouse, query, layer=layer, max_rows=max_rows
+                    spark, warehouse, query, layer=layer, max_rows=max_rows,
+                    with_annotations=True,
                 )
                 if result.columns in (
                     ["subj", "pred", "obj"],

@@ -404,3 +404,35 @@ def test_query_warehouse_stats_cache(spark, tmp_path):
     pipeline._STATS_CACHE.clear()
     r3 = query_warehouse(spark, wh, q, use_stats=False).count()
     assert r3 == r1 and not pipeline._STATS_CACHE
+
+
+def test_annotation_mode_object_constant_pushes_raw_equality(spark, tmp_path):
+    """Annotation mode rewrites obj into an encoded-term EXPRESSION, which
+    parquet cannot push — the redundant _obj_raw conjunct
+    (bgp._apply_pattern) restores a plain EqualTo in PushedFilters, and
+    pred-constant pushdown is untouched."""
+    from graphforge_spark.plans.sparql import sparql_query
+
+    rows = [
+        (f"http://ex.org/s{i}", f"http://ex.org/p{i % 3}", f"v{i}", True,
+         "en" if i % 2 else None, None)
+        for i in range(50)
+    ]
+    path = str(tmp_path / "t.parquet")
+    spark.createDataFrame(
+        rows,
+        "subj string, pred string, obj string, obj_is_literal boolean, "
+        "obj_lang string, obj_dt string",
+    ).write.parquet(path)
+    store = spark.read.parquet(path)
+
+    p1 = _plan(sparql_query(store, "SELECT ?s ?o WHERE { ?s <http://ex.org/p1> ?o }"))
+    assert "EqualTo(pred,http://ex.org/p1)" in p1
+
+    p2 = _plan(sparql_query(store, 'SELECT ?s WHERE { ?s ?p "v3"@en }'))
+    assert "EqualTo(obj,v3)" in p2  # the pushable implied conjunct
+    # and the result is still exact term identity
+    out = sparql_query(store, 'SELECT ?s WHERE { ?s ?p "v3"@en }')
+    assert [r.s for r in out.collect()] == ["http://ex.org/s3"]
+    none = sparql_query(store, 'SELECT ?s WHERE { ?s ?p "v3"@fr }')
+    assert none.count() == 0

@@ -363,3 +363,33 @@ def test_annotation_filters_match_python_replay(spark, data, lang):
     out_lex = sorted(r.o for r in sparql_query(
         st_df, "SELECT ?o WHERE { ?s ?p ?o }").collect())
     assert out_lex == sorted(lex for (_, _, lex, _, _, _) in data)
+
+
+def test_query_warehouse_serializes_annotations(spark, tmp_path):
+    # the wire path: forge a tiny annotated corpus, then the W3C JSON
+    # result carries xml:lang on the binding (W3C SPARQL 1.1 Results)
+    import json
+
+    from graphforge_spark.pipeline import forge, query_warehouse
+
+    ttl = '@prefix ex: <http://ex.org/> .\nex:a ex:label "apple"@en .\n'
+    corpus = spark.createDataFrame(
+        [("c1", 0, "user", ttl, "turtle", None)],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    wh = str(tmp_path / "wh")
+    forge(spark, corpus, wh, n_buckets=2, do_link=False, export_nt=False)
+    body = query_warehouse(
+        spark, wh,
+        'SELECT ?o WHERE { ?s <http://ex.org/label> ?o }',
+        results_format="json",
+    )
+    doc = json.loads(body)
+    binding = doc["results"]["bindings"][0]["o"]
+    assert binding == {"type": "literal", "value": "apple", "xml:lang": "en"}
+    # DataFrame return stays lexical-only unless asked
+    df = query_warehouse(
+        spark, wh, 'SELECT ?o WHERE { ?s <http://ex.org/label> ?o }'
+    )
+    assert df.columns == ["o"] and [r.o for r in df.collect()] == ["apple"]
