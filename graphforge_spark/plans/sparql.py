@@ -1554,7 +1554,8 @@ def parse_sparql(query: str, prefixes: dict[str, str] | None = None) -> _Parsed:
 # enough for STRLEN(STR(?x)) — deeper nesting raises at compile)
 _FN_CALL = r"""(?:STRLEN|UCASE|LCASE|STRBEFORE|STRAFTER|STRLANG|STRDT|STR
                  |SUBSTR|REPLACE|COALESCE|IF|CONCAT|ABS|CEIL|FLOOR|ROUND
-                 |MD5|SHA256|SHA1|ENCODE_FOR_URI|LANG|DATATYPE)
+                 |MD5|SHA256|SHA1|ENCODE_FOR_URI|LANG|DATATYPE
+                 |YEAR|MONTH|DAY|HOURS|MINUTES|SECONDS|TZ)
                \s*\((?:"(?:[^"\\]|\\.)*"|\([^()]*\)|[^()])*\)"""
 _CMP_RE = re.compile(
     rf"""^\s*(?P<a>{_FN_CALL}|\?\w+|"(?:[^"\\]|\\.)*"|<[^>]*>|-?\d+(?:\.\d+)?|[\w-]*:[\w./#-]+)
@@ -1937,7 +1938,8 @@ def _bind_col(expr: str, pmap: dict) -> Column:
     fm = re.match(
         r"^\s*(CONCAT|STRLEN|STRBEFORE|STRAFTER|STRLANG|STRDT|STR|UCASE"
         r"|LCASE|SUBSTR|REPLACE|COALESCE|IF|ABS|CEIL|FLOOR|ROUND|MD5"
-        r"|SHA256|SHA1|ENCODE_FOR_URI|LANGMATCHES|LANG|DATATYPE)\s*\(",
+        r"|SHA256|SHA1|ENCODE_FOR_URI|LANGMATCHES|LANG|DATATYPE"
+        r"|YEAR|MONTH|DAY|HOURS|MINUTES|SECONDS|TZ)\s*\(",
         masked,
         re.IGNORECASE,
     )
@@ -2079,6 +2081,31 @@ def _bind_col(expr: str, pmap: dict) -> Column:
             if fn == "FLOOR":
                 return F.floor(c).cast("double")
             return F.round(c, 0)
+        if fn in ("YEAR", "MONTH", "DAY", "HOURS", "MINUTES", "SECONDS"):
+            # xsd:dateTime/xsd:date component accessors. The lexical form
+            # parses as timestamp WITHOUT timezone, so components come
+            # back AS WRITTEN in the literal (a zone suffix is ignored,
+            # per the SPARQL accessors' operate-on-the-literal semantics;
+            # Spark's NTZ cast verified to keep wall-clock fields).
+            # Malformed terms → NULL → SPARQL error-elimination.
+            need(1)
+            t = _bind_col(args[0], pmap).cast("string").try_cast("timestamp_ntz")
+            if fn == "SECONDS":
+                # xsd:decimal per spec — date_part keeps the fraction
+                return F.date_part(F.lit("SECOND"), t).cast("double")
+            return {
+                "YEAR": F.year,
+                "MONTH": F.month,
+                "DAY": F.dayofmonth,
+                "HOURS": F.hour,
+                "MINUTES": F.minute,
+            }[fn](t).cast("long")
+        if fn == "TZ":
+            # the timezone suffix as written ('Z', '+05:00', '' if none);
+            # non-dateTime-shaped terms yield '' like zoneless literals
+            need(1)
+            c = _bind_col(args[0], pmap).cast("string")
+            return F.regexp_extract(c, r"([+-]\d{2}:\d{2}|Z)$", 1)
         if fn == "MD5":
             need(1)
             return F.md5(_bind_col(args[0], pmap).cast("string"))

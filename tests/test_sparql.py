@@ -1333,6 +1333,47 @@ def test_hash_builtins_and_encode_for_uri(numgraph):
     assert r.e == "x%20y~%2A"  # RFC 3986: space->%20, '~' kept, '*' escaped
 
 
+@pytest.fixture()
+def dategraph(spark):
+    return spark.createDataFrame(
+        [
+            ("a", "at", "2024-03-05T10:30:05.5+05:00"),
+            ("b", "at", "2023-11-30T23:59:59Z"),
+            ("c", "at", "2022-01-02T03:04:05"),
+            ("d", "at", "2021-06-07"),
+            ("e", "at", "not-a-date"),
+        ],
+        "subj string, pred string, obj string",
+    )
+
+
+def test_datetime_accessors(dategraph):
+    # SPARQL 17.4.5: component accessors read the literal AS WRITTEN
+    # (zone suffix does not shift wall-clock fields); SECONDS keeps the
+    # fraction (xsd:decimal); TZ returns the suffix text ('' if none)
+    q = """SELECT ?s ?y ?mo ?d ?h ?mi ?sec ?tz WHERE { ?s ?p ?o .
+           BIND(YEAR(?o) AS ?y) BIND(MONTH(?o) AS ?mo) BIND(DAY(?o) AS ?d)
+           BIND(HOURS(?o) AS ?h) BIND(MINUTES(?o) AS ?mi)
+           BIND(SECONDS(?o) AS ?sec) BIND(TZ(?o) AS ?tz) }"""
+    got = {r.s: (r.y, r.mo, r.d, r.h, r.mi, r.sec, r.tz)
+           for r in sparql_query(dategraph, q).collect()}
+    assert got["a"] == (2024, 3, 5, 10, 30, 5.5, "+05:00")
+    assert got["b"] == (2023, 11, 30, 23, 59, 59.0, "Z")
+    assert got["c"] == (2022, 1, 2, 3, 4, 5.0, "")
+    # xsd:date: time components read as midnight under the NTZ cast
+    assert got["d"] == (2021, 6, 7, 0, 0, 0.0, "")
+    # malformed term -> expression error -> unbound (BIND) — TZ still ''
+    assert got["e"] == (None, None, None, None, None, None, "")
+
+
+def test_datetime_accessor_in_filter(dategraph):
+    # in a FILTER the error eliminates the row (e's NULL comparison)
+    q = "SELECT ?s WHERE { ?s ?p ?o . FILTER(YEAR(?o) >= 2023) }"
+    assert {r.s for r in sparql_query(dategraph, q).collect()} == {"a", "b"}
+    q2 = 'SELECT ?s WHERE { ?s ?p ?o . FILTER(TZ(?o) = "Z") }'
+    assert [r.s for r in sparql_query(dategraph, q2).collect()] == ["b"]
+
+
 def test_sameterm_isnumeric_regex_flags(numgraph):
     q = 'SELECT ?s WHERE { ?s ?p ?o . FILTER(sameTerm(?o, "4")) }'
     assert [r.s for r in sparql_query(numgraph, q).collect()] == ["a"]

@@ -393,3 +393,27 @@ def test_query_warehouse_serializes_annotations(spark, tmp_path):
         spark, wh, 'SELECT ?o WHERE { ?s <http://ex.org/label> ?o }'
     )
     assert df.columns == ["o"] and [r.o for r in df.collect()] == ["apple"]
+
+
+def test_datetime_accessors_decode_encoded_terms(spark):
+    # annotation mode: the ?var reference decodes the encoded term
+    # ("lex"^^xsd:dateTime) back to the lexical form BEFORE the NTZ
+    # cast, so the accessors see the bare timestamp text
+    st = spark.createDataFrame(
+        [
+            ("http://ex.org/a", "http://ex.org/at",
+             "2024-03-05T10:30:05+02:00", True, None, XSD + "dateTime"),
+            ("http://ex.org/b", "http://ex.org/at",
+             "2023-01-02T03:04:05", True, None, XSD + "dateTime"),
+        ],
+        "subj string, pred string, obj string, obj_is_literal boolean, "
+        "obj_lang string, obj_dt string",
+    )
+    out = sparql_query(
+        st,
+        """SELECT ?s ?y ?h ?tz WHERE { ?s ?p ?o .
+           BIND(YEAR(?o) AS ?y) BIND(HOURS(?o) AS ?h) BIND(TZ(?o) AS ?tz) }""",
+    )
+    got = {r.s: (r.y, r.h, r.tz) for r in out.collect()}
+    assert got["http://ex.org/a"] == (2024, 10, "+02:00")
+    assert got["http://ex.org/b"] == (2023, 3, "")
