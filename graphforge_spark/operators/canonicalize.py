@@ -33,6 +33,47 @@ from pyspark.sql import functions as F
 from graphforge_spark.operators.closure import _ckpt
 
 
+# owl:sameAs in both the spelling extraction emits for CURIE-prefixed
+# sources and the full-IRI spelling serialized RDF carries.
+SAMEAS_PREDICATES = (
+    "owl:sameAs",
+    "http://www.w3.org/2002/07/owl#sameAs",
+)
+
+
+def sameas_edges(
+    triples: DataFrame,
+    predicates: tuple[str, ...] = SAMEAS_PREDICATES,
+) -> DataFrame:
+    """Equivalence edges asserted IN the data: ``owl:sameAs`` triples as
+    (src, dst) rows for the canonicalization CC.
+
+    This is the scale-correct treatment of OWL identity semantics
+    (eq-sym/eq-trans/eq-rep): instead of MATERIALIZING the substitution
+    closure — which rewrites every triple once per equivalent spelling
+    and explodes multiplicatively with cluster size — the sameAs graph
+    feeds the same union-find the entity-linking edges do, and ONE
+    canonical representative replaces each cluster everywhere. Symmetry
+    and transitivity are exactly what connected components compute;
+    eq-rep is the single rewrite pass (``rewrite_triples``).
+
+    Literal objects are never identity-merged: ``X sameAs "text"`` is a
+    data error (identity holds between resources), and honoring it would
+    let a literal capture an IRI's canonical id. Such rows are simply not
+    edges — they stay in the graph as ordinary (quarantinable) triples.
+    Blank-node participants ARE merged (that is sameAs's job). One narrow
+    filter + projection; the `distinct` rides the CC's own edge dedup.
+    """
+    return (
+        triples.filter(
+            F.col("pred").isin(*predicates)
+            & ~F.col("obj_is_literal")
+            & (F.col("subj") != F.col("obj"))
+        )
+        .select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+    )
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",

@@ -167,6 +167,7 @@ def forge(
     n_buckets: int = DEFAULT_BUCKETS,
     link_threshold: float = 0.60,
     do_link: bool = True,
+    sameas: bool = False,
     export_nt: bool = True,
     entail: bool | str = False,
     entail_expand_curies: bool = False,
@@ -196,6 +197,14 @@ def forge(
     (columns backfilled NULL).
 
     Optional KG stages, checkpointed like the others:
+    - ``sameas=True`` feeds data-asserted ``owl:sameAs`` triples (CURIE
+      or full-IRI spelling) into the canonicalization union-find
+      alongside the entity-linking edges — OWL identity semantics
+      (eq-sym/eq-trans/eq-rep) via ONE canonical rewrite instead of a
+      multiplicative substitution-closure materialization. Literal
+      objects never merge; asserted sameAs rows rewrite to canonical
+      self-loops and stay (merge provenance). Works with or without
+      ``do_link``; the stage name carries the toggle so flips recompute.
     - ``entail=True`` (or ``"rdfs"``) materializes the RDFS closure
       after canonicalization (operators/entailment); ``entail="owl"``
       runs the extended OWL-lite closure (RDFS + inverseOf/symmetric/
@@ -320,7 +329,14 @@ def forge(
         )
 
     # ---- stage 2: entity linking + canonicalization (global) ----------
+    # sameas=True additionally feeds data-asserted owl:sameAs triples into
+    # the SAME union-find (operators/canonicalize.sameas_edges) — OWL
+    # identity via one canonical rewrite instead of an eq-rep closure
+    # materialization. The stage name carries the toggle so a flip
+    # recomputes instead of serving the other config's landed graph.
     stage2 = "link_canonicalize" if do_link else "canonical_passthrough"
+    if sameas:
+        stage2 += "_sameas"
     canonical_path = os.path.join(warehouse, "triples_canonical")
     canonical_marker = os.path.join(canonical_path, "_GF_STAGE")
     lsh_drops = {"dropped_buckets": 0, "dropped_ids": 0}
@@ -357,8 +373,24 @@ def forge(
                 "dropped_ids": int(drop_row.ni),
             }
             alias_edges = link_entities(surfaces, threshold=link_threshold)
+        else:
+            alias_edges = None
+        if sameas:
+            from graphforge_spark.operators.canonicalize import sameas_edges
+
+            identity_edges = sameas_edges(triples).select("src", "dst")
+            alias_edges = (
+                identity_edges
+                if alias_edges is None
+                else alias_edges.select("src", "dst").union(identity_edges)
+            )
+        if alias_edges is not None:
             mapping = canonical_mapping(alias_edges)
             canonical = dedup_triples(
+                # the asserted sameAs rows themselves rewrite to
+                # (canon, sameAs, canon) self-loops — kept: they are the
+                # provenance that a merge happened, and dedup collapses
+                # each cluster's assertions to one row per source quad
                 rewrite_triples(triples, mapping).select(
                     "subj", "pred", "obj", "obj_is_literal", "graph",
                     "src_conv_id", "src_turn_idx", "obj_lang", "obj_dt",

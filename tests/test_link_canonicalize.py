@@ -75,3 +75,50 @@ def test_rewrite_triples_preserves_literals(spark):
     out = {(r.subj, r.pred, r.obj) for r in rewrite_triples(triples, mapping).collect()}
     assert ("CANON_A", "p", "CANON_B") in out
     assert ("CANON_A", "label", "B") in out
+
+
+def test_sameas_edges_filters(spark):
+    """owl:sameAs edge extraction: both spellings accepted; literal
+    objects and self-loops are never identity edges."""
+    from graphforge_spark.operators.canonicalize import sameas_edges
+
+    rows = [
+        ("http://a", "owl:sameAs", "http://b", False),
+        ("http://b", "http://www.w3.org/2002/07/owl#sameAs", "http://c", False),
+        ("http://x", "owl:sameAs", "not an iri but a literal", True),
+        ("http://y", "owl:sameAs", "http://y", False),          # self-loop
+        ("http://a", "http://ex.org/knows", "http://c", False),  # other pred
+    ]
+    t = spark.createDataFrame(
+        rows, "subj string, pred string, obj string, obj_is_literal boolean"
+    )
+    edges = {(r.src, r.dst) for r in sameas_edges(t).collect()}
+    assert edges == {("http://a", "http://b"), ("http://b", "http://c")}
+
+
+def test_sameas_canonicalization_merges_transitively(spark):
+    """sameAs chain a=b=c plus ordinary triples: CC collapses all three
+    onto the min id, and rewrite touches subjects AND IRI objects but
+    never literals."""
+    from graphforge_spark.operators.canonicalize import sameas_edges
+
+    rows = [
+        ("http://ex/b", "owl:sameAs", "http://ex/a", False),
+        ("http://ex/b", "owl:sameAs", "http://ex/c", False),
+        ("http://ex/c", "http://ex/p", "http://ex/d", False),
+        ("http://ex/d", "http://ex/q", "http://ex/a", False),
+        ("http://ex/a", "http://ex/label", "http://ex/a is fine", True),
+    ]
+    t = spark.createDataFrame(
+        rows, "subj string, pred string, obj string, obj_is_literal boolean"
+    )
+    mapping = canonical_mapping(sameas_edges(t))
+    out = rewrite_triples(t, mapping)
+    got = {(r.subj, r.pred, r.obj) for r in out.collect()}
+    assert ("http://ex/a", "http://ex/p", "http://ex/d") in got
+    assert ("http://ex/d", "http://ex/q", "http://ex/a") in got
+    # the literal that happens to CONTAIN an alias spelling is untouched
+    assert ("http://ex/a", "http://ex/label", "http://ex/a is fine") in got
+    # sameAs assertions rewrite to canonical self-loops (merge provenance)
+    assert ("http://ex/a", "owl:sameAs", "http://ex/a") in got
+    assert not any(s.endswith(("/b", "/c")) for s, _, _ in got)

@@ -776,3 +776,52 @@ def test_query_warehouse_construct_ntriples(spark, corpus, warehouse):
         query_warehouse(spark, warehouse,
                         "SELECT ?s WHERE { ?s ?p ?o } LIMIT 1",
                         results_format="ntriples")
+
+
+def test_forge_sameas_canonicalization(spark, warehouse):
+    """forge(sameas=True): data-asserted owl:sameAs merges identities in
+    the canonical graph; the toggle is a config like entail — flipping it
+    recomputes stage 2 instead of serving the other config's graph."""
+    rows = [
+        ("cS", 0, "tool",
+         "<http://ex.org/alice> <http://www.w3.org/2002/07/owl#sameAs> "
+         "<http://ex.org/a-lice> .\n"
+         "<http://ex.org/a-lice> <http://ex.org/role> \"admin\" .\n"
+         "<http://ex.org/alice> <http://ex.org/age> \"30\" .",
+         "ntriples", None),
+    ]
+    corpus = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    # without sameas: two distinct subjects
+    forge(spark, corpus, warehouse, n_buckets=4, do_link=False)
+    subj0 = {
+        r.subj for r in spark.read.parquet(f"{warehouse}/triples_canonical")
+        .select("subj").distinct().collect()
+    }
+    assert {"http://ex.org/alice", "http://ex.org/a-lice"} <= subj0
+
+    # toggle ON: same warehouse, stage 2 must recompute and merge
+    forge(spark, corpus, warehouse, n_buckets=4, do_link=False, sameas=True)
+    canon = spark.read.parquet(f"{warehouse}/triples_canonical")
+    subj1 = {r.subj for r in canon.select("subj").distinct().collect()}
+    # canonical id is the lexicographic min of the cluster: "a-lice"
+    assert "http://ex.org/alice" not in subj1
+    facts = {
+        (r.subj, r.pred, r.obj)
+        for r in canon.filter(F.col("pred").startswith("http://ex.org/")).collect()
+    }
+    # both facts now hang off the canonical id (min of the cluster)
+    assert ("http://ex.org/alice" not in {s for s, _, _ in facts})
+    assert ("http://ex.org/a-lice", "http://ex.org/role", "admin") in facts
+    assert ("http://ex.org/a-lice", "http://ex.org/age", "30") in facts
+
+    # toggle OFF again: the split graph comes back (no stale serve)
+    forge(spark, corpus, warehouse, n_buckets=4, do_link=False, sameas=False)
+    subj2 = {
+        r.subj for r in spark.read.parquet(f"{warehouse}/triples_canonical")
+        .select("subj").distinct().collect()
+    }
+    assert {"http://ex.org/alice", "http://ex.org/a-lice"} <= subj2
