@@ -607,3 +607,107 @@ def sq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "sim", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup — semantic deduplication over embeddings (Abbas et al. 2023)
+# ---------------------------------------------------------------------------
+
+def semdedup_keep_list(
+    vectors: DataFrame,
+    threshold: float = 0.9,
+    n_centroids: int = 16,
+    iters: int = 3,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+    max_cell: int = 10_000,
+    keep: str = "far",
+) -> DataFrame:
+    """Semantic dedup DECISION over an embedding corpus:
+    (id, rep_id, keep, centroid_sim) — the SemDeDup recipe
+    (Abbas et al. 2023, arXiv:2303.09540).
+
+    Cluster the corpus with the IVF spherical k-means quantizer
+    (``ivf_train`` — deterministic seeding, so the whole operator is
+    reproducible), compare embeddings only WITHIN each cell, connect
+    pairs whose cosine clears ``threshold``, and keep one representative
+    per connected duplicate group: the member FARTHEST from its cell
+    centroid (``keep="far"``, the paper's choice — it preserves the
+    cluster's outer "diverse" shell and prunes the redundant core) or
+    nearest (``keep="near"``); ties break on min id. Docs in no group
+    keep themselves.
+
+    Like the paper, duplicate comparison is blocked by the cell
+    partition (a cross-cell near-duplicate pair is invisible —
+    that is the method's recall/cost trade, measured in
+    tests/test_recall.py for the LSH analogs), and like
+    ``docops.neardup_keep_list`` the pairwise relation is closed
+    transitively by connected components.
+
+    Scale shape: ONE assignment pass (Arrow matmul) + ONE
+    groupBy(cell) pair expansion bounded by ``max_cell``² per cell
+    (cells above the cap are counted-dropped by the same
+    ``bucket_pairs`` guard the LSH paths use — at 10⁹ docs you raise
+    ``n_centroids`` so cells stay ~n/k, exactly the paper's k≈√n
+    guidance) + the log-round CC + one combinable winner agg.
+    """
+    if keep not in ("far", "near"):
+        raise ValueError(f"semdedup_keep_list: keep must be 'far' or 'near', got {keep!r}")
+    if centroids is None:
+        centroids = ivf_train(
+            vectors, n_centroids, iters=iters, seed=seed,
+            id_col=id_col, vec_col=vec_col,
+        )
+    from graphforge_spark.operators.canonicalize import canonical_mapping
+    from graphforge_spark.operators.docops import bucket_pairs
+
+    spark = vectors.sparkSession
+    assign = _assign_udf(centroids)
+    cdf = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "_cell int, _cvec array<double>",
+    )
+    assigned = (
+        spread_small_scan(vectors)
+        .select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        .withColumn("_cell", assign(F.col("_v")))
+        .join(F.broadcast(cdf), "_cell")
+        .select(
+            "_id", "_v", "_cell",
+            cosine_similarity(F.col("_v"), F.col("_cvec")).alias("centroid_sim"),
+        )
+    )
+    # within-cell candidate pairs (counted-drop cap on degenerate cells),
+    # then exact cosine verification — precision 1.0 by construction
+    banded = assigned.select(F.col("_id").alias("id"), F.col("_cell").alias("bucket"))
+    pairs = bucket_pairs(banded, max_bucket=max_cell)
+    va = assigned.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va"))
+    vb = assigned.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"))
+    edges = (
+        pairs.join(va, "id_a")
+        .join(vb, "id_b")
+        .filter(cosine_similarity(F.col("_va"), F.col("_vb")) >= threshold)
+        .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
+    mapping = canonical_mapping(edges)
+    out = assigned.join(mapping, assigned._id == mapping.alias_id, "left").select(
+        F.col("_id"),
+        F.coalesce("canonical_id", F.col("_id")).alias("rep_id"),
+        "centroid_sim",
+    )
+    # winner per duplicate group: min (signed centroid_sim, id) struct —
+    # one combinable agg, deterministic
+    sim_key = F.col("centroid_sim") if keep == "far" else -F.col("centroid_sim")
+    winner = (
+        out.groupBy("rep_id")
+        .agg(F.min(F.struct(sim_key.alias("_s"), F.col("_id").alias("_i"))).alias("_w"))
+        .select("rep_id", F.col("_w._i").alias("_keep_id"))
+    )
+    return out.join(winner, "rep_id").select(
+        F.col("_id").alias(id_col),
+        "rep_id",
+        (F.col("_id") == F.col("_keep_id")).alias("keep"),
+        "centroid_sim",
+    )
