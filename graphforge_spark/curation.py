@@ -59,9 +59,18 @@ def curate(
     lm_model: "lm.LMModel | None" = None,
     max_perplexity: float | None = None,
     priority_col: str | None = None,
+    dsir_target: DataFrame | None = None,
+    dsir_k: int | None = None,
     collect_metrics: bool = True,
 ) -> tuple[DataFrame, dict]:
     """Run the standard curation pass. Returns (kept_docs, metrics).
+
+    ``dsir_target``/``dsir_k`` (together) append a DSIR importance-
+    resampling selection stage (operators/dsir): after cleaning and
+    dedup, keep the ``dsir_k`` documents Gumbel-top-k-sampled by
+    target-likeness against the given target corpus. It runs LAST so
+    duplicate mass can't masquerade as target mass and weights score
+    the text the model will actually train on.
 
     ``kept_docs`` has the input id column plus the cleaned ``text``.
     ``metrics`` maps stage → surviving doc count (empty dict when
@@ -191,4 +200,20 @@ def curate(
         kept.select(id_col, "text"), id_col=id_col, text_col="text", k=substring_k
     ).select(id_col, "text")
     span_deduped = _mark("substring_dedup", span_deduped)
+
+    # ---- optional DSIR selection (after cleaning: select on the text the
+    # model will actually train on) --------------------------------------
+    # The importance model's RAW side is the cleaned corpus itself, so
+    # weights measure target-likeness among the survivors — selecting
+    # before dedup would let duplicate mass masquerade as target mass.
+    if (dsir_target is None) != (dsir_k is None):
+        raise ValueError("dsir_target and dsir_k must be passed together")
+    if dsir_target is not None:
+        from graphforge_spark.operators.dsir import dsir_model, dsir_resample
+
+        model = dsir_model(dsir_target, span_deduped, text_col="text")
+        span_deduped = dsir_resample(
+            span_deduped, model, k=dsir_k, id_col=id_col, text_col="text"
+        ).select(id_col, "text")
+        span_deduped = _mark("dsir_select", span_deduped)
     return span_deduped, metrics

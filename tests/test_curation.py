@@ -155,3 +155,29 @@ def test_curate_priority_selects_best_copies(spark):
     base_kept, _ = curate(docs, collect_metrics=False)
     base_ids = {r.doc_id for r in base_kept.select("doc_id").collect()}
     assert 0 in base_ids and 1 not in base_ids
+
+
+def test_curate_dsir_selection_stage(spark, docs):
+    """dsir_target+dsir_k append an importance-selection stage AFTER
+    cleaning: the survivor set shrinks to k, the selected docs are the
+    most target-like, and the stage appears in the metrics."""
+    target = spark.createDataFrame(
+        [(100, "the lighthouse keeper watches ships and logs the weather "
+               "in a journal kept by the keeper of the lighthouse")],
+        "doc_id long, text string",
+    )
+    kept, metrics = curate(docs, min_words=8, dsir_target=target, dsir_k=2)
+    rows = kept.collect()
+    assert len(rows) == 2
+    assert metrics["dsir_select"] == 2
+    # the lighthouse doc (6) is the clear target match and must be in
+    ids = {r.doc_id for r in rows}
+    assert 6 in ids
+    # determinism: re-running selects the same set
+    kept2, _ = curate(docs, min_words=8, dsir_target=target, dsir_k=2)
+    assert {r.doc_id for r in kept2.collect()} == ids
+
+
+def test_curate_dsir_args_must_pair(docs):
+    with pytest.raises(ValueError, match="dsir_target and dsir_k"):
+        curate(docs, dsir_k=3)
