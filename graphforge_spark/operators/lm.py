@@ -165,3 +165,78 @@ def lm_perplexity(
             ).alias("perplexity"),
         )
     )
+
+
+def lm_bucketize(
+    docs: DataFrame,
+    model: LMModel,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    head: float = 1.0 / 3.0,
+    middle: float = 1.0 / 3.0,
+    stratum_col: str | None = None,
+    exact: bool = True,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """CCNet's head/middle/tail split: bucket documents by LM perplexity
+    percentile — (id, n_tokens, logprob, perplexity, ppl_bucket).
+
+    CCNet (Wenzek et al. 2020) cuts each language's perplexity
+    distribution into thirds and trains preferentially on the head
+    (lowest perplexity = most like the trusted corpus). ``head`` and
+    ``middle`` are the cumulative fractions (defaults = the paper's
+    thirds); ``stratum_col`` computes cuts PER STRATUM (CCNet cuts per
+    language) — one combinable aggregate per stratum, cuts join back
+    broadcast (strata count is bounded by construction).
+
+    ``exact=True`` uses Spark's exact ``percentile`` (linear
+    interpolation — memory ∝ distinct perplexities per stratum; right
+    at test scale and fine in practice since perplexities of a bounded
+    corpus sample are what you cut on). At web scale set
+    ``exact=False``: ``percentile_approx`` with ``accuracy`` bounds
+    state at the documented ε = 1/accuracy rank error.
+
+    Empty documents (NULL perplexity) get a NULL bucket — they carry no
+    evidence either way; gate them with the quality gates, not the LM.
+    """
+    if not (0.0 < head and 0.0 < middle and head + middle < 1.0):
+        raise ValueError(
+            f"lm_bucketize: need 0 < head, 0 < middle, head+middle < 1 "
+            f"(got head={head}, middle={middle})"
+        )
+    ppl = lm_perplexity(docs, model, id_col=id_col, text_col=text_col)
+    if stratum_col is not None:
+        ppl = ppl.join(docs.select(id_col, stratum_col), id_col)
+        key = F.col(stratum_col)
+    else:
+        key = F.lit("_all")
+    pcts = F.array(F.lit(float(head)), F.lit(float(head + middle)))
+    if exact:
+        cut_agg = F.expr(
+            f"percentile(perplexity, array({head}d, {head + middle}d))"
+        )
+    else:
+        cut_agg = F.percentile_approx("perplexity", pcts, F.lit(accuracy))
+    cuts = (
+        ppl.withColumn("_stratum", key)
+        .groupBy("_stratum")
+        .agg(cut_agg.alias("_cuts"))
+        .select(
+            "_stratum",
+            F.element_at("_cuts", 1).alias("_c_head"),
+            F.element_at("_cuts", 2).alias("_c_mid"),
+        )
+    )
+    out = (
+        ppl.withColumn("_stratum", key)
+        .join(F.broadcast(cuts), "_stratum")
+        .select(
+            *[c for c in ppl.columns],
+            F.when(F.col("perplexity").isNull(), F.lit(None).cast("string"))
+            .when(F.col("perplexity") <= F.col("_c_head"), F.lit("head"))
+            .when(F.col("perplexity") <= F.col("_c_mid"), F.lit("middle"))
+            .otherwise(F.lit("tail"))
+            .alias("ppl_bucket"),
+        )
+    )
+    return out

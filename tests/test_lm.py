@@ -195,3 +195,71 @@ def test_bigram_order2_unchanged(spark):
     want, _ = _python_replay(TRAIN, SCORE, add_k=0.1)
     for doc_id, (_, lp, _) in want.items():
         assert abs(got[doc_id] - lp) < 1e-9
+
+
+def test_bucketize_matches_numpy_percentile(spark, model):
+    """head/middle/tail cuts = exact linear-interpolation percentiles
+    (Spark's exact `percentile` == numpy linear); bucket assignment
+    recomputed in Python from the collected perplexities matches."""
+    import numpy as np
+
+    # a spread of docs: in-domain, partial, junk — distinct perplexities
+    rows = [
+        (20, "the cat sat on the mat"),
+        (21, "the dog sat on the rug"),
+        (22, "a cat and a dog sat together"),
+        (23, "the cat grazed on a rug"),
+        (24, "rug mat zzz qqq xxy"),
+        (25, "zzz qqq"),
+        (26, "mat and rug and cat"),
+        (27, "together the dog grazed"),
+        (28, ""),  # NULL perplexity → NULL bucket
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: (r.perplexity, r.ppl_bucket)
+        for r in lm.lm_bucketize(docs, model).collect()
+    }
+    ppls = {i: p for i, (p, _) in out.items() if p is not None}
+    c_head, c_mid = np.percentile(list(ppls.values()), [100 / 3, 200 / 3])
+    for i, (p, bucket) in out.items():
+        if p is None:
+            assert bucket is None
+        elif p <= c_head + 1e-12:
+            assert bucket == "head", (i, p, c_head)
+        elif p <= c_mid + 1e-12:
+            assert bucket == "middle", (i, p, c_mid)
+        else:
+            assert bucket == "tail", (i, p, c_mid)
+    # roughly a third lands in each bucket
+    from collections import Counter as _C
+
+    counts = _C(b for _, b in out.values() if b)
+    assert counts["head"] >= 2 and counts["middle"] >= 2 and counts["tail"] >= 2
+
+
+def test_bucketize_per_stratum_cuts(spark, model):
+    """stratum_col computes cuts per stratum: a doc that would be tail
+    globally can be head within its own (all-junk) stratum."""
+    rows = [
+        (30, "the cat sat on the mat", "en"),
+        (31, "the dog sat on the rug", "en"),
+        (32, "a cat and a dog sat together", "en"),
+        (33, "zzz qqq xxy", "xx"),
+        (34, "zzz qqq xxy vvv", "xx"),
+        (35, "zzz qqq xxy vvv www", "xx"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {
+        r.doc_id: r.ppl_bucket
+        for r in lm.lm_bucketize(docs, model, stratum_col="lang").collect()
+    }
+    # each stratum gets its own head — including the junk one
+    assert got[30] == "head" or got[31] == "head" or got[32] == "head"
+    assert "head" in {got[33], got[34], got[35]}
+
+
+def test_bucketize_validates_fractions(spark, model):
+    docs = spark.createDataFrame([(1, "the cat")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="head"):
+        lm.lm_bucketize(docs, model, head=0.7, middle=0.5)
