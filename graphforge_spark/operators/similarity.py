@@ -613,6 +613,65 @@ def sq_topk(
 # SemDeDup — semantic deduplication over embeddings (Abbas et al. 2023)
 # ---------------------------------------------------------------------------
 
+def _cell_edges(
+    assigned: DataFrame, threshold: float, max_cell: int, block: int = 1024
+) -> DataFrame:
+    """(src, dst) pairs with exact cosine ≥ threshold, compared only
+    WITHIN each ``_cell`` group of ``assigned`` (_id, _v, _cell).
+
+    One ``applyInPandas`` per cell: normalize the cell's vectors once,
+    then blockwise upper-triangle matmul (``block`` rows at a time
+    against the whole cell — peak extra memory block×cell_size floats).
+    Zero-norm vectors have cosine 0 to everything (matches
+    ``cosine_similarity``'s NULL-safe semantics of never clearing a
+    positive threshold). Groups larger than ``max_cell`` emit no pairs
+    — the same degenerate-hot-bucket size cap ``bucket_pairs`` applies;
+    callers count drops via a groupBy(cell) count when they need the
+    metric. ``src < dst`` lexicographically, matching the LSH paths."""
+    import numpy as np
+    import pandas as pd
+
+    thr = float(threshold)
+    cap = int(max_cell)
+    blk = int(block)
+
+    def _pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2 or n > cap:
+            return pd.DataFrame({"src": pd.Series(dtype=object),
+                                 "dst": pd.Series(dtype=object)})
+        ids = pdf["_id"].to_numpy()
+        order = np.argsort(ids)  # lexicographic: row i < row j => id_i < id_j
+        ids = ids[order]
+        mat = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["_v"]])
+        mat = mat[order]
+        norms = np.linalg.norm(mat, axis=1)
+        safe = np.where(norms == 0.0, 1.0, norms)
+        unit = mat / safe[:, None]
+        unit[norms == 0.0] = 0.0  # zero vectors match nothing
+        src_parts, dst_parts = [], []
+        for lo in range(0, n - 1, blk):
+            hi = min(lo + blk, n - 1)
+            sims = unit[lo:hi] @ unit.T  # (hi-lo) × n
+            rows, cols = np.nonzero(sims >= thr)
+            keep_ut = cols > (rows + lo)  # strict upper triangle
+            src_parts.append(ids[rows[keep_ut] + lo])
+            dst_parts.append(ids[cols[keep_ut]])
+        if not src_parts:
+            return pd.DataFrame({"src": pd.Series(dtype=object),
+                                 "dst": pd.Series(dtype=object)})
+        return pd.DataFrame({
+            "src": np.concatenate(src_parts),
+            "dst": np.concatenate(dst_parts),
+        })
+
+    return (
+        assigned.select("_id", "_v", "_cell")
+        .groupBy("_cell")
+        .applyInPandas(_pairs, "src string, dst string")
+    )
+
+
 def semdedup_keep_list(
     vectors: DataFrame,
     threshold: float = 0.9,
@@ -647,11 +706,15 @@ def semdedup_keep_list(
     transitively by connected components.
 
     Scale shape: ONE assignment pass (Arrow matmul) + ONE
-    groupBy(cell) pair expansion bounded by ``max_cell``² per cell
-    (cells above the cap are counted-dropped by the same
-    ``bucket_pairs`` guard the LSH paths use — at 10⁹ docs you raise
-    ``n_centroids`` so cells stay ~n/k, exactly the paper's k≈√n
-    guidance) + the log-round CC + one combinable winner agg.
+    groupBy(cell) Arrow matmul per cell that emits only the ≥threshold
+    edges — the candidate-pair table (≈cell_size²/2 rows per cell) is
+    never materialized or shuffled, and peak group memory is
+    block×cell_size floats, not cell_size². Cells above ``max_cell``
+    emit no pairs (the degenerate-hot-cell guard, same size-cap policy
+    as ``bucket_pairs``; count drops via groupBy(cell) when you need
+    the metric — at 10⁹ docs you raise ``n_centroids`` so cells stay
+    ~n/k, exactly the paper's k≈√n guidance) + the log-round CC + one
+    combinable winner agg.
     """
     if keep not in ("far", "near"):
         raise ValueError(f"semdedup_keep_list: keep must be 'far' or 'near', got {keep!r}")
@@ -661,7 +724,6 @@ def semdedup_keep_list(
             id_col=id_col, vec_col=vec_col,
         )
     from graphforge_spark.operators.canonicalize import canonical_mapping
-    from graphforge_spark.operators.docops import bucket_pairs
 
     spark = vectors.sparkSession
     assign = _assign_udf(centroids)
@@ -679,18 +741,19 @@ def semdedup_keep_list(
             cosine_similarity(F.col("_v"), F.col("_cvec")).alias("centroid_sim"),
         )
     )
-    # within-cell candidate pairs (counted-drop cap on degenerate cells),
-    # then exact cosine verification — precision 1.0 by construction
-    banded = assigned.select(F.col("_id").alias("id"), F.col("_cell").alias("bucket"))
-    pairs = bucket_pairs(banded, max_bucket=max_cell)
-    va = assigned.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va"))
-    vb = assigned.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"))
-    edges = (
-        pairs.join(va, "id_a")
-        .join(vb, "id_b")
-        .filter(cosine_similarity(F.col("_va"), F.col("_vb")) >= threshold)
-        .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-    )
+    # Within-cell exact-cosine edges via ONE grouped Arrow matmul per
+    # cell (the paper's within-cluster pairwise similarity), emitting
+    # only pairs at/above threshold — precision 1.0 by construction.
+    # This deliberately does NOT materialize the candidate-pair table:
+    # a 1k-member cell holds ~500k candidate pairs, and joining
+    # embeddings onto a pair table that size × cells means two
+    # corpus-dwarfing shuffles. The matmul touches each cell's vectors
+    # once and its output is only the true near-duplicate edges.
+    # Memory is bounded: the similarity block is ``block × cell_size``
+    # (≤1024×max_cell floats), never cell_size². Cells above
+    # ``max_cell`` are dropped inside the group fn (the degenerate-
+    # hot-cell guard, same size-cap policy as ``docops.bucket_pairs``).
+    edges = _cell_edges(assigned, threshold=threshold, max_cell=max_cell)
     mapping = canonical_mapping(edges)
     out = assigned.join(mapping, assigned._id == mapping.alias_id, "left").select(
         F.col("_id"),
