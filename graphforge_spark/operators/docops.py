@@ -911,6 +911,7 @@ def pack_sequences(
     id_col: str = "doc_id",
     text_col: str = "text",
     count_col: str | None = None,
+    shard_col: str | None = None,
 ) -> DataFrame:
     """Sequence packing for LLM pretraining — the concat-and-chunk
     layout: documents are concatenated into per-shard token streams and
@@ -935,7 +936,13 @@ def pack_sequences(
     is the whitespace tokenizer (``functions.text.tokens``), matching
     ``doc_stats`` — or pass ``count_col`` naming a precomputed per-doc
     token-count column (e.g. ``n_bpe_tokens`` from `bpe.bpe_tokenize`)
-    to pack by a trained tokenizer's budget instead."""
+    to pack by a trained tokenizer's budget instead.
+
+    ``shard_col`` names a precomputed shard-id column to use INSTEAD of
+    the xxhash64 assignment — the driver-oracle configuration (a
+    md5-portable ``functions.hashing.portable_bucket`` shard replicates
+    in DuckDB, xxhash64 does not) and the hook for co-locating packing
+    with an existing partitioning."""
     if budget < 1:
         raise ValueError(f"pack_sequences: budget must be >= 1, got {budget}")
     w = Window.partitionBy("_shard").orderBy(id_col)
@@ -957,13 +964,16 @@ def pack_sequences(
         )
     else:
         n_tok = F.size(tokens(F.col(text_col)))
+    shard_expr = (
+        F.col(shard_col).cast("int")
+        if shard_col is not None
+        else F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(shards)).cast("int")
+    )
     staged = (
         docs.select(
             F.col(id_col),
             n_tok.alias("n_tokens"),
-            F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(shards))
-            .cast("int")
-            .alias("_shard"),
+            shard_expr.alias("_shard"),
         )
         .filter(F.col("n_tokens") > 0)
         .withColumn("_cum_end", F.sum("n_tokens").over(w))
@@ -993,6 +1003,59 @@ def pack_sequences(
         "n_tokens",
         (slice_start - F.col("_cum_before")).cast("long").alias("doc_offset"),
         (slice_end - slice_start).cast("long").alias("slice_len"),
+    )
+
+
+def tfidf_weights(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = 256,
+    n_docs: int | None = None,
+    bucket_hash: str = "xxhash64",
+) -> DataFrame:
+    """SPARSE hashed TF-IDF entries: one row per (id, bucket, weight) with
+    colliding tokens' tf·idf mass summed — the shared upstream stage of
+    ``tfidf_vectors`` (which densifies + L2-normalizes) and the
+    driver-oracle query (which top-k's the raw entries).
+
+    ``bucket_hash``: "xxhash64" (default — cheapest JVM hash) or
+    "portable" (``functions.hashing.portable_bucket``, md5-based — the
+    same arithmetic is expressible in DuckDB/Python, making the full
+    tf·idf computation value-oracle-able). idf = ln((N+1)/(df+1)) + 1.
+
+    Scale shape: explode → two combinable aggregations (tf, df) → one
+    vocabulary join (AQE broadcasts the df table while it fits, degrades
+    to a shuffle join at web-scale vocabularies — never a collect) → one
+    (doc, bucket) combinable agg."""
+    if dim <= 0:
+        raise ValueError(f"dim must be positive, got {dim}")
+    if bucket_hash not in ("xxhash64", "portable"):
+        raise ValueError(
+            f"bucket_hash must be 'xxhash64' or 'portable', got {bucket_hash!r}"
+        )
+    if n_docs is None:
+        n_docs = docs.count()
+
+    toks = docs.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
+    tf = toks.groupBy(id_col, "tok").agg(F.count("*").alias("_tf"))
+    df_tbl = tf.groupBy("tok").agg(F.count("*").alias("_df"))
+    idf = F.log((F.lit(float(n_docs + 1))) / (F.col("_df") + 1.0)) + 1.0
+    if bucket_hash == "portable":
+        from graphforge_spark.functions.hashing import portable_bucket
+
+        bucket = portable_bucket(F.col("tok"), dim)
+    else:
+        bucket = F.pmod(F.xxhash64("tok"), F.lit(dim)).cast("int")
+    return (
+        tf.join(df_tbl, "tok")
+        .select(
+            F.col(id_col),
+            bucket.alias("bucket"),
+            (F.col("_tf") * idf).alias("weight"),
+        )
+        .groupBy(id_col, "bucket")
+        .agg(F.sum("weight").alias("weight"))
     )
 
 
@@ -1028,26 +1091,9 @@ def tfidf_vectors(
     O(dim × entries) work per row because Spark map lookup is a linear
     scan — measured 229 s → ~45 s on 200k docs × 512 dims.
     """
-    if dim <= 0:
-        raise ValueError(f"dim must be positive, got {dim}")
-    if n_docs is None:
-        n_docs = docs.count()
-
-    toks = docs.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
-    tf = toks.groupBy(id_col, "tok").agg(F.count("*").alias("_tf"))
-    df_tbl = tf.groupBy("tok").agg(F.count("*").alias("_df"))
-    idf = F.log((F.lit(float(n_docs + 1))) / (F.col("_df") + 1.0)) + 1.0
-
-    weights = (
-        tf.join(df_tbl, "tok")
-        .select(
-            F.col(id_col),
-            F.pmod(F.xxhash64("tok"), F.lit(dim)).cast("int").alias("_b"),
-            (F.col("_tf") * idf).alias("_w"),
-        )
-        .groupBy(id_col, "_b")
-        .agg(F.sum("_w").alias("_w"))
-    )
+    weights = tfidf_weights(
+        docs, id_col=id_col, text_col=text_col, dim=dim, n_docs=n_docs
+    ).withColumnsRenamed({"bucket": "_b", "weight": "_w"})
     entries = weights.groupBy(id_col).agg(
         F.collect_list("_b").alias("_bs"), F.collect_list("_w").alias("_ws")
     )

@@ -35,9 +35,10 @@ Grammar (whitespace-insensitive, case-insensitive keywords):
               | '(' GROUP_CONCAT '(' DISTINCT? var
                     (';' SEPARATOR '=' "s")? ')' AS var ')')+
     AGG      := COUNT | SUM | MIN | MAX | AVG | SAMPLE
-              (COUNT(DISTINCT *) refuses loudly: distinct-solution
-               counting over null-extended bindings has no faithful
-               count_distinct mapping, and a wrong count is worse.
+              (COUNT(DISTINCT *) counts distinct SOLUTIONS —
+               count_distinct over ONE struct of all binding columns, so
+               null-extended OPTIONAL/UNION rows participate (bare-column
+               count_distinct would drop any row holding a null).
                DISTINCT identity: COUNT/GROUP_CONCAT dedupe on the
                lexical term, the engine's documented term identity;
                SUM/AVG dedupe on the NUMERIC value after the cast —
@@ -392,6 +393,11 @@ class _Parsed:
     limit: int | None = None
     offset: int | None = None
     datasets: tuple | None = None  # (FROM graph iris, FROM NAMED graph iris)
+    # INTERNAL (emitted only by _rewrite_graph_subselect, never user
+    # syntax): variable whose partitions the solution modifiers slice —
+    # ORDER BY/LIMIT/OFFSET inside GRAPH ?var apply PER NAMED GRAPH, a
+    # Window.partitionBy(?g) row_number, not a global orderBy/limit
+    slice_by: str | None = None
 
 
 def _expand_statements(
@@ -726,18 +732,18 @@ def _rewrite_graph_subselect(g_txt: str, sub: str) -> str:
     when the subquery aggregates (per-graph groups — the spec's implicit
     one-group-per-graph for a bare aggregate projection included).
     ORDER BY / LIMIT / OFFSET apply PER GRAPH, which no global modifier
-    after the rewrite can express — refused loudly."""
+    after the rewrite can express — the rewrite appends the INTERNAL
+    'GRAPHSLICE ?g' clause, which the compiler implements as a
+    Window.partitionBy(?g) row_number slice (per-graph LIMIT/OFFSET
+    over the per-graph ORDER)."""
     masked = _mask_strings(sub)
     if re.search(re.escape(g_txt) + r"\b", masked):
         raise ValueError(
             f"subquery inside GRAPH {g_txt} already uses variable {g_txt}"
         )
-    if re.search(r"\b(LIMIT|OFFSET|ORDER\s+BY)\b", masked, re.IGNORECASE):
-        raise ValueError(
-            "subquery inside GRAPH ?var with ORDER BY/LIMIT/OFFSET is "
-            "unsupported (those modifiers apply per named graph, which a "
-            "global modifier after the graph rewrite cannot express)"
-        )
+    has_modifiers = re.search(
+        r"\b(LIMIT|OFFSET|ORDER\s+BY)\b", masked, re.IGNORECASE
+    )
     m = re.match(
         r"\s*SELECT\s+(DISTINCT\s+)?(.*?)\s*WHERE\s*\{",
         masked,
@@ -762,7 +768,8 @@ def _rewrite_graph_subselect(g_txt: str, sub: str) -> str:
     ):
         tail = tail + f" GROUP BY {g_txt}"
     dist = sub[m.start(1) : m.end(1)] if m.group(1) else ""
-    return f"SELECT {dist}{new_proj} WHERE {{ {inner} }}{tail}"
+    slice_clause = f" GRAPHSLICE {g_txt}" if has_modifiers else ""
+    return f"SELECT {dist}{new_proj} WHERE {{ {inner} }}{tail}{slice_clause}"
 
 
 def _distribute_graph(g_txt: str, body: str, _top: bool = True) -> str:
@@ -1095,15 +1102,6 @@ def parse_sparql(query: str, prefixes: dict[str, str] | None = None) -> _Parsed:
             if agg.group("star") is not None:
                 if fn != "count":
                     raise ValueError(f"{fn.upper()}(*) is not valid SPARQL")
-                if distinct:
-                    # COUNT(DISTINCT *) counts distinct SOLUTIONS; with
-                    # null-extended (OPTIONAL/UNION) bindings in play,
-                    # count_distinct over the binding columns drops rows
-                    # holding any null — a silently-wrong count. Refuse.
-                    raise ValueError(
-                        "COUNT(DISTINCT *) is unsupported (distinct-solution "
-                        "counting; use SELECT DISTINCT in a subquery instead)"
-                    )
             x = agg.group("x") if agg.group("star") is None else "*"
             proj_items.append((agg.start(), (fn, x, agg.group("alias"), None, distinct)))
     rest = _residue(proj_text, agg_matches)
@@ -1540,6 +1538,14 @@ def parse_sparql(query: str, prefixes: dict[str, str] | None = None) -> _Parsed:
     if fm:
         parsed.offset = int(fm.group(1))
         consumed.append(fm)
+    # INTERNAL clause (see _Parsed.slice_by): 'GRAPHSLICE ?g' marks the
+    # modifiers above as per-named-graph. Only _rewrite_graph_subselect
+    # emits it; user text containing it is indistinguishable from the
+    # rewrite and compiles to the same (documented-internal) semantics.
+    sm = re.search(r"GRAPHSLICE\s+\?(\w+)", tail)
+    if sm:
+        parsed.slice_by = sm.group(1)
+        consumed.append(sm)
     left = _residue(tail, consumed)
     if left:
         raise ValueError(f"unsupported SPARQL syntax after WHERE block: {left!r}")
@@ -3125,8 +3131,20 @@ def _select_frame(
         )
     elif aggs:
 
+        # COUNT(DISTINCT *) counts distinct SOLUTIONS in the group: one
+        # struct over every binding column (existential _anon_ columns are
+        # not solution bindings — same exclusion SELECT * applies). A
+        # struct is never NULL even when its fields are, so null-extended
+        # OPTIONAL/UNION rows count correctly — count_distinct over the
+        # bare columns would silently drop them.
+        _solution_struct = F.struct(
+            *[F.col(c) for c in out.columns if not c.startswith("_anon_")]
+        )
+
         def agg_expr(fn: str, x: str, alias: str, extra, distinct: bool):
             if fn == "count" and x == "*":
+                if distinct:
+                    return F.count_distinct(_solution_struct).alias(alias)
                 # COUNT(*) counts solutions, null-extended bindings
                 # included — count(lit) not count(col), which skips nulls
                 return F.count(F.lit(1)).alias(alias)
@@ -3231,21 +3249,52 @@ def _select_frame(
     if parsed.distinct:
         out = out.distinct()
 
-    if parsed.order_by:
-        # each condition is a raw term/expression string ('?var' or e.g.
-        # 'STRLEN(?s)') — compiled through the scalar-expression compiler
-        out = out.orderBy(
-            *[
+    if parsed.slice_by is not None:
+        # per-named-graph solution modifiers (GRAPHSLICE, emitted by
+        # _rewrite_graph_subselect for a subquery inside GRAPH ?var):
+        # ORDER BY ranks within each graph partition and LIMIT/OFFSET
+        # slice each partition — ONE Window row_number, no global sort.
+        # ORDER-without-slice has no observable effect after the
+        # enclosing join (per spec, subquery order does not survive) and
+        # ties under LIMIT are broken by the remaining columns so the
+        # slice is deterministic (SPARQL leaves tie order unspecified).
+        if parsed.limit is not None or parsed.offset is not None:
+            keys = [
                 _bind_col(k, pmap).asc() if asc else _bind_col(k, pmap).desc()
-                for k, asc in parsed.order_by
+                for k, asc in (parsed.order_by or [])
             ]
-        )
-    if parsed.offset is not None:
-        # SPARQL slice: OFFSET skips into the (ordered) solution sequence
-        # before LIMIT truncates it — df.offset composes the same way
-        out = out.offset(parsed.offset)
-    if parsed.limit is not None:
-        out = out.limit(parsed.limit)
+            keys += [
+                F.col(c).asc()
+                for c in out.columns
+                if c != parsed.slice_by
+            ]
+            from pyspark.sql import Window as _W
+
+            w = _W.partitionBy(parsed.slice_by).orderBy(*keys)
+            lo = parsed.offset or 0
+            out = out.withColumn("_graphslice_rn", F.row_number().over(w))
+            cond = F.col("_graphslice_rn") > lo
+            if parsed.limit is not None:
+                cond = cond & (F.col("_graphslice_rn") <= lo + parsed.limit)
+            out = out.filter(cond).drop("_graphslice_rn")
+    else:
+        if parsed.order_by:
+            # each condition is a raw term/expression string ('?var' or
+            # e.g. 'STRLEN(?s)') — compiled through the scalar-expression
+            # compiler
+            out = out.orderBy(
+                *[
+                    _bind_col(k, pmap).asc() if asc else _bind_col(k, pmap).desc()
+                    for k, asc in parsed.order_by
+                ]
+            )
+        if parsed.offset is not None:
+            # SPARQL slice: OFFSET skips into the (ordered) solution
+            # sequence before LIMIT truncates it — df.offset composes the
+            # same way
+            out = out.offset(parsed.offset)
+        if parsed.limit is not None:
+            out = out.limit(parsed.limit)
     if _ANNOT.get() and not _in_group and not _raw_terms:
         # top-level projection in annotation mode: every construct above
         # operated on encoded terms (= term identity); the caller gets

@@ -268,11 +268,29 @@ def test_count_star_and_distinct_aggregates(spark):
     q = """SELECT ?s (COUNT(*) AS ?n) WHERE { ?s ?p ?o } GROUP BY ?s
            HAVING (COUNT(*) >= 3) ORDER BY DESC(COUNT(*)) ?s"""
     assert [r.s for r in sparql_query(g, q).collect()] == ["a", "b"]
-    # loud refusals: *-form outside COUNT, and COUNT(DISTINCT *)
+    # loud refusal: *-form outside COUNT
     with pytest.raises(ValueError, match=r"SUM\(\*\)"):
         sparql_query(g, "SELECT (SUM(*) AS ?n) WHERE { ?s ?p ?o }")
-    with pytest.raises(ValueError, match="DISTINCT \\*"):
-        sparql_query(g, "SELECT (COUNT(DISTINCT *) AS ?n) WHERE { ?s ?p ?o }")
+    # COUNT(DISTINCT *) counts distinct SOLUTIONS: a duplicated UNION arm
+    # contributes once to the distinct count, twice to COUNT(*)
+    q = """SELECT (COUNT(DISTINCT *) AS ?d) (COUNT(*) AS ?n) WHERE {
+             { ?s <http://p/v> ?v } UNION { ?s <http://p/v> ?v }
+           }"""
+    row = sparql_query(g, q).collect()[0]
+    assert row.d == 5 and row.n == 10
+    # null-extended solutions count too (countDistinct over bare columns
+    # would drop them): b-rows bind no ?w, and (b,2,NULL) ≠ (b,2.5,NULL),
+    # so all 5 solutions (2 with ?w bound, 3 null-extended) survive
+    q = """SELECT (COUNT(DISTINCT *) AS ?d) WHERE {
+             ?s <http://p/v> ?v . OPTIONAL { ?s <http://p/w> ?w }
+           }"""
+    assert sparql_query(g, q).collect()[0].d == 5
+    # grouped form: distinct solutions per group
+    q = """SELECT ?s (COUNT(DISTINCT *) AS ?d) WHERE {
+             { ?s <http://p/v> ?v } UNION { ?s <http://p/v> ?v }
+           } GROUP BY ?s"""
+    rows = {r.s: r.d for r in sparql_query(g, q).collect()}
+    assert rows == {"a": 2, "b": 3}
 
 
 def test_path_one_or_more_and_zero_or_one(graph):
@@ -1763,13 +1781,41 @@ def test_graph_var_full_group(spark):
     assert sorted(tuple(r) for r in sparql_query(t, q11).collect()) == [
         ("g1", "a", "m"), ("g1", "b", "m"), ("g2", "a", "w"),
     ]
-    # per-graph ORDER BY/LIMIT/OFFSET are not expressible by the rewrite
-    with pytest.raises(ValueError, match="ORDER BY/LIMIT/OFFSET"):
-        sparql_query(
-            t,
-            "SELECT ?g WHERE { GRAPH ?g { "
-            "{ SELECT ?s WHERE { ?s <p> ?o } LIMIT 1 } } }",
-        )
+    # per-graph solution modifiers: ORDER BY/LIMIT/OFFSET inside a
+    # GRAPH ?var subquery slice EACH named graph's solution sequence
+    # (Window.partitionBy(?g) row_number via the internal GRAPHSLICE
+    # clause), not the global result
+    q12 = (
+        "SELECT ?g ?s WHERE { GRAPH ?g { "
+        "{ SELECT ?s WHERE { ?s ?p ?o } ORDER BY ?s LIMIT 1 } } }"
+    )
+    assert sorted(tuple(r) for r in sparql_query(t, q12).collect()) == [
+        ("g1", "a"), ("g2", "a"),
+    ]
+    q13 = (
+        "SELECT ?g ?s WHERE { GRAPH ?g { "
+        "{ SELECT ?s WHERE { ?s ?p ?o } ORDER BY DESC(?s) LIMIT 1 } } }"
+    )
+    assert sorted(tuple(r) for r in sparql_query(t, q13).collect()) == [
+        ("g1", "b"), ("g2", "c"),
+    ]
+    # OFFSET without LIMIT skips per graph (bag semantics: g1's ?s
+    # sequence is [a, a, b], g2's is [a, a, c])
+    q14 = (
+        "SELECT ?g ?s WHERE { GRAPH ?g { "
+        "{ SELECT ?s WHERE { ?s ?p ?o } ORDER BY ?s OFFSET 1 } } }"
+    )
+    assert sorted(tuple(r) for r in sparql_query(t, q14).collect()) == [
+        ("g1", "a"), ("g1", "b"), ("g2", "a"), ("g2", "c"),
+    ]
+    # LIMIT composes after OFFSET within each graph
+    q15 = (
+        "SELECT ?g ?s WHERE { GRAPH ?g { "
+        "{ SELECT ?s WHERE { ?s ?p ?o } ORDER BY ?s LIMIT 1 OFFSET 2 } } }"
+    )
+    assert sorted(tuple(r) for r in sparql_query(t, q15).collect()) == [
+        ("g1", "b"), ("g2", "c"),
+    ]
 
 
 def test_review_findings_r3(spark):

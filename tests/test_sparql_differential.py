@@ -470,7 +470,7 @@ def graph_group_queries(draw):
     shape = draw(
         st.sampled_from(
             ["opt", "union", "minus", "not_exists", "filter",
-             "from_default", "from_named", "subselect"]
+             "from_default", "from_named", "subselect", "slice"]
         )
     )
     pats_a = draw(arm("a", ["oa", "x"]))
@@ -503,6 +503,31 @@ def graph_group_queries(draw):
                 f"SELECT g, s, CAST(COUNT(*) AS BIGINT) AS n "
                 f"FROM ({core_a}) GROUP BY g, s"
             )
+        return sparql, sql
+
+    if shape == "slice":
+        # per-graph solution modifiers: ORDER BY/LIMIT/OFFSET inside a
+        # GRAPH ?g subquery slice EACH graph's ordered ?s sequence (the
+        # GRAPHSLICE window rewrite). SQL renders the same slice as a
+        # row_number window partitioned by g. Ordering solely by ?s is a
+        # total order on the projected sequence (a bag of ?s values), so
+        # tie order cannot change the sliced multiset.
+        k = draw(st.integers(1, 4))
+        j = draw(st.integers(0, 3))
+        use_offset = draw(st.booleans())
+        plain_body, _pc, _pv = _render_arm(pats_a, "a")
+        off_sparql = f" OFFSET {j}" if use_offset else ""
+        lo = j if use_offset else 0
+        sparql = (
+            f"SELECT ?g ?s WHERE {{ GRAPH ?g {{ "
+            f"{{ SELECT ?s WHERE {{ {plain_body} }} "
+            f"ORDER BY ?s LIMIT {k}{off_sparql} }} }} }}"
+        )
+        sql = (
+            f"SELECT g, s FROM ("
+            f"SELECT g, s, row_number() OVER (PARTITION BY g ORDER BY s) AS rn "
+            f"FROM ({core_a})) WHERE rn > {lo} AND rn <= {lo + k}"
+        )
         return sparql, sql
 
     if shape == "from_default":
