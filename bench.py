@@ -253,8 +253,12 @@ def _headline_queries():
 
 
 DEFAULT_TRIALS = 3
-# extra per-leg retries when every initial trial lands in a steal burst
+# extra per-leg retries while the quiet-trial target is unmet
 MAX_EXTRA_DEFAULT_TRIALS = 3
+# retry target: keep retrying until this many steal-quiet trials back the
+# median (r3 verdict #8: turtle_parse and pattern_extract recorded <2
+# quiet trials in the driver artifact)
+MIN_QUIET_DEFAULT = 2
 
 
 def _steal_jiffies() -> int:
@@ -268,43 +272,55 @@ def _steal_jiffies() -> int:
 def run_default() -> None:
     """Noise-robust default mode (r2 verdict: a single-trial headline
     halved on one steal burst and read as a regression): every leg runs
-    ``DEFAULT_TRIALS`` times in the warm JVM with per-trial steal
-    accounting; the reported per-leg time is the MEDIAN of steal-quiet
-    trials (all trials as explicit fallback), and the throughput headline
-    derives from that median — one noisy trial can no longer move it.
-    A leg whose first ``DEFAULT_TRIALS`` trials ALL land in a steal
-    burst retries (up to ``MAX_EXTRA_DEFAULT_TRIALS`` more) until it has
-    at least one quiet trial, so a sustained-noise window degrades the
-    recorded number only when the noise outlasts the whole retry budget
-    — and ``quiet_trials`` in the JSON says so when it does."""
+    ONE untimed warm-up trial (r3→r4 fix: C2 JIT of the heavy codegen
+    kernels takes several iterations at leg size — pattern_extract's wall
+    decayed 10.4 → 5.6 → 3.5 → 2.3 s across identical trials in a warm
+    JVM, which is exactly the r3 driver-artifact 'regression'; the ladder
+    protocol always warmed full-size, default mode now does too), then
+    ``DEFAULT_TRIALS`` timed trials with per-trial steal accounting; the
+    reported per-leg time is the MEDIAN of steal-quiet trials (all trials
+    as explicit fallback). A leg retries (up to
+    ``MAX_EXTRA_DEFAULT_TRIALS`` more) until it has at least
+    ``MIN_QUIET_DEFAULT`` quiet trials (r3 verdict #8: two legs recorded
+    <2 quiet trials), so a sustained-noise window degrades the recorded
+    number only when it outlasts the whole retry budget — and
+    ``quiet_trials`` in the JSON says so when it does.
+
+    The throughput headline no longer derives from any headline leg
+    (r3 verdict #1: the single-leg tps read 79k while the ladder read
+    2.17M — a JIT-warm-up artifact amplified by a config difference):
+    after the legs, a SEPARATE spine-config session (AQE off,
+    data-sized shuffle — the ladder's exact configuration) runs the
+    ladder's own 6M-turn extraction spine, and ``triples_per_sec`` is
+    raw_triples / median-of-quiet over those trials — the same number
+    the scaling ladder reports, measured inside the default run."""
     import statistics
 
     spark = _spark(f"local[{CPUS}]")
-    # warm the JVM/codegen paths so per-query numbers reflect steady state
-    _extraction_spine(spark, 500, 4)
     ncpu = os.cpu_count() or 32
 
     timings: dict[str, float] = {}
     quiet_counts: dict[str, int] = {}
-    extracted_triples = 0
     # single-thread memory-bandwidth reference, sampled while Spark is
     # idle (before the legs): steal reads zero under co-tenant BANDWIDTH
     # pressure, which can still slow every leg 1.5-2×. Reported (not
     # gated) so a cross-round comparison can attribute wall deltas —
     # ~0.04 s is this host's unloaded floor; see BENCH/BASELINE.md.
     bw_ref = _bw_probe()
+
+    def _quiet_of(ts):
+        return [w for w, s in ts if s <= QUIET_STEAL_FRAC * 100.0 * w * ncpu]
+
     for name, fn in _headline_queries().items():
+        # untimed warm-up: JIT the leg's generated code at its real size
+        fn(spark, SF_DIR)
         trials: list[tuple[float, int]] = []
-
-        def _quiet_of(ts):
-            return [w for w, s in ts if s <= QUIET_STEAL_FRAC * 100.0 * w * ncpu]
-
         for _ in range(DEFAULT_TRIALS):
             s0, t0 = _steal_jiffies(), time.time()
             n = fn(spark, SF_DIR)
             trials.append((time.time() - t0, _steal_jiffies() - s0))
         extra = 0
-        while not _quiet_of(trials) and extra < MAX_EXTRA_DEFAULT_TRIALS:
+        while len(_quiet_of(trials)) < MIN_QUIET_DEFAULT and extra < MAX_EXTRA_DEFAULT_TRIALS:
             extra += 1
             s0, t0 = _steal_jiffies(), time.time()
             n = fn(spark, SF_DIR)
@@ -313,19 +329,32 @@ def run_default() -> None:
         dt = round(statistics.median(quiet or [w for w, _ in trials]), 3)
         timings[name] = dt
         quiet_counts[name] = len(quiet)
-        if name == "pattern_extract_200k":
-            extracted_triples = n
         _log(
             f"{name}: {n} rows, median {dt:.2f}s over {len(trials)} trials "
             f"({len(quiet)} quiet; walls {[round(w, 2) for w, _ in trials]})"
         )
+    spark.stop()
+
+    # throughput headline: the ladder's spine under the ladder's config
+    spark = _spark(f"local[{CPUS}]", spine=True)
+    _extraction_spine(spark, SCALE_CONVS, SCALE_TURNS)  # full-size warm-up
+    spine_trials: list[tuple[float, int]] = []
+    for _ in range(DEFAULT_TRIALS):
+        s0, t0 = _steal_jiffies(), time.time()
+        _, n_turns = _extraction_spine(spark, SCALE_CONVS, SCALE_TURNS)
+        spine_trials.append((time.time() - t0, _steal_jiffies() - s0))
+    spine_quiet = _quiet_of(spine_trials)
+    spine_wall = statistics.median(spine_quiet or [w for w, _ in spine_trials])
+    raw_triples = n_turns * 2  # two planted facts per turn pre-dedup
+    tps = round(raw_triples / spine_wall, 1)
+    _log(
+        f"throughput spine: {n_turns} turns, median {spine_wall:.2f}s "
+        f"({len(spine_quiet)}/{len(spine_trials)} quiet; "
+        f"walls {[round(w, 2) for w, _ in spine_trials]}) -> {tps:.0f} t/s"
+    )
+    spark.stop()
 
     total = round(sum(timings.values()), 3)
-    tps = (
-        round(extracted_triples / timings["pattern_extract_200k"], 1)
-        if timings.get("pattern_extract_200k")
-        else None
-    )
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     print(
         json.dumps(
@@ -336,8 +365,18 @@ def run_default() -> None:
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "triples_per_sec": tps,
+                "tps_source": (
+                    f"{n_turns}-turn extraction spine, ladder config "
+                    "(AQE off, data-sized shuffle), median-of-quiet of "
+                    f"{len(spine_trials)} trials after full-size warm-up"
+                ),
+                "spine_walls_s": [round(w, 3) for w, _ in spine_trials],
+                "spine_quiet_trials": len(spine_quiet),
                 "cpus": CPUS,
-                "protocol": f"median-of-{DEFAULT_TRIALS}-steal-quiet-trials",
+                "protocol": (
+                    f"per-leg untimed warm-up + median-of-{DEFAULT_TRIALS}"
+                    "-steal-quiet-trials"
+                ),
                 "quiet_trials": quiet_counts,
                 "bw_probe_s": bw_ref,
             }

@@ -660,9 +660,13 @@ def _cell_edges(
         if not src_parts:
             return pd.DataFrame({"src": pd.Series(dtype=object),
                                  "dst": pd.Series(dtype=object)})
+        # the declared edge schema is (src string, dst string) — Arrow
+        # refuses to coerce int64 ids implicitly, so stringify here
+        # (no-op for string ids; edge direction is irrelevant downstream
+        # because canonical_mapping symmetrizes)
         return pd.DataFrame({
-            "src": np.concatenate(src_parts),
-            "dst": np.concatenate(dst_parts),
+            "src": pd.Series(np.concatenate(src_parts)).astype(str),
+            "dst": pd.Series(np.concatenate(dst_parts)).astype(str),
         })
 
     return (
@@ -755,9 +759,15 @@ def semdedup_keep_list(
     # hot-cell guard, same size-cap policy as ``docops.bucket_pairs``).
     edges = _cell_edges(assigned, threshold=threshold, max_cell=max_cell)
     mapping = canonical_mapping(edges)
+    # the edge kernel (and so the CC labels) work on STRING ids; cast the
+    # canonical label back to the caller's id type explicitly so rep_id
+    # always has the same type as id_col (for numeric ids the component
+    # representative is the lexicographic-min member — '10' < '2' —
+    # reinterpreted as a number; deterministic either way)
+    id_type = assigned.schema["_id"].dataType
     out = assigned.join(mapping, assigned._id == mapping.alias_id, "left").select(
         F.col("_id"),
-        F.coalesce("canonical_id", F.col("_id")).alias("rep_id"),
+        F.coalesce(F.col("canonical_id").cast(id_type), F.col("_id")).alias("rep_id"),
         "centroid_sim",
     )
     # winner per duplicate group: min (signed centroid_sim, id) struct —
