@@ -312,8 +312,12 @@ def run_default() -> None:
         return [w for w, s in ts if s <= QUIET_STEAL_FRAC * 100.0 * w * ncpu]
 
     for name, fn in _headline_queries().items():
-        # untimed warm-up: JIT the leg's generated code at its real size
-        fn(spark, SF_DIR)
+        # untimed warm-up: JIT the leg's generated code at its real size.
+        # pattern_extract gets a second pass — its measured decay curve
+        # (10.4 → 5.6 → 3.5 → 3.3 → 2.3 s on identical warm-JVM trials)
+        # shows C2 needs several iterations on that leg's wide codegen
+        for _ in range(2 if name == "pattern_extract_200k" else 1):
+            fn(spark, SF_DIR)
         trials: list[tuple[float, int]] = []
         for _ in range(DEFAULT_TRIALS):
             s0, t0 = _steal_jiffies(), time.time()
@@ -340,6 +344,15 @@ def run_default() -> None:
     _extraction_spine(spark, SCALE_CONVS, SCALE_TURNS)  # full-size warm-up
     spine_trials: list[tuple[float, int]] = []
     for _ in range(DEFAULT_TRIALS):
+        s0, t0 = _steal_jiffies(), time.time()
+        _, n_turns = _extraction_spine(spark, SCALE_CONVS, SCALE_TURNS)
+        spine_trials.append((time.time() - t0, _steal_jiffies() - s0))
+    extra = 0
+    while (
+        len(_quiet_of(spine_trials)) < MIN_QUIET_DEFAULT
+        and extra < MAX_EXTRA_DEFAULT_TRIALS
+    ):
+        extra += 1
         s0, t0 = _steal_jiffies(), time.time()
         _, n_turns = _extraction_spine(spark, SCALE_CONVS, SCALE_TURNS)
         spine_trials.append((time.time() - t0, _steal_jiffies() - s0))

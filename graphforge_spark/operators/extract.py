@@ -891,11 +891,16 @@ def extract_patterns(
 _XSD = "http://www.w3.org/2001/XMLSchema#"
 _RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
 # JSON-LD keywords we knowingly do NOT process; any appearance
-# quarantines the document (no partial emission — the Turtle policy)
+# quarantines the document (no partial emission — the Turtle policy).
+# @list/@set/@graph graduated to supported in r4 (verdict #6).
 _JSONLD_UNSUPPORTED = {
-    "@list", "@set", "@reverse", "@container", "@base", "@index",
+    "@reverse", "@container", "@base", "@index",
     "@version", "@nest", "@included", "@direction",
 }
+_RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+_RDF_FIRST = _RDF_NS + "first"
+_RDF_REST = _RDF_NS + "rest"
+_RDF_NIL = _RDF_NS + "nil"
 
 
 class _JsonLdError(Exception):
@@ -923,9 +928,52 @@ def _jsonld_expand_term(term, ctx: dict, vocab: str | None, *, is_key: bool):
     return None  # bare string in @id position without mapping
 
 
-def _jsonld_walk(node, ctx, vocab, bnode, out):
-    """Emit (s, p, o, is_literal, lang, dt) rows for one node object;
-    returns the node's subject term (IRI or blank label)."""
+def _jsonld_literal(v, ctx, vocab):
+    """@value object or JSON scalar → (lexical, lang, dt), or None if
+    ``v`` is not a literal form (a node object / something else)."""
+    if isinstance(v, dict):
+        if "@value" not in v:
+            return None
+        val = v["@value"]
+        if isinstance(val, bool):
+            sval, dt = ("true" if val else "false"), _XSD + "boolean"
+        elif isinstance(val, (int, float)) and not isinstance(val, bool):
+            sval, dt = _jsonld_number(val)
+        elif isinstance(val, str):
+            sval, dt = val, None
+        else:
+            raise _JsonLdError(f"unsupported @value type {type(val).__name__}")
+        lang = None
+        if "@language" in v:
+            lang = v["@language"]
+            if not isinstance(lang, str) or not lang:
+                raise _JsonLdError("@language must be a non-empty string")
+            if not isinstance(val, str):
+                raise _JsonLdError("@language on a non-string @value")
+            if "@type" in v:
+                raise _JsonLdError("@language and @type are exclusive")
+        if "@type" in v:
+            t = _jsonld_expand_term(v["@type"], ctx, vocab, is_key=True)
+            dt = None if t == _XSD + "string" else t
+        extra = set(v) - {"@value", "@type", "@language"}
+        if extra:
+            raise _JsonLdError(f"unsupported key {sorted(extra)[0]} in value object")
+        return sval, lang, dt
+    if isinstance(v, bool):
+        return ("true" if v else "false"), None, _XSD + "boolean"
+    if isinstance(v, (int, float)):
+        sval, dt = _jsonld_number(v)
+        return sval, None, dt
+    if isinstance(v, str):
+        return v, None, None
+    return None
+
+
+def _jsonld_walk(node, ctx, vocab, bnode, out, graph=None):
+    """Emit (s, p, o, is_literal, lang, dt, graph) rows for one node
+    object; returns the node's subject term (IRI or blank label).
+    ``graph`` is the active named graph (None = the document's default —
+    the extractor substitutes the turn's conv_id)."""
     if not isinstance(node, dict):
         raise _JsonLdError(f"node must be a JSON object, got {type(node).__name__}")
     bad = _JSONLD_UNSUPPORTED.intersection(node)
@@ -947,54 +995,77 @@ def _jsonld_walk(node, ctx, vocab, bnode, out):
     if subj is None:
         subj = bnode(None)
 
+    def emit_object(pred, v):
+        """One non-array value: literal, @list, node object."""
+        lit = _jsonld_literal(v, ctx, vocab)
+        if lit is not None:
+            sval, lang, dt = lit
+            out.append((subj, pred, sval, True, lang, dt, graph))
+            return
+        if isinstance(v, dict):
+            bad_kw = _JSONLD_UNSUPPORTED.intersection(v)
+            if bad_kw:
+                raise _JsonLdError(f"unsupported JSON-LD keyword {sorted(bad_kw)[0]}")
+            if "@list" in v:
+                if set(v) != {"@list"}:
+                    raise _JsonLdError("@list object must have exactly the @list key")
+                out.append(
+                    (subj, pred, _emit_list(v["@list"]), False, None, None, graph)
+                )
+                return
+            if "@set" in v:
+                # {"@set": [...]} is semantically the bare array (JSON-LD
+                # 1.1 §4.3.1 — @set is a no-op at the data level)
+                if set(v) != {"@set"}:
+                    raise _JsonLdError("@set object must have exactly the @set key")
+                emit_value(pred, v["@set"])
+                return
+            child = _jsonld_walk(v, ctx, vocab, bnode, out, graph)
+            out.append((subj, pred, child, False, None, None, graph))
+            return
+        raise _JsonLdError(f"unsupported JSON value type {type(v).__name__}")
+
+    def _emit_list(items):
+        """RDF collection: rdf:first/rdf:rest cons cells, rdf:nil tail.
+        Returns the head term (rdf:nil for the empty list). Items are
+        scalars, @value objects, or node objects; a nested bare array
+        (JSON-LD 1.1 nested lists) quarantines."""
+        if not isinstance(items, list):
+            raise _JsonLdError("@list must be an array")
+        head = _RDF_NIL
+        cells = []
+        for item in items:
+            cell = bnode(None)
+            cells.append(cell)
+        for i, item in enumerate(items):
+            cell = cells[i]
+            rest = cells[i + 1] if i + 1 < len(cells) else _RDF_NIL
+            lit = _jsonld_literal(item, ctx, vocab)
+            if lit is not None:
+                sval, lang, dt = lit
+                out.append((cell, _RDF_FIRST, sval, True, lang, dt, graph))
+            elif isinstance(item, dict):
+                if "@list" in item or "@set" in item:
+                    raise _JsonLdError("nested @list/@set inside @list")
+                child = _jsonld_walk(item, ctx, vocab, bnode, out, graph)
+                out.append((cell, _RDF_FIRST, child, False, None, None, graph))
+            else:
+                raise _JsonLdError(
+                    f"unsupported @list item type {type(item).__name__}"
+                )
+            out.append((cell, _RDF_REST, rest, False, None, None, graph))
+        if cells:
+            head = cells[0]
+        return head
+
     def emit_value(pred, v):
         if v is None:
             return  # JSON-LD null = no value
         if isinstance(v, list):
             for item in v:
                 emit_value(pred, item)
-        elif isinstance(v, dict):
-            bad_kw = _JSONLD_UNSUPPORTED.intersection(v)
-            if bad_kw:
-                raise _JsonLdError(f"unsupported JSON-LD keyword {sorted(bad_kw)[0]}")
-            if "@value" in v:
-                val = v["@value"]
-                if isinstance(val, bool):
-                    sval, dt = ("true" if val else "false"), _XSD + "boolean"
-                elif isinstance(val, (int, float)) and not isinstance(val, bool):
-                    sval, dt = _jsonld_number(val)
-                elif isinstance(val, str):
-                    sval, dt = val, None
-                else:
-                    raise _JsonLdError(f"unsupported @value type {type(val).__name__}")
-                lang = None
-                if "@language" in v:
-                    lang = v["@language"]
-                    if not isinstance(lang, str) or not lang:
-                        raise _JsonLdError("@language must be a non-empty string")
-                    if not isinstance(val, str):
-                        raise _JsonLdError("@language on a non-string @value")
-                    if "@type" in v:
-                        raise _JsonLdError("@language and @type are exclusive")
-                if "@type" in v:
-                    t = _jsonld_expand_term(v["@type"], ctx, vocab, is_key=True)
-                    dt = None if t == _XSD + "string" else t
-                extra = set(v) - {"@value", "@type", "@language"}
-                if extra:
-                    raise _JsonLdError(f"unsupported key {sorted(extra)[0]} in value object")
-                out.append((subj, pred, sval, True, lang, dt))
-            else:
-                child = _jsonld_walk(v, ctx, vocab, bnode, out)
-                out.append((subj, pred, child, False, None, None))
-        elif isinstance(v, bool):
-            out.append((subj, pred, "true" if v else "false", True, None, _XSD + "boolean"))
-        elif isinstance(v, (int, float)):
-            sval, dt = _jsonld_number(v)
-            out.append((subj, pred, sval, True, None, dt))
-        elif isinstance(v, str):
-            out.append((subj, pred, v, True, None, None))
         else:
-            raise _JsonLdError(f"unsupported JSON value type {type(v).__name__}")
+            emit_object(pred, v)
 
     for key, v in node.items():
         if key == "@id" or key == "@context":
@@ -1003,7 +1074,17 @@ def _jsonld_walk(node, ctx, vocab, bnode, out):
             types = v if isinstance(v, list) else [v]
             for t in types:
                 tiri = _jsonld_expand_term(t, ctx, vocab, is_key=True)
-                out.append((subj, _RDF_TYPE, tiri, False, None, None))
+                out.append((subj, _RDF_TYPE, tiri, False, None, None, graph))
+            continue
+        if key == "@graph":
+            # named graph: the node's @graph nodes land in graph <subj>
+            # (their triples carry the node's term in the graph column);
+            # the node's OTHER properties stay in the enclosing graph,
+            # per the JSON-LD-to-RDF named-graph mapping
+            if not isinstance(v, list):
+                raise _JsonLdError("@graph must be an array")
+            for g_node in v:
+                _jsonld_walk(g_node, ctx, vocab, bnode, out, subj)
             continue
         if key.startswith("@"):
             raise _JsonLdError(f"unsupported JSON-LD keyword {key}")
@@ -1019,25 +1100,51 @@ def _jsonld_number(val):
     return repr(float(val)), _XSD + "double"
 
 
-def _parse_jsonld(text: str, doc_key: str):
-    """Parse one JSON-LD-lite document → rows, or None to QUARANTINE the
-    whole document (malformed JSON or any unsupported construct — no
+def _jsonld_context(ctx_src) -> tuple[dict, str | None]:
+    """Validate a context dict → ({term: iri}, @vocab). Raises
+    _JsonLdError on anything outside the supported subset."""
+    if not isinstance(ctx_src, dict):
+        raise _JsonLdError("@context must be a JSON object")
+    ctx, vocab = {}, None
+    for k, v in ctx_src.items():
+        if k == "@vocab":
+            if not isinstance(v, str):
+                raise _JsonLdError("@vocab must be a string")
+            vocab = v
+        elif k.startswith("@"):
+            raise _JsonLdError(f"unsupported context keyword {k}")
+        elif not isinstance(v, str):
+            raise _JsonLdError(f"unsupported non-string context mapping for {k!r}")
+        else:
+            ctx[k] = v
+    return ctx, vocab
+
+
+def _parse_jsonld(text: str, doc_key: str, base_ctx=None, base_vocab=None):
+    """Parse one JSON-LD-lite document → rows
+    (s, p, o, is_literal, lang, dt, graph-or-None), or None to QUARANTINE
+    the whole document (malformed JSON or any unsupported construct — no
     partial emission, the Turtle statement policy at doc granularity).
 
     Supported subset: top-level node object, array of node objects, or
     {@context, @graph:[…]}; @context with string prefix/term mappings and
-    @vocab only; @id (absolute IRI / CURIE / ``_:`` label — scoped to the
-    document via ``doc_key``), @type (string or list), nested node
-    objects (become blank nodes unless they carry @id), arrays as
-    multi-valued properties, @value objects with @type or @language
-    (lang-tagged literals — exclusive per spec), JSON scalars with the
-    spec's implicit datatypes (integer → xsd:integer, non-integral
-    number → xsd:double, boolean → xsd:boolean, string → plain literal;
-    ``^^xsd:string`` normalizes to the plain form per RDF 1.1 term
-    identity, the Turtle parser's rule). Everything else —
-    @list/@set/@reverse/@container/context-level @language/@base/nested
-    contexts/… — quarantines. Blank labels are deterministic: traversal order over
-    ``json.loads``'s order-preserving dicts."""
+    @vocab only (``base_ctx``/``base_vocab`` supply a CALLER context that
+    the document's own @context overrides term-by-term — the JSON-LD
+    local-context-overrides rule); @id (absolute IRI / CURIE / ``_:``
+    label — scoped to the document via ``doc_key``), @type (string or
+    list), nested node objects (become blank nodes unless they carry
+    @id), arrays as multi-valued properties, @value objects with @type or
+    @language (lang-tagged literals — exclusive per spec), @list (RDF
+    collections: rdf:first/rdf:rest cons cells), @set (data-level no-op),
+    nested @graph (named graphs: the containing node's term rides the
+    graph slot), JSON scalars with the spec's implicit datatypes
+    (integer → xsd:integer, non-integral number → xsd:double, boolean →
+    xsd:boolean, string → plain literal; ``^^xsd:string`` normalizes to
+    the plain form per RDF 1.1 term identity, the Turtle parser's rule).
+    Everything else — @reverse/@container/context-level
+    @language/@base/nested lists/remote contexts/… — quarantines. Blank
+    labels are deterministic: traversal order over ``json.loads``'s
+    order-preserving dicts."""
     import itertools
     import json
 
@@ -1059,23 +1166,17 @@ def _parse_jsonld(text: str, doc_key: str):
     out: list = []
     try:
         ctx_src = doc.get("@context", {}) if isinstance(doc, dict) else {}
-        if not isinstance(ctx_src, dict):
-            raise _JsonLdError("@context must be a JSON object")
-        ctx, vocab = {}, None
-        for k, v in ctx_src.items():
-            if k == "@vocab":
-                if not isinstance(v, str):
-                    raise _JsonLdError("@vocab must be a string")
-                vocab = v
-            elif k.startswith("@"):
-                raise _JsonLdError(f"unsupported context keyword {k}")
-            elif not isinstance(v, str):
-                raise _JsonLdError(f"unsupported non-string context mapping for {k!r}")
-            else:
-                ctx[k] = v
+        ctx, vocab = _jsonld_context(ctx_src)
+        if base_ctx:
+            ctx = {**base_ctx, **ctx}  # document mappings win
+        if vocab is None:
+            vocab = base_vocab
         if isinstance(doc, list):
             nodes = doc
-        elif isinstance(doc, dict) and "@graph" in doc:
+        elif isinstance(doc, dict) and "@graph" in doc and "@id" not in doc:
+            # top-level {@context, @graph} is the DEFAULT-graph wrapper;
+            # a node object carrying @id + @graph is a NAMED graph and
+            # takes the normal walk below
             nodes = doc["@graph"]
             extra = set(doc) - {"@context", "@graph"}
             if extra:
@@ -1093,7 +1194,10 @@ def _parse_jsonld(text: str, doc_key: str):
 
 
 def extract_jsonld(
-    df: DataFrame, text_col: str = "text", with_annotations: bool = False
+    df: DataFrame,
+    text_col: str = "text",
+    with_annotations: bool = False,
+    context: dict | None = None,
 ) -> DataFrame:
     """Arrow-batched JSON-LD-lite extraction over transcript turns (one
     JSON document per turn) — the "JSON-to-RDF" half of the forge: agent
@@ -1103,7 +1207,17 @@ def extract_jsonld(
     XSD on JSON scalars, explicit @type on @value objects).
     Undecodable or unsupported documents quarantine
     whole (count them by comparing turn counts — the lineage metrics
-    pattern)."""
+    pattern).
+
+    ``context`` is an optional CALLER-supplied local @context (term/
+    prefix/@vocab dict — the common case where a tool emits bare JSON
+    and the pipeline owns the vocabulary); a document's own @context
+    overrides it term-by-term, the JSON-LD local-context rule. It is
+    validated ONCE on the driver, so an invalid caller context raises
+    loudly instead of silently quarantining every document. Named
+    graphs (a node with @id + @graph) ride the ``graph`` column;
+    default-graph triples carry the turn's conv_id as before."""
+    base_ctx, base_vocab = (None, None) if context is None else _jsonld_context(context)
     src = spread_small_scan(df).select(
         F.col("conv_id").alias("src_conv_id"),
         F.col("turn_idx").alias("src_turn_idx"),
@@ -1129,11 +1243,13 @@ def extract_jsonld(
             ):
                 if not text:
                     continue
-                parsed = _parse_jsonld(text, f"{conv}_{idx}")
+                parsed = _parse_jsonld(
+                    text, f"{conv}_{idx}", base_ctx=base_ctx, base_vocab=base_vocab
+                )
                 if parsed is None:
                     continue  # quarantined document
-                for s, p, o, lit, lang, dt in parsed:
-                    row = (s, p, o, lit, conv, conv, idx)
+                for s, p, o, lit, lang, dt, g in parsed:
+                    row = (s, p, o, lit, g if g is not None else conv, conv, idx)
                     if with_annotations:
                         row += (lang, dt)
                     rows.append(row)

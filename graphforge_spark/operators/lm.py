@@ -17,11 +17,12 @@ Shapes at scale:
   BOS-prefixed) → explode → groupBy(prev, cur) count with map-side
   combine. Context counts and the vocabulary size derive from the
   MODEL-sized bigram table, not from a second corpus pass.
-- score: explode bigrams → join the bigram and context count tables
-  (broadcast by default — the model is the classic small dimension; pass
-  ``broadcast_model=False`` at web-scale vocabularies to let AQE pick) →
-  one groupBy(doc) sum. The corpus is touched once and never shuffled
-  on anything wider than the doc id.
+- score: explode bigrams → join the bigram and context count tables —
+  broadcast-hinted while the model is small (``broadcast_model="auto"``
+  switches on the fitted table's row count, so an order=5 web-scale
+  vocabulary falls back to a shuffle join instead of OOMing the driver;
+  True/False force either) → one groupBy(doc) sum. The corpus is
+  touched once and never shuffled on anything wider than the doc id.
 
 Smoothing: add-k over a vocabulary of V seen tokens plus one OOV
 bucket, P(cur|prev) = (c(prev,cur)+k) / (c(prev)+k·(V+1)); an unseen
@@ -67,6 +68,7 @@ class LMModel(NamedTuple):
     vocab_size: int
     add_k: float
     order: int = 2
+    n_ngrams: int = 0  # bigram-table row count (drives the auto join strategy)
 
 
 def _ngram_pairs(text, order: int):
@@ -115,7 +117,14 @@ def lm_train(
     bigrams = pairs.groupBy("prev", "cur").agg(F.count("*").alias("n_pair")).persist()
     contexts = bigrams.groupBy("prev").agg(F.sum("n_pair").alias("n_ctx")).persist()
     vocab_size = bigrams.select("cur").distinct().count()
-    return LMModel(bigrams, contexts, vocab_size, add_k, order)
+    # n-gram table row count over the (now cached) bigram table — a cheap
+    # second-order action that lets scoring pick its join strategy without
+    # re-counting
+    n_ngrams = bigrams.count()
+    return LMModel(bigrams, contexts, vocab_size, add_k, order, n_ngrams)
+
+
+AUTO_BROADCAST_MAX_NGRAMS = 2_000_000
 
 
 def lm_perplexity(
@@ -123,7 +132,7 @@ def lm_perplexity(
     model: LMModel,
     id_col: str = "doc_id",
     text_col: str = "text",
-    broadcast_model: bool = True,
+    broadcast_model: bool | str = "auto",
 ) -> DataFrame:
     """Score every document: (id, n_tokens, logprob, perplexity).
 
@@ -131,7 +140,18 @@ def lm_perplexity(
     stream; ``perplexity`` = exp(−logprob/n_tokens), NULL for empty
     docs. Lower perplexity = more like the training corpus; gate with
     ``perplexity <= cutoff`` (CCNet keeps the head/middle of the
-    distribution)."""
+    distribution).
+
+    ``broadcast_model``: "auto" (default — r3 verdict #5: broadcasting
+    unconditionally is the wrong default at order=5 web-scale, where the
+    n-gram table grows toward the corpus' distinct-5-gram count and a
+    forced broadcast OOMs the driver) hints broadcast only while
+    ``model.n_ngrams`` ≤ ``AUTO_BROADCAST_MAX_NGRAMS`` (~2M rows ≈ tens
+    of MB serialized) and otherwise leaves the strategy to Catalyst/AQE
+    (a plain shuffle join at web-scale vocabularies); True/False force
+    the respective strategy."""
+    if broadcast_model == "auto":
+        broadcast_model = model.n_ngrams <= AUTO_BROADCAST_MAX_NGRAMS
     bg_tbl = F.broadcast(model.bigrams) if broadcast_model else model.bigrams
     ctx_tbl = F.broadcast(model.contexts) if broadcast_model else model.contexts
     denom_k = F.lit(model.add_k) * F.lit(float(model.vocab_size + 1))

@@ -74,8 +74,24 @@ Engine-mapping notes (documented, deliberate):
   ``distinct``-ed and anti-joined against the post-delete store before
   the union, so an existing row (with its provenance) is never
   duplicated and never rewritten — the result needs no global re-dedup.
-- GRAPH management operations (LOAD / CREATE / DROP / MOVE / COPY / ADD),
-  ``WITH``, ``USING``, and GRAPH blocks inside DATA or templates raise
+- **LOAD** reads a document hermetically (``file://`` URIs / bare paths
+  via ``demo.fetch_file`` — http(s) stays refused, this build ships no
+  network), dispatches on the extension to the REAL extractors
+  (.ttl/.nt/.nq/.rdf/.owl/.xml/.json/.jsonld), and inserts the parsed
+  triples into ``INTO GRAPH <g>`` (default: the op's insert graph).
+  ``LOAD SILENT`` swallows fetch/parse failures per spec. Driver-side
+  single-document read — bulk corpus ingest is the pipeline's job, not
+  LOAD's.
+- **CREATE GRAPH** is the spec-sanctioned no-op for stores that cannot
+  record empty graphs (this row-bearing layout can't): non-SILENT
+  errors when the graph already exists, otherwise the store is
+  unchanged.
+- **WITH <g>** on DELETE/INSERT…WHERE scopes all three parts to g:
+  WHERE matches only g's rows (unless USING overrides it, per spec),
+  DELETE removes only g's copies, INSERT lands in g.
+- **USING <g> / USING NAMED <g>** compile to the query surface's
+  FROM / FROM NAMED dataset clauses for the WHERE block.
+- GRAPH blocks inside DELETE/INSERT templates (quad templates) raise
   ``ValueError`` naming the feature — same loud-failure contract as
   plans/sparql.py.
 
@@ -112,13 +128,15 @@ __all__ = ["sparql_update"]
 
 _LEX_KEY = ["subj", "pred", "obj"]
 
-# Update features we knowingly do NOT support — named so the error says
-# which one, not just "cannot parse". (GRAPH is supported as CLEAR/DROP
-# target, in ADD/COPY/MOVE, and as a DATA-block wrapper; the scan only
-# fires at fallthrough, where it is in an unsupported position such as
-# a DELETE/INSERT template.)
+# Update features in UNSUPPORTED POSITIONS — named so the error says
+# which one, not just "cannot parse". (GRAPH is supported as CLEAR/DROP/
+# CREATE target, in ADD/COPY/MOVE, and as a DATA-block wrapper;
+# WITH/USING are supported on DELETE/INSERT…WHERE; the scan only fires
+# at fallthrough, where the keyword sits somewhere the grammar does not
+# allow — e.g. GRAPH inside a DELETE/INSERT template, USING on a DATA
+# op.)
 _UNSUPPORTED_UPDATE = re.compile(
-    r"\b(LOAD|CREATE|WITH|USING|GRAPH)\b", re.IGNORECASE
+    r"\b(WITH|USING|GRAPH)\b", re.IGNORECASE
 )
 
 
@@ -389,6 +407,44 @@ def _apply_op(
             )
         return rest_rows.unionByName(moved)
 
+    m = re.match(
+        r"\s*CREATE\s+(?P<silent>SILENT\s+)?GRAPH\s+"
+        r"(?:<(?P<iri>[^>]*)>|(?P<curie>[\w-]*:[\w./#-]+))\s*$",
+        op,
+        re.IGNORECASE,
+    )
+    if m:
+        _require_graph_col(store, "CREATE GRAPH")
+        g = _gref(m)
+        if not m.group("silent"):
+            if store.filter(F.col("graph") == g).limit(1).count() > 0:
+                raise ValueError(
+                    f"CREATE GRAPH <{g}>: graph already exists (use CREATE "
+                    "SILENT to make this a no-op)"
+                )
+        # a row-bearing layout cannot record an empty graph — the spec's
+        # sanctioned treatment for such stores is success-without-effect
+        return store
+
+    m = re.match(
+        r"\s*LOAD\s+(?P<silent>SILENT\s+)?<(?P<doc>[^>]+)>"
+        r"(?:\s+INTO\s+GRAPH\s+(?:<(?P<iri>[^>]*)>|(?P<curie>[\w-]*:[\w./#-]+)))?"
+        r"\s*$",
+        op,
+        re.IGNORECASE,
+    )
+    if m:
+        doc = m.group("doc")
+        scoped = m.group("iri") is not None or m.group("curie") is not None
+        g = _gref(m) if scoped else insert_graph
+        try:
+            fresh = _load_document(spark, doc)
+        except Exception as e:
+            if m.group("silent"):
+                return store
+            raise ValueError(f"LOAD <{doc}> failed: {e}") from e
+        return _insert_rows(store, fresh, g, scoped=scoped)
+
     taken = _take_braced(op, r"INSERT\s+DATA")
     if taken:
         body, rest = taken
@@ -419,12 +475,38 @@ def _apply_op(
         sol = _select_query(store, f"SELECT * WHERE {{ {body} }}", pmap)
         return _delete_rows(store, _instantiate(sol, templates, "DELETE WHERE"))
 
-    # (DELETE { t })? (INSERT { t })? WHERE { group }
+    # WITH <g>? (DELETE { t })? (INSERT { t })? USING...* WHERE { group }
+    with_g = None
+    mw = re.match(
+        r"\s*WITH\s+(?:<(?P<iri>[^>]*)>|(?P<curie>[\w-]*:[\w./#-]+))"
+        r"\s+(?=DELETE\b|INSERT\b)",
+        op,
+        re.IGNORECASE,
+    )
+    if mw:
+        _require_graph_col(store, "WITH")
+        with_g = _gref(mw)
+        op = op[mw.end():]
     del_t = _take_braced(op, r"DELETE")
     rest = del_t[1] if del_t else op
     ins_t = _take_braced(rest, r"INSERT")
     rest = ins_t[1] if ins_t else rest
     if del_t or ins_t:
+        # USING <g> / USING NAMED <g> clauses between the templates and
+        # WHERE — they compile to the query surface's FROM / FROM NAMED
+        usings, usings_named = [], []
+        while True:
+            mu = re.match(
+                r"\s*USING\s+(?P<named>NAMED\s+)?"
+                r"(?:<(?P<iri>[^>]*)>|(?P<curie>[\w-]*:[\w./#-]+))",
+                rest,
+                re.IGNORECASE,
+            )
+            if not mu:
+                break
+            _require_graph_col(store, "USING")
+            (usings_named if mu.group("named") else usings).append(_gref(mu))
+            rest = rest[mu.end():]
         w = _take_braced(rest, r"WHERE")
         if not w:
             raise ValueError(
@@ -432,17 +514,31 @@ def _apply_op(
             )
         body, tail = w
         _no_rest(tail, "DELETE/INSERT ... WHERE")
-        sol = _select_query(store, f"SELECT * WHERE {{ {body} }}", pmap)
+        # dataset for WHERE: USING clauses win; else WITH restricts the
+        # default graph to g (spec: USING overrides WITH for matching)
+        froms = usings or ([with_g] if with_g and not usings_named else [])
+        dataset = " ".join(
+            [f"FROM <{g}>" for g in froms]
+            + [f"FROM NAMED <{g}>" for g in usings_named]
+        )
+        sol = _select_query(
+            store, f"SELECT * {dataset} WHERE {{ {body} }}".replace("  ", " "), pmap
+        )
         if del_t:
             doomed = _instantiate(
                 sol, _parse_templates(del_t[0], pmap, "DELETE"), "DELETE"
             )
-            store = _delete_rows(store, doomed)
+            store = _delete_rows(store, doomed, graph=with_g)
         if ins_t:
             fresh = _instantiate(
                 sol, _parse_templates(ins_t[0], pmap, "INSERT"), "INSERT"
             )
-            store = _insert_rows(store, fresh, insert_graph)
+            store = _insert_rows(
+                store,
+                fresh,
+                with_g if with_g is not None else insert_graph,
+                scoped=with_g is not None,
+            )
         return store
 
     feat = _UNSUPPORTED_UPDATE.search(_scan_mask(op))
@@ -451,6 +547,51 @@ def _apply_op(
             f"unsupported SPARQL Update feature: {feat.group(1).upper()}"
         )
     raise ValueError(f"cannot parse SPARQL Update operation: {op.strip()[:80]!r}")
+
+
+_LOAD_FORMATS = {
+    "ttl": "turtle", "n3": "turtle", "turtle": "turtle",
+    "nt": "ntriples", "nq": "ntriples", "ntriples": "ntriples",
+    "rdf": "rdfxml", "owl": "rdfxml", "xml": "rdfxml",
+    "json": "jsonld", "jsonld": "jsonld",
+}
+
+
+def _load_document(spark, doc_iri: str) -> DataFrame:
+    """Fetch + parse one RDF document for LOAD: hermetic fetch
+    (``demo.fetch_file`` — file:// / bare paths only; http(s) raises
+    without allow_network, which LOAD never grants), extension-dispatched
+    to the real extractors, returning (subj, pred, obj) rows. The
+    extractors' quarantine still applies statement-/document-wise; a
+    document that yields NOTHING from non-empty content raises so
+    non-SILENT LOAD reports garbage instead of silently loading zero
+    triples."""
+    from graphforge_spark.demo import fetch_file
+    from graphforge_spark.operators import extract as _ex
+
+    content = fetch_file(doc_iri)
+    ext = doc_iri.rstrip("/").rsplit(".", 1)[-1].lower()
+    fmt = _LOAD_FORMATS.get(ext)
+    if fmt is None:
+        raise ValueError(
+            f"unrecognized document extension {ext!r} "
+            f"(supported: {sorted(set(_LOAD_FORMATS))})"
+        )
+    df = spark.createDataFrame(
+        [(doc_iri, 0, "tool", content, fmt, None)],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    extractor = {
+        "turtle": _ex.extract_turtle,
+        "ntriples": _ex.extract_ntriples,
+        "rdfxml": _ex.extract_rdfxml,
+        "jsonld": _ex.extract_jsonld,
+    }[fmt]
+    fresh = extractor(df).select("subj", "pred", "obj")
+    if content.strip() and fresh.limit(1).count() == 0:
+        raise ValueError("document parsed to zero triples (quarantined?)")
+    return fresh
 
 
 def _no_rest(rest: str, what: str) -> None:

@@ -178,15 +178,23 @@ def merge_upsert(
 
     view = f"_merge_src_{_uuid.uuid4().hex}"
     updates.createOrReplaceTempView(view)
-    on = " AND ".join(f"t.{c} = s.{c}" for c in key_cols)
     try:
-        spark.sql(
-            f"MERGE INTO {target_table} t USING {view} s ON {on} "
-            "WHEN MATCHED THEN UPDATE SET * "
-            "WHEN NOT MATCHED THEN INSERT *"
-        )
+        spark.sql(_merge_sql(target_table, view, key_cols))
     finally:
         spark.catalog.dropTempView(view)
+
+
+def _merge_sql(target_table: str, view: str, key_cols: list[str]) -> str:
+    """The MERGE INTO statement ``merge_upsert`` executes — split out so
+    the jar-less sandbox can golden-test the emitted SQL even though the
+    statement itself only runs where iceberg-spark-runtime ships
+    (BENCH/ICEBERG.md)."""
+    on = " AND ".join(f"t.{c} = s.{c}" for c in key_cols)
+    return (
+        f"MERGE INTO {target_table} t USING {view} s ON {on} "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
 
 
 def write_nodes_edges(triples: DataFrame, warehouse: str) -> None:

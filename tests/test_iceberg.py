@@ -21,11 +21,34 @@ def _jar_present() -> bool:
     )
 
 
-pytestmark = pytest.mark.skipif(
+# applied per-test (not module-wide) so the jar-less golden-SQL tests
+# below still run in this container — see BENCH/ICEBERG.md for the
+# environmental statement bounding what executes where
+needs_jar = pytest.mark.skipif(
     not _jar_present(),
     reason="iceberg-spark-runtime jar not on the classpath in this container; "
     "the iceberg branch runs wherever the jar ships",
 )
+
+
+def test_merge_sql_golden():
+    """The exact MERGE INTO text merge_upsert executes — runnable
+    WITHOUT the jar, so the statement shape is pinned in this sandbox
+    even though the execution tests skip."""
+    from graphforge_spark.sinks.tables import _merge_sql
+
+    assert _merge_sql("forge.kg.ckpt", "_merge_src_abc", ["stage", "part_id"]) == (
+        "MERGE INTO forge.kg.ckpt t USING _merge_src_abc s "
+        "ON t.stage = s.stage AND t.part_id = s.part_id "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+
+
+def test_iceberg_table_naming_golden():
+    from graphforge_spark.sinks.tables import _iceberg_table
+
+    assert _iceberg_table("forge", "triples") == "forge.kg.triples"
 
 TRIPLE_ROWS = [
     ("http://e/a", "http://p/x", "http://e/b", False, "g", "conv-0", 0),
@@ -44,6 +67,7 @@ def _catalog_conf(spark, tmp_path):
     spark.conf.set("spark.sql.catalog.forge.warehouse", str(tmp_path / "wh"))
 
 
+@needs_jar
 def test_iceberg_write_read_idempotent(spark, tmp_path):
     from graphforge_spark.sinks import tables
 
@@ -61,6 +85,7 @@ def test_iceberg_write_read_idempotent(spark, tmp_path):
     )
 
 
+@needs_jar
 def test_iceberg_merge_upsert(spark, tmp_path):
     from graphforge_spark.sinks import tables
 

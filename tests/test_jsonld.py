@@ -98,7 +98,9 @@ def test_extract_all_routes_jsonld(spark):
     "text",
     [
         "not json at all",
-        '{"@id": "http://a", "http://p": {"@list": [1, 2]}}',
+        '{"@id": "http://a", "http://p": {"@list": [[1], [2]]}}',  # nested list
+        '{"@id": "http://a", "http://p": {"@list": [1], "@extra": 2}}',
+        '{"@id": "http://a", "http://p": {"@reverse": {}}}',
         '{"unmapped_no_vocab": 1}',
         '{"@context": {"@language": "en"}, "http://p": 1}',
         '{"@context": {"ex": {"@id": "http://complex"}}, "http://p": 1}',
@@ -191,7 +193,7 @@ def _docs(draw):
 
 def _to_ntriples(rows):
     out = []
-    for s, p, o, lit, lang, dt in rows:
+    for s, p, o, lit, lang, dt, _g in rows:
         st_ = s if s.startswith("_:") else f"<{s}>"
         if not lit:
             ot = o if o.startswith("_:") else f"<{o}>"
@@ -216,5 +218,90 @@ def test_jsonld_rows_roundtrip_through_turtle_parser(doc):
 
     rows = _parse_jsonld(doc, "k0")
     assert rows is not None, doc
+    # fuzzed docs carry no named graphs: every row's graph slot is None
+    assert all(r[6] is None for r in rows)
     reparsed = _parse_turtle(_to_ntriples(rows))
-    assert Counter(tuple(r) for r in reparsed) == Counter(tuple(r) for r in rows)
+    assert Counter(tuple(r) for r in reparsed) == Counter(tuple(r[:6]) for r in rows)
+
+
+# --- r4 features: @list, @set, named @graph, caller context ----------------
+
+
+def test_list_container_builds_rdf_collection():
+    doc = json.dumps(
+        {"@id": "http://a", "http://p/items": {"@list": ["x", {"@id": "http://b"}]}}
+    )
+    rows = _parse_jsonld(doc, "k")
+    rdf = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    by_pred = {}
+    for s, p, o, lit, lang, dt, g in rows:
+        by_pred.setdefault(p, []).append((s, o, lit))
+    # head cons cell hangs off the subject
+    (head_s, head_o, head_lit) = by_pred["http://p/items"][0]
+    assert head_s == "http://a" and not head_lit and head_o.startswith("_:")
+    firsts = dict((s, (o, lit)) for s, o, lit in by_pred[rdf + "first"])
+    rests = dict((s, o) for s, o, _ in by_pred[rdf + "rest"])
+    # cell 1: first="x" (literal), rest -> cell 2
+    assert firsts[head_o] == ("x", True)
+    cell2 = rests[head_o]
+    assert firsts[cell2] == ("http://b", False)
+    assert rests[cell2] == rdf + "nil"
+
+
+def test_empty_list_is_rdf_nil():
+    rows = _parse_jsonld('{"@id": "http://a", "http://p": {"@list": []}}', "k")
+    assert [(r[0], r[1], r[2], r[3]) for r in rows] == [
+        ("http://a", "http://p",
+         "http://www.w3.org/1999/02/22-rdf-syntax-ns#nil", False)
+    ]
+
+
+def test_set_container_is_data_level_noop():
+    a = _parse_jsonld('{"@id": "http://a", "http://p": {"@set": [1, 2]}}', "k")
+    b = _parse_jsonld('{"@id": "http://a", "http://p": [1, 2]}', "k")
+    assert a == b and len(a) == 2
+
+
+def test_named_graph_rides_graph_column(spark):
+    doc = json.dumps(
+        {
+            "@id": "http://g1",
+            "http://p/about": "wrapper",
+            "@graph": [{"@id": "http://a", "http://p/v": 1}],
+        }
+    )
+    df = _transcripts(spark, [("c0", 0, "tool", doc, "jsonld", None)])
+    rows = {(r.subj, r.pred, r.graph) for r in extract_jsonld(df).collect()}
+    # the graph node's own property stays in the default graph (conv_id);
+    # the contained triple carries the node's IRI in the graph column
+    assert ("http://g1", "http://p/about", "c0") in rows
+    assert ("http://a", "http://p/v", "http://g1") in rows
+
+
+def test_caller_context_document_overrides(spark):
+    # caller supplies the vocabulary; doc 2's own @context overrides
+    # the 'name' term, and doc 3 still quarantines on an unmapped term
+    ctx = {"ex": EX, "name": EX + "name"}
+    docs = [
+        ("c0", 0, "tool", '{"@id": "ex:a", "name": "Alice"}', "jsonld", None),
+        ("c0", 1, "tool",
+         '{"@context": {"name": "http://other/name"}, "@id": "ex:a", "name": "B"}',
+         "jsonld", None),
+        ("c0", 2, "tool", '{"@id": "ex:a", "unmapped": 1}', "jsonld", None),
+    ]
+    df = _transcripts(spark, docs)
+    rows = {(r.src_turn_idx, r.pred) for r in
+            extract_jsonld(df, context=ctx).collect()}
+    assert rows == {(0, EX + "name"), (1, "http://other/name")}
+    # doc 2's override used the caller's 'ex' prefix for @id — merged, not replaced
+    # invalid caller context raises on the DRIVER, loudly
+    with pytest.raises(Exception, match="@context|keyword|mapping"):
+        extract_jsonld(df, context={"@reverse": "x"})
+
+
+def test_caller_vocab_fallback(spark):
+    df = _transcripts(
+        spark, [("c0", 0, "tool", '{"@id": "http://a", "term": 5}', "jsonld", None)]
+    )
+    rows = extract_jsonld(df, context={"@vocab": "http://voc/"}).collect()
+    assert [(r.pred, r.obj) for r in rows] == [("http://voc/term", "5")]

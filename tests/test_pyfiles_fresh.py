@@ -22,9 +22,13 @@ def test_pyfiles_zip_matches_working_tree():
         "dist/graphforge_spark.zip missing — run: python tools/make_pyfiles.py"
     )
     with zipfile.ZipFile(ZIP) as z:
-        in_zip = {n for n in z.namelist() if n.endswith(".py")}
+        # full namelist (not just .py): a non-.py member smuggled into the
+        # artifact must flag as orphaned, not slip past a .py-only filter
+        in_zip = {n for n in z.namelist() if not n.endswith("/")}
         on_disk = {
-            str(p.relative_to(ROOT))
+            # as_posix: zip member names always use '/', Path.relative_to
+            # would yield '\\' on Windows and spuriously fail everything
+            p.relative_to(ROOT).as_posix()
             for p in (ROOT / "graphforge_spark").rglob("*.py")
             if "__pycache__" not in p.parts
         }

@@ -173,11 +173,10 @@ def test_bare_store_without_graph_columns(spark):
 @pytest.mark.parametrize(
     "bad",
     [
-        "LOAD <http://ex.org/data.nt>",
-        "CREATE GRAPH <http://ex.org/g>",
+        "LOAD <http://ex.org/data.nt>",  # hermetic: http(s) fetch refused
+        "CREATE GRAPH <g1>",  # non-SILENT + graph already exists
         "DROP GRAPH <http://ex.org/absent>",  # non-SILENT + absent graph
         "ADD <http://ex.org/absent> TO <http://ex.org/g>",
-        f"WITH <{EX}g> DELETE {{ ?s ?p ?o }} WHERE {{ ?s ?p ?o }}",
         f"INSERT {{ GRAPH <{EX}g> {{ ?s <{EX}p> ?o }} }} WHERE {{ ?s ?p ?o }}",
         f"INSERT DATA {{ GRAPH <{EX}g> {{ <{EX}a> <{EX}p> <{EX}b> }} GRAPH <{EX}h> {{ <{EX}a> <{EX}p> <{EX}c> }} }}",
         f"INSERT DATA {{ ?s <{EX}p> <{EX}b> }}",
@@ -304,3 +303,112 @@ def test_duckdb_replay_delete_insert(spark, store):
         ).fetchall()
     )
     assert got == want
+
+
+# --- r4: LOAD / CREATE / WITH / USING --------------------------------------
+
+
+def test_create_graph(store):
+    # absent graph: spec-sanctioned no-op for stores without empty graphs
+    out = sparql_update(store, "CREATE GRAPH <g9>")
+    assert triples_set(out) == triples_set(store)
+    # existing graph + SILENT: no-op instead of the non-SILENT error
+    out = sparql_update(store, "CREATE SILENT GRAPH <g1>")
+    assert triples_set(out) == triples_set(store)
+
+
+def test_load_file_into_graph(store, tmp_path):
+    doc = tmp_path / "facts.nt"
+    doc.write_text(
+        f"<{EX}x> <{EX}p/knows> <{EX}y> .\n<{EX}x> <{EX}p/name> \"Xe\" .\n"
+    )
+    out = sparql_update(store, f"LOAD <file://{doc}> INTO GRAPH <gL>")
+    got = graphs_of(out)
+    assert (EX + "x", EX + "p/knows", EX + "y", "gL") in got
+    assert (EX + "x", EX + "p/name", "Xe", "gL") in got
+    # literal typing follows the engine discriminator
+    lit = {r.obj: r.obj_is_literal for r in out.filter(out.graph == "gL").collect()}
+    assert lit == {EX + "y": False, "Xe": True}
+    # default target graph without INTO
+    out2 = sparql_update(store, f"LOAD <file://{doc}>")
+    assert (EX + "x", EX + "p/knows", EX + "y", "urn:graphforge:update") in graphs_of(out2)
+
+
+def test_load_turtle_and_failures(store, tmp_path):
+    ttl = tmp_path / "facts.ttl"
+    ttl.write_text(f"@prefix e: <{EX}> . e:t1 e:q e:t2 .\n")
+    out = sparql_update(store, f"LOAD <file://{ttl}>")
+    assert (EX + "t1", EX + "q", EX + "t2") in triples_set(out)
+    # missing file: non-SILENT raises, SILENT is a no-op
+    with pytest.raises(ValueError, match="LOAD"):
+        sparql_update(store, f"LOAD <file://{tmp_path}/absent.nt>")
+    out = sparql_update(store, f"LOAD SILENT <file://{tmp_path}/absent.nt>")
+    assert triples_set(out) == triples_set(store)
+    # garbage content: parses to zero triples -> non-SILENT raises
+    bad = tmp_path / "junk.ttl"
+    bad.write_text("certainly not turtle {{{")
+    with pytest.raises(ValueError, match="zero triples|LOAD"):
+        sparql_update(store, f"LOAD <file://{bad}>")
+
+
+def test_with_scopes_where_delete_insert(spark):
+    # the same lexical triple lives in g1 AND g2; WITH <g1> must match
+    # and delete only g1's copy, and land inserts in g1
+    rows = [
+        (EX + "a", EX + "p", EX + "b", False, "g1"),
+        (EX + "a", EX + "p", EX + "b", False, "g2"),
+        (EX + "z", EX + "p", EX + "w", False, "g2"),
+    ]
+    st = spark.createDataFrame(rows, SCHEMA)
+    out = sparql_update(
+        st,
+        f"WITH <g1> DELETE {{ ?s <{EX}p> ?o }} "
+        f"INSERT {{ ?s <{EX}q> ?o }} WHERE {{ ?s <{EX}p> ?o }}",
+    )
+    got = graphs_of(out)
+    # g2's copy of (a p b) survives; g1's is gone
+    assert (EX + "a", EX + "p", EX + "b", "g2") in got
+    assert (EX + "a", EX + "p", EX + "b", "g1") not in got
+    # WHERE matched ONLY g1 (z/w is g2-only -> no insert for it);
+    # the insert landed in g1
+    assert (EX + "a", EX + "q", EX + "b", "g1") in got
+    assert not any(s == EX + "z" and p == EX + "q" for s, p, o, g in got)
+
+
+def test_using_compiles_to_from(spark):
+    rows = [
+        (EX + "a", EX + "p", EX + "b", False, "g1"),
+        (EX + "c", EX + "p", EX + "d", False, "g2"),
+    ]
+    st = spark.createDataFrame(rows, SCHEMA)
+    # WHERE sees only g2 via USING; the matched triple deletes (union
+    # semantics without WITH)
+    out = sparql_update(
+        st,
+        f"DELETE {{ ?s <{EX}p> ?o }} USING <g2> WHERE {{ ?s <{EX}p> ?o }}",
+    )
+    assert triples_set(out) == {(EX + "a", EX + "p", EX + "b")}
+    # USING NAMED restricts GRAPH ?g inside WHERE
+    out2 = sparql_update(
+        st,
+        f"INSERT {{ ?s <{EX}seen> ?g }} USING NAMED <g1> "
+        f"WHERE {{ GRAPH ?g {{ ?s <{EX}p> ?o }} }}",
+    )
+    fresh = {(r.subj, r.obj) for r in out2.collect() if r.pred == EX + "seen"}
+    assert fresh == {(EX + "a", "g1")}
+
+
+def test_using_overrides_with_for_matching(spark):
+    rows = [
+        (EX + "a", EX + "p", EX + "b", False, "g1"),
+        (EX + "c", EX + "p", EX + "d", False, "g2"),
+    ]
+    st = spark.createDataFrame(rows, SCHEMA)
+    # match in g2 (USING wins over WITH), but the insert still lands in
+    # g1 (WITH governs the modification target, per spec)
+    out = sparql_update(
+        st,
+        f"WITH <g1> INSERT {{ ?s <{EX}q> ?o }} USING <g2> "
+        f"WHERE {{ ?s <{EX}p> ?o }}",
+    )
+    assert (EX + "c", EX + "q", EX + "d", "g1") in graphs_of(out)
