@@ -52,6 +52,11 @@ Grammar (whitespace-insensitive, case-insensitive keywords):
               | GRAPH var '{' pattern+ '}'   (variable graph: flat only)
               | group (UNION group)*         (nested group / union chain)
               | MINUS group
+              | SERVICE SILENT? (iri|curie) group   (federation: the group
+                 ships to a remote SPARQL 1.1 Protocol endpoint — loopback
+                 always, other hosts behind allow_service_network=True;
+                 SILENT failure = the spec's single empty solution;
+                 variable endpoints refuse loudly)
               | '{' select '}'        (subquery — top level of WHERE only)
               | VALUES (var | '(' var+ ')') '{' (term|'('term+')'|UNDEF)+ '}'
     group    := '{' stmt* '}'   (FULL group graph pattern, compiled
@@ -195,12 +200,121 @@ _TERM_RE = re.compile(
 _VALUES_TOK_RE = re.compile(
     r"(?P<undef>\b[Uu][Nn][Dd][Ee][Ff]\b)|" + _TERM_RE.pattern, re.VERBOSE
 )
-# Constructs we knowingly do NOT support — named here so the error says
-# "unsupported SPARQL feature X", not just "cannot parse".
+# Constructs in UNSUPPORTED POSITIONS — named here so the error says
+# "unsupported SPARQL feature X", not just "cannot parse". SERVICE with
+# a constant endpoint is supported (federation, r4); a SERVICE left in
+# the body after clause capture has a VARIABLE endpoint (SERVICE ?ep),
+# which this engine refuses.
 _UNSUPPORTED_KEYWORDS = re.compile(
     r"\b(SERVICE)\b",
     re.IGNORECASE,
 )
+
+# SERVICE network policy: loopback endpoints (the engine's own
+# sinks/endpoint, a sidecar store) are always allowed; anything else
+# needs sparql_query(..., allow_service_network=True) — this build is
+# hermetic by default, the same contract as demo.fetch_file.
+_SERVICE_NETWORK: contextvars.ContextVar = contextvars.ContextVar(
+    "graphforge_sparql_service_network", default=False
+)
+_SERVICE_TIMEOUT = 30.0
+
+
+def _service_frame(spark, silent: bool, endpoint: str, text: str, pmap: dict):
+    """Evaluate one SERVICE clause: POST ``SELECT * WHERE { group }`` (the
+    outer query's PREFIX map re-attached) to the endpoint, parse the
+    ``application/sparql-results+json`` bindings, and return
+    ``(DataFrame, nullable-vars set)`` for the enclosing group's
+    compatible-mapping join — or ``None`` for SERVICE SILENT failure
+    (the spec's single-empty-solution: a join identity, so the clause is
+    simply skipped). The full remote result materializes on the driver —
+    federation is always a remote materialization; the remote's own
+    row cap bounds it.
+
+    In annotation mode remote literals encode to the store's term form
+    (``"lex"``/``"lex"@lang``/``"lex"^^dt``, xsd:string normalized away)
+    so term-identity joins against local bindings are exact; without
+    annotation mode the lexical value binds (remote lang/dt dropped —
+    the store's own lexical-view contract)."""
+    import json as _json
+    import urllib.error
+    import urllib.parse
+    import urllib.request
+
+    try:
+        iri = (
+            endpoint
+            if re.match(r"^[A-Za-z][A-Za-z0-9+.-]*://", endpoint)
+            else _expand(endpoint, pmap)
+        )
+        host = urllib.parse.urlparse(iri).hostname
+        if host not in ("localhost", "127.0.0.1", "::1") and not _SERVICE_NETWORK.get():
+            raise ValueError(
+                f"SERVICE endpoint host {host!r} is not loopback — pass "
+                "allow_service_network=True to federate beyond this "
+                "machine (hermetic by default)"
+            )
+        prefix_hdr = "".join(f"PREFIX {p}: <{u}> " for p, u in pmap.items())
+        q = f"{prefix_hdr}SELECT * WHERE {{ {text} }}"
+        req = urllib.request.Request(
+            iri,
+            data=urllib.parse.urlencode({"query": q}).encode(),
+            headers={
+                "Content-Type": "application/x-www-form-urlencoded",
+                "Accept": "application/sparql-results+json",
+            },
+        )
+        with urllib.request.urlopen(req, timeout=_SERVICE_TIMEOUT) as resp:
+            if resp.status != 200:
+                raise OSError(f"endpoint returned {resp.status}")
+            payload = _json.loads(resp.read().decode("utf-8"))
+        head_vars = list(payload["head"]["vars"])
+        bindings = payload["results"]["bindings"]
+    except Exception as e:
+        if silent:
+            return None
+        raise ValueError(f"SERVICE <{endpoint}> failed: {e}") from e
+
+    annot = _ANNOT.get()
+
+    def term(b: dict | None):
+        if b is None:
+            return None
+        v = b.get("value", "")
+        if b.get("type") != "literal" or not annot:
+            return v
+        lex = v.replace("\\", "\\\\").replace('"', '\\"')
+        lang = b.get("xml:lang")
+        dt = b.get("datatype")
+        if lang:
+            return f'"{lex}"@{lang}'
+        if dt and dt != XSD_STRING:
+            return f'"{lex}"^^{dt}'
+        return f'"{lex}"'
+
+    nullable: set = set()
+    rows = []
+    for b in bindings:
+        row = []
+        for vname in head_vars:
+            t = term(b.get(vname))
+            if t is None:
+                nullable.add(vname)
+            row.append(t)
+        rows.append(tuple(row))
+    if not head_vars:
+        # a varless remote result (the group was all-constant):
+        # non-empty = join identity (skip the clause), empty =
+        # annihilator (a zero-row frame; its _anon_ column is hidden
+        # from SELECT * like every existential)
+        if bindings:
+            return None
+        return (
+            spark.createDataFrame([], "_anon_service string"),
+            set(),
+        )
+    schema = ", ".join(f"{v} string" for v in head_vars)
+    return spark.createDataFrame(rows, schema), nullable
 
 # ---------------------------------------------------------------------------
 # Annotation mode (module docstring, "Literal annotations"): when the store
@@ -386,6 +500,7 @@ class _Parsed:
     filters: list = field(default_factory=list)  # raw condition strings
     exists: list = field(default_factory=list)  # (negated, group body text)
     subqueries: list = field(default_factory=list)  # raw '{ SELECT … }' texts
+    services: list = field(default_factory=list)  # (silent, endpoint, group text)
     binds: list = field(default_factory=list)  # (alias, raw expr string)
     group_by: list = field(default_factory=list)  # [var, …] key order
     having: list = field(default_factory=list)  # raw condition strings
@@ -987,8 +1102,13 @@ def parse_sparql(query: str, prefixes: dict[str, str] | None = None) -> _Parsed:
     # containing "values" or an IRI like <http://ex.org/ASK> must not
     # false-positive as a clause keyword
     scan = re.sub(r"<[^>]*>", "<>", re.sub(r'"(?:[^"\\]|\\.)*"', '""', q))
-    bad = _UNSUPPORTED_KEYWORDS.search(scan)
-    if bad:
+    # SERVICE with a constant endpoint is supported (captured later as a
+    # clause); only the variable-endpoint form is outside the grammar
+    for bad in _UNSUPPORTED_KEYWORDS.finditer(scan):
+        if bad.group(0).upper() == "SERVICE" and re.match(
+            r"\s*(?:SILENT\s+)?(?:<|[\w-]+:)", scan[bad.end():], re.IGNORECASE
+        ):
+            continue
         raise ValueError(f"unsupported SPARQL feature: {bad.group(0).upper()}")
     pmap = dict(DEFAULT_PREFIXES)
     if prefixes:
@@ -1282,6 +1402,7 @@ def parse_sparql(query: str, prefixes: dict[str, str] | None = None) -> _Parsed:
     _owned_group_head = re.compile(
         r"(?:\bEXISTS|\bMINUS|\bOPTIONAL"
         r"|\bGRAPH\s+(?:\?\w+|<[^>]*>|[\w.-]*:[\w./#-]+)"
+        r"|\bSERVICE\s+(?:SILENT\s+)?(?:<[^>]*>|[\w.-]*:[\w./#-]+)"
         r"|\bVALUES\s+(?:\?\w+|\([^)]*\)))\s*$",
         re.IGNORECASE,
     )
@@ -1333,6 +1454,20 @@ def parse_sparql(query: str, prefixes: dict[str, str] | None = None) -> _Parsed:
     # stored as opaque group texts and compiled recursively at plan time
     # (so FILTERs, paths, VALUES, OPTIONAL — and whole UNION chains —
     # inside them keep group scope)
+    # SERVICE (SILENT)? <endpoint> { group }: federation — the group is
+    # shipped to a remote SPARQL 1.1 Protocol endpoint and its bindings
+    # join the enclosing group (compatible-mapping). A variable endpoint
+    # (SERVICE ?ep) falls through to the loud keyword scan.
+    body, service_clauses = _take_braced_clauses(
+        body, r"SERVICE\s+(SILENT\s+)?(?:<([^>]*)>|([\w-]+:[\w./#-]+))\s*\{"
+    )
+    for (silent, iri, curie), text in service_clauses:
+        if not text.strip():
+            raise ValueError("empty SERVICE block")
+        parsed.services.append(
+            (bool(silent), iri if iri is not None else curie, text)
+        )
+
     body, exists_clauses = _take_braced_clauses(
         body, r"FILTER\s+(NOT\s+)?EXISTS\s*\{"
     )
@@ -2504,6 +2639,7 @@ def sparql_query(
     stats: "TripleStats | None" = None,
     annotations: bool = True,
     with_annotations: bool = False,
+    allow_service_network: bool = False,
 ) -> DataFrame:
     """Execute a SPARQL query (reference subset) over the triples store.
     Dispatches on the query form: SELECT → bindings frame, ASK → one-row
@@ -2524,7 +2660,24 @@ def sparql_query(
     DESCRIBE return the annotation columns). ``annotations=False`` opts
     out (lexical-only view, as if the columns were absent);
     ``with_annotations=True`` adds ``{var}__lang``/``{var}__dt``
-    companion columns to SELECT results."""
+    companion columns to SELECT results.
+
+    ``allow_service_network=True`` lets ``SERVICE`` clauses reach
+    non-loopback endpoints (hermetic by default — only this machine's
+    own SPARQL endpoints federate without the flag)."""
+    if allow_service_network and not _SERVICE_NETWORK.get():
+        t_net = _SERVICE_NETWORK.set(True)
+        try:
+            return sparql_query(
+                triples,
+                query,
+                prefixes,
+                stats=stats,
+                annotations=annotations,
+                with_annotations=with_annotations,
+            )
+        finally:
+            _SERVICE_NETWORK.reset(t_net)
     if stats is not None:
         from graphforge_spark.plans.bgp import ACTIVE_STATS
 
@@ -2934,8 +3087,30 @@ def _select_frame(
         frames.append(
             _select_frame(triples, subtext, pmap, dataset=dataset, _in_group=True)
         )
+    had_silent_service = False
+    for svc_silent, svc_endpoint, svc_text in parsed.services:
+        svc = _service_frame(
+            triples.sparkSession, svc_silent, svc_endpoint, svc_text, pmap
+        )
+        if svc is None:
+            had_silent_service = True  # spec: single empty solution
+        else:
+            frames.append(svc)
     if not frames:
-        raise ValueError("empty WHERE block")
+        if had_silent_service:
+            # SERVICE SILENT failure as the ONLY clause: the spec's one
+            # empty solution — a single row binding nothing (its _anon_
+            # column is hidden from SELECT *)
+            frames.append(
+                (
+                    triples.sparkSession.createDataFrame(
+                        [("1",)], "_anon_service string"
+                    ),
+                    set(),
+                )
+            )
+        else:
+            raise ValueError("empty WHERE block")
     out, out_null = frames[0]
     for f, f_null in frames[1:]:
         out, out_null = _join_compat(out, out_null, f, f_null)

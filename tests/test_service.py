@@ -1,0 +1,121 @@
+"""SPARQL SERVICE federation (plans/sparql.py): a SERVICE group ships to
+a real SPARQL 1.1 Protocol endpoint (the engine's own sinks/endpoint
+serving a forged warehouse over HTTP) and its bindings join the local
+group — exercised end-to-end over loopback, the hermetic-build contract."""
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphforge_spark import corpus as corpus_mod
+from graphforge_spark.fixtures import gen_transcripts
+from graphforge_spark.pipeline import forge
+from graphforge_spark.plans.sparql import sparql_query
+from graphforge_spark.sinks.endpoint import serve
+
+WORKS_AT = "http://ex.org/p/worksAt"
+LOCATED_IN = "http://ex.org/p/locatedIn"
+
+
+@pytest.fixture(scope="module")
+def fed(spark, tmp_path_factory):
+    """(endpoint URL, full extraction frame): the warehouse the endpoint
+    serves is forged from the same corpus the local comparisons read."""
+    wh = str(tmp_path_factory.mktemp("svc") / "wh")
+    corpus = gen_transcripts(seed=11, n_convs=8, turns_per_conv=4)
+    tdf = corpus.transcripts_df(spark)
+    forge(spark, tdf, wh, n_buckets=4, do_link=False, export_nt=False)
+    from graphforge_spark.operators.extract import extract_patterns
+
+    triples = extract_patterns(tdf).dropDuplicates(["subj", "pred", "obj"])
+    srv = serve(spark, wh, background=True)
+    yield f"http://127.0.0.1:{srv.server_address[1]}/sparql", triples
+    srv.shutdown()
+    srv.server_close()
+    shutil.rmtree(wh, ignore_errors=True)
+
+
+def test_service_joins_remote_bindings(fed):
+    url, triples = fed
+    local = triples.filter(F.col("pred") == LOCATED_IN).select(
+        "subj", "pred", "obj", "obj_is_literal"
+    )
+    q = f"""SELECT ?person ?org ?city WHERE {{
+              ?person <{LOCATED_IN}> ?city .
+              SERVICE <{url}> {{ ?person <{WORKS_AT}> ?org }}
+            }}"""
+    got = {tuple(r) for r in sparql_query(local, q).collect()}
+    want = {
+        tuple(r)
+        for r in sparql_query(
+            triples,
+            f"""SELECT ?person ?org ?city WHERE {{
+                  ?person <{LOCATED_IN}> ?city .
+                  ?person <{WORKS_AT}> ?org }}""",
+        ).collect()
+    }
+    assert got == want and got
+
+
+def test_service_prefixes_reattach(fed):
+    url, triples = fed
+    local = triples.filter(F.col("pred") == LOCATED_IN)
+    q = f"""PREFIX p: <http://ex.org/p/>
+            SELECT ?person ?org WHERE {{
+              ?person p:locatedIn ?city .
+              SERVICE <{url}> {{ ?person p:worksAt ?org }}
+            }}"""
+    assert sparql_query(local, q).count() > 0
+
+
+def test_service_empty_remote_result_annihilates(fed):
+    url, triples = fed
+    q = f"""SELECT ?org ?x WHERE {{
+              ?org <{LOCATED_IN}> ?region .
+              SERVICE <{url}> {{ ?x <http://no.such/pred> ?org }}
+            }}"""
+    assert sparql_query(triples, q).count() == 0
+
+
+def test_service_silent_failure_is_identity(fed, spark):
+    _, triples = fed
+    dead = "http://127.0.0.1:9/sparql"  # discard port: connection refused
+    local = triples.filter(F.col("pred") == LOCATED_IN)
+    q = f"""SELECT ?org ?region WHERE {{
+              ?org <{LOCATED_IN}> ?region .
+              SERVICE SILENT <{dead}> {{ ?p <{WORKS_AT}> ?org }}
+            }}"""
+    got = sparql_query(local, q)
+    # the silent-failed clause joins as the single empty solution: the
+    # local part passes through unchanged (and ?p is simply absent)
+    assert got.count() == local.count()
+    assert set(got.columns) == {"org", "region"}
+    # as the ONLY clause: one solution binding nothing
+    lone = sparql_query(local, f"SELECT * WHERE {{ SERVICE SILENT <{dead}> {{ ?s ?p ?o }} }}")
+    assert lone.count() == 1 and lone.columns == []
+
+
+def test_service_failures_are_loud(fed):
+    url, triples = fed
+    dead = "http://127.0.0.1:9/sparql"
+    with pytest.raises(ValueError, match="SERVICE"):
+        sparql_query(
+            triples, f"SELECT ?s WHERE {{ SERVICE <{dead}> {{ ?s ?p ?o }} }}"
+        ).collect()
+    # non-loopback host without the opt-in flag: refused BEFORE any I/O
+    with pytest.raises(ValueError, match="loopback|allow_service_network"):
+        sparql_query(
+            triples,
+            "SELECT ?s WHERE { SERVICE <http://example.invalid/sparql> { ?s ?p ?o } }",
+        )
+    # variable endpoints refuse loudly by name
+    with pytest.raises(ValueError, match="SERVICE"):
+        sparql_query(
+            triples, "SELECT ?s WHERE { SERVICE ?ep { ?s ?p ?o } }"
+        )
+    # empty SERVICE group
+    with pytest.raises(ValueError, match="empty SERVICE"):
+        sparql_query(
+            triples, f"SELECT ?s WHERE {{ SERVICE <{url}> {{ }} }}"
+        )
