@@ -311,6 +311,27 @@ def run_default() -> None:
     def _quiet_of(ts):
         return [w for w, s in ts if s <= QUIET_STEAL_FRAC * 100.0 * w * ncpu]
 
+    def _timed_trials(run):
+        """DEFAULT_TRIALS timed runs of ``run()`` + retries until
+        MIN_QUIET_DEFAULT steal-quiet trials back the median (budget-
+        capped) — the ONE protocol both the headline legs and the
+        throughput spine follow (review finding r4: the duplicated loop
+        risked the two drifting apart). Returns (trials, quiet)."""
+        trials: list[tuple[float, int]] = []
+
+        def one():
+            s0, t0 = _steal_jiffies(), time.time()
+            run()
+            trials.append((time.time() - t0, _steal_jiffies() - s0))
+
+        for _ in range(DEFAULT_TRIALS):
+            one()
+        extra = 0
+        while len(_quiet_of(trials)) < MIN_QUIET_DEFAULT and extra < MAX_EXTRA_DEFAULT_TRIALS:
+            extra += 1
+            one()
+        return trials, _quiet_of(trials)
+
     for name, fn in _headline_queries().items():
         # untimed warm-up: JIT the leg's generated code at its real size.
         # pattern_extract gets a second pass — its measured decay curve
@@ -318,18 +339,11 @@ def run_default() -> None:
         # shows C2 needs several iterations on that leg's wide codegen
         for _ in range(2 if name == "pattern_extract_200k" else 1):
             fn(spark, SF_DIR)
-        trials: list[tuple[float, int]] = []
-        for _ in range(DEFAULT_TRIALS):
-            s0, t0 = _steal_jiffies(), time.time()
-            n = fn(spark, SF_DIR)
-            trials.append((time.time() - t0, _steal_jiffies() - s0))
-        extra = 0
-        while len(_quiet_of(trials)) < MIN_QUIET_DEFAULT and extra < MAX_EXTRA_DEFAULT_TRIALS:
-            extra += 1
-            s0, t0 = _steal_jiffies(), time.time()
-            n = fn(spark, SF_DIR)
-            trials.append((time.time() - t0, _steal_jiffies() - s0))
-        quiet = _quiet_of(trials)
+        last = {}
+        trials, quiet = _timed_trials(
+            lambda: last.__setitem__("n", fn(spark, SF_DIR))
+        )
+        n = last["n"]
         dt = round(statistics.median(quiet or [w for w, _ in trials]), 3)
         timings[name] = dt
         quiet_counts[name] = len(quiet)
@@ -342,21 +356,10 @@ def run_default() -> None:
     # throughput headline: the ladder's spine under the ladder's config
     spark = _spark(f"local[{CPUS}]", spine=True)
     _extraction_spine(spark, SCALE_CONVS, SCALE_TURNS)  # full-size warm-up
-    spine_trials: list[tuple[float, int]] = []
-    for _ in range(DEFAULT_TRIALS):
-        s0, t0 = _steal_jiffies(), time.time()
-        _, n_turns = _extraction_spine(spark, SCALE_CONVS, SCALE_TURNS)
-        spine_trials.append((time.time() - t0, _steal_jiffies() - s0))
-    extra = 0
-    while (
-        len(_quiet_of(spine_trials)) < MIN_QUIET_DEFAULT
-        and extra < MAX_EXTRA_DEFAULT_TRIALS
-    ):
-        extra += 1
-        s0, t0 = _steal_jiffies(), time.time()
-        _, n_turns = _extraction_spine(spark, SCALE_CONVS, SCALE_TURNS)
-        spine_trials.append((time.time() - t0, _steal_jiffies() - s0))
-    spine_quiet = _quiet_of(spine_trials)
+    n_turns = SCALE_CONVS * SCALE_TURNS
+    spine_trials, spine_quiet = _timed_trials(
+        lambda: _extraction_spine(spark, SCALE_CONVS, SCALE_TURNS)
+    )
     spine_wall = statistics.median(spine_quiet or [w for w, _ in spine_trials])
     raw_triples = n_turns * 2  # two planted facts per turn pre-dedup
     tps = round(raw_triples / spine_wall, 1)

@@ -66,7 +66,14 @@ def spread_small_scan(df: DataFrame) -> DataFrame:
             max_pb *= {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30}[
                 raw.lower().rstrip("b")[-1]
             ]
-        est_splits = max(1, size // max(max_pb, 1))
+        # CEILING division: Spark's scan produces ceil(bytes/split)
+        # partitions, and a floor estimate of 31 on a 4.2 GB/32-core
+        # scan would add a multi-GB shuffle the real partitioning never
+        # needed (review finding r4). Approximation stated: file-merge
+        # packing (openCostInBytes) can yield slightly fewer actual
+        # splits, which errs toward skipping the spread — a bounded
+        # perf miss near the boundary, never an added shuffle at scale.
+        est_splits = max(1, -(-size // max(max_pb, 1)))
         if est_splits >= target:
             return df
         return df.repartition(target)

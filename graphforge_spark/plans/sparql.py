@@ -232,15 +232,19 @@ def _service_frame(spark, silent: bool, endpoint: str, text: str, pmap: dict):
     row cap bounds it.
 
     In annotation mode remote literals encode to the store's term form
-    (``"lex"``/``"lex"@lang``/``"lex"^^dt``, xsd:string normalized away)
-    so term-identity joins against local bindings are exact; without
-    annotation mode the lexical value binds (remote lang/dt dropped —
-    the store's own lexical-view contract)."""
+    (``"lex"``/``"lex"@lang``/``"lex"^^dt``, xsd:string normalized away;
+    the legacy pre-1.1 ``typed-literal`` binding type counts as a
+    literal) so term-identity joins against local bindings are exact;
+    without annotation mode the lexical value binds (remote lang/dt
+    dropped — the store's own lexical-view contract)."""
     import json as _json
     import urllib.error
     import urllib.parse
     import urllib.request
 
+    from pyspark.sql.types import StructField, StructType
+
+    annot = _ANNOT.get()
     try:
         iri = (
             endpoint
@@ -270,51 +274,68 @@ def _service_frame(spark, silent: bool, endpoint: str, text: str, pmap: dict):
             payload = _json.loads(resp.read().decode("utf-8"))
         head_vars = list(payload["head"]["vars"])
         bindings = payload["results"]["bindings"]
+
+        nullable: set = set()
+        rows = []
+        for b in bindings:
+            row = []
+            for vname in head_vars:
+                t = _service_term(b.get(vname), annot)
+                if t is None:
+                    nullable.add(vname)
+                row.append(t)
+            rows.append(tuple(row))
+        if not head_vars:
+            # a varless remote result (the group was all-constant):
+            # non-empty = join identity (skip the clause), empty =
+            # annihilator (a zero-row frame; its _anon_ column is
+            # hidden from SELECT * like every existential)
+            if bindings:
+                return None
+            head_vars, rows = ["_anon_service"], []
+        # StructType, not DDL text: remote var names are data (SPARQL
+        # permits digit-first names like ?1 that a DDL string would
+        # choke on), and field names here are opaque identifiers
+        schema = StructType([StructField(v, StringType()) for v in head_vars])
+        return spark.createDataFrame(rows, schema), nullable
     except Exception as e:
         if silent:
-            return None
+            # SPARQL 1.1 Federated Query: SILENT failure = a single
+            # solution binding NOTHING. Bind the group's own variables
+            # as one all-NULL row (all nullable), so explicitly
+            # projected service vars come back unbound instead of
+            # raising — and the compatible-mapping join treats the
+            # solution as compatible with everything, the identity.
+            svc_vars = sorted(set(re.findall(r"\?(\w+)", _mask_strings(text))))
+            if not svc_vars:
+                return None
+            schema = StructType([StructField(v, StringType()) for v in svc_vars])
+            return (
+                spark.createDataFrame([tuple(None for _ in svc_vars)], schema),
+                set(svc_vars),
+            )
         raise ValueError(f"SERVICE <{endpoint}> failed: {e}") from e
 
-    annot = _ANNOT.get()
 
-    def term(b: dict | None):
-        if b is None:
-            return None
-        v = b.get("value", "")
-        if b.get("type") != "literal" or not annot:
-            return v
-        lex = v.replace("\\", "\\\\").replace('"', '\\"')
-        lang = b.get("xml:lang")
-        dt = b.get("datatype")
-        if lang:
-            return f'"{lex}"@{lang}'
-        if dt and dt != XSD_STRING:
-            return f'"{lex}"^^{dt}'
-        return f'"{lex}"'
-
-    nullable: set = set()
-    rows = []
-    for b in bindings:
-        row = []
-        for vname in head_vars:
-            t = term(b.get(vname))
-            if t is None:
-                nullable.add(vname)
-            row.append(t)
-        rows.append(tuple(row))
-    if not head_vars:
-        # a varless remote result (the group was all-constant):
-        # non-empty = join identity (skip the clause), empty =
-        # annihilator (a zero-row frame; its _anon_ column is hidden
-        # from SELECT * like every existential)
-        if bindings:
-            return None
-        return (
-            spark.createDataFrame([], "_anon_service string"),
-            set(),
-        )
-    schema = ", ".join(f"{v} string" for v in head_vars)
-    return spark.createDataFrame(rows, schema), nullable
+def _service_term(b: dict | None, annot: bool):
+    """One SPARQL-results-JSON binding → the engine's term string (or
+    None for an absent binding). Split out for direct testing: the
+    legacy ``typed-literal`` type (pre-1.1 endpoints: Virtuoso, old
+    Jena) must encode like ``literal`` or annotation-mode term-identity
+    joins would silently miss."""
+    if b is None:
+        return None
+    v = b.get("value", "")
+    if b.get("type") not in ("literal", "typed-literal") or not annot:
+        return v
+    lex = v.replace("\\", "\\\\").replace('"', '\\"')
+    lang = b.get("xml:lang")
+    dt = b.get("datatype")
+    if lang:
+        return f'"{lex}"@{lang}'
+    if dt and dt != XSD_STRING:
+        return f'"{lex}"^^{dt}'
+    return f'"{lex}"'
 
 # ---------------------------------------------------------------------------
 # Annotation mode (module docstring, "Literal annotations"): when the store
@@ -3087,20 +3108,21 @@ def _select_frame(
         frames.append(
             _select_frame(triples, subtext, pmap, dataset=dataset, _in_group=True)
         )
-    had_silent_service = False
+    had_identity_service = False
     for svc_silent, svc_endpoint, svc_text in parsed.services:
         svc = _service_frame(
             triples.sparkSession, svc_silent, svc_endpoint, svc_text, pmap
         )
         if svc is None:
-            had_silent_service = True  # spec: single empty solution
+            # join identity: a varless non-empty remote result, or a
+            # SILENT failure of a varless group (single empty solution)
+            had_identity_service = True
         else:
             frames.append(svc)
     if not frames:
-        if had_silent_service:
-            # SERVICE SILENT failure as the ONLY clause: the spec's one
-            # empty solution — a single row binding nothing (its _anon_
-            # column is hidden from SELECT *)
+        if had_identity_service:
+            # identity SERVICE as the ONLY clause: one solution binding
+            # nothing (its _anon_ column is hidden from SELECT *)
             frames.append(
                 (
                     triples.sparkSession.createDataFrame(

@@ -521,9 +521,9 @@ def _apply_op(
             [f"FROM <{g}>" for g in froms]
             + [f"FROM NAMED <{g}>" for g in usings_named]
         )
-        sol = _select_query(
-            store, f"SELECT * {dataset} WHERE {{ {body} }}".replace("  ", " "), pmap
-        )
+        # NB: never normalize whitespace on the assembled text — the WHERE
+        # body may hold string literals where "two  spaces" is data
+        sol = _select_query(store, f"SELECT * {dataset} WHERE {{ {body} }}", pmap)
         if del_t:
             doomed = _instantiate(
                 sol, _parse_templates(del_t[0], pmap, "DELETE"), "DELETE"

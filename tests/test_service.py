@@ -88,12 +88,24 @@ def test_service_silent_failure_is_identity(fed, spark):
             }}"""
     got = sparql_query(local, q)
     # the silent-failed clause joins as the single empty solution: the
-    # local part passes through unchanged (and ?p is simply absent)
+    # local part passes through unchanged
     assert got.count() == local.count()
     assert set(got.columns) == {"org", "region"}
-    # as the ONLY clause: one solution binding nothing
+    # a service-bound variable EXPLICITLY projected must come back
+    # unbound (NULL), not raise — the whole point of SILENT (review
+    # finding r4: the skip-the-clause shortcut raised "projected
+    # variables not bound")
+    q2 = f"""SELECT ?org ?region ?p WHERE {{
+               ?org <{LOCATED_IN}> ?region .
+               SERVICE SILENT <{dead}> {{ ?p <{WORKS_AT}> ?org }}
+             }}"""
+    rows = sparql_query(local, q2).collect()
+    assert len(rows) == local.count() and all(r.p is None for r in rows)
+    # as the ONLY clause: one solution with the group's vars all unbound
     lone = sparql_query(local, f"SELECT * WHERE {{ SERVICE SILENT <{dead}> {{ ?s ?p ?o }} }}")
-    assert lone.count() == 1 and lone.columns == []
+    lrows = lone.collect()
+    assert set(lone.columns) == {"s", "p", "o"}
+    assert len(lrows) == 1 and all(v is None for v in lrows[0])
 
 
 def test_service_failures_are_loud(fed):
@@ -119,3 +131,45 @@ def test_service_failures_are_loud(fed):
         sparql_query(
             triples, f"SELECT ?s WHERE {{ SERVICE <{url}> {{ }} }}"
         )
+
+
+def test_service_term_encoding_unit():
+    """_service_term: annotation-mode encoding incl. the legacy
+    pre-1.1 'typed-literal' binding type (Virtuoso/old Jena)."""
+    from graphforge_spark.plans.sparql import _service_term
+
+    assert _service_term(None, True) is None
+    assert _service_term({"type": "uri", "value": "http://x"}, True) == "http://x"
+    assert _service_term({"type": "literal", "value": "a b"}, True) == '"a b"'
+    assert (
+        _service_term({"type": "literal", "value": "hi", "xml:lang": "en"}, True)
+        == '"hi"@en'
+    )
+    assert (
+        _service_term(
+            {"type": "typed-literal", "value": "5",
+             "datatype": "http://www.w3.org/2001/XMLSchema#integer"}, True)
+        == '"5"^^http://www.w3.org/2001/XMLSchema#integer'
+    )
+    # xsd:string normalizes to the plain form; escapes applied
+    assert (
+        _service_term(
+            {"type": "typed-literal", "value": 'say "hi"',
+             "datatype": "http://www.w3.org/2001/XMLSchema#string"}, True)
+        == '"say \\"hi\\""'
+    )
+    # non-annotation mode: lexical value regardless of type
+    assert _service_term({"type": "typed-literal", "value": "5",
+                          "datatype": "http://t"}, False) == "5"
+
+
+def test_service_digit_var_names_survive(fed, spark):
+    """Remote var names are DATA: SPARQL permits ?1, which a DDL schema
+    string would reject — StructType materialization must handle it."""
+    url, triples = fed
+    q = f"""SELECT ?org ?1 WHERE {{
+              ?1 <{LOCATED_IN}> ?city .
+              SERVICE <{url}> {{ ?1 <{WORKS_AT}> ?org }}
+            }}"""
+    got = sparql_query(triples.filter(F.col("pred") == LOCATED_IN), q)
+    assert got.count() > 0 and "1" in got.columns
