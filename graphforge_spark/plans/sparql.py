@@ -218,6 +218,11 @@ _SERVICE_NETWORK: contextvars.ContextVar = contextvars.ContextVar(
     "graphforge_sparql_service_network", default=False
 )
 _SERVICE_TIMEOUT = 30.0
+# federation is a remote MATERIALIZATION onto the driver — bound it.
+# 256 MB of results JSON is far past any sane federated join input; a
+# remote that exceeds it fails loudly (or silently under SILENT) rather
+# than OOMing the driver.
+_SERVICE_MAX_BYTES = 256 * 1024 * 1024
 
 
 def _service_frame(spark, silent: bool, endpoint: str, text: str, pmap: dict):
@@ -271,7 +276,14 @@ def _service_frame(spark, silent: bool, endpoint: str, text: str, pmap: dict):
         with urllib.request.urlopen(req, timeout=_SERVICE_TIMEOUT) as resp:
             if resp.status != 200:
                 raise OSError(f"endpoint returned {resp.status}")
-            payload = _json.loads(resp.read().decode("utf-8"))
+            body = resp.read(_SERVICE_MAX_BYTES + 1)
+            if len(body) > _SERVICE_MAX_BYTES:
+                raise OSError(
+                    f"response exceeds _SERVICE_MAX_BYTES "
+                    f"({_SERVICE_MAX_BYTES} B) — a federated join input "
+                    "this size belongs in the warehouse, not SERVICE"
+                )
+            payload = _json.loads(body.decode("utf-8"))
         head_vars = list(payload["head"]["vars"])
         bindings = payload["results"]["bindings"]
 

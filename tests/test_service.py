@@ -173,3 +173,33 @@ def test_service_digit_var_names_survive(fed, spark):
             }}"""
     got = sparql_query(triples.filter(F.col("pred") == LOCATED_IN), q)
     assert got.count() > 0 and "1" in got.columns
+
+
+def test_service_inside_optional_group(fed):
+    """SERVICE captured inside an OPTIONAL group: the recursive group
+    compile owns the clause, so the federation is optional — people
+    without a remote worksAt binding survive null-extended."""
+    url, triples = fed
+    local = triples.filter(F.col("pred") == LOCATED_IN)
+    q = f"""SELECT ?person ?city ?org WHERE {{
+              ?person <{LOCATED_IN}> ?city .
+              OPTIONAL {{ SERVICE <{url}> {{ ?person <{WORKS_AT}> ?org }} }}
+            }}"""
+    rows = sparql_query(local, q).collect()
+    # LeftJoin semantics: a person with several remote orgs multiplies,
+    # but every LOCAL (person, city) pair is preserved
+    local_pairs = {
+        (r.subj, r.obj) for r in local.select("subj", "obj").collect()
+    }
+    assert {(r.person, r.city) for r in rows} == local_pairs
+    bound = [r for r in rows if r.org is not None]
+    want = {
+        (r.person, r.org)
+        for r in sparql_query(
+            triples,
+            f"""SELECT ?person ?org WHERE {{
+                  ?person <{LOCATED_IN}> ?city .
+                  ?person <{WORKS_AT}> ?org }}""",
+        ).collect()
+    }
+    assert {(r.person, r.org) for r in bound} == want
