@@ -49,6 +49,7 @@ shuffle is introduced until dedup.
 from __future__ import annotations
 
 from collections.abc import Iterator
+from typing import NamedTuple
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -892,11 +893,45 @@ _XSD = "http://www.w3.org/2001/XMLSchema#"
 _RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
 # JSON-LD keywords we knowingly do NOT process; any appearance
 # quarantines the document (no partial emission — the Turtle policy).
-# @list/@set/@graph graduated to supported in r4 (verdict #6).
+# @list/@set/@graph graduated to supported in r4 (verdict #6);
+# @reverse/@container/@base/@index/context-@language graduated later the
+# same round (expanded term definitions).
 _JSONLD_UNSUPPORTED = {
-    "@reverse", "@container", "@base", "@index",
     "@version", "@nest", "@included", "@direction",
 }
+# sentinel for "no @language key present" — a plain string so closures
+# shipped to executors compare by VALUE after pickling (an object()
+# sentinel loses identity across the Arrow worker boundary)
+_ABSENT = "\x00absent"
+
+
+class _TermDef(NamedTuple):
+    """One resolved @context term: plain string mappings become
+    ``_TermDef(iri)``; expanded term definitions ({"@id":…, "@type":…,
+    "@container":…, "@reverse":…, "@language":…}) carry coercion,
+    container and direction. ``type``: None, "@id", "@vocab", or a
+    datatype IRI. ``container``: None, "@list", "@set", "@index",
+    "@language". ``lang``: _ABSENT = no term-level override, None =
+    explicit null (cancels the context default), str = language tag."""
+
+    iri: str
+    type: str | None = None
+    container: str | None = None
+    reverse: bool = False
+    lang: str | None = _ABSENT
+
+
+class _Ctx(NamedTuple):
+    """A validated local context: term map + @vocab + @base + default
+    @language (_ABSENT when the context sets none)."""
+
+    terms: dict
+    vocab: str | None = None
+    base: str | None = None
+    lang: str | None = _ABSENT
+
+
+_EMPTY_CTX = _Ctx({})
 _RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
 _RDF_FIRST = _RDF_NS + "first"
 _RDF_REST = _RDF_NS + "rest"
@@ -907,30 +942,54 @@ class _JsonLdError(Exception):
     pass
 
 
-def _jsonld_expand_term(term, ctx: dict, vocab: str | None, *, is_key: bool):
+def _jsonld_expand_term(term, c: "_Ctx", *, is_key: bool):
     """Resolve a context alias / CURIE / absolute IRI. Keys (predicates,
     @type values) additionally fall back to @vocab; an unresolvable key
     is an error (a strict processor refuses rather than silently drops
-    the property, and quarantine keeps the no-partial-emission rule)."""
+    the property, and quarantine keeps the no-partial-emission rule).
+    Non-key positions (@id values, @id-coerced strings) with no colon
+    resolve against @base when the context declares one."""
     if not isinstance(term, str) or not term:
         raise _JsonLdError(f"cannot expand non-string term {term!r}")
-    if term in ctx:
-        return ctx[term]
+    if term in c.terms:
+        return c.terms[term].iri
     if ":" in term:
         pfx, rest = term.split(":", 1)
-        if pfx in ctx and not rest.startswith("//"):
-            return ctx[pfx] + rest
+        if pfx in c.terms and not rest.startswith("//"):
+            return c.terms[pfx].iri + rest
         return term  # absolute IRI (scheme:…) — http, urn, mailto, …
     if is_key:
-        if vocab is not None:
-            return vocab + term
+        if c.vocab is not None:
+            return c.vocab + term
         raise _JsonLdError(f"term {term!r} has no context mapping and no @vocab")
-    return None  # bare string in @id position without mapping
+    if c.base is not None:
+        from urllib.parse import urljoin
+
+        resolved = urljoin(c.base, term)
+        if ":" in resolved:
+            return resolved
+    return None  # bare string in @id position without mapping or @base
 
 
-def _jsonld_literal(v, ctx, vocab):
+def _term_lang(c: "_Ctx", td: "_TermDef | None"):
+    """Effective default language for a plain string under ``td``:
+    term-level @language overrides the context default; an explicit
+    term-level null cancels it (JSON-LD 1.1 §4.2.3)."""
+    if td is not None and td.lang != _ABSENT:
+        return td.lang
+    return c.lang if c.lang != _ABSENT else None
+
+
+def _jsonld_literal(v, c: "_Ctx", td: "_TermDef | None" = None):
     """@value object or JSON scalar → (lexical, lang, dt), or None if
-    ``v`` is not a literal form (a node object / something else)."""
+    ``v`` is not a literal form (a node object / something else).
+    ``td`` carries the active term definition: a datatype coercion
+    applies to scalars and to @value objects without their own
+    @type/@language; term/context default @language applies to plain
+    strings (JSON-LD value expansion, spec §5.3.2)."""
+    coerce_dt = None
+    if td is not None and td.type not in (None, "@id", "@vocab"):
+        coerce_dt = td.type
     if isinstance(v, dict):
         if "@value" not in v:
             return None
@@ -953,32 +1012,49 @@ def _jsonld_literal(v, ctx, vocab):
             if "@type" in v:
                 raise _JsonLdError("@language and @type are exclusive")
         if "@type" in v:
-            t = _jsonld_expand_term(v["@type"], ctx, vocab, is_key=True)
+            t = _jsonld_expand_term(v["@type"], c, is_key=True)
             dt = None if t == _XSD + "string" else t
+        elif "@language" not in v:
+            # term coercion / default language apply only when the value
+            # object does not pin its own type or language
+            if coerce_dt is not None:
+                dt = None if coerce_dt == _XSD + "string" else coerce_dt
+            elif isinstance(val, str):
+                lang = _term_lang(c, td)
         extra = set(v) - {"@value", "@type", "@language"}
         if extra:
             raise _JsonLdError(f"unsupported key {sorted(extra)[0]} in value object")
         return sval, lang, dt
     if isinstance(v, bool):
-        return ("true" if v else "false"), None, _XSD + "boolean"
-    if isinstance(v, (int, float)):
+        sval, dt = ("true" if v else "false"), _XSD + "boolean"
+    elif isinstance(v, (int, float)):
         sval, dt = _jsonld_number(v)
-        return sval, None, dt
-    if isinstance(v, str):
-        return v, None, None
-    return None
+    elif isinstance(v, str):
+        if coerce_dt is not None:
+            return v, None, (None if coerce_dt == _XSD + "string" else coerce_dt)
+        return v, _term_lang(c, td), None
+    else:
+        return None
+    if coerce_dt is not None:
+        dt = None if coerce_dt == _XSD + "string" else coerce_dt
+    return sval, None, dt
 
 
-def _jsonld_walk(node, ctx, vocab, bnode, out, graph=None):
+def _jsonld_walk(node, c: "_Ctx", bnode, out, graph=None, skip_ctx=False):
     """Emit (s, p, o, is_literal, lang, dt, graph) rows for one node
     object; returns the node's subject term (IRI or blank label).
     ``graph`` is the active named graph (None = the document's default —
-    the extractor substitutes the turn's conv_id)."""
+    the extractor substitutes the turn's conv_id). ``skip_ctx`` marks
+    the single root node whose @context the caller already processed;
+    an embedded @context anywhere else (JSON-LD scoped contexts) raises
+    rather than being silently ignored."""
     if not isinstance(node, dict):
         raise _JsonLdError(f"node must be a JSON object, got {type(node).__name__}")
     bad = _JSONLD_UNSUPPORTED.intersection(node)
     if bad:
         raise _JsonLdError(f"unsupported JSON-LD keyword {sorted(bad)[0]}")
+    if "@context" in node and not skip_ctx:
+        raise _JsonLdError("embedded @context (scoped contexts) unsupported")
     if "@value" in node:
         raise _JsonLdError("@value object in node position")
     subj = None
@@ -989,16 +1065,34 @@ def _jsonld_walk(node, ctx, vocab, bnode, out, graph=None):
         if raw.startswith("_:"):
             subj = bnode(raw)
         else:
-            subj = _jsonld_expand_term(raw, ctx, None, is_key=False)
+            subj = _jsonld_expand_term(raw, c, is_key=False)
             if subj is None or ":" not in subj:
                 raise _JsonLdError(f"@id {raw!r} is not an absolute IRI or CURIE")
     if subj is None:
         subj = bnode(None)
 
-    def emit_object(pred, v):
-        """One non-array value: literal, @list, node object."""
-        lit = _jsonld_literal(v, ctx, vocab)
+    def emit_edge(pred, obj_term, reverse):
+        """A subject↔node edge; ``reverse`` swaps the roles (@reverse /
+        reverse term definitions — both sides are IRIs/blanks)."""
+        if reverse:
+            out.append((obj_term, pred, subj, False, None, None, graph))
+        else:
+            out.append((subj, pred, obj_term, False, None, None, graph))
+
+    def emit_object(pred, v, td, reverse):
+        """One non-array value: literal, coerced IRI, @list, node."""
+        if td is not None and td.type in ("@id", "@vocab") and isinstance(v, str):
+            # type coercion: the plain string IS a node identifier
+            # ("@vocab" additionally falls back to the vocabulary)
+            iri = _jsonld_expand_term(v, c, is_key=(td.type == "@vocab"))
+            if iri is None or ":" not in iri:
+                raise _JsonLdError(f"cannot coerce {v!r} to an IRI")
+            emit_edge(pred, iri, reverse)
+            return
+        lit = _jsonld_literal(v, c, td)
         if lit is not None:
+            if reverse:
+                raise _JsonLdError("literal value in @reverse position")
             sval, lang, dt = lit
             out.append((subj, pred, sval, True, lang, dt, graph))
             return
@@ -1007,10 +1101,12 @@ def _jsonld_walk(node, ctx, vocab, bnode, out, graph=None):
             if bad_kw:
                 raise _JsonLdError(f"unsupported JSON-LD keyword {sorted(bad_kw)[0]}")
             if "@list" in v:
+                if reverse:
+                    raise _JsonLdError("@list in @reverse position")
                 if set(v) != {"@list"}:
                     raise _JsonLdError("@list object must have exactly the @list key")
                 out.append(
-                    (subj, pred, _emit_list(v["@list"]), False, None, None, graph)
+                    (subj, pred, _emit_list(v["@list"], td), False, None, None, graph)
                 )
                 return
             if "@set" in v:
@@ -1018,18 +1114,19 @@ def _jsonld_walk(node, ctx, vocab, bnode, out, graph=None):
                 # 1.1 §4.3.1 — @set is a no-op at the data level)
                 if set(v) != {"@set"}:
                     raise _JsonLdError("@set object must have exactly the @set key")
-                emit_value(pred, v["@set"])
+                emit_value(pred, v["@set"], td, reverse)
                 return
-            child = _jsonld_walk(v, ctx, vocab, bnode, out, graph)
-            out.append((subj, pred, child, False, None, None, graph))
+            child = _jsonld_walk(v, c, bnode, out, graph)
+            emit_edge(pred, child, reverse)
             return
         raise _JsonLdError(f"unsupported JSON value type {type(v).__name__}")
 
-    def _emit_list(items):
+    def _emit_list(items, td=None):
         """RDF collection: rdf:first/rdf:rest cons cells, rdf:nil tail.
         Returns the head term (rdf:nil for the empty list). Items are
-        scalars, @value objects, or node objects; a nested bare array
-        (JSON-LD 1.1 nested lists) quarantines."""
+        scalars (term coercion applies), @value objects, node objects,
+        nested bare arrays or {"@list": …} objects (JSON-LD 1.1 nested
+        lists → nested collections)."""
         if not isinstance(items, list):
             raise _JsonLdError("@list must be an array")
         head = _RDF_NIL
@@ -1040,15 +1137,46 @@ def _jsonld_walk(node, ctx, vocab, bnode, out, graph=None):
         for i, item in enumerate(items):
             cell = cells[i]
             rest = cells[i + 1] if i + 1 < len(cells) else _RDF_NIL
-            lit = _jsonld_literal(item, ctx, vocab)
+            if isinstance(item, list):
+                # JSON-LD 1.1 nested list → nested RDF collection
+                out.append(
+                    (cell, _RDF_FIRST, _emit_list(item, td), False, None, None, graph)
+                )
+                out.append((cell, _RDF_REST, rest, False, None, None, graph))
+                continue
+            if td is not None and td.type in ("@id", "@vocab") and isinstance(item, str):
+                iri = _jsonld_expand_term(item, c, is_key=(td.type == "@vocab"))
+                if iri is None or ":" not in iri:
+                    raise _JsonLdError(f"cannot coerce {item!r} to an IRI")
+                out.append((cell, _RDF_FIRST, iri, False, None, None, graph))
+                out.append((cell, _RDF_REST, rest, False, None, None, graph))
+                continue
+            lit = _jsonld_literal(item, c, td)
             if lit is not None:
                 sval, lang, dt = lit
                 out.append((cell, _RDF_FIRST, sval, True, lang, dt, graph))
             elif isinstance(item, dict):
-                if "@list" in item or "@set" in item:
-                    raise _JsonLdError("nested @list/@set inside @list")
-                child = _jsonld_walk(item, ctx, vocab, bnode, out, graph)
-                out.append((cell, _RDF_FIRST, child, False, None, None, graph))
+                if "@list" in item:
+                    if set(item) != {"@list"}:
+                        raise _JsonLdError(
+                            "@list object must have exactly the @list key"
+                        )
+                    out.append(
+                        (
+                            cell,
+                            _RDF_FIRST,
+                            _emit_list(item["@list"], td),
+                            False,
+                            None,
+                            None,
+                            graph,
+                        )
+                    )
+                elif "@set" in item:
+                    raise _JsonLdError("@set inside @list")
+                else:
+                    child = _jsonld_walk(item, c, bnode, out, graph)
+                    out.append((cell, _RDF_FIRST, child, False, None, None, graph))
             else:
                 raise _JsonLdError(
                     f"unsupported @list item type {type(item).__name__}"
@@ -1058,22 +1186,76 @@ def _jsonld_walk(node, ctx, vocab, bnode, out, graph=None):
             head = cells[0]
         return head
 
-    def emit_value(pred, v):
+    def emit_value(pred, v, td=None, reverse=False):
         if v is None:
             return  # JSON-LD null = no value
+        container = td.container if td is not None else None
+        if container == "@language":
+            # language map: {lang: str-or-[str]}; "@none" = no tag
+            if not isinstance(v, dict):
+                raise _JsonLdError("@container @language value must be a map")
+            if reverse:
+                raise _JsonLdError("language map in @reverse position")
+            for lg, lv in v.items():
+                if lg.startswith("@") and lg != "@none":
+                    raise _JsonLdError(f"unsupported language-map key {lg}")
+                for sv in lv if isinstance(lv, list) else [lv]:
+                    if sv is None:
+                        continue
+                    if not isinstance(sv, str):
+                        raise _JsonLdError("language-map value must be a string")
+                    out.append(
+                        (
+                            subj,
+                            pred,
+                            sv,
+                            True,
+                            None if lg == "@none" else lg,
+                            None,
+                            graph,
+                        )
+                    )
+            return
+        if container == "@index":
+            # index map: {index: value(s)}; the index itself has no RDF
+            # meaning (JSON-LD 1.1 §4.6.1) — values emit normally
+            if not isinstance(v, dict):
+                raise _JsonLdError("@container @index value must be a map")
+            inner = td._replace(container=None)
+            for _, iv in v.items():
+                emit_value(pred, iv, inner, reverse)
+            return
+        if container == "@list":
+            if reverse:
+                raise _JsonLdError("@container @list with @reverse")
+            if isinstance(v, dict) and set(v) == {"@set"}:
+                v = v["@set"]  # @set unwraps before list-wrapping
+            if isinstance(v, dict) and "@list" in v:
+                emit_object(pred, v, td, reverse)  # explicit {"@list": …}
+                return
+            # spec expansion 13.11: any non-list value (scalar, @value
+            # object, node object) wraps into a singleton list
+            items = v if isinstance(v, list) else [v]
+            out.append((subj, pred, _emit_list(items, td), False, None, None, graph))
+            return
         if isinstance(v, list):
             for item in v:
-                emit_value(pred, item)
+                emit_value(pred, item, td, reverse)
         else:
-            emit_object(pred, v)
+            emit_object(pred, v, td, reverse)
 
     for key, v in node.items():
         if key == "@id" or key == "@context":
             continue
+        if key == "@index":
+            # @index carries no RDF meaning on a node (JSON-LD 1.1 §4.6.1)
+            if not isinstance(v, str):
+                raise _JsonLdError("@index must be a string")
+            continue
         if key == "@type":
             types = v if isinstance(v, list) else [v]
             for t in types:
-                tiri = _jsonld_expand_term(t, ctx, vocab, is_key=True)
+                tiri = _jsonld_expand_term(t, c, is_key=True)
                 out.append((subj, _RDF_TYPE, tiri, False, None, None, graph))
             continue
         if key == "@graph":
@@ -1084,11 +1266,32 @@ def _jsonld_walk(node, ctx, vocab, bnode, out, graph=None):
             if not isinstance(v, list):
                 raise _JsonLdError("@graph must be an array")
             for g_node in v:
-                _jsonld_walk(g_node, ctx, vocab, bnode, out, subj)
+                _jsonld_walk(g_node, c, bnode, out, subj)
+            continue
+        if key == "@reverse":
+            # node-level reverse map: {prop: node(s)} — emits
+            # (node, prop, subj); a REVERSE term used inside @reverse
+            # flips back to a forward edge (double reversal, spec §4.8)
+            if not isinstance(v, dict):
+                raise _JsonLdError("@reverse must be a map")
+            for rkey, rv in v.items():
+                if rkey.startswith("@"):
+                    raise _JsonLdError(f"keyword {rkey} inside @reverse")
+                rtd = c.terms.get(rkey)
+                rpred = _jsonld_expand_term(rkey, c, is_key=True)
+                emit_value(
+                    rpred, rv, rtd, reverse=not (rtd.reverse if rtd else False)
+                )
             continue
         if key.startswith("@"):
             raise _JsonLdError(f"unsupported JSON-LD keyword {key}")
-        emit_value(_jsonld_expand_term(key, ctx, vocab, is_key=True), v)
+        td = c.terms.get(key)
+        emit_value(
+            _jsonld_expand_term(key, c, is_key=True),
+            v,
+            td,
+            reverse=td.reverse if td is not None else False,
+        )
     return subj
 
 
@@ -1100,50 +1303,175 @@ def _jsonld_number(val):
     return repr(float(val)), _XSD + "double"
 
 
-def _jsonld_context(ctx_src) -> tuple[dict, str | None]:
-    """Validate a context dict → ({term: iri}, @vocab). Raises
-    _JsonLdError on anything outside the supported subset."""
+_JSONLD_CONTAINERS = {"@list", "@set", "@index", "@language"}
+_JSONLD_TERMDEF_KEYS = {"@id", "@type", "@container", "@reverse", "@language"}
+
+
+def _merge_ctx(base: "_Ctx", over: "_Ctx") -> "_Ctx":
+    """Layer ``over`` on ``base``: term mappings override term-by-term,
+    @vocab/@base/@language override only when ``over`` sets them (the
+    JSON-LD local-context-overrides rule)."""
+    return _Ctx(
+        {**base.terms, **over.terms},
+        over.vocab if over.vocab is not None else base.vocab,
+        over.base if over.base is not None else base.base,
+        over.lang if over.lang != _ABSENT else base.lang,
+    )
+
+
+def _jsonld_context(ctx_src, outer: "_Ctx | None" = None) -> "_Ctx":
+    """Validate a local context → _Ctx. Supported: string term/prefix
+    mappings (CURIE values resolve recursively, cycle-guarded), expanded
+    term definitions ({"@id", "@type" ("@id"/"@vocab"/datatype),
+    "@container" (@list/@set/@index/@language), "@reverse", "@language"}),
+    @vocab, @base, default @language (null cancels an outer default),
+    and arrays of context objects (merged left-to-right). ``outer``
+    supplies an already-validated enclosing context (the caller context)
+    whose prefixes and @vocab participate in CURIE resolution. Remote
+    (string) contexts and other keywords raise _JsonLdError."""
+    if isinstance(ctx_src, list):
+        merged = outer if outer is not None else _EMPTY_CTX
+        for part in ctx_src:
+            merged = _merge_ctx(merged, _jsonld_context(part, outer=merged))
+        # return only the layered result; the caller re-merges over the
+        # outer context, which is idempotent for dict merges
+        return merged
     if not isinstance(ctx_src, dict):
-        raise _JsonLdError("@context must be a JSON object")
-    ctx, vocab = {}, None
+        raise _JsonLdError(
+            "@context must be a JSON object (remote contexts unsupported)"
+        )
+    raw: dict = {}
+    vocab = base = None
+    lang = _ABSENT
     for k, v in ctx_src.items():
         if k == "@vocab":
             if not isinstance(v, str):
                 raise _JsonLdError("@vocab must be a string")
             vocab = v
+        elif k == "@base":
+            if not isinstance(v, str):
+                raise _JsonLdError("@base must be a string")
+            base = v
+        elif k == "@language":
+            if v is not None and (not isinstance(v, str) or not v):
+                raise _JsonLdError("@language must be a non-empty string or null")
+            lang = v
         elif k.startswith("@"):
             raise _JsonLdError(f"unsupported context keyword {k}")
-        elif not isinstance(v, str):
-            raise _JsonLdError(f"unsupported non-string context mapping for {k!r}")
+        elif isinstance(v, (str, dict)):
+            raw[k] = v
         else:
-            ctx[k] = v
-    return ctx, vocab
+            raise _JsonLdError(f"unsupported context mapping for {k!r}")
+
+    eff_vocab = vocab if vocab is not None else (outer.vocab if outer else None)
+
+    def resolve(val, seen=()):
+        """Context-internal IRI resolution: CURIEs expand through this
+        context's raw mappings (then the outer context's terms), with a
+        cycle guard; a bare term falls back to @vocab."""
+        if not isinstance(val, str) or not val:
+            raise _JsonLdError(f"cannot resolve context value {val!r}")
+        if val.startswith("@"):
+            raise _JsonLdError(f"keyword aliasing ({val!r}) unsupported")
+        if ":" in val:
+            pfx, rest = val.split(":", 1)
+            if rest.startswith("//") or pfx in seen:
+                return val
+            tgt = raw.get(pfx)
+            if tgt is None:
+                if outer is not None and pfx in outer.terms:
+                    return outer.terms[pfx].iri + rest
+                return val  # scheme:… absolute IRI
+            if isinstance(tgt, dict):
+                tgt = tgt.get("@id")
+                if not isinstance(tgt, str):
+                    raise _JsonLdError(f"prefix {pfx!r} has no string @id")
+            return resolve(tgt, seen + (pfx,)) + rest
+        if eff_vocab is not None:
+            return eff_vocab + val
+        raise _JsonLdError(f"context value {val!r} is not an IRI/CURIE (no @vocab)")
+
+    terms: dict = {}
+    for k, v in raw.items():
+        if isinstance(v, str):
+            terms[k] = _TermDef(iri=resolve(v))
+            continue
+        extra = set(v) - _JSONLD_TERMDEF_KEYS
+        if extra:
+            raise _JsonLdError(
+                f"unsupported term-definition key {sorted(extra)[0]} for {k!r}"
+            )
+        reverse = False
+        if "@reverse" in v:
+            if "@id" in v:
+                raise _JsonLdError("@reverse and @id are exclusive in a term definition")
+            iri = resolve(v["@reverse"])
+            reverse = True
+        elif "@id" in v:
+            iri = resolve(v["@id"])
+        elif eff_vocab is not None:
+            iri = eff_vocab + k
+        else:
+            raise _JsonLdError(f"term {k!r} has no @id and no @vocab")
+        type_ = None
+        if "@type" in v:
+            t = v["@type"]
+            type_ = t if t in ("@id", "@vocab") else resolve(t)
+        container = None
+        if "@container" in v:
+            cv = v["@container"]
+            if isinstance(cv, list) and len(cv) == 1:
+                cv = cv[0]
+            if cv not in _JSONLD_CONTAINERS:
+                raise _JsonLdError(f"unsupported @container {cv!r}")
+            container = None if cv == "@set" else cv  # @set = data-level no-op
+            if reverse and container == "@list":
+                raise _JsonLdError("@container @list with @reverse")
+            if container == "@language" and type_ is not None:
+                raise _JsonLdError("@container @language with @type")
+        tlang = _ABSENT
+        if "@language" in v:
+            lv = v["@language"]
+            if lv is not None and (not isinstance(lv, str) or not lv):
+                raise _JsonLdError("@language must be a non-empty string or null")
+            if type_ is not None:
+                raise _JsonLdError("term @language with @type")
+            tlang = lv
+        terms[k] = _TermDef(iri, type_, container, reverse, tlang)
+    return _Ctx(terms, vocab, base, lang)
 
 
-def _parse_jsonld(text: str, doc_key: str, base_ctx=None, base_vocab=None):
+def _parse_jsonld(text: str, doc_key: str, base_ctx: "_Ctx | None" = None):
     """Parse one JSON-LD-lite document → rows
     (s, p, o, is_literal, lang, dt, graph-or-None), or None to QUARANTINE
     the whole document (malformed JSON or any unsupported construct — no
     partial emission, the Turtle statement policy at doc granularity).
 
     Supported subset: top-level node object, array of node objects, or
-    {@context, @graph:[…]}; @context with string prefix/term mappings and
-    @vocab only (``base_ctx``/``base_vocab`` supply a CALLER context that
-    the document's own @context overrides term-by-term — the JSON-LD
-    local-context-overrides rule); @id (absolute IRI / CURIE / ``_:``
-    label — scoped to the document via ``doc_key``), @type (string or
-    list), nested node objects (become blank nodes unless they carry
-    @id), arrays as multi-valued properties, @value objects with @type or
-    @language (lang-tagged literals — exclusive per spec), @list (RDF
-    collections: rdf:first/rdf:rest cons cells), @set (data-level no-op),
-    nested @graph (named graphs: the containing node's term rides the
-    graph slot), JSON scalars with the spec's implicit datatypes
-    (integer → xsd:integer, non-integral number → xsd:double, boolean →
-    xsd:boolean, string → plain literal; ``^^xsd:string`` normalizes to
-    the plain form per RDF 1.1 term identity, the Turtle parser's rule).
-    Everything else — @reverse/@container/context-level
-    @language/@base/nested lists/remote contexts/… — quarantines. Blank
-    labels are deterministic: traversal order over ``json.loads``'s
+    {@context, @graph:[…]}; @context with string prefix/term mappings,
+    expanded term definitions (@id / @type coercion ("@id", "@vocab", a
+    datatype) / @container (@list/@set/@index/@language) / @reverse /
+    term @language), @vocab, @base (relative @id resolution), default
+    @language, and arrays of context objects (``base_ctx`` supplies a
+    CALLER context that the document's own @context overrides
+    term-by-term — the JSON-LD local-context-overrides rule); @id
+    (absolute IRI / CURIE / @base-relative / ``_:`` label — scoped to the
+    document via ``doc_key``), @type (string or list), nested node
+    objects (become blank nodes unless they carry @id), arrays as
+    multi-valued properties, @value objects with @type or @language
+    (lang-tagged literals — exclusive per spec), @list (RDF collections:
+    rdf:first/rdf:rest cons cells) including JSON-LD 1.1 nested lists,
+    @set (data-level no-op), node-level @reverse maps and reverse terms
+    (double reversal flips forward), language maps and index maps,
+    node-level @index (dropped — no RDF meaning), nested @graph (named
+    graphs: the containing node's term rides the graph slot), JSON
+    scalars with the spec's implicit datatypes (integer → xsd:integer,
+    non-integral number → xsd:double, boolean → xsd:boolean, string →
+    plain literal; ``^^xsd:string`` normalizes to the plain form per
+    RDF 1.1 term identity, the Turtle parser's rule). Everything else —
+    remote contexts, scoped (embedded) contexts, keyword aliasing,
+    @version/@nest/@included/@direction/… — quarantines. Blank labels
+    are deterministic: traversal order over ``json.loads``'s
     order-preserving dicts."""
     import itertools
     import json
@@ -1166,11 +1494,8 @@ def _parse_jsonld(text: str, doc_key: str, base_ctx=None, base_vocab=None):
     out: list = []
     try:
         ctx_src = doc.get("@context", {}) if isinstance(doc, dict) else {}
-        ctx, vocab = _jsonld_context(ctx_src)
-        if base_ctx:
-            ctx = {**base_ctx, **ctx}  # document mappings win
-        if vocab is None:
-            vocab = base_vocab
+        local = _jsonld_context(ctx_src, outer=base_ctx)
+        c = _merge_ctx(base_ctx, local) if base_ctx is not None else local
         if isinstance(doc, list):
             nodes = doc
         elif isinstance(doc, dict) and "@graph" in doc and "@id" not in doc:
@@ -1186,7 +1511,9 @@ def _parse_jsonld(text: str, doc_key: str, base_ctx=None, base_vocab=None):
         else:
             nodes = [doc]
         for n in nodes:
-            _jsonld_walk(n, ctx, vocab, bnode, out)
+            # only the root node's @context was processed above; an
+            # @context on any OTHER node raises inside the walk
+            _jsonld_walk(n, c, bnode, out, skip_ctx=(n is doc))
     except (_JsonLdError, RecursionError):
         # RecursionError: _jsonld_walk recurses per nesting level too
         return None
@@ -1210,14 +1537,15 @@ def extract_jsonld(
     pattern).
 
     ``context`` is an optional CALLER-supplied local @context (term/
-    prefix/@vocab dict — the common case where a tool emits bare JSON
-    and the pipeline owns the vocabulary); a document's own @context
-    overrides it term-by-term, the JSON-LD local-context rule. It is
-    validated ONCE on the driver, so an invalid caller context raises
-    loudly instead of silently quarantining every document. Named
-    graphs (a node with @id + @graph) ride the ``graph`` column;
-    default-graph triples carry the turn's conv_id as before."""
-    base_ctx, base_vocab = (None, None) if context is None else _jsonld_context(context)
+    prefix/@vocab mappings, expanded term definitions, @base, default
+    @language — the common case where a tool emits bare JSON and the
+    pipeline owns the vocabulary); a document's own @context overrides
+    it term-by-term, the JSON-LD local-context rule. It is validated
+    ONCE on the driver, so an invalid caller context raises loudly
+    instead of silently quarantining every document. Named graphs (a
+    node with @id + @graph) ride the ``graph`` column; default-graph
+    triples carry the turn's conv_id as before."""
+    base_ctx = None if context is None else _jsonld_context(context)
     src = spread_small_scan(df).select(
         F.col("conv_id").alias("src_conv_id"),
         F.col("turn_idx").alias("src_turn_idx"),
@@ -1243,9 +1571,7 @@ def extract_jsonld(
             ):
                 if not text:
                     continue
-                parsed = _parse_jsonld(
-                    text, f"{conv}_{idx}", base_ctx=base_ctx, base_vocab=base_vocab
-                )
+                parsed = _parse_jsonld(text, f"{conv}_{idx}", base_ctx=base_ctx)
                 if parsed is None:
                     continue  # quarantined document
                 for s, p, o, lit, lang, dt, g in parsed:

@@ -98,14 +98,17 @@ def test_extract_all_routes_jsonld(spark):
     "text",
     [
         "not json at all",
-        '{"@id": "http://a", "http://p": {"@list": [[1], [2]]}}',  # nested list
         '{"@id": "http://a", "http://p": {"@list": [1], "@extra": 2}}',
-        '{"@id": "http://a", "http://p": {"@reverse": {}}}',
         '{"unmapped_no_vocab": 1}',
-        '{"@context": {"@language": "en"}, "http://p": 1}',
-        '{"@context": {"ex": {"@id": "http://complex"}}, "http://p": 1}',
-        '{"@id": "relative-iri", "http://p": 1}',
+        '{"@id": "relative-iri", "http://p": 1}',  # relative @id, no @base
         '{"@id": "http://a", "http://p": {"@value": "x", "@language": "en", "@type": "http://t"}}',
+        '{"@context": "http://remote/ctx"}',  # remote context
+        '{"@id": "http://a", "http://p": {"@id": "http://b", "@context": {}}}',  # scoped ctx
+        '{"@context": {"x": "@id"}, "x": "http://a"}',  # keyword aliasing
+        '{"@version": 1.1, "@id": "http://a"}',
+        '{"@context": {"t": {"@id": "http://x", "@container": "@graph"}}, "t": 1}',
+        '{"@id": "http://a", "@reverse": {"http://p": "literal"}}',  # literal in reverse
+        '{"@context": {"t": {"@reverse": "http://p", "@container": "@list"}}, "t": []}',
     ],
 )
 def test_quarantine_whole_document(spark, text):
@@ -305,3 +308,209 @@ def test_caller_vocab_fallback(spark):
     )
     rows = extract_jsonld(df, context={"@vocab": "http://voc/"}).collect()
     assert [(r.pred, r.obj) for r in rows] == [("http://voc/term", "5")]
+
+
+# --- r4 late features: expanded term defs, @reverse, @base, maps -----------
+
+
+def test_expanded_term_definitions_id_coercion_and_base():
+    doc = json.dumps(
+        {
+            "@context": {
+                "ex": EX,
+                "knows": {"@id": "ex:knows", "@type": "@id"},
+                "@base": "http://base.org/dir/",
+            },
+            "@id": "rel1",
+            "knows": ["other", "ex:b"],
+        }
+    )
+    rows = {(r[0], r[1], r[2], r[3]) for r in _parse_jsonld(doc, "k")}
+    assert rows == {
+        ("http://base.org/dir/rel1", EX + "knows", "http://base.org/dir/other", False),
+        ("http://base.org/dir/rel1", EX + "knows", EX + "b", False),
+    }
+
+
+def test_datatype_coercion_applies_to_strings_and_value_objects():
+    doc = json.dumps(
+        {
+            "@context": {"ex": EX, "age": {"@id": "ex:age", "@type": "ex:years"}},
+            "@id": "ex:a",
+            "age": ["41", {"@value": "42"}, {"@value": "43", "@type": "ex:other"}],
+        }
+    )
+    rows = {(r[2], r[5]) for r in _parse_jsonld(doc, "k")}
+    # plain string and bare @value take the coerced type; an explicit
+    # @type on the value object wins
+    assert rows == {
+        ("41", EX + "years"),
+        ("42", EX + "years"),
+        ("43", EX + "other"),
+    }
+
+
+def test_default_and_term_language():
+    doc = json.dumps(
+        {
+            "@context": {
+                "ex": EX,
+                "@language": "en",
+                "label": {"@id": "ex:label", "@language": "fr"},
+                "code": {"@id": "ex:code", "@language": None},
+            },
+            "@id": "ex:a",
+            "ex:plain": "hello",
+            "label": "bonjour",
+            "code": "x9",
+            "ex:typed": 5,
+        }
+    )
+    by_pred = {r[1]: (r[2], r[4]) for r in _parse_jsonld(doc, "k")}
+    assert by_pred[EX + "plain"] == ("hello", "en")  # context default
+    assert by_pred[EX + "label"] == ("bonjour", "fr")  # term override
+    assert by_pred[EX + "code"] == ("x9", None)  # explicit null cancels
+    assert by_pred[EX + "typed"] == ("5", None)  # numbers never tagged
+
+
+def test_reverse_term_and_node_reverse_map():
+    doc = json.dumps(
+        {
+            "@context": {"ex": EX, "childOf": {"@reverse": "ex:parentOf"}},
+            "@id": "ex:a",
+            "childOf": {"@id": "ex:p"},
+            "@reverse": {"ex:knows": [{"@id": "ex:b"}, {"@id": "ex:c"}]},
+        }
+    )
+    rows = {(r[0], r[1], r[2]) for r in _parse_jsonld(doc, "k")}
+    assert rows == {
+        (EX + "p", EX + "parentOf", EX + "a"),
+        (EX + "b", EX + "knows", EX + "a"),
+        (EX + "c", EX + "knows", EX + "a"),
+    }
+
+
+def test_double_reverse_flips_forward():
+    # a REVERSE term used inside a node-level @reverse map = forward edge
+    doc = json.dumps(
+        {
+            "@context": {"ex": EX, "childOf": {"@reverse": "ex:parentOf"}},
+            "@id": "ex:a",
+            "@reverse": {"childOf": {"@id": "ex:b"}},
+        }
+    )
+    rows = {(r[0], r[1], r[2]) for r in _parse_jsonld(doc, "k")}
+    assert rows == {(EX + "a", EX + "parentOf", EX + "b")}
+
+
+def test_language_map_container():
+    doc = json.dumps(
+        {
+            "@context": {"ex": EX, "label": {"@id": "ex:l", "@container": "@language"}},
+            "@id": "ex:a",
+            "label": {"en": "hello", "fr": ["bonjour", "salut"], "@none": "raw"},
+        }
+    )
+    rows = {(r[2], r[4]) for r in _parse_jsonld(doc, "k")}
+    assert rows == {
+        ("hello", "en"),
+        ("bonjour", "fr"),
+        ("salut", "fr"),
+        ("raw", None),
+    }
+
+
+def test_index_map_container_drops_index():
+    doc = json.dumps(
+        {
+            "@context": {"ex": EX, "posts": {"@id": "ex:post", "@container": "@index"}},
+            "@id": "ex:a",
+            "posts": {"2024": {"@id": "ex:p1"}, "2025": [{"@id": "ex:p2"}]},
+            "@index": "node-level-index-is-dropped",
+        }
+    )
+    rows = {(r[0], r[1], r[2]) for r in _parse_jsonld(doc, "k")}
+    assert rows == {
+        (EX + "a", EX + "post", EX + "p1"),
+        (EX + "a", EX + "post", EX + "p2"),
+    }
+
+
+def test_list_container_wraps_any_value():
+    # @container @list wraps a bare array, a scalar, and a node object
+    ctx = {"ex": EX, "tags": {"@id": "ex:tag", "@container": "@list"}}
+    rdf = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    for value, n_cells in [(["a", "b"], 2), ("solo", 1), ({"@id": "ex:x"}, 1)]:
+        doc = json.dumps({"@context": ctx, "@id": "ex:a", "tags": value})
+        rows = _parse_jsonld(doc, "k")
+        firsts = [r for r in rows if r[1] == rdf + "first"]
+        assert len(firsts) == n_cells, (value, rows)
+        # the subject hangs ONE list head (not n direct edges)
+        heads = [r for r in rows if r[0] == EX + "a"]
+        assert len(heads) == 1 and heads[0][2].startswith("_:")
+
+
+def test_nested_lists_build_nested_collections():
+    rdf = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    doc = json.dumps({"@id": "http://a", "http://p": {"@list": [[1, 2], []]}})
+    rows = _parse_jsonld(doc, "k")
+    firsts = {r[0]: (r[2], r[3]) for r in rows if r[1] == rdf + "first"}
+    rests = {r[0]: r[2] for r in rows if r[1] == rdf + "rest"}
+    (outer_head,) = [r[2] for r in rows if r[0] == "http://a"]
+    inner_head, lit = firsts[outer_head]
+    assert not lit and inner_head.startswith("_:")
+    # inner list [1, 2]
+    assert firsts[inner_head] == ("1", True)
+    assert firsts[rests[inner_head]] == ("2", True)
+    assert rests[rests[inner_head]] == rdf + "nil"
+    # second outer cell holds the EMPTY list = rdf:nil
+    assert firsts[rests[outer_head]] == (rdf + "nil", False)
+    assert rests[rests[outer_head]] == rdf + "nil"
+
+
+def test_context_array_merges_left_to_right():
+    doc = json.dumps(
+        {
+            "@context": [
+                {"ex": EX, "name": "ex:name"},
+                {"name": "http://other/name"},
+            ],
+            "@id": "ex:a",
+            "name": "Alice",
+        }
+    )
+    rows = _parse_jsonld(doc, "k")
+    assert [(r[0], r[1], r[2]) for r in rows] == [
+        (EX + "a", "http://other/name", "Alice")
+    ]
+
+
+def test_curie_values_resolve_recursively_in_context():
+    doc = json.dumps(
+        {
+            "@context": {"ex": EX, "sub": "ex:sub/", "name": "sub:name"},
+            "@id": "ex:a",
+            "name": 1,
+        }
+    )
+    rows = _parse_jsonld(doc, "k")
+    assert rows[0][1] == EX + "sub/name"
+
+
+def test_caller_context_with_expanded_terms(spark):
+    ctx = {
+        "ex": EX,
+        "knows": {"@id": "ex:knows", "@type": "@id"},
+        "@language": "en",
+    }
+    df = _transcripts(
+        spark,
+        [("c0", 0, "tool", '{"@id": "ex:a", "knows": "ex:b", "ex:t": "hi"}',
+          "jsonld", None)],
+    )
+    rows = {(r.pred, r.obj, r.obj_is_literal, r.obj_lang)
+            for r in extract_jsonld(df, with_annotations=True, context=ctx).collect()}
+    assert rows == {
+        (EX + "knows", EX + "b", False, None),
+        (EX + "t", "hi", True, "en"),
+    }
