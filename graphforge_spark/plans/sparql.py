@@ -202,9 +202,10 @@ _VALUES_TOK_RE = re.compile(
 )
 # Constructs in UNSUPPORTED POSITIONS — named here so the error says
 # "unsupported SPARQL feature X", not just "cannot parse". SERVICE with
-# a constant endpoint is supported (federation, r4); a SERVICE left in
-# the body after clause capture has a VARIABLE endpoint (SERVICE ?ep),
-# which this engine refuses.
+# a constant endpoint is supported (federation, r4), and so is a
+# VARIABLE endpoint (SERVICE ?ep — the variable must be bound by the
+# rest of the group); a SERVICE left in the body after clause capture
+# had neither form (e.g. a bare keyword with no group).
 _UNSUPPORTED_KEYWORDS = re.compile(
     r"\b(SERVICE)\b",
     re.IGNORECASE,
@@ -348,6 +349,105 @@ def _service_term(b: dict | None, annot: bool):
     if dt and dt != XSD_STRING:
         return f'"{lex}"^^{dt}'
     return f'"{lex}"'
+
+
+# a VARIABLE endpoint (SERVICE ?ep) dispatches one remote query per
+# distinct binding — each is a full HTTP round-trip materializing on the
+# driver, so the endpoint SET is bounded: data with more distinct
+# endpoints than this fails loudly rather than fanning out unboundedly.
+_SERVICE_MAX_ENDPOINTS = 16
+
+
+def _var_service_join(spark, out, out_null, silent, var, text, pmap):
+    """``SERVICE (SILENT)? ?var { group }``: the endpoint variable must
+    be bound — non-nullably — by the REST of the enclosing group
+    (VALUES, a BGP, a subquery…), which is evaluated first. Each
+    DISTINCT binding is dereferenced as one remote SPARQL query via
+    ``_service_frame`` (same network policy / size cap / SILENT
+    semantics); per-endpoint results are null-aligned (remote head vars
+    can differ per endpoint), tagged with the endpoint IRI riding
+    ``?var``, unioned, and compatible-joined back. Returns the new
+    (frame, nullable) pair."""
+    from pyspark.sql.types import StructField, StructType
+
+    if var not in out.columns:
+        raise ValueError(
+            f"SERVICE ?{var}: endpoint variable is not bound by the "
+            "enclosing group (bind it with VALUES or a triple pattern)"
+        )
+    if var in out_null:
+        raise ValueError(
+            f"SERVICE ?{var}: endpoint variable may be unbound "
+            "(OPTIONAL/UNION) — an unbound endpoint cannot be dereferenced"
+        )
+    ep_rows = (
+        out.select(var).distinct().limit(_SERVICE_MAX_ENDPOINTS + 1).collect()
+    )
+    eps = sorted(r[0] for r in ep_rows if r[0] is not None)
+    if len(eps) > _SERVICE_MAX_ENDPOINTS:
+        raise ValueError(
+            f"SERVICE ?{var}: more than {_SERVICE_MAX_ENDPOINTS} distinct "
+            "endpoints — bound the endpoint set (VALUES) before federating"
+        )
+    frames: list = []
+    for ep in eps:
+        # IRIs are stored bare in both modes (only literals encode), so
+        # the binding IS the endpoint; a literal-shaped value fails the
+        # scheme check inside _service_frame (silently under SILENT)
+        svc = _service_frame(spark, silent, ep, text, pmap)
+        if svc is None:
+            # identity for THIS endpoint (varless non-empty result or
+            # varless SILENT failure): the solution set is just {ep}
+            frames.append(
+                (
+                    spark.createDataFrame(
+                        [(ep,)], StructType([StructField(var, StringType())])
+                    ),
+                    set(),
+                )
+            )
+            continue
+        fdf, fnull = svc
+        if var in fdf.columns:
+            # the remote also binds ?var: keep only solutions compatible
+            # with this endpoint's IRI (unbound stays compatible)
+            fdf = fdf.filter(F.col(var).isNull() | (F.col(var) == F.lit(ep)))
+            fdf = fdf.withColumn(var, F.lit(ep))
+        else:
+            fdf = fdf.withColumn(var, F.lit(ep))
+        frames.append((fdf, fnull))
+    if not frames:
+        # the endpoint column existed but held no rows: the join result
+        # is empty regardless of the remote — an empty frame of the
+        # endpoint var alone annihilates via the compatible join
+        frames.append(
+            (
+                spark.createDataFrame(
+                    [], StructType([StructField(var, StringType())])
+                ),
+                set(),
+            )
+        )
+    # null-align across endpoints (remote head vars can differ)
+    allcols: list = []
+    for f, _ in frames:
+        allcols += [c for c in f.columns if c not in allcols]
+    aligned = [
+        f.select(
+            *[
+                F.col(c) if c in f.columns else F.lit(None).cast("string").alias(c)
+                for c in allcols
+            ]
+        )
+        for f, _ in frames
+    ]
+    nullable = {c for c in allcols if any(c not in f.columns for f, _ in frames)}
+    for _, nset in frames:
+        nullable |= nset
+    nullable.discard(var)
+    svc_union = reduce(lambda a, b: a.unionByName(b), aligned)
+    return _join_compat(out, out_null, svc_union, nullable)
+
 
 # ---------------------------------------------------------------------------
 # Annotation mode (module docstring, "Literal annotations"): when the store
@@ -534,6 +634,7 @@ class _Parsed:
     exists: list = field(default_factory=list)  # (negated, group body text)
     subqueries: list = field(default_factory=list)  # raw '{ SELECT … }' texts
     services: list = field(default_factory=list)  # (silent, endpoint, group text)
+    var_services: list = field(default_factory=list)  # (silent, var, group text)
     binds: list = field(default_factory=list)  # (alias, raw expr string)
     group_by: list = field(default_factory=list)  # [var, …] key order
     having: list = field(default_factory=list)  # raw condition strings
@@ -1135,11 +1236,12 @@ def parse_sparql(query: str, prefixes: dict[str, str] | None = None) -> _Parsed:
     # containing "values" or an IRI like <http://ex.org/ASK> must not
     # false-positive as a clause keyword
     scan = re.sub(r"<[^>]*>", "<>", re.sub(r'"(?:[^"\\]|\\.)*"', '""', q))
-    # SERVICE with a constant endpoint is supported (captured later as a
-    # clause); only the variable-endpoint form is outside the grammar
+    # SERVICE with a constant OR variable endpoint is supported
+    # (captured later as a clause); anything else after the keyword is
+    # outside the grammar
     for bad in _UNSUPPORTED_KEYWORDS.finditer(scan):
         if bad.group(0).upper() == "SERVICE" and re.match(
-            r"\s*(?:SILENT\s+)?(?:<|[\w-]+:)", scan[bad.end():], re.IGNORECASE
+            r"\s*(?:SILENT\s+)?(?:<|\?|[\w-]+:)", scan[bad.end():], re.IGNORECASE
         ):
             continue
         raise ValueError(f"unsupported SPARQL feature: {bad.group(0).upper()}")
@@ -1435,7 +1537,7 @@ def parse_sparql(query: str, prefixes: dict[str, str] | None = None) -> _Parsed:
     _owned_group_head = re.compile(
         r"(?:\bEXISTS|\bMINUS|\bOPTIONAL"
         r"|\bGRAPH\s+(?:\?\w+|<[^>]*>|[\w.-]*:[\w./#-]+)"
-        r"|\bSERVICE\s+(?:SILENT\s+)?(?:<[^>]*>|[\w.-]*:[\w./#-]+)"
+        r"|\bSERVICE\s+(?:SILENT\s+)?(?:<[^>]*>|\?\w+|[\w.-]*:[\w./#-]+)"
         r"|\bVALUES\s+(?:\?\w+|\([^)]*\)))\s*$",
         re.IGNORECASE,
     )
@@ -1489,17 +1591,23 @@ def parse_sparql(query: str, prefixes: dict[str, str] | None = None) -> _Parsed:
     # inside them keep group scope)
     # SERVICE (SILENT)? <endpoint> { group }: federation — the group is
     # shipped to a remote SPARQL 1.1 Protocol endpoint and its bindings
-    # join the enclosing group (compatible-mapping). A variable endpoint
-    # (SERVICE ?ep) falls through to the loud keyword scan.
+    # join the enclosing group (compatible-mapping). SERVICE ?ep { … }
+    # (a VARIABLE endpoint) requires ?ep bound by the rest of the group;
+    # each distinct endpoint is queried and the results union
+    # (bounded by _SERVICE_MAX_ENDPOINTS).
     body, service_clauses = _take_braced_clauses(
-        body, r"SERVICE\s+(SILENT\s+)?(?:<([^>]*)>|([\w-]+:[\w./#-]+))\s*\{"
+        body,
+        r"SERVICE\s+(SILENT\s+)?(?:<([^>]*)>|\?(\w+)|([\w-]+:[\w./#-]+))\s*\{",
     )
-    for (silent, iri, curie), text in service_clauses:
+    for (silent, iri, var, curie), text in service_clauses:
         if not text.strip():
             raise ValueError("empty SERVICE block")
-        parsed.services.append(
-            (bool(silent), iri if iri is not None else curie, text)
-        )
+        if var is not None:
+            parsed.var_services.append((bool(silent), var, text))
+        else:
+            parsed.services.append(
+                (bool(silent), iri if iri is not None else curie, text)
+            )
 
     body, exists_clauses = _take_braced_clauses(
         body, r"FILTER\s+(NOT\s+)?EXISTS\s*\{"
@@ -3143,11 +3251,24 @@ def _select_frame(
                     set(),
                 )
             )
+        elif parsed.var_services:
+            raise ValueError(
+                f"SERVICE ?{parsed.var_services[0][1]}: endpoint variable "
+                "is not bound by the enclosing group (bind it with VALUES "
+                "or a triple pattern)"
+            )
         else:
             raise ValueError("empty WHERE block")
     out, out_null = frames[0]
     for f, f_null in frames[1:]:
         out, out_null = _join_compat(out, out_null, f, f_null)
+    for svc_silent, svc_var, svc_text in parsed.var_services:
+        # variable-endpoint federation: needs ?var's bindings, so it
+        # joins AFTER every same-group clause (OPTIONAL extensions can
+        # not bind an endpoint — the nullability check refuses them)
+        out, out_null = _var_service_join(
+            triples.sparkSession, out, out_null, svc_silent, svc_var, svc_text, pmap
+        )
 
     for kind, blk in parsed.optionals:
         if kind == "flat":

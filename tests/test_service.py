@@ -203,3 +203,120 @@ def test_service_inside_optional_group(fed):
         ).collect()
     }
     assert {(r.person, r.org) for r in bound} == want
+
+
+# --- variable endpoints: SERVICE ?ep { … } ---------------------------------
+
+
+def test_service_variable_endpoint_values_bound(fed):
+    url, triples = fed
+    local = triples.filter(F.col("pred") == LOCATED_IN)
+    q = f"""SELECT ?person ?org ?ep WHERE {{
+              VALUES ?ep {{ <{url}> }}
+              ?person <{LOCATED_IN}> ?city .
+              SERVICE ?ep {{ ?person <{WORKS_AT}> ?org }}
+            }}"""
+    rows = sparql_query(local, q).collect()
+    want = {
+        (r.person, r.org)
+        for r in sparql_query(
+            triples,
+            f"""SELECT ?person ?org WHERE {{
+                  ?person <{LOCATED_IN}> ?city .
+                  ?person <{WORKS_AT}> ?org }}""",
+        ).collect()
+    }
+    assert {(r.person, r.org) for r in rows} == want and rows
+    # the endpoint IRI rides the variable in every solution
+    assert all(r.ep == url for r in rows)
+
+
+def test_service_variable_endpoint_fans_out_per_distinct_iri(fed):
+    # two DISTINCT endpoint IRIs (127.0.0.1 and localhost) reach the
+    # same loopback server: each solution carries its own endpoint
+    url, triples = fed
+    url2 = url.replace("127.0.0.1", "localhost")
+    local = triples.filter(F.col("pred") == LOCATED_IN)
+    q = f"""SELECT ?person ?org ?ep WHERE {{
+              VALUES ?ep {{ <{url}> <{url2}> }}
+              ?person <{LOCATED_IN}> ?city .
+              SERVICE ?ep {{ ?person <{WORKS_AT}> ?org }}
+            }}"""
+    rows = sparql_query(local, q).collect()
+    by_ep = {}
+    for r in rows:
+        by_ep.setdefault(r.ep, set()).add((r.person, r.org))
+    assert set(by_ep) == {url, url2}
+    assert by_ep[url] == by_ep[url2] and by_ep[url]
+
+
+def test_service_variable_endpoint_silent_skips_dead(fed):
+    url, triples = fed
+    dead = "http://127.0.0.1:9/sparql"
+    local = triples.filter(F.col("pred") == LOCATED_IN)
+    q = f"""SELECT ?person ?org ?ep WHERE {{
+              VALUES ?ep {{ <{url}> <{dead}> }}
+              ?person <{LOCATED_IN}> ?city .
+              SERVICE SILENT ?ep {{ ?person <{WORKS_AT}> ?org }}
+            }}"""
+    rows = sparql_query(local, q).collect()
+    live = [r for r in rows if r.ep == url]
+    dead_rows = [r for r in rows if r.ep == dead]
+    assert live and all(r.org is not None for r in live)
+    # the dead endpoint contributes the SILENT single-empty-solution:
+    # local rows survive with the service vars unbound
+    assert dead_rows and all(r.org is None for r in dead_rows)
+    # without SILENT the dead endpoint is loud
+    with pytest.raises(ValueError, match="SERVICE"):
+        sparql_query(
+            local,
+            f"""SELECT ?person WHERE {{
+                  VALUES ?ep {{ <{dead}> }}
+                  ?person <{LOCATED_IN}> ?city .
+                  SERVICE ?ep {{ ?person <{WORKS_AT}> ?org }}
+                }}""",
+        ).collect()
+
+
+def test_service_variable_endpoint_guards(fed):
+    url, triples = fed
+    # an OPTIONAL-bound endpoint variable refuses loudly: OPTIONAL
+    # extensions join AFTER the var-SERVICE, so they cannot bind an
+    # endpoint (and a maybe-unbound endpoint cannot be dereferenced)
+    with pytest.raises(ValueError, match="not bound|unbound"):
+        sparql_query(
+            triples,
+            f"""SELECT ?s WHERE {{
+                  ?s <{LOCATED_IN}> ?city .
+                  OPTIONAL {{ ?s <http://no/p> ?ep }}
+                  SERVICE ?ep {{ ?s ?p ?o }}
+                }}""",
+        )
+    # an endpoint variable never bound anywhere refuses loudly
+    with pytest.raises(ValueError, match="not bound"):
+        sparql_query(
+            triples,
+            f"""SELECT ?s WHERE {{
+                  ?s <{LOCATED_IN}> ?city .
+                  SERVICE ?ep {{ ?s ?p ?o }}
+                }}""",
+        )
+
+
+def test_service_variable_endpoint_set_is_bounded(fed, spark):
+    # >_SERVICE_MAX_ENDPOINTS distinct endpoint bindings fail loudly
+    # BEFORE any network fan-out
+    from graphforge_spark.plans.sparql import _SERVICE_MAX_ENDPOINTS
+
+    _, triples = fed
+    iris = " ".join(
+        f"<http://127.0.0.1:9/s{i}>" for i in range(_SERVICE_MAX_ENDPOINTS + 1)
+    )
+    with pytest.raises(ValueError, match="distinct"):
+        sparql_query(
+            triples,
+            f"""SELECT ?ep WHERE {{
+                  VALUES ?ep {{ {iris} }}
+                  SERVICE SILENT ?ep {{ ?s ?p ?o }}
+                }}""",
+        ).collect()
