@@ -86,8 +86,26 @@ def connected_components(
     member id of each connected component — the canonical id.
 
     ``edges`` is undirected input (each row one equivalence assertion);
-    self-loops and duplicates are fine.
+    self-loops and duplicates are fine. Runs under
+    ``session.fixpoint_shuffle`` (tasks ≈ cores per round — per-round
+    dispatch, not straggler amortization, dominates an iterative job).
     """
+    from graphforge_spark.session import fixpoint_shuffle
+
+    with fixpoint_shuffle(edges.sparkSession):
+        return _connected_components_impl(
+            edges, src, dst, max_iterations, checkpoint_every, salt
+        )
+
+
+def _connected_components_impl(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    max_iterations: int,
+    checkpoint_every: int,
+    salt: int,
+) -> DataFrame:
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))

@@ -93,39 +93,47 @@ def transitive_closure(
     every node appearing in ``edges`` (or in ``zero_step_nodes`` if given:
     one column ``s``).
     """
-    base = edges.select("s", "o").filter(F.col("o").isNotNull()).distinct()
-    reached = _ckpt(base)
-    frontier = reached
+    from graphforge_spark.session import fixpoint_shuffle
 
-    for _ in range(max_iterations):
-        # doubling: frontier (last round's new pairs) composes with the
-        # closure-so-far (2^k hops after k rounds — see docstring proof);
-        # frontier-BFS: extend the new pairs by one base edge
-        step = (
-            frontier.alias("f")
-            .join((reached if doubling else base).alias("e"), F.col("f.o") == F.col("e.s"))
-            .select(F.col("f.s").alias("s"), F.col("e.o").alias("o"))
-            .distinct()
-        )
-        new = _ckpt(step.join(reached, ["s", "o"], "left_anti"))
-        if new.limit(1).count() == 0:
-            break
-        # `new` is disjoint from `reached` (anti-joined) and both sides are
-        # internally distinct, so the union IS the closure-so-far — and both
-        # legs are checkpointed leaves, so the union needs NO checkpoint of
-        # its own: plan depth grows one union node per round while total
-        # materialized state stays O(|closure|), not O(rounds·|closure|)
-        # (re-checkpointing the union rewrote the whole closure every round).
-        reached = reached.union(new)
-        frontier = new
+    with fixpoint_shuffle(edges.sparkSession):
+        base = edges.select("s", "o").filter(F.col("o").isNotNull()).distinct()
+        reached = _ckpt(base)
+        frontier = reached
 
-    if include_zero_step:
-        if zero_step_nodes is None:
-            zero_step_nodes = (
-                base.select(F.col("s")).union(base.select(F.col("o").alias("s"))).distinct()
+        for _ in range(max_iterations):
+            # doubling: frontier (last round's new pairs) composes with the
+            # closure-so-far (2^k hops after k rounds — see docstring proof);
+            # frontier-BFS: extend the new pairs by one base edge
+            step = (
+                frontier.alias("f")
+                .join(
+                    (reached if doubling else base).alias("e"),
+                    F.col("f.o") == F.col("e.s"),
+                )
+                .select(F.col("f.s").alias("s"), F.col("e.o").alias("o"))
+                .distinct()
             )
-        reflexive = zero_step_nodes.select(F.col("s"), F.col("s").alias("o"))
-        reached = reached.union(reflexive).distinct()
+            new = _ckpt(step.join(reached, ["s", "o"], "left_anti"))
+            if new.limit(1).count() == 0:
+                break
+            # `new` is disjoint from `reached` (anti-joined) and both sides are
+            # internally distinct, so the union IS the closure-so-far — and both
+            # legs are checkpointed leaves, so the union needs NO checkpoint of
+            # its own: plan depth grows one union node per round while total
+            # materialized state stays O(|closure|), not O(rounds·|closure|)
+            # (re-checkpointing the union rewrote the whole closure every round).
+            reached = reached.union(new)
+            frontier = new
+
+        if include_zero_step:
+            if zero_step_nodes is None:
+                zero_step_nodes = (
+                    base.select(F.col("s"))
+                    .union(base.select(F.col("o").alias("s")))
+                    .distinct()
+                )
+            reflexive = zero_step_nodes.select(F.col("s"), F.col("s").alias("o"))
+            reached = reached.union(reflexive).distinct()
     return reached
 
 

@@ -284,7 +284,17 @@ def owl_closure(
     Reference parity: the reference's only OWL awareness is the
     equivalence expansion A11 (graphProcessor.js:265-282); this operator
     is the §2C materialization pass extended to the OWL property
-    vocabulary its .owl sources actually use."""
+    vocabulary its .owl sources actually use. The outer fixpoint runs
+    under ``session.fixpoint_shuffle`` (tasks ≈ cores per round)."""
+    from graphforge_spark.session import fixpoint_shuffle
+
+    with fixpoint_shuffle(triples.sparkSession):
+        return _owl_closure_impl(triples, expand_curies, max_rounds)
+
+
+def _owl_closure_impl(
+    triples: DataFrame, expand_curies: bool, max_rounds: int
+) -> DataFrame:
     base = _normalize_triples(triples, expand_curies)
 
     bad = (

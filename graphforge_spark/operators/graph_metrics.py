@@ -99,6 +99,21 @@ def shortest_paths(
     count = graph eccentricity, the right cluster cost model; a frontier
     still live after ``max_iterations`` raises rather than returning
     silently-truncated distances."""
+    from graphforge_spark.session import fixpoint_shuffle
+
+    with fixpoint_shuffle(edges.sparkSession):
+        return _shortest_paths_impl(
+            edges, landmarks, max_iterations, src_col, dst_col
+        )
+
+
+def _shortest_paths_impl(
+    edges: DataFrame,
+    landmarks: list[str],
+    max_iterations: int,
+    src_col: str,
+    dst_col: str,
+) -> DataFrame:
     if not landmarks:
         raise ValueError("shortest_paths needs at least one landmark")
     spark = edges.sparkSession
@@ -162,6 +177,20 @@ def pagerank(
 
     Round count is the cluster cost model: each round is exactly one
     shuffle over the edge set plus two scalar aggregates."""
+    from graphforge_spark.session import fixpoint_shuffle
+
+    with fixpoint_shuffle(edges.sparkSession):
+        return _pagerank_impl(edges, damping, max_iterations, tol, src_col, dst_col)
+
+
+def _pagerank_impl(
+    edges: DataFrame,
+    damping: float,
+    max_iterations: int,
+    tol: float | None,
+    src_col: str,
+    dst_col: str,
+) -> DataFrame:
     e = edges.select(F.col(src_col).alias("_s"), F.col(dst_col).alias("_d")).distinct()
     nodes = _ckpt(
         e.select(F.col("_s").alias("node"))
@@ -296,6 +325,15 @@ def k_core(
     count is the peeling depth (≤ graph diameter in practice; a chain
     is the worst case) — still live at ``max_iterations`` raises rather
     than returning a subgraph that is not yet a core."""
+    from graphforge_spark.session import fixpoint_shuffle
+
+    with fixpoint_shuffle(edges.sparkSession):
+        return _k_core_impl(edges, k, max_iterations, src_col, dst_col)
+
+
+def _k_core_impl(
+    edges: DataFrame, k: int, max_iterations: int, src_col: str, dst_col: str
+) -> DataFrame:
     if k < 1:
         raise ValueError("k_core needs k >= 1")
     live = _ckpt(_undirected_simple(edges, src_col, dst_col))
@@ -339,6 +377,15 @@ def label_propagation(
     by node — never a global window), lineage cut per round. At cluster
     scale the adjacency is the big side and stays put; only the
     (node → label) frame moves."""
+    from graphforge_spark.session import fixpoint_shuffle
+
+    with fixpoint_shuffle(edges.sparkSession):
+        return _label_propagation_impl(edges, max_iterations, src_col, dst_col)
+
+
+def _label_propagation_impl(
+    edges: DataFrame, max_iterations: int, src_col: str, dst_col: str
+) -> DataFrame:
     s, d = F.col(src_col), F.col(dst_col)
     und = (
         edges.filter(s != d)
