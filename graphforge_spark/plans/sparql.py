@@ -19,7 +19,9 @@ clause (e.g. executing SELECT DISTINCT as a bag projection) would return
 
 Grammar (whitespace-insensitive, case-insensitive keywords):
 
-    query    := PREFIX* (select | ask | construct | describe)
+    query    := (BASE | PREFIX)* (select | ask | construct | describe)
+                 (one BASE per query, absolute; every relative IRIREF —
+                  including PREFIX declaration IRIs — resolves against it)
     select   := SELECT (DISTINCT|REDUCED)? proj WHERE { stmt* } modifier*
     ask      := ASK WHERE? { stmt* }            → one row, boolean `ask`
     construct:= CONSTRUCT { pattern+ } WHERE { stmt* } modifier*
@@ -52,11 +54,14 @@ Grammar (whitespace-insensitive, case-insensitive keywords):
               | GRAPH var '{' pattern+ '}'   (variable graph: flat only)
               | group (UNION group)*         (nested group / union chain)
               | MINUS group
-              | SERVICE SILENT? (iri|curie) group   (federation: the group
-                 ships to a remote SPARQL 1.1 Protocol endpoint — loopback
-                 always, other hosts behind allow_service_network=True;
-                 SILENT failure = the spec's single empty solution;
-                 variable endpoints refuse loudly)
+              | SERVICE SILENT? (iri|curie|var) group   (federation: the
+                 group ships to a remote SPARQL 1.1 Protocol endpoint —
+                 loopback always, other hosts behind
+                 allow_service_network=True; SILENT failure = the spec's
+                 single empty solution; a VARIABLE endpoint must be
+                 bound non-nullably by the rest of the group — each
+                 distinct IRI is queried, bounded by
+                 _SERVICE_MAX_ENDPOINTS)
               | '{' select '}'        (subquery — top level of WHERE only)
               | VALUES (var | '(' var+ ')') '{' (term|'('term+')'|UNDEF)+ '}'
     group    := '{' stmt* '}'   (FULL group graph pattern, compiled
@@ -783,6 +788,47 @@ def _strip_comments(q: str) -> str:
     return "\n".join(re.sub(r"(^|\s)#.*$", r"\1", line) for line in q.splitlines())
 
 
+_SCHEME_RE = re.compile(r"[A-Za-z][A-Za-z0-9+.-]*:")
+
+
+def _apply_base(q: str) -> str:
+    """Resolve the prologue's ``BASE <iri>`` (SPARQL 1.1 §4.1.1): every
+    relative IRIREF in the query — including the IRIs of PREFIX
+    declarations, which the grammar also resolves against the base —
+    rewrites to its absolute form, then the declaration is removed. One
+    BASE per query; the grammar's mid-query re-declaration is refused
+    loudly (silently honoring only the first would mis-resolve the
+    rest). Scans run over the string-blanked mask so a literal
+    containing ``BASE <…>`` or ``<rel>`` is never touched."""
+    masked = _mask_strings(q)
+    decls = list(re.finditer(r"(?<![\w?$])BASE\s+<([^>]*)>", masked, re.IGNORECASE))
+    if not decls:
+        return q
+    if len(decls) > 1:
+        raise ValueError("multiple BASE declarations are unsupported")
+    base = q[decls[0].start(1) : decls[0].end(1)]
+    if not _SCHEME_RE.match(base):
+        raise ValueError(f"BASE IRI {base!r} must be absolute")
+    from urllib.parse import urljoin
+
+    out: list = []
+    last = 0
+    for m in re.finditer(r"<([^>]*)>", masked):
+        val = q[m.start(1) : m.end(1)]
+        if _SCHEME_RE.match(val):
+            continue  # absolute already (covers the BASE decl itself)
+        out.append(q[last : m.start()])
+        resolved = urljoin(base, val)
+        if not _SCHEME_RE.match(resolved):
+            raise ValueError(f"cannot resolve relative IRI <{val}> against BASE")
+        out.append("<" + resolved + ">")
+        last = m.end()
+    out.append(q[last:])
+    q2 = "".join(out)
+    d2 = re.search(r"(?<![\w?$])BASE\s+<([^>]*)>", _mask_strings(q2), re.IGNORECASE)
+    return q2[: d2.start()] + " " + q2[d2.end() :]
+
+
 def _expand(term: str, prefixes: dict[str, str]) -> str:
     """CURIE → IRI using the prefix map (reference: prefix re-injection,
     queryManager.js:106-113); unknown prefixes stay as written (matching
@@ -1245,6 +1291,9 @@ def parse_sparql(query: str, prefixes: dict[str, str] | None = None) -> _Parsed:
         ):
             continue
         raise ValueError(f"unsupported SPARQL feature: {bad.group(0).upper()}")
+    # BASE resolves relative IRIREFs BEFORE prefix capture (a PREFIX
+    # declaration's own IRI resolves against the base, per grammar)
+    q = _apply_base(q)
     pmap = dict(DEFAULT_PREFIXES)
     if prefixes:
         pmap.update(prefixes)
@@ -2847,6 +2896,10 @@ def sparql_query(
             _ANNOT.reset(t_annot)
             _COMPUTED.reset(t_comp)
     q = _strip_comments(query)
+    # BASE applies to every query form; after resolution no BASE token
+    # remains, so the form scan and the per-form head checks stay clean
+    # (parse_sparql re-applies idempotently for direct callers)
+    q = _apply_base(q)
     scan = re.sub(
         r"<[^>]*>", "<>", re.sub(r'"(?:[^"\\]|\\.)*"', '""', _PREFIX_RE.sub(" ", q))
     )
@@ -2858,7 +2911,7 @@ def sparql_query(
         return _construct_query(triples, q, prefixes)
     if form == "DESCRIBE":
         return _describe_query(triples, q, prefixes)
-    return _select_query(triples, query, prefixes, _companions=with_annotations)
+    return _select_query(triples, q, prefixes, _companions=with_annotations)
 
 
 def _ask_query(

@@ -115,6 +115,7 @@ from graphforge_spark.operators.closure import _ckpt
 from graphforge_spark.plans.bgp import Var
 from graphforge_spark.plans.sparql import (
     _PREFIX_RE,
+    _apply_base,
     _balanced_end,
     _expand,
     _expand_statements,
@@ -326,6 +327,12 @@ def sparql_update(
     store = triples
     mutated = False
     for op in _split_ops(_strip_comments(update)):
+        # BASE resolves the op's relative IRIs before prefix capture
+        # (PREFIX IRIs themselves resolve against it, as in queries);
+        # like PREFIX, a BASE declared in one op does NOT carry into the
+        # next — each op re-declares (the accumulate rule covers only
+        # prefixes, which is what real clients re-send)
+        op = _apply_base(op)
         for pfx, iri in _PREFIX_RE.findall(op):
             pmap[pfx] = iri
         op = _PREFIX_RE.sub(" ", op)

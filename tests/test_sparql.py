@@ -1905,3 +1905,79 @@ def test_parser_crash_safety_valueerror_only(toks):
         parse_sparql(q)
     except ValueError:
         pass  # the loud-error contract
+
+
+# --- BASE prologue ---------------------------------------------------------
+
+
+def test_base_resolves_relative_iris(graph):
+    got = {
+        tuple(r)
+        for r in sparql_query(
+            graph,
+            """BASE <http://ex.org/>
+               SELECT ?o WHERE { <x> <p/likes> ?o }""",
+        ).collect()
+    }
+    assert got == {("http://ex.org/y",)}
+
+
+def test_base_resolves_prefix_declaration_iris(graph):
+    got = sparql_query(
+        graph,
+        """BASE <http://ex.org/>
+           PREFIX e: <p/>
+           SELECT ?o WHERE { <x> e:likes ?o }""",
+    ).collect()
+    assert [r.o for r in got] == ["http://ex.org/y"]
+
+
+def test_base_applies_to_every_query_form(graph):
+    ask = sparql_query(
+        graph, "BASE <http://ex.org/> ASK { <x> <p/likes> ?o }"
+    ).collect()
+    assert ask[0].ask is True
+    built = {
+        (r.subj, r.pred, r.obj)
+        for r in sparql_query(
+            graph,
+            """BASE <http://ex.org/>
+               CONSTRUCT { <x2> <p/likes> ?o } WHERE { <x> <p/likes> ?o }""",
+        ).collect()
+    }
+    assert built == {("http://ex.org/x2", "http://ex.org/p/likes", "http://ex.org/y")}
+    desc = sparql_query(graph, "BASE <http://ex.org/> DESCRIBE <x>")
+    assert desc.count() == 3  # all triples with subject http://ex.org/x
+
+
+def test_base_guards(graph):
+    from graphforge_spark.plans.sparql import parse_sparql
+
+    with pytest.raises(ValueError, match="absolute"):
+        parse_sparql("BASE <rel> SELECT * WHERE { ?s ?p ?o }")
+    with pytest.raises(ValueError, match="multiple BASE"):
+        parse_sparql(
+            "BASE <http://a/> BASE <http://b/> SELECT * WHERE { ?s ?p ?o }"
+        )
+    # a literal containing BASE or <rel> is data, not prologue
+    got = sparql_query(
+        graph, 'SELECT ?s WHERE { ?s ?p "note" }'
+    ).collect()
+    assert [r.s for r in got] == ["http://ex.org/x"]
+
+
+def test_base_in_update():
+    from graphforge_spark.plans.update import sparql_update
+    from graphforge_spark.session import get_spark
+
+    spark = get_spark()
+    store = spark.createDataFrame(
+        [("http://ex.org/s", "http://ex.org/p", "http://ex.org/o", False)],
+        "subj string, pred string, obj string, obj_is_literal boolean",
+    )
+    out = sparql_update(
+        store,
+        "BASE <http://ex.org/> INSERT DATA { <s2> <p> <o2> }",
+    )
+    rows = {(r.subj, r.pred, r.obj) for r in out.collect()}
+    assert ("http://ex.org/s2", "http://ex.org/p", "http://ex.org/o2") in rows
