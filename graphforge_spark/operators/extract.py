@@ -965,7 +965,13 @@ def _jsonld_expand_term(term, c: "_Ctx", *, is_key: bool):
     if c.base is not None:
         from urllib.parse import urljoin
 
-        resolved = urljoin(c.base, term)
+        try:
+            resolved = urljoin(c.base, term)
+        except ValueError as e:
+            # urllib raises on malformed bases ("Invalid IPv6 URL") —
+            # must quarantine the document, not crash the Arrow task
+            # (review finding)
+            raise _JsonLdError(f"cannot resolve {term!r} against @base: {e}")
         if ":" in resolved:
             return resolved
     return None  # bare string in @id position without mapping or @base
@@ -1079,14 +1085,22 @@ def _jsonld_walk(node, c: "_Ctx", bnode, out, graph=None, skip_ctx=False):
         else:
             out.append((subj, pred, obj_term, False, None, None, graph))
 
+    def coerced_iri(v, td):
+        """The @id/@vocab-coerced node IRI for a plain string value
+        ("@vocab" additionally falls back to the vocabulary), or None
+        when the term has no such coercion or ``v`` is not a string.
+        One definition for both the object and @list-item positions."""
+        if td is None or td.type not in ("@id", "@vocab") or not isinstance(v, str):
+            return None
+        iri = _jsonld_expand_term(v, c, is_key=(td.type == "@vocab"))
+        if iri is None or ":" not in iri:
+            raise _JsonLdError(f"cannot coerce {v!r} to an IRI")
+        return iri
+
     def emit_object(pred, v, td, reverse):
         """One non-array value: literal, coerced IRI, @list, node."""
-        if td is not None and td.type in ("@id", "@vocab") and isinstance(v, str):
-            # type coercion: the plain string IS a node identifier
-            # ("@vocab" additionally falls back to the vocabulary)
-            iri = _jsonld_expand_term(v, c, is_key=(td.type == "@vocab"))
-            if iri is None or ":" not in iri:
-                raise _JsonLdError(f"cannot coerce {v!r} to an IRI")
+        iri = coerced_iri(v, td)
+        if iri is not None:
             emit_edge(pred, iri, reverse)
             return
         lit = _jsonld_literal(v, c, td)
@@ -1144,10 +1158,8 @@ def _jsonld_walk(node, c: "_Ctx", bnode, out, graph=None, skip_ctx=False):
                 )
                 out.append((cell, _RDF_REST, rest, False, None, None, graph))
                 continue
-            if td is not None and td.type in ("@id", "@vocab") and isinstance(item, str):
-                iri = _jsonld_expand_term(item, c, is_key=(td.type == "@vocab"))
-                if iri is None or ":" not in iri:
-                    raise _JsonLdError(f"cannot coerce {item!r} to an IRI")
+            iri = coerced_iri(item, td)
+            if iri is not None:
                 out.append((cell, _RDF_FIRST, iri, False, None, None, graph))
                 out.append((cell, _RDF_REST, rest, False, None, None, graph))
                 continue
@@ -1375,8 +1387,14 @@ def _jsonld_context(ctx_src, outer: "_Ctx | None" = None) -> "_Ctx":
             raise _JsonLdError(f"keyword aliasing ({val!r}) unsupported")
         if ":" in val:
             pfx, rest = val.split(":", 1)
-            if rest.startswith("//") or pfx in seen:
+            if rest.startswith("//"):
                 return val
+            if pfx in seen:
+                # cyclic prefix definitions are a JSON-LD error; falling
+                # back to the unresolved CURIE would emit silently-wrong
+                # concatenated IRIs (review finding: {'foo': 'foo:bar'}
+                # produced 'foo:barbarx')
+                raise _JsonLdError(f"cyclic prefix definition through {pfx!r}")
             tgt = raw.get(pfx)
             if tgt is None:
                 if outer is not None and pfx in outer.terms:
@@ -1422,7 +1440,11 @@ def _jsonld_context(ctx_src, outer: "_Ctx | None" = None) -> "_Ctx":
             cv = v["@container"]
             if isinstance(cv, list) and len(cv) == 1:
                 cv = cv[0]
-            if cv not in _JSONLD_CONTAINERS:
+            # isinstance first: a multi-element list (JSON-LD 1.1
+            # ["@graph","@id"]) or a dict is UNHASHABLE — a bare set
+            # membership test would raise TypeError past the quarantine
+            # catch and fail the whole extraction job (review finding)
+            if not isinstance(cv, str) or cv not in _JSONLD_CONTAINERS:
                 raise _JsonLdError(f"unsupported @container {cv!r}")
             container = None if cv == "@set" else cv  # @set = data-level no-op
             if reverse and container == "@list":

@@ -385,6 +385,12 @@ def _var_service_join(spark, out, out_null, silent, var, text, pmap):
             f"SERVICE ?{var}: endpoint variable may be unbound "
             "(OPTIONAL/UNION) — an unbound endpoint cannot be dereferenced"
         )
+    # materialize the group ONCE: both the endpoint collect below and
+    # the final compatible join read it — without the checkpoint an
+    # expensive BGP/subquery group would execute twice (review finding)
+    from graphforge_spark.operators.closure import _ckpt
+
+    out = _ckpt(out)
     ep_rows = (
         out.select(var).distinct().limit(_SERVICE_MAX_ENDPOINTS + 1).collect()
     )
@@ -789,43 +795,66 @@ def _strip_comments(q: str) -> str:
 
 
 _SCHEME_RE = re.compile(r"[A-Za-z][A-Za-z0-9+.-]*:")
+# an IRIREF span per the SPARQL grammar: no <>"{}|^`\ and no whitespace.
+# The charset matters doubly here: a naive <[^>]*> would span from a
+# FILTER's '<' comparison to the next '>' comparison and "resolve" the
+# text between them (review finding, reproduced) — real IRIREFs can
+# never contain the quotes/spaces such a span would.
+_IRIREF_RE = re.compile(r"<([^<>\"{}|^`\\\x00-\x20]*)>")
+# the ':'-exclusion in the lookbehind keeps a prefixed name like
+# ex:BASE from being consumed as a declaration (review finding)
+_BASE_DECL_RE = re.compile(
+    r"(?<![\w?$:])BASE\s+" + _IRIREF_RE.pattern, re.IGNORECASE
+)
 
 
-def _apply_base(q: str) -> str:
+def _apply_base(q: str, inherited: str | None = None) -> str:
     """Resolve the prologue's ``BASE <iri>`` (SPARQL 1.1 §4.1.1): every
     relative IRIREF in the query — including the IRIs of PREFIX
     declarations, which the grammar also resolves against the base —
     rewrites to its absolute form, then the declaration is removed. One
     BASE per query; the grammar's mid-query re-declaration is refused
     loudly (silently honoring only the first would mis-resolve the
-    rest). Scans run over the string-blanked mask so a literal
-    containing ``BASE <…>`` or ``<rel>`` is never touched."""
+    rest). ``inherited`` supplies a base carried from an earlier Update
+    operation in the same request (prologue declarations apply to all
+    subsequent operations); a declaration in this text wins. Scans run
+    over the string-blanked mask so a literal containing ``BASE <…>``
+    or ``<rel>`` is never touched, and only grammar-valid IRIREF spans
+    (no whitespace/quotes/braces) are candidates."""
     masked = _mask_strings(q)
-    decls = list(re.finditer(r"(?<![\w?$])BASE\s+<([^>]*)>", masked, re.IGNORECASE))
-    if not decls:
-        return q
+    decls = list(_BASE_DECL_RE.finditer(masked))
     if len(decls) > 1:
         raise ValueError("multiple BASE declarations are unsupported")
-    base = q[decls[0].start(1) : decls[0].end(1)]
-    if not _SCHEME_RE.match(base):
-        raise ValueError(f"BASE IRI {base!r} must be absolute")
+    if decls:
+        base = q[decls[0].start(1) : decls[0].end(1)]
+        if not _SCHEME_RE.match(base):
+            raise ValueError(f"BASE IRI {base!r} must be absolute")
+    elif inherited is not None:
+        base = inherited
+    else:
+        return q
     from urllib.parse import urljoin
 
     out: list = []
     last = 0
-    for m in re.finditer(r"<([^>]*)>", masked):
+    for m in _IRIREF_RE.finditer(masked):
         val = q[m.start(1) : m.end(1)]
         if _SCHEME_RE.match(val):
             continue  # absolute already (covers the BASE decl itself)
         out.append(q[last : m.start()])
-        resolved = urljoin(base, val)
+        try:
+            resolved = urljoin(base, val)
+        except ValueError as e:  # urllib: e.g. "Invalid IPv6 URL"
+            raise ValueError(f"cannot resolve <{val}> against BASE <{base}>: {e}")
         if not _SCHEME_RE.match(resolved):
             raise ValueError(f"cannot resolve relative IRI <{val}> against BASE")
         out.append("<" + resolved + ">")
         last = m.end()
     out.append(q[last:])
     q2 = "".join(out)
-    d2 = re.search(r"(?<![\w?$])BASE\s+<([^>]*)>", _mask_strings(q2), re.IGNORECASE)
+    d2 = _BASE_DECL_RE.search(_mask_strings(q2))
+    if d2 is None:
+        return q2  # inherited base only — nothing to strip
     return q2[: d2.start()] + " " + q2[d2.end() :]
 
 

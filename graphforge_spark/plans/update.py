@@ -114,6 +114,7 @@ from graphforge_spark.functions.terms import DEFAULT_PREFIXES
 from graphforge_spark.operators.closure import _ckpt
 from graphforge_spark.plans.bgp import Var
 from graphforge_spark.plans.sparql import (
+    _BASE_DECL_RE,
     _PREFIX_RE,
     _apply_base,
     _balanced_end,
@@ -326,13 +327,18 @@ def sparql_update(
         pmap.update(prefixes)
     store = triples
     mutated = False
+    base: str | None = None
     for op in _split_ops(_strip_comments(update)):
         # BASE resolves the op's relative IRIs before prefix capture
-        # (PREFIX IRIs themselves resolve against it, as in queries);
-        # like PREFIX, a BASE declared in one op does NOT carry into the
-        # next — each op re-declares (the accumulate rule covers only
-        # prefixes, which is what real clients re-send)
-        op = _apply_base(op)
+        # (PREFIX IRIs themselves resolve against it, as in queries) and
+        # CARRIES into subsequent ops like PREFIX does — SPARQL 1.1
+        # prologue declarations apply to all following operations
+        # (review finding: per-op scoping silently stored inconsistent
+        # IRIs across ';'-sequenced ops)
+        decl = _BASE_DECL_RE.search(_mask_strings(op))
+        op = _apply_base(op, inherited=base)
+        if decl is not None:
+            base = decl.group(1)
         for pfx, iri in _PREFIX_RE.findall(op):
             pmap[pfx] = iri
         op = _PREFIX_RE.sub(" ", op)

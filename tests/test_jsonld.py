@@ -514,3 +514,16 @@ def test_caller_context_with_expanded_terms(spark):
         (EX + "knows", EX + "b", False, None),
         (EX + "t", "hi", True, "en"),
     }
+
+
+def test_hostile_context_shapes_quarantine_not_crash():
+    # review findings: unhashable @container values, malformed @base
+    # (urljoin ValueError), and cyclic prefix definitions must all
+    # QUARANTINE — never raise past the Arrow task
+    for doc in [
+        '{"@context": {"t": {"@id": "http://x", "@container": ["@graph", "@id"]}}, "t": 1}',
+        '{"@context": {"t": {"@id": "http://x", "@container": {"@set": 1}}}, "t": 1}',
+        '{"@context": {"@base": "http://[bad", "@vocab": "http://v/"}, "@id": "foo", "p": 1}',
+        '{"@context": {"foo": "foo:bar", "p": "foo:x"}, "@id": "http://a", "p": 1}',
+    ]:
+        assert _parse_jsonld(doc, "k") is None, doc

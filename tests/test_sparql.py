@@ -1981,3 +1981,56 @@ def test_base_in_update():
     )
     rows = {(r.subj, r.pred, r.obj) for r in out.collect()}
     assert ("http://ex.org/s2", "http://ex.org/p", "http://ex.org/o2") in rows
+
+
+def test_base_leaves_filter_comparisons_alone(graph):
+    # review finding: a naive <[^>]*> scan spanned from a FILTER's '<'
+    # to a later '>' and "resolved" the text between them
+    got = sparql_query(
+        graph,
+        """BASE <http://ex.org/>
+           SELECT ?s ?o WHERE {
+             ?s <p/likes> ?o .
+             FILTER(?o < "z") FILTER(?o > "a")
+           }""",
+    ).collect()
+    assert {(r.s, r.o) for r in got} == {
+        ("http://ex.org/x", "http://ex.org/y"),
+        ("http://ex.org/y", "http://ex.org/z"),
+    }
+
+
+def test_prefixed_name_BASE_is_not_a_declaration(graph):
+    # review finding: 'ex:BASE <iri>' was consumed as a BASE declaration,
+    # silently destroying the triple pattern
+    from graphforge_spark.plans.sparql import parse_sparql
+
+    p = parse_sparql(
+        "PREFIX ex: <http://e/> SELECT * WHERE { ?s ex:BASE <http://abs/x> }"
+    )[0]
+    assert p.patterns == [(__import__("graphforge_spark.plans.bgp", fromlist=["Var"]).Var("s"), "http://e/BASE", "http://abs/x")]
+    # and a real BASE alongside it is NOT a spurious "multiple BASE"
+    p2 = parse_sparql(
+        "BASE <http://b/> PREFIX ex: <http://e/> "
+        "SELECT * WHERE { <rel> ex:BASE <http://abs/x> }"
+    )[0]
+    assert p2.patterns[0][0] == "http://b/rel"
+
+
+def test_base_carries_across_update_operations():
+    # review finding: per-op BASE scoping stored inconsistent IRIs
+    from graphforge_spark.plans.update import sparql_update
+    from graphforge_spark.session import get_spark
+
+    spark = get_spark()
+    store = spark.createDataFrame(
+        [("http://ex.org/s", "http://ex.org/p", "http://ex.org/o", False)],
+        "subj string, pred string, obj string, obj_is_literal boolean",
+    )
+    out = sparql_update(
+        store,
+        "BASE <http://ex.org/> INSERT DATA { <a> <b> <c> } ; "
+        "INSERT DATA { <d> <e> <f> }",
+    )
+    subs = {r.subj for r in out.collect()}
+    assert "http://ex.org/a" in subs and "http://ex.org/d" in subs
