@@ -1212,6 +1212,47 @@ def run_stress() -> None:
     }
     _log(str(results["triangles_kcore_1m_hot_hub"]))
 
+    # 13. JSON-LD walker throughput: 500k documents BUILT IN COLUMN
+    #     SPACE (JVM concat — no Python in generation), each exercising
+    #     the expanded-context features (term @id coercion, @list,
+    #     @language on a @value object, default language): the Arrow
+    #     batch boundary is crossed once per 10k-row batch, and the
+    #     per-doc walk is pure CPython — this leg pins its rate so the
+    #     100 TB cost model (docs/sec/core × cores) is a measured
+    #     number, not a guess.
+    from graphforge_spark.operators.extract import extract_jsonld
+
+    docs_ld = spark.range(500_000).select(
+        F.concat(F.lit("c"), (F.col("id") % 1000).cast("string")).alias("conv_id"),
+        (F.col("id") / 1000).cast("int").alias("turn_idx"),
+        F.lit("tool").alias("role"),
+        F.concat(
+            F.lit(
+                '{"@context": {"ex": "http://ex.org/", '
+                '"knows": {"@id": "ex:knows", "@type": "@id"}, '
+                '"@language": "en"}, "@id": "ex:n'
+            ),
+            F.col("id").cast("string"),
+            F.lit('", "knows": ["ex:n'),
+            (F.col("id") + 1).cast("string"),
+            F.lit('"], "ex:label": {"@value": "doc '),
+            F.col("id").cast("string"),
+            F.lit('", "@language": "fr"}, "ex:tags": {"@list": [1, 2]}}'),
+        ).alias("text"),
+        F.lit("jsonld").alias("tool"),
+        F.lit(None).cast("timestamp").alias("ts"),
+    )
+    t0 = time.time()
+    n = extract_jsonld(docs_ld).count()
+    wall = time.time() - t0
+    results["jsonld_extract_500k_docs"] = {
+        "docs": 500_000,
+        "triples": n,
+        "wall_s": round(wall, 2),
+        "docs_per_sec": round(500_000 / wall, 1),
+    }
+    _log(str(results["jsonld_extract_500k_docs"]))
+
     os.makedirs("BENCH", exist_ok=True)
     # preserve manually-added narrative sections (everything from the
     # first '## ' heading onward)
