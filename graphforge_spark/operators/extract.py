@@ -1363,6 +1363,18 @@ def _jsonld_context(ctx_src, outer: "_Ctx | None" = None) -> "_Ctx":
         elif k == "@base":
             if not isinstance(v, str):
                 raise _JsonLdError("@base must be a string")
+            # probe-validate NOW: urljoin raises ValueError on malformed
+            # bases ("Invalid IPv6 URL") — catching it here means a bad
+            # DOCUMENT context quarantines at context parse and a bad
+            # CALLER context raises loudly on the DRIVER, instead of
+            # silently quarantining every document at @id-resolution
+            # time (review finding)
+            from urllib.parse import urljoin
+
+            try:
+                urljoin(v, "probe")
+            except ValueError as e:
+                raise _JsonLdError(f"malformed @base {v!r}: {e}")
             base = v
         elif k == "@language":
             if v is not None and (not isinstance(v, str) or not v):

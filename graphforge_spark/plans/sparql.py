@@ -169,7 +169,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import StringType
 
 from graphforge_spark.functions.terms import DEFAULT_PREFIXES
-from graphforge_spark.operators.closure import path_alternation, transitive_closure
+from graphforge_spark.operators.closure import _ckpt, path_alternation, transitive_closure
 from graphforge_spark.plans.bgp import Var, bgp, optional
 
 _PREFIX_RE = re.compile(r"PREFIX\s+([\w-]*):\s*<([^>]*)>", re.IGNORECASE)
@@ -388,8 +388,6 @@ def _var_service_join(spark, out, out_null, silent, var, text, pmap):
     # materialize the group ONCE: both the endpoint collect below and
     # the final compatible join read it — without the checkpoint an
     # expensive BGP/subquery group would execute twice (review finding)
-    from graphforge_spark.operators.closure import _ckpt
-
     out = _ckpt(out)
     ep_rows = (
         out.select(var).distinct().limit(_SERVICE_MAX_ENDPOINTS + 1).collect()
@@ -801,14 +799,15 @@ _SCHEME_RE = re.compile(r"[A-Za-z][A-Za-z0-9+.-]*:")
 # text between them (review finding, reproduced) — real IRIREFs can
 # never contain the quotes/spaces such a span would.
 _IRIREF_RE = re.compile(r"<([^<>\"{}|^`\\\x00-\x20]*)>")
-# the ':'-exclusion in the lookbehind keeps a prefixed name like
-# ex:BASE from being consumed as a declaration (review finding)
+# the lookbehind excludes ':' (a prefixed name like ex:BASE) and the
+# PN_LOCAL separators '.'/'-' (ex:p.BASE, ex:p-BASE) so no prefixed
+# name's local part can be consumed as a declaration (review findings)
 _BASE_DECL_RE = re.compile(
-    r"(?<![\w?$:])BASE\s+" + _IRIREF_RE.pattern, re.IGNORECASE
+    r"(?<![\w?$:.-])BASE\s+" + _IRIREF_RE.pattern, re.IGNORECASE
 )
 
 
-def _apply_base(q: str, inherited: str | None = None) -> str:
+def _apply_base(q: str, inherited: str | None = None, return_base: bool = False):
     """Resolve the prologue's ``BASE <iri>`` (SPARQL 1.1 §4.1.1): every
     relative IRIREF in the query — including the IRIs of PREFIX
     declarations, which the grammar also resolves against the base —
@@ -820,7 +819,9 @@ def _apply_base(q: str, inherited: str | None = None) -> str:
     subsequent operations); a declaration in this text wins. Scans run
     over the string-blanked mask so a literal containing ``BASE <…>``
     or ``<rel>`` is never touched, and only grammar-valid IRIREF spans
-    (no whitespace/quotes/braces) are candidates."""
+    (no whitespace/quotes/braces) are candidates. ``return_base=True``
+    returns ``(rewritten, effective_base)`` so Update's carry loop does
+    not re-scan (the declaration logic lives in exactly one place)."""
     masked = _mask_strings(q)
     decls = list(_BASE_DECL_RE.finditer(masked))
     if len(decls) > 1:
@@ -832,7 +833,7 @@ def _apply_base(q: str, inherited: str | None = None) -> str:
     elif inherited is not None:
         base = inherited
     else:
-        return q
+        return (q, None) if return_base else q
     from urllib.parse import urljoin
 
     out: list = []
@@ -852,10 +853,30 @@ def _apply_base(q: str, inherited: str | None = None) -> str:
         last = m.end()
     out.append(q[last:])
     q2 = "".join(out)
-    d2 = _BASE_DECL_RE.search(_mask_strings(q2))
+    # a remaining <…> span that fails the IRIREF charset was NOT
+    # resolved above. If it holds whitespace yet none of the characters
+    # expression text would carry ("(){}&|=!?$ — a FILTER comparison
+    # span always crosses at least one of these), it is almost
+    # certainly an intended-but-invalid relative IRI like <a b>:
+    # leaving it unresolved beside resolved neighbors would silently
+    # match nothing (review finding) — refuse loudly instead.
+    masked2 = _mask_strings(q2)
+    for m in re.finditer(r"<([^<>]*)>", masked2):
+        val = q2[m.start(1) : m.end(1)]
+        if (
+            not _SCHEME_RE.match(val)
+            and re.search(r"\s", val)
+            and not re.search(r'["(){}&|=!?$]', val)
+        ):
+            raise ValueError(
+                f"<{val}> is not a valid IRIREF (whitespace) — cannot "
+                "resolve it against BASE"
+            )
+    d2 = _BASE_DECL_RE.search(masked2)
     if d2 is None:
-        return q2  # inherited base only — nothing to strip
-    return q2[: d2.start()] + " " + q2[d2.end() :]
+        return (q2, base) if return_base else q2  # inherited only
+    q3 = q2[: d2.start()] + " " + q2[d2.end() :]
+    return (q3, base) if return_base else q3
 
 
 def _expand(term: str, prefixes: dict[str, str]) -> str:

@@ -114,7 +114,6 @@ from graphforge_spark.functions.terms import DEFAULT_PREFIXES
 from graphforge_spark.operators.closure import _ckpt
 from graphforge_spark.plans.bgp import Var
 from graphforge_spark.plans.sparql import (
-    _BASE_DECL_RE,
     _PREFIX_RE,
     _apply_base,
     _balanced_end,
@@ -334,11 +333,9 @@ def sparql_update(
         # CARRIES into subsequent ops like PREFIX does — SPARQL 1.1
         # prologue declarations apply to all following operations
         # (review finding: per-op scoping silently stored inconsistent
-        # IRIs across ';'-sequenced ops)
-        decl = _BASE_DECL_RE.search(_mask_strings(op))
-        op = _apply_base(op, inherited=base)
-        if decl is not None:
-            base = decl.group(1)
+        # IRIs across ';'-sequenced ops; the declaration scan lives in
+        # _apply_base alone — return_base threads the carry)
+        op, base = _apply_base(op, inherited=base, return_base=True)
         for pfx, iri in _PREFIX_RE.findall(op):
             pmap[pfx] = iri
         op = _PREFIX_RE.sub(" ", op)

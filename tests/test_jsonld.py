@@ -527,3 +527,13 @@ def test_hostile_context_shapes_quarantine_not_crash():
         '{"@context": {"foo": "foo:bar", "p": "foo:x"}, "@id": "http://a", "p": 1}',
     ]:
         assert _parse_jsonld(doc, "k") is None, doc
+
+
+def test_malformed_caller_base_raises_on_driver(spark):
+    # second-pass review finding: a bad CALLER @base must raise loudly
+    # at extract_jsonld() call time, not silently quarantine every doc
+    df = _transcripts(
+        spark, [("c0", 0, "tool", '{"@id": "rel", "http://p": 1}', "jsonld", None)]
+    )
+    with pytest.raises(Exception, match="@base"):
+        extract_jsonld(df, context={"@base": "http://[bad", "@vocab": "http://v/"})

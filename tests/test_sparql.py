@@ -2034,3 +2034,40 @@ def test_base_carries_across_update_operations():
     )
     subs = {r.subj for r in out.collect()}
     assert "http://ex.org/a" in subs and "http://ex.org/d" in subs
+
+
+def test_pn_local_separators_before_BASE_not_a_declaration():
+    # second-pass review finding: PN_LOCAL legally contains '.' and '-';
+    # neither may be consumed as a BASE declaration (which silently
+    # destroyed the pattern). '-' now parses fully; '.' hits the
+    # engine's statement splitter and refuses LOUDLY (the documented
+    # no-dotted-local limitation) — never a silent rewrite.
+    from graphforge_spark.plans.sparql import _apply_base, parse_sparql
+
+    p = parse_sparql(
+        "PREFIX ex: <http://e/> SELECT * WHERE { ?s ex:p-BASE <http://abs/x> }"
+    )[0]
+    assert p.patterns[0][1] == "http://e/p-BASE", p.patterns
+    dotted = "PREFIX ex: <http://e/> SELECT * WHERE { ?s ex:p.BASE <http://abs/x> }"
+    assert _apply_base(dotted) == dotted  # no silent strip
+    with pytest.raises(ValueError, match="triple pattern"):
+        parse_sparql(dotted)
+
+
+def test_base_refuses_whitespace_iriref_instead_of_skipping():
+    # second-pass review finding: <a b> silently stayed relative while
+    # its neighbors resolved — now loud
+    from graphforge_spark.plans.sparql import parse_sparql
+
+    with pytest.raises(ValueError, match="IRIREF"):
+        parse_sparql("BASE <http://e/> SELECT * WHERE { <a b> <p> <o> }")
+    # while FILTER comparison spans (which carry ?/quotes/parens) and
+    # multi-comparison filters still pass untouched
+    parse_sparql(
+        'BASE <http://e/> SELECT * WHERE { ?s <p> ?o . '
+        'FILTER(?o < "z") FILTER(?o > "a") }'
+    )
+    parse_sparql(
+        "BASE <http://e/> SELECT * WHERE { ?s <p> ?o . ?s <q> ?b . ?s <r> ?c ."
+        " FILTER(?o < ?b && ?c > ?o) }"
+    )
