@@ -24,8 +24,10 @@ previous result, per SPARQL 1.1 Update §3):
              | (ADD | COPY | MOVE) SILENT? GRAPH? iri TO GRAPH? iri
     data    := ground+ | GRAPH iri '{' ground+ '}'   (one wrapping graph)
     ground  := plain triple with no variables (Turtle ';'/',' sugar ok)
-    template:= '{' pattern+ '}'   (plain patterns only: no paths, no
-                                   blank-node lists, no GRAPH blocks)
+    template:= '{' (pattern | GRAPH (iri|var) '{' pattern+ '}')+ '}'
+               (QUAD templates: GRAPH blocks route triples to a graph —
+                constant or per-solution variable; plain patterns only
+                inside: no paths, no blank-node lists)
     group   := full group graph pattern — everything the SELECT compiler
                accepts (OPTIONAL/UNION/FILTER/BIND/VALUES/MINUS/EXISTS/
                paths/subqueries/constant+variable GRAPH)
@@ -91,9 +93,16 @@ Engine-mapping notes (documented, deliberate):
   DELETE removes only g's copies, INSERT lands in g.
 - **USING <g> / USING NAMED <g>** compile to the query surface's
   FROM / FROM NAMED dataset clauses for the WHERE block.
-- GRAPH blocks inside DELETE/INSERT templates (quad templates) raise
-  ``ValueError`` naming the feature — same loud-failure contract as
-  plans/sparql.py.
+- **Quad templates** (GRAPH blocks inside DELETE/INSERT templates and
+  DELETE WHERE): a ``GRAPH <g> { … }`` block's triples delete/insert
+  only in g; ``GRAPH ?v { … }`` routes per solution (an unbound ?v
+  drops that solution's instantiation, like any template variable).
+  WITH supplies the graph for a quad template's UNSCOPED triples only —
+  GRAPH blocks override it, per §3.1.3. Quad inserts dedup WITHIN the
+  target graph (graphs are separate containers for the explicit form,
+  matching GRAPH-wrapped DATA); quad deletes remove only the named
+  graph's copies while unscoped template triples keep the
+  delete-everywhere union contract.
 
 Scale shape: one operation = the WHERE plan (whatever the query compiler
 builds) + at most two shuffle-free template projections + one anti-join
@@ -263,6 +272,110 @@ def _instantiate(sol: DataFrame, templates: list[tuple], what: str) -> DataFrame
         for s, p, o in templates
     ]
     return reduce(lambda a, b: a.unionByName(b), frames).distinct()
+
+
+def _parse_quad_templates(body: str, pmap: dict, what: str) -> list[tuple]:
+    """DELETE/INSERT template → (s, p, o, g) rows — QUAD templates
+    (SPARQL 1.1 Update §3.1.3 QuadPattern): g is None for plain
+    triples, an IRI string for ``GRAPH <g> { … }`` blocks, a ``Var``
+    for ``GRAPH ?v { … }`` blocks (the graph routes per solution).
+    Plain-triple restrictions (no paths, no blank-node lists, no
+    annotated literals) apply inside the blocks unchanged."""
+    from graphforge_spark.plans.sparql import _take_braced_clauses
+
+    rest, blocks = _take_braced_clauses(
+        body, r"GRAPH\s+(?:<([^>]*)>|\?(\w+)|([\w.-]*:[\w./#-]+))\s*\{"
+    )
+    out: list = []
+    for (iri, var, curie), text in blocks:
+        if not text.strip():
+            raise ValueError(f"empty GRAPH block in {what} template")
+        if var is not None:
+            g: object = Var(var)
+        else:
+            g = iri if iri is not None else _expand(curie, pmap)
+        out += [(s, p, o, g) for s, p, o in _parse_templates(text, pmap, what)]
+    if rest.strip():
+        out += [(s, p, o, None) for s, p, o in _parse_templates(rest, pmap, what)]
+    if not out:
+        raise ValueError(f"empty {what} template")
+    return out
+
+
+def _instantiate_quads(
+    sol: DataFrame, quads: list[tuple], what: str, default_graph: str | None = None
+) -> DataFrame:
+    """Quad templates × solutions → distinct (subj, pred, obj, graph);
+    ``graph`` is NULL for unscoped triples unless ``default_graph``
+    (WITH, or the op's insert graph) supplies one. An unbound template
+    variable — including an unbound ``GRAPH ?var`` — drops that
+    solution's instantiation (spec §3.1.3.2)."""
+
+    def tcol(slot):
+        if isinstance(slot, Var):
+            if slot.name not in sol.columns:
+                raise ValueError(
+                    f"{what} template variable ?{slot.name} is not bound in WHERE"
+                )
+            return F.col(slot.name)
+        return F.lit(slot)
+
+    frames = []
+    for s, p, o, g in quads:
+        drop = ["subj", "pred", "obj"]
+        if isinstance(g, Var):
+            gc = tcol(g)
+            drop.append("graph")
+        elif g is None:
+            gc = F.lit(default_graph).cast("string")
+        else:
+            gc = F.lit(g)
+        frames.append(
+            sol.select(
+                tcol(s).alias("subj"),
+                tcol(p).alias("pred"),
+                tcol(o).alias("obj"),
+                gc.alias("graph"),
+            ).na.drop(subset=drop)
+        )
+    return reduce(lambda a, b: a.unionByName(b), frames).distinct()
+
+
+def _delete_quad_rows(store: DataFrame, doomed: DataFrame) -> DataFrame:
+    """Per-row-graph delete: NULL-graph rows delete the lexical triple
+    EVERYWHERE (the union-default-graph contract); graph-tagged rows
+    delete only that graph's copies. Two anti-joins, both on the store's
+    existing layout — no shuffle beyond them."""
+    out = store.join(
+        doomed.filter(F.col("graph").isNull()).select(*_LEX_KEY),
+        _LEX_KEY,
+        "left_anti",
+    )
+    return out.join(
+        doomed.filter(F.col("graph").isNotNull()).select(*_LEX_KEY, "graph"),
+        _LEX_KEY + ["graph"],
+        "left_anti",
+    )
+
+
+def _insert_quad_rows(store: DataFrame, fresh: DataFrame) -> DataFrame:
+    """Per-row-graph insert: every fresh row carries its target graph;
+    dedup is WITHIN the target graph (explicit quad inserts treat graphs
+    as separate containers, matching the GRAPH-scoped DATA form)."""
+    cols = [F.col("subj"), F.col("pred"), F.col("obj")]
+    if "obj_is_literal" in store.columns:
+        cols.append(
+            (~(F.col("obj").startswith("http") | F.col("obj").startswith("_:")))
+            .alias("obj_is_literal")
+        )
+    cols.append(F.col("graph"))
+    seen = store.select(*_LEX_KEY, "graph")
+    new = (
+        fresh.distinct()
+        .join(seen, _LEX_KEY + ["graph"], "left_anti")
+        .select(*cols)
+    )
+    return store.unionByName(new, allowMissingColumns=True)
 
 
 def _require_graph_col(store: DataFrame, what: str) -> None:
@@ -481,9 +594,18 @@ def _apply_op(
     if taken:
         body, rest = taken
         _no_rest(rest, "DELETE WHERE")
-        templates = _parse_templates(body, pmap, "DELETE WHERE")
+        # quad patterns allowed (GRAPH g { … } / GRAPH ?v { … }): the
+        # body doubles as WHERE, where the query surface already
+        # evaluates GRAPH groups — the template side routes per graph
+        quads = _parse_quad_templates(body, pmap, "DELETE WHERE")
         sol = _select_query(store, f"SELECT * WHERE {{ {body} }}", pmap)
-        return _delete_rows(store, _instantiate(sol, templates, "DELETE WHERE"))
+        if all(g is None for *_t, g in quads):
+            templates = [(s, p, o) for s, p, o, _ in quads]
+            return _delete_rows(store, _instantiate(sol, templates, "DELETE WHERE"))
+        _require_graph_col(store, "quad DELETE WHERE")
+        return _delete_quad_rows(
+            store, _instantiate_quads(sol, quads, "DELETE WHERE")
+        )
 
     # WITH <g>? (DELETE { t })? (INSERT { t })? USING...* WHERE { group }
     with_g = None
@@ -535,20 +657,42 @@ def _apply_op(
         # body may hold string literals where "two  spaces" is data
         sol = _select_query(store, f"SELECT * {dataset} WHERE {{ {body} }}", pmap)
         if del_t:
-            doomed = _instantiate(
-                sol, _parse_templates(del_t[0], pmap, "DELETE"), "DELETE"
-            )
-            store = _delete_rows(store, doomed, graph=with_g)
+            quads = _parse_quad_templates(del_t[0], pmap, "DELETE")
+            if all(g is None for *_t, g in quads):
+                doomed = _instantiate(
+                    sol, [(s, p, o) for s, p, o, _ in quads], "DELETE"
+                )
+                store = _delete_rows(store, doomed, graph=with_g)
+            else:
+                # quad template: WITH supplies the graph for the
+                # UNSCOPED triples only (GRAPH blocks override it,
+                # per §3.1.3); WITH-less unscoped rows delete everywhere
+                _require_graph_col(store, "quad DELETE")
+                store = _delete_quad_rows(
+                    store,
+                    _instantiate_quads(sol, quads, "DELETE", default_graph=with_g),
+                )
         if ins_t:
-            fresh = _instantiate(
-                sol, _parse_templates(ins_t[0], pmap, "INSERT"), "INSERT"
-            )
-            store = _insert_rows(
-                store,
-                fresh,
-                with_g if with_g is not None else insert_graph,
-                scoped=with_g is not None,
-            )
+            quads = _parse_quad_templates(ins_t[0], pmap, "INSERT")
+            if all(g is None for *_t, g in quads):
+                fresh = _instantiate(
+                    sol, [(s, p, o) for s, p, o, _ in quads], "INSERT"
+                )
+                store = _insert_rows(
+                    store,
+                    fresh,
+                    with_g if with_g is not None else insert_graph,
+                    scoped=with_g is not None,
+                )
+            else:
+                _require_graph_col(store, "quad INSERT")
+                fresh = _instantiate_quads(
+                    sol,
+                    quads,
+                    "INSERT",
+                    default_graph=with_g if with_g is not None else insert_graph,
+                )
+                store = _insert_quad_rows(store, fresh)
         return store
 
     feat = _UNSUPPORTED_UPDATE.search(_scan_mask(op))

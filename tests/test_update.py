@@ -177,7 +177,6 @@ def test_bare_store_without_graph_columns(spark):
         "CREATE GRAPH <g1>",  # non-SILENT + graph already exists
         "DROP GRAPH <http://ex.org/absent>",  # non-SILENT + absent graph
         "ADD <http://ex.org/absent> TO <http://ex.org/g>",
-        f"INSERT {{ GRAPH <{EX}g> {{ ?s <{EX}p> ?o }} }} WHERE {{ ?s ?p ?o }}",
         f"INSERT DATA {{ GRAPH <{EX}g> {{ <{EX}a> <{EX}p> <{EX}b> }} GRAPH <{EX}h> {{ <{EX}a> <{EX}p> <{EX}c> }} }}",
         f"INSERT DATA {{ ?s <{EX}p> <{EX}b> }}",
         f"INSERT DATA {{ <{EX}a> <{EX}p>+ <{EX}b> }}",
@@ -412,3 +411,107 @@ def test_using_overrides_with_for_matching(spark):
         f"WHERE {{ ?s <{EX}p> ?o }}",
     )
     assert (EX + "c", EX + "q", EX + "d", "g1") in graphs_of(out)
+
+
+# --- quad templates: GRAPH blocks in DELETE/INSERT templates ---------------
+
+
+def quads_set(df):
+    return {(r.subj, r.pred, r.obj, r.graph) for r in df.collect()}
+
+
+def test_quad_insert_constant_graph(store):
+    out = sparql_update(
+        store,
+        f'INSERT {{ GRAPH <gX> {{ ?s <{EX}tag> "t" }} }} '
+        f"WHERE {{ ?s <{EX}p/knows> ?o }}",
+    )
+    got = quads_set(out)
+    assert (EX + "a", EX + "tag", "t", "gX") in got
+    assert (EX + "b", EX + "tag", "t", "gX") in got
+    assert out.count() == 7
+
+
+def test_quad_insert_variable_graph_routes_per_solution(store):
+    # each solution's ?g value is the target graph
+    out = sparql_update(
+        store,
+        f'INSERT {{ GRAPH ?g {{ ?s <{EX}seen> "1" }} }} '
+        f"WHERE {{ GRAPH ?g {{ ?s <{EX}p/knows> ?o }} }}",
+    )
+    got = quads_set(out)
+    assert (EX + "a", EX + "seen", "1", "g1") in got
+    assert (EX + "b", EX + "seen", "1", "g1") in got
+    assert not any(r[1] == EX + "seen" and r[3] != "g1" for r in got)
+
+
+def test_quad_delete_removes_only_named_graph_copy(spark):
+    dup = spark.createDataFrame(
+        [
+            (EX + "a", EX + "p", EX + "b", False, "g1"),
+            (EX + "a", EX + "p", EX + "b", False, "g2"),
+        ],
+        SCHEMA,
+    )
+    out = sparql_update(
+        dup,
+        f"DELETE {{ GRAPH <g1> {{ ?s <{EX}p> ?o }} }} WHERE {{ ?s <{EX}p> ?o }}",
+    )
+    assert [(r.subj, r.graph) for r in out.collect()] == [(EX + "a", "g2")]
+
+
+def test_quad_delete_where_graph_block(store):
+    out = sparql_update(store, f"DELETE WHERE {{ GRAPH <g2> {{ ?s <{EX}p/name> ?o }} }}")
+    got = quads_set(out)
+    assert not any(p == EX + "p/name" for _, p, _, _ in got)
+    assert (EX + "c", EX + "p/age", "30", "g2") in got  # other g2 rows survive
+
+
+def test_quad_insert_dedups_within_target_graph(spark):
+    dup = spark.createDataFrame(
+        [(EX + "a", EX + "p", EX + "b", False, "g1")], SCHEMA
+    )
+    out = sparql_update(
+        dup,
+        f"INSERT {{ GRAPH <g1> {{ <{EX}a> <{EX}p> <{EX}b> }} "
+        f"GRAPH <g3> {{ <{EX}a> <{EX}p> <{EX}b> }} }} "
+        f"WHERE {{ <{EX}a> <{EX}p> <{EX}b> }}",
+    )
+    # existing g1 copy is a no-op; the g3 copy lands (graphs are
+    # separate containers for the explicit quad form)
+    assert sorted(r.graph for r in out.collect()) == ["g1", "g3"]
+
+
+def test_with_supplies_graph_for_unscoped_quad_triples_only(store):
+    out = sparql_update(
+        store,
+        f'WITH <g2> INSERT {{ ?s <{EX}w> "1" . GRAPH <g9> {{ ?s <{EX}x> "2" }} }} '
+        f"WHERE {{ ?s <{EX}p/age> ?o }}",
+    )
+    got = quads_set(out)
+    assert (EX + "c", EX + "w", "1", "g2") in got  # WITH graph
+    assert (EX + "c", EX + "x", "2", "g9") in got  # GRAPH override
+
+
+def test_quad_template_guards(store, spark):
+    # graph-less store refuses quad templates loudly
+    flat = spark.createDataFrame(
+        [(EX + "a", EX + "p", EX + "b", False)],
+        "subj string, pred string, obj string, obj_is_literal boolean",
+    )
+    with pytest.raises(ValueError, match="graph column"):
+        sparql_update(
+            flat,
+            f"INSERT {{ GRAPH <g> {{ <{EX}x> <{EX}y> <{EX}z> }} }} "
+            f"WHERE {{ ?s <{EX}p> ?o }}",
+        )
+    # empty GRAPH block refuses
+    with pytest.raises(ValueError, match="empty GRAPH"):
+        sparql_update(store, f"INSERT {{ GRAPH <g> {{ }} }} WHERE {{ ?s <{EX}p/age> ?o }}")
+    # paths still refuse inside quad blocks
+    with pytest.raises(ValueError, match="path"):
+        sparql_update(
+            store,
+            f"DELETE {{ GRAPH <g1> {{ ?s <{EX}p/knows>+ ?o }} }} "
+            f"WHERE {{ ?s <{EX}p/knows> ?o }}",
+        )
