@@ -17,7 +17,8 @@ previous result, per SPARQL 1.1 Update §3):
     update  := PREFIX* op (';' PREFIX* op)*     (prefix decls accumulate)
     op      := INSERT DATA '{' data '}'
              | DELETE DATA '{' data '}'
-             | DELETE WHERE '{' pattern+ '}'    (body doubles as template)
+             | DELETE WHERE '{' quads '}'       (body doubles as template;
+                                                 GRAPH blocks allowed)
              | (DELETE template)? (INSERT template)? WHERE group
              | CLEAR SILENT? (DEFAULT | ALL | GRAPH iri)
              | DROP  SILENT? GRAPH iri
@@ -141,10 +142,10 @@ _LEX_KEY = ["subj", "pred", "obj"]
 # Update features in UNSUPPORTED POSITIONS — named so the error says
 # which one, not just "cannot parse". (GRAPH is supported as CLEAR/DROP/
 # CREATE target, in ADD/COPY/MOVE, and as a DATA-block wrapper;
-# WITH/USING are supported on DELETE/INSERT…WHERE; the scan only fires
-# at fallthrough, where the keyword sits somewhere the grammar does not
-# allow — e.g. GRAPH inside a DELETE/INSERT template, USING on a DATA
-# op.)
+# WITH/USING are supported on DELETE/INSERT…WHERE; GRAPH blocks in
+# DELETE/INSERT templates and DELETE WHERE are quad templates (also
+# supported); the scan only fires at fallthrough, where the keyword
+# sits somewhere the grammar does not allow — e.g. USING on a DATA op.)
 _UNSUPPORTED_UPDATE = re.compile(
     r"\b(WITH|USING|GRAPH)\b", re.IGNORECASE
 )
@@ -254,24 +255,15 @@ def _parse_templates(body: str, pmap: dict, what: str) -> list[tuple]:
 
 def _instantiate(sol: DataFrame, templates: list[tuple], what: str) -> DataFrame:
     """Template × solutions → distinct (subj, pred, obj). Unbound
-    variables drop that solution's instantiation (spec §3.1.3.2)."""
+    variables drop that solution's instantiation (spec §3.1.3.2).
+    The g=None special case of the quad instantiator."""
+    quads = [(s, p, o, None) for s, p, o in templates]
+    return _instantiate_quads(sol, quads, what).drop("graph")
 
-    def tcol(slot):
-        if isinstance(slot, Var):
-            if slot.name not in sol.columns:
-                raise ValueError(
-                    f"{what} template variable ?{slot.name} is not bound in WHERE"
-                )
-            return F.col(slot.name)
-        return F.lit(slot)
 
-    frames = [
-        sol.select(
-            tcol(s).alias("subj"), tcol(p).alias("pred"), tcol(o).alias("obj")
-        ).na.drop()
-        for s, p, o in templates
-    ]
-    return reduce(lambda a, b: a.unionByName(b), frames).distinct()
+_QUAD_GRAPH_RE = re.compile(
+    r"GRAPH\s+(?:<([^>]*)>|\?(\w+)|([\w.-]*:[\w./#-]+))\s*\{", re.IGNORECASE
+)
 
 
 def _parse_quad_templates(body: str, pmap: dict, what: str) -> list[tuple]:
@@ -280,12 +272,25 @@ def _parse_quad_templates(body: str, pmap: dict, what: str) -> list[tuple]:
     triples, an IRI string for ``GRAPH <g> { … }`` blocks, a ``Var``
     for ``GRAPH ?v { … }`` blocks (the graph routes per solution).
     Plain-triple restrictions (no paths, no blank-node lists, no
-    annotated literals) apply inside the blocks unchanged."""
-    from graphforge_spark.plans.sparql import _take_braced_clauses
-
-    rest, blocks = _take_braced_clauses(
-        body, r"GRAPH\s+(?:<([^>]*)>|\?(\w+)|([\w.-]*:[\w./#-]+))\s*\{"
-    )
+    annotated literals) apply inside the blocks unchanged. The plain
+    fragments around each block join with ' . ' — the '.' after a
+    Quads block is OPTIONAL in the grammar, so the fragments are
+    independent statement runs, not one statement (review finding:
+    a bare-space join merged them unparsably)."""
+    masked = _mask_strings(body)
+    pieces: list = []
+    blocks: list = []
+    pos = 0
+    while True:
+        m = _QUAD_GRAPH_RE.search(masked, pos)
+        if not m:
+            pieces.append(body[pos:])
+            break
+        end = _balanced_end(masked, m.end() - 1)
+        pieces.append(body[pos : m.start()])
+        blocks.append((m.groups(), body[m.end() : end - 1]))
+        pos = end
+    rest = " . ".join(pieces)
     out: list = []
     for (iri, var, curie), text in blocks:
         if not text.strip():
@@ -295,11 +300,24 @@ def _parse_quad_templates(body: str, pmap: dict, what: str) -> list[tuple]:
         else:
             g = iri if iri is not None else _expand(curie, pmap)
         out += [(s, p, o, g) for s, p, o in _parse_templates(text, pmap, what)]
-    if rest.strip():
+    if rest.strip(" ."):
         out += [(s, p, o, None) for s, p, o in _parse_templates(rest, pmap, what)]
     if not out:
         raise ValueError(f"empty {what} template")
     return out
+
+
+def _template_col(sol: DataFrame, slot, what: str):
+    """A template slot → Column: a Var reads the solution binding (loud
+    when unbound-by-name), a constant becomes a literal. One definition
+    for the triple and quad instantiators (review finding)."""
+    if isinstance(slot, Var):
+        if slot.name not in sol.columns:
+            raise ValueError(
+                f"{what} template variable ?{slot.name} is not bound in WHERE"
+            )
+        return F.col(slot.name)
+    return F.lit(slot)
 
 
 def _instantiate_quads(
@@ -310,21 +328,11 @@ def _instantiate_quads(
     (WITH, or the op's insert graph) supplies one. An unbound template
     variable — including an unbound ``GRAPH ?var`` — drops that
     solution's instantiation (spec §3.1.3.2)."""
-
-    def tcol(slot):
-        if isinstance(slot, Var):
-            if slot.name not in sol.columns:
-                raise ValueError(
-                    f"{what} template variable ?{slot.name} is not bound in WHERE"
-                )
-            return F.col(slot.name)
-        return F.lit(slot)
-
     frames = []
     for s, p, o, g in quads:
         drop = ["subj", "pred", "obj"]
         if isinstance(g, Var):
-            gc = tcol(g)
+            gc = _template_col(sol, g, what)
             drop.append("graph")
         elif g is None:
             gc = F.lit(default_graph).cast("string")
@@ -332,9 +340,9 @@ def _instantiate_quads(
             gc = F.lit(g)
         frames.append(
             sol.select(
-                tcol(s).alias("subj"),
-                tcol(p).alias("pred"),
-                tcol(o).alias("obj"),
+                _template_col(sol, s, what).alias("subj"),
+                _template_col(sol, p, what).alias("pred"),
+                _template_col(sol, o, what).alias("obj"),
                 gc.alias("graph"),
             ).na.drop(subset=drop)
         )
@@ -358,23 +366,27 @@ def _delete_quad_rows(store: DataFrame, doomed: DataFrame) -> DataFrame:
     )
 
 
+def _engine_literal_flag():
+    """The engine's object discriminator (graphProcessor.js:222
+    startsWith('http'), plus the ``_:`` blank marker) — one definition
+    for both insert helpers (review finding)."""
+    return (
+        ~(F.col("obj").startswith("http") | F.col("obj").startswith("_:"))
+    ).alias("obj_is_literal")
+
+
 def _insert_quad_rows(store: DataFrame, fresh: DataFrame) -> DataFrame:
     """Per-row-graph insert: every fresh row carries its target graph;
     dedup is WITHIN the target graph (explicit quad inserts treat graphs
-    as separate containers, matching the GRAPH-scoped DATA form)."""
+    as separate containers, matching the GRAPH-scoped DATA form).
+    ``fresh`` comes distinct from ``_instantiate_quads`` — no re-dedup
+    here (review finding: the double Deduplicate shuffle)."""
     cols = [F.col("subj"), F.col("pred"), F.col("obj")]
     if "obj_is_literal" in store.columns:
-        cols.append(
-            (~(F.col("obj").startswith("http") | F.col("obj").startswith("_:")))
-            .alias("obj_is_literal")
-        )
+        cols.append(_engine_literal_flag())
     cols.append(F.col("graph"))
     seen = store.select(*_LEX_KEY, "graph")
-    new = (
-        fresh.distinct()
-        .join(seen, _LEX_KEY + ["graph"], "left_anti")
-        .select(*cols)
-    )
+    new = fresh.join(seen, _LEX_KEY + ["graph"], "left_anti").select(*cols)
     return store.unionByName(new, allowMissingColumns=True)
 
 
@@ -407,10 +419,7 @@ def _insert_rows(
     other store column via ``allowMissingColumns``."""
     cols = [F.col("subj"), F.col("pred"), F.col("obj")]
     if "obj_is_literal" in store.columns:
-        cols.append(
-            (~(F.col("obj").startswith("http") | F.col("obj").startswith("_:")))
-            .alias("obj_is_literal")
-        )
+        cols.append(_engine_literal_flag())
     if "graph" in store.columns:
         cols.append(F.lit(graph).alias("graph"))
     elif scoped:
@@ -674,25 +683,26 @@ def _apply_op(
                 )
         if ins_t:
             quads = _parse_quad_templates(ins_t[0], pmap, "INSERT")
-            if all(g is None for *_t, g in quads):
-                fresh = _instantiate(
-                    sol, [(s, p, o) for s, p, o, _ in quads], "INSERT"
-                )
+            # UNSCOPED template triples ALWAYS take the plain path —
+            # no-op when the lexical triple is visible anywhere, the
+            # module's union contract — whether or not GRAPH blocks sit
+            # beside them (review finding: a mixed template silently
+            # switched the unscoped rows to per-graph dedup); only the
+            # GRAPH-tagged rows go through the per-graph insert
+            plain = [(s, p, o) for s, p, o, g in quads if g is None]
+            tagged = [q for q in quads if q[3] is not None]
+            if plain:
                 store = _insert_rows(
                     store,
-                    fresh,
+                    _instantiate(sol, plain, "INSERT"),
                     with_g if with_g is not None else insert_graph,
                     scoped=with_g is not None,
                 )
-            else:
+            if tagged:
                 _require_graph_col(store, "quad INSERT")
-                fresh = _instantiate_quads(
-                    sol,
-                    quads,
-                    "INSERT",
-                    default_graph=with_g if with_g is not None else insert_graph,
+                store = _insert_quad_rows(
+                    store, _instantiate_quads(sol, tagged, "INSERT")
                 )
-                store = _insert_quad_rows(store, fresh)
         return store
 
     feat = _UNSUPPORTED_UPDATE.search(_scan_mask(op))

@@ -416,17 +416,13 @@ def test_using_overrides_with_for_matching(spark):
 # --- quad templates: GRAPH blocks in DELETE/INSERT templates ---------------
 
 
-def quads_set(df):
-    return {(r.subj, r.pred, r.obj, r.graph) for r in df.collect()}
-
-
 def test_quad_insert_constant_graph(store):
     out = sparql_update(
         store,
         f'INSERT {{ GRAPH <gX> {{ ?s <{EX}tag> "t" }} }} '
         f"WHERE {{ ?s <{EX}p/knows> ?o }}",
     )
-    got = quads_set(out)
+    got = graphs_of(out)
     assert (EX + "a", EX + "tag", "t", "gX") in got
     assert (EX + "b", EX + "tag", "t", "gX") in got
     assert out.count() == 7
@@ -439,7 +435,7 @@ def test_quad_insert_variable_graph_routes_per_solution(store):
         f'INSERT {{ GRAPH ?g {{ ?s <{EX}seen> "1" }} }} '
         f"WHERE {{ GRAPH ?g {{ ?s <{EX}p/knows> ?o }} }}",
     )
-    got = quads_set(out)
+    got = graphs_of(out)
     assert (EX + "a", EX + "seen", "1", "g1") in got
     assert (EX + "b", EX + "seen", "1", "g1") in got
     assert not any(r[1] == EX + "seen" and r[3] != "g1" for r in got)
@@ -462,7 +458,7 @@ def test_quad_delete_removes_only_named_graph_copy(spark):
 
 def test_quad_delete_where_graph_block(store):
     out = sparql_update(store, f"DELETE WHERE {{ GRAPH <g2> {{ ?s <{EX}p/name> ?o }} }}")
-    got = quads_set(out)
+    got = graphs_of(out)
     assert not any(p == EX + "p/name" for _, p, _, _ in got)
     assert (EX + "c", EX + "p/age", "30", "g2") in got  # other g2 rows survive
 
@@ -488,7 +484,7 @@ def test_with_supplies_graph_for_unscoped_quad_triples_only(store):
         f'WITH <g2> INSERT {{ ?s <{EX}w> "1" . GRAPH <g9> {{ ?s <{EX}x> "2" }} }} '
         f"WHERE {{ ?s <{EX}p/age> ?o }}",
     )
-    got = quads_set(out)
+    got = graphs_of(out)
     assert (EX + "c", EX + "w", "1", "g2") in got  # WITH graph
     assert (EX + "c", EX + "x", "2", "g9") in got  # GRAPH override
 
@@ -515,3 +511,38 @@ def test_quad_template_guards(store, spark):
             f"DELETE {{ GRAPH <g1> {{ ?s <{EX}p/knows>+ ?o }} }} "
             f"WHERE {{ ?s <{EX}p/knows> ?o }}",
         )
+
+
+def test_mixed_quad_template_without_dots_parses(spark):
+    # review finding: the '.' after a Quads block is OPTIONAL — plain
+    # runs before and after a GRAPH block are independent statements
+    store = spark.createDataFrame(
+        [(EX + "a", EX + "p", EX + "b", False, "g1")], SCHEMA
+    )
+    out = sparql_update(
+        store,
+        f'INSERT {{ ?s <{EX}t1> "1" GRAPH <g9> {{ ?s <{EX}t2> "2" }} ?s <{EX}t3> "3" }} '
+        f"WHERE {{ ?s <{EX}p> ?o }}",
+    )
+    got = graphs_of(out)
+    assert (EX + "a", EX + "t1", "1", "urn:graphforge:update") in got
+    assert (EX + "a", EX + "t2", "2", "g9") in got
+    assert (EX + "a", EX + "t3", "3", "urn:graphforge:update") in got
+
+
+def test_mixed_quad_template_keeps_unscoped_union_dedup(spark):
+    # review finding: an unscoped triple beside a GRAPH block must keep
+    # the no-op-if-visible-ANYWHERE contract, not per-graph dedup
+    store = spark.createDataFrame(
+        [(EX + "a", EX + "p", EX + "b", False, "g1")], SCHEMA
+    )
+    out = sparql_update(
+        store,
+        f"INSERT {{ <{EX}a> <{EX}p> <{EX}b> . GRAPH <g9> {{ <{EX}x> <{EX}y> <{EX}z> }} }} "
+        f"WHERE {{ <{EX}a> <{EX}p> <{EX}b> }}",
+    )
+    got = graphs_of(out)
+    assert got == {
+        (EX + "a", EX + "p", EX + "b", "g1"),  # NOT duplicated
+        (EX + "x", EX + "y", EX + "z", "g9"),
+    }
