@@ -97,3 +97,116 @@ def test_update_sequences_match_set_algebra(spark, initial, ops):
     for _, replay in ops:
         want = replay(want)
     assert got == want
+
+
+# --- quad templates: per-graph differential --------------------------------
+
+GRAPHS = ["g0", "g1", "g2"]
+UPD_G = "urn:graphforge:update"
+
+quads_st = st.sets(
+    st.tuples(
+        st.sampled_from(SUBJECTS),
+        st.sampled_from(PREDS),
+        st.sampled_from(OBJECTS),
+        st.sampled_from(GRAPHS),
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@st.composite
+def quad_operations(draw):
+    """One random QUAD-template op → (text, replay over (s,p,o,g) sets).
+    Replays implement the documented semantics: WHERE sees the union
+    default graph (or one graph under a GRAPH block); quad inserts
+    dedup per target graph; UNSCOPED inserts dedup against any graph
+    and land in the op's insert graph; quad deletes remove only the
+    named graph's copies."""
+    kind = draw(
+        st.sampled_from(
+            ["quad_insert", "quad_var_insert", "quad_delete", "mixed", "dw_graph"]
+        )
+    )
+    p = draw(st.sampled_from(PREDS))
+    q = draw(st.sampled_from(PREDS + ["http://e/p-new"]))
+    gx = draw(st.sampled_from(GRAPHS + ["g-new"]))
+    if kind == "quad_insert":
+        text = f"INSERT {{ GRAPH <{gx}> {{ ?s <{q}> ?o }} }} WHERE {{ ?s <{p}> ?o }}"
+
+        def replay(store, p=p, q=q, gx=gx):
+            sol = {(s, o) for s, pp, o, _ in store if pp == p}
+            return store | {
+                (s, q, o, gx) for s, o in sol if (s, q, o, gx) not in store
+            }
+
+        return text, replay
+    if kind == "quad_var_insert":
+        text = (
+            f'INSERT {{ GRAPH ?g {{ ?s <{q}> "m" }} }} '
+            f"WHERE {{ GRAPH ?g {{ ?s <{p}> ?o }} }}"
+        )
+
+        def replay(store, p=p, q=q):
+            sol = {(s, g) for s, pp, _, g in store if pp == p}
+            return store | {(s, q, "m", g) for s, g in sol}
+
+        return text, replay
+    if kind == "quad_delete":
+        text = f"DELETE {{ GRAPH <{gx}> {{ ?s <{p}> ?o }} }} WHERE {{ ?s <{p}> ?o }}"
+
+        def replay(store, p=p, gx=gx):
+            sol = {(s, o) for s, pp, o, _ in store if pp == p}
+            return {
+                t for t in store if not (t[1] == p and t[3] == gx and (t[0], t[2]) in sol)
+            }
+
+        return text, replay
+    if kind == "dw_graph":
+        text = f"DELETE WHERE {{ GRAPH <{gx}> {{ ?s <{p}> ?o }} }}"
+
+        def replay(store, p=p, gx=gx):
+            return {t for t in store if not (t[1] == p and t[3] == gx)}
+
+        return text, replay
+    # mixed: unscoped keeps the anywhere-dedup union contract, the
+    # GRAPH block dedups within its target graph
+    text = (
+        f'INSERT {{ ?s <{q}> "u" GRAPH <{gx}> {{ ?s <{q}> "v" }} }} '
+        f"WHERE {{ ?s <{p}> ?o }}"
+    )
+
+    def replay(store, p=p, q=q, gx=gx):
+        subs = {s for s, pp, _, _ in store if pp == p}
+        lex = {(s, pp, o) for s, pp, o, _ in store}
+        out = set(store)
+        out |= {(s, q, "u", UPD_G) for s in subs if (s, q, "u") not in lex}
+        out |= {(s, q, "v", gx) for s in subs if (s, q, "v", gx) not in out}
+        return out
+
+    return text, replay
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    initial=quads_st,
+    ops=st.lists(quad_operations(), min_size=1, max_size=3),
+)
+def test_quad_update_sequences_match_set_algebra(spark, initial, ops):
+    store = spark.createDataFrame(
+        sorted(initial), "subj string, pred string, obj string, graph string"
+    )
+    text = " ;\n".join(t for t, _ in ops)
+    got = {
+        (r.subj, r.pred, r.obj, r.graph)
+        for r in sparql_update(store, text).collect()
+    }
+    want = set(initial)
+    for _, replay in ops:
+        want = replay(want)
+    assert got == want
