@@ -1086,12 +1086,18 @@ def _jsonld_walk(node, c: "_Ctx", bnode, out, graph=None, skip_ctx=False):
             out.append((subj, pred, obj_term, False, None, None, graph))
 
     def coerced_iri(v, td):
-        """The @id/@vocab-coerced node IRI for a plain string value
+        """The @id/@vocab-coerced node term for a plain string value
         ("@vocab" additionally falls back to the vocabulary), or None
         when the term has no such coercion or ``v`` is not a string.
-        One definition for both the object and @list-item positions."""
+        One definition for both the object and @list-item positions.
+        A ``_:`` value is a blank-node reference and goes through the
+        DOCUMENT-SCOPED relabeler exactly like the @id position — the
+        raw label would silently disconnect from its relabeled node and
+        collide across documents (review finding)."""
         if td is None or td.type not in ("@id", "@vocab") or not isinstance(v, str):
             return None
+        if v.startswith("_:"):
+            return bnode(v)
         iri = _jsonld_expand_term(v, c, is_key=(td.type == "@vocab"))
         if iri is None or ":" not in iri:
             raise _JsonLdError(f"cannot coerce {v!r} to an IRI")

@@ -802,9 +802,18 @@ _IRIREF_RE = re.compile(r"<([^<>\"{}|^`\\\x00-\x20]*)>")
 # the lookbehind excludes ':' (a prefixed name like ex:BASE) and the
 # PN_LOCAL separators '.'/'-' (ex:p.BASE, ex:p-BASE) so no prefixed
 # name's local part can be consumed as a declaration (review findings)
+# \s* — the grammar does not require whitespace between BASE and the
+# IRIREF (review finding: BASE<http://e/> was refused with an error
+# that never named BASE)
 _BASE_DECL_RE = re.compile(
-    r"(?<![\w?$:.-])BASE\s+" + _IRIREF_RE.pattern, re.IGNORECASE
+    r"(?<![\w?$:.-])BASE\s*" + _IRIREF_RE.pattern, re.IGNORECASE
 )
+# characters that mark a <…> span as EXPRESSION text (a FILTER
+# comparison chain), not an IRI operand: comparison/logic operators and
+# parens. A relative IRI containing these (rare: parenthesized wiki
+# slugs, query strings) is NOT resolved — write it absolute under BASE;
+# the alternative silently corrupts any ?b<?c&&?c>?d chain.
+_EXPR_SPAN_RE = re.compile(r'^[?$]|[&|=!()]')
 
 
 def _apply_base(q: str, inherited: str | None = None, return_base: bool = False):
@@ -842,6 +851,13 @@ def _apply_base(q: str, inherited: str | None = None, return_base: bool = False)
         val = q[m.start(1) : m.end(1)]
         if _SCHEME_RE.match(val):
             continue  # absolute already (covers the BASE decl itself)
+        # expression guard (review finding): a spaceless comparison
+        # chain like ?b<?c&&?c>?d yields a span whose '<' abuts a word
+        # character / ')' and whose content carries operators — a
+        # charset check alone would "resolve" it into a bogus IRI term.
+        prev = masked[m.start() - 1] if m.start() > 0 else " "
+        if prev.isalnum() or prev in "_)" or _EXPR_SPAN_RE.search(val):
+            continue
         out.append(q[last : m.start()])
         try:
             resolved = urljoin(base, val)

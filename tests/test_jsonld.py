@@ -537,3 +537,24 @@ def test_malformed_caller_base_raises_on_driver(spark):
     )
     with pytest.raises(Exception, match="@base"):
         extract_jsonld(df, context={"@base": "http://[bad", "@vocab": "http://v/"})
+
+
+def test_coerced_bnode_reference_is_document_scoped():
+    # final-review finding: a '_:' string in an @id-coerced value
+    # position must relabel through the SAME document scope as @id
+    doc = json.dumps(
+        {
+            "@context": {"ex": EX, "knows": {"@id": "ex:knows", "@type": "@id"}},
+            "@graph": [
+                {"@id": "ex:a", "knows": "_:b1"},
+                {"@id": "_:b1", "ex:name": "Bob"},
+            ],
+        }
+    )
+    rows = _parse_jsonld(doc, "d1")
+    objs = {r[2] for r in rows if r[1] == EX + "knows"}
+    subs = {r[0] for r in rows if r[1] == EX + "name"}
+    assert objs == subs == {"_:j_d1_b1"}
+    # and two documents using the same label stay distinct
+    rows2 = _parse_jsonld(doc, "d2")
+    assert {r[2] for r in rows2 if r[1] == EX + "knows"} == {"_:j_d2_b1"}

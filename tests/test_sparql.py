@@ -2071,3 +2071,25 @@ def test_base_refuses_whitespace_iriref_instead_of_skipping():
         "BASE <http://e/> SELECT * WHERE { ?s <p> ?o . ?s <q> ?b . ?s <r> ?c ."
         " FILTER(?o < ?b && ?c > ?o) }"
     )
+
+
+def test_base_leaves_spaceless_comparison_chains_alone(graph):
+    # final-review finding: ?b<?c&&?c>?d yields a span whose content is
+    # IRIREF-charset-legal — the expression guard must skip it
+    from graphforge_spark.plans.sparql import _apply_base, parse_sparql
+
+    q = (
+        "BASE <http://ex.org/> SELECT ?a WHERE { ?a <p> ?b . ?a <q> ?c . "
+        "?a <r> ?d . FILTER(?b<?c&&?c>?d) }"
+    )
+    assert "<http://ex.org/?c" not in _apply_base(q)
+    p = parse_sparql(q)[0]
+    assert len(p.patterns) == 3 and p.filters
+
+
+def test_base_allows_spaceless_declaration():
+    # grammar: no whitespace required between BASE and the IRIREF
+    from graphforge_spark.plans.sparql import parse_sparql
+
+    p = parse_sparql("BASE<http://e/>SELECT * WHERE { <x> <p> <o> }")[0]
+    assert p.patterns == [("http://e/x", "http://e/p", "http://e/o")]
