@@ -923,12 +923,16 @@ class _TermDef(NamedTuple):
 
 class _Ctx(NamedTuple):
     """A validated local context: term map + @vocab + @base + default
-    @language (_ABSENT when the context sets none)."""
+    @language (_ABSENT when the context sets none) + keyword-alias map
+    (alias term → keyword, e.g. {"id": "@id"} — JSON-LD 1.1 §4.1.5;
+    schema.org-style contexts alias id/type/graph routinely). The
+    aliases dict is never mutated after construction."""
 
     terms: dict
     vocab: str | None = None
     base: str | None = None
     lang: str | None = _ABSENT
+    aliases: dict = {}
 
 
 _EMPTY_CTX = _Ctx({})
@@ -972,6 +976,11 @@ def _jsonld_expand_term(term, c: "_Ctx", *, is_key: bool):
             # must quarantine the document, not crash the Arrow task
             # (review finding)
             raise _JsonLdError(f"cannot resolve {term!r} against @base: {e}")
+        if term.endswith("#") and not resolved.endswith("#"):
+            # RFC 3986 §5.3: a defined-but-empty fragment survives
+            # resolution; urljoin drops it (review finding — same
+            # defect class as SPARQL BASE resolution in plans/sparql.py)
+            resolved += "#"
         if ":" in resolved:
             return resolved
     return None  # bare string in @id position without mapping or @base
@@ -1046,6 +1055,27 @@ def _jsonld_literal(v, c: "_Ctx", td: "_TermDef | None" = None):
     return sval, None, dt
 
 
+def _unalias(d: dict, c: "_Ctx") -> dict:
+    """Rewrite keyword-alias keys to their keywords (id→@id, type→@type,
+    …) so the walker below only ever sees canonical keys. A document
+    using an alias AND its keyword (or two aliases of the same keyword)
+    for the same node is ambiguous — JSON-LD expansion would merge the
+    values, but merge order is serialization-dependent for @id, so we
+    quarantine instead (no silently-picked winner). Idempotent; a no-op
+    (returns ``d`` itself) when the context defines no aliases."""
+    if not c.aliases:
+        return d
+    out: dict = {}
+    for k, v in d.items():
+        k2 = c.aliases.get(k, k)
+        if k2 in out:
+            raise _JsonLdError(
+                f"both {k!r} and another spelling of {k2} present on one node"
+            )
+        out[k2] = v
+    return out
+
+
 def _jsonld_walk(node, c: "_Ctx", bnode, out, graph=None, skip_ctx=False):
     """Emit (s, p, o, is_literal, lang, dt, graph) rows for one node
     object; returns the node's subject term (IRI or blank label).
@@ -1056,6 +1086,7 @@ def _jsonld_walk(node, c: "_Ctx", bnode, out, graph=None, skip_ctx=False):
     rather than being silently ignored."""
     if not isinstance(node, dict):
         raise _JsonLdError(f"node must be a JSON object, got {type(node).__name__}")
+    node = _unalias(node, c)
     bad = _JSONLD_UNSUPPORTED.intersection(node)
     if bad:
         raise _JsonLdError(f"unsupported JSON-LD keyword {sorted(bad)[0]}")
@@ -1157,6 +1188,8 @@ def _jsonld_walk(node, c: "_Ctx", bnode, out, graph=None, skip_ctx=False):
         for i, item in enumerate(items):
             cell = cells[i]
             rest = cells[i + 1] if i + 1 < len(cells) else _RDF_NIL
+            if isinstance(item, dict):
+                item = _unalias(item, c)  # {"value": …} under an alias
             if isinstance(item, list):
                 # JSON-LD 1.1 nested list → nested RDF collection
                 out.append(
@@ -1208,6 +1241,12 @@ def _jsonld_walk(node, c: "_Ctx", bnode, out, graph=None, skip_ctx=False):
         if v is None:
             return  # JSON-LD null = no value
         container = td.container if td is not None else None
+        if isinstance(v, dict) and container not in ("@language", "@index"):
+            # canonicalize alias keys ({"value": …} under value→@value)
+            # before any of the @value/@list/@set key inspections below.
+            # Language-map and index-map keys are TAGS/INDICES, not
+            # keywords — rewriting those would corrupt user data
+            v = _unalias(v, c)
         if container == "@language":
             # language map: {lang: str-or-[str]}; "@none" = no tag
             if not isinstance(v, dict):
@@ -1215,6 +1254,8 @@ def _jsonld_walk(node, c: "_Ctx", bnode, out, graph=None, skip_ctx=False):
             if reverse:
                 raise _JsonLdError("language map in @reverse position")
             for lg, lv in v.items():
+                if c.aliases.get(lg) == "@none":
+                    lg = "@none"  # aliased @none key (JSON-LD 1.1 §4.1.5)
                 if lg.startswith("@") and lg != "@none":
                     raise _JsonLdError(f"unsupported language-map key {lg}")
                 for sv in lv if isinstance(lv, list) else [lv]:
@@ -1323,40 +1364,82 @@ def _jsonld_number(val):
 
 _JSONLD_CONTAINERS = {"@list", "@set", "@index", "@language"}
 _JSONLD_TERMDEF_KEYS = {"@id", "@type", "@container", "@reverse", "@language"}
+# keywords a context may alias (JSON-LD 1.1 §4.1.5) — exactly the set
+# the walker interprets; aliasing anything else quarantines loudly
+_JSONLD_ALIASABLE = {
+    "@id", "@type", "@graph", "@value", "@language",
+    "@list", "@set", "@reverse", "@index", "@none",
+}
 
 
 def _merge_ctx(base: "_Ctx", over: "_Ctx") -> "_Ctx":
     """Layer ``over`` on ``base``: term mappings override term-by-term,
     @vocab/@base/@language override only when ``over`` sets them (the
-    JSON-LD local-context-overrides rule)."""
+    JSON-LD local-context-overrides rule). A name redefined in ``over``
+    as a TERM stops being a keyword ALIAS (and vice versa) — leaving a
+    stale entry in the other map would make one name mean two things."""
+    terms = {
+        **{k: v for k, v in base.terms.items() if k not in over.aliases},
+        **over.terms,
+    }
+    aliases = {
+        **{k: v for k, v in base.aliases.items() if k not in over.terms},
+        **over.aliases,
+    }
     return _Ctx(
-        {**base.terms, **over.terms},
+        terms,
         over.vocab if over.vocab is not None else base.vocab,
         over.base if over.base is not None else base.base,
         over.lang if over.lang != _ABSENT else base.lang,
+        aliases,
     )
 
 
-def _jsonld_context(ctx_src, outer: "_Ctx | None" = None) -> "_Ctx":
+def _jsonld_context(
+    ctx_src, outer: "_Ctx | None" = None, remote: dict | None = None
+) -> "_Ctx":
     """Validate a local context → _Ctx. Supported: string term/prefix
     mappings (CURIE values resolve recursively, cycle-guarded), expanded
     term definitions ({"@id", "@type" ("@id"/"@vocab"/datatype),
     "@container" (@list/@set/@index/@language), "@reverse", "@language"}),
-    @vocab, @base, default @language (null cancels an outer default),
-    and arrays of context objects (merged left-to-right). ``outer``
-    supplies an already-validated enclosing context (the caller context)
-    whose prefixes and @vocab participate in CURIE resolution. Remote
-    (string) contexts and other keywords raise _JsonLdError."""
+    keyword aliases ({"id": "@id"} / {"type": {"@id": "@type"}} —
+    JSON-LD 1.1 §4.1.5, the schema.org-context idiom), @vocab, @base,
+    default @language (null cancels an outer default), and arrays of
+    context objects (merged left-to-right). ``outer`` supplies an
+    already-validated enclosing context (the caller context) whose
+    prefixes and @vocab participate in CURIE resolution. ``remote`` is
+    an OFFLINE preload map {url: context} — a string (remote) context
+    resolves through it hermetically, never the network; a URL absent
+    from the map raises _JsonLdError (quarantine), so behavior stays
+    deterministic. Other keywords raise _JsonLdError."""
+    if isinstance(ctx_src, str):
+        if remote and ctx_src in remote:
+            pre = remote[ctx_src]
+            # a preloaded value may be the context proper or the full
+            # remote document ({"@context": …}), which is what a dump
+            # of the URL's response body naturally is
+            if isinstance(pre, dict) and "@context" in pre:
+                pre = pre["@context"]
+            if isinstance(pre, str):
+                raise _JsonLdError(
+                    f"preloaded context for {ctx_src!r} is itself a URL"
+                )
+            return _jsonld_context(pre, outer=outer, remote=remote)
+        raise _JsonLdError(
+            f"remote context {ctx_src!r} not in the offline preload map"
+        )
     if isinstance(ctx_src, list):
         merged = outer if outer is not None else _EMPTY_CTX
         for part in ctx_src:
-            merged = _merge_ctx(merged, _jsonld_context(part, outer=merged))
+            merged = _merge_ctx(
+                merged, _jsonld_context(part, outer=merged, remote=remote)
+            )
         # return only the layered result; the caller re-merges over the
         # outer context, which is idempotent for dict merges
         return merged
     if not isinstance(ctx_src, dict):
         raise _JsonLdError(
-            "@context must be a JSON object (remote contexts unsupported)"
+            "@context must be a JSON object, array, or preloaded URL"
         )
     raw: dict = {}
     vocab = base = None
@@ -1395,6 +1478,38 @@ def _jsonld_context(ctx_src, outer: "_Ctx | None" = None) -> "_Ctx":
 
     eff_vocab = vocab if vocab is not None else (outer.vocab if outer else None)
 
+    # keyword aliases (JSON-LD 1.1 §4.1.5): {"id": "@id"} or the
+    # expanded form {"type": {"@id": "@type"}} (optionally with the
+    # data-level-no-op "@container": "@set", as schema.org's context
+    # writes it). Pulled out BEFORE term resolution so an alias never
+    # reaches resolve() as a bogus CURIE. Only keywords the walker
+    # implements are aliasable; anything else quarantines loudly.
+    aliases: dict = {}
+    for k in list(raw):
+        v = raw[k]
+        tgt = v if isinstance(v, str) else v.get("@id")
+        if not (isinstance(tgt, str) and tgt.startswith("@")):
+            continue
+        if tgt not in _JSONLD_ALIASABLE:
+            raise _JsonLdError(f"cannot alias keyword {tgt!r}")
+        if isinstance(v, dict):
+            extra = set(v) - {"@id", "@container"}
+            if extra:
+                raise _JsonLdError(
+                    f"unsupported key {sorted(extra)[0]} in keyword-alias "
+                    f"definition for {k!r}"
+                )
+            cv = v.get("@container")
+            if isinstance(cv, list) and len(cv) == 1:
+                cv = cv[0]
+            if "@container" in v and cv != "@set":
+                raise _JsonLdError(
+                    f"keyword alias {k!r} supports only @container @set"
+                )
+        aliases[k] = tgt
+        del raw[k]
+    alias_view = {**(outer.aliases if outer else {}), **aliases}
+
     def resolve(val, seen=()):
         """Context-internal IRI resolution: CURIEs expand through this
         context's raw mappings (then the outer context's terms), with a
@@ -1402,7 +1517,10 @@ def _jsonld_context(ctx_src, outer: "_Ctx | None" = None) -> "_Ctx":
         if not isinstance(val, str) or not val:
             raise _JsonLdError(f"cannot resolve context value {val!r}")
         if val.startswith("@"):
-            raise _JsonLdError(f"keyword aliasing ({val!r}) unsupported")
+            # alias definitions were pulled out by the prepass above;
+            # a keyword surviving to here sits in a non-aliasable
+            # position (e.g. a CURIE target or datatype slot)
+            raise _JsonLdError(f"keyword {val!r} is not valid here")
         if ":" in val:
             pfx, rest = val.split(":", 1)
             if rest.startswith("//"):
@@ -1452,6 +1570,7 @@ def _jsonld_context(ctx_src, outer: "_Ctx | None" = None) -> "_Ctx":
         type_ = None
         if "@type" in v:
             t = v["@type"]
+            t = alias_view.get(t, t)  # {"@type": "id"} under an id→@id alias
             type_ = t if t in ("@id", "@vocab") else resolve(t)
         container = None
         if "@container" in v:
@@ -1478,10 +1597,15 @@ def _jsonld_context(ctx_src, outer: "_Ctx | None" = None) -> "_Ctx":
                 raise _JsonLdError("term @language with @type")
             tlang = lv
         terms[k] = _TermDef(iri, type_, container, reverse, tlang)
-    return _Ctx(terms, vocab, base, lang)
+    return _Ctx(terms, vocab, base, lang, aliases)
 
 
-def _parse_jsonld(text: str, doc_key: str, base_ctx: "_Ctx | None" = None):
+def _parse_jsonld(
+    text: str,
+    doc_key: str,
+    base_ctx: "_Ctx | None" = None,
+    remote: dict | None = None,
+):
     """Parse one JSON-LD-lite document → rows
     (s, p, o, is_literal, lang, dt, graph-or-None), or None to QUARANTINE
     the whole document (malformed JSON or any unsupported construct — no
@@ -1508,8 +1632,13 @@ def _parse_jsonld(text: str, doc_key: str, base_ctx: "_Ctx | None" = None):
     scalars with the spec's implicit datatypes (integer → xsd:integer,
     non-integral number → xsd:double, boolean → xsd:boolean, string →
     plain literal; ``^^xsd:string`` normalizes to the plain form per
-    RDF 1.1 term identity, the Turtle parser's rule). Everything else —
-    remote contexts, scoped (embedded) contexts, keyword aliasing,
+    RDF 1.1 term identity, the Turtle parser's rule); keyword aliases
+    ({"id": "@id"}-style context entries, §4.1.5) for every keyword the
+    walker interprets, with ambiguous alias+keyword co-occurrence on a
+    node quarantined; remote (URL string) contexts resolved HERMETICALLY
+    through the ``remote`` offline preload map {url: context} — never
+    the network. Everything else — a remote context missing from the
+    preload map, scoped (embedded) contexts,
     @version/@nest/@included/@direction/… — quarantines. Blank labels
     are deterministic: traversal order over ``json.loads``'s
     order-preserving dicts."""
@@ -1534,8 +1663,13 @@ def _parse_jsonld(text: str, doc_key: str, base_ctx: "_Ctx | None" = None):
     out: list = []
     try:
         ctx_src = doc.get("@context", {}) if isinstance(doc, dict) else {}
-        local = _jsonld_context(ctx_src, outer=base_ctx)
+        local = _jsonld_context(ctx_src, outer=base_ctx, remote=remote)
         c = _merge_ctx(base_ctx, local) if base_ctx is not None else local
+        if isinstance(doc, dict):
+            # canonicalize root-level alias keys ("graph"→"@graph",
+            # "id"→"@id") so the default-graph-wrapper test below sees
+            # keywords; the walker re-unaliases child nodes itself
+            doc = _unalias(doc, c)
         if isinstance(doc, list):
             nodes = doc
         elif isinstance(doc, dict) and "@graph" in doc and "@id" not in doc:
@@ -1565,6 +1699,7 @@ def extract_jsonld(
     text_col: str = "text",
     with_annotations: bool = False,
     context: dict | None = None,
+    remote_contexts: dict | None = None,
 ) -> DataFrame:
     """Arrow-batched JSON-LD-lite extraction over transcript turns (one
     JSON document per turn) — the "JSON-to-RDF" half of the forge: agent
@@ -1584,8 +1719,28 @@ def extract_jsonld(
     ONCE on the driver, so an invalid caller context raises loudly
     instead of silently quarantining every document. Named graphs (a
     node with @id + @graph) ride the ``graph`` column; default-graph
-    triples carry the turn's conv_id as before."""
+    triples carry the turn's conv_id as before.
+
+    ``remote_contexts`` is an OFFLINE preload map ``{url: context}`` for
+    documents whose ``@context`` is a URL string: the value may be the
+    context object itself or the full remote document (``{"@context":
+    …}``, i.e. a verbatim dump of the URL's response body). Resolution
+    is hermetic — the executor NEVER touches the network; a URL absent
+    from the map quarantines that document exactly like any other
+    unsupported construct, keeping extraction deterministic. The map is
+    validated once on the driver (each value must compile as a context)
+    and ships to executors inside the task closure — preloaded contexts
+    are vocabulary-sized (schema.org's is ~100 KB), far under broadcast
+    territory."""
     base_ctx = None if context is None else _jsonld_context(context)
+    if remote_contexts is not None:
+        for url, pre in remote_contexts.items():
+            if not isinstance(url, str):
+                raise ValueError(f"remote-context key {url!r} must be a URL string")
+            try:
+                _jsonld_context(url, remote=remote_contexts)
+            except _JsonLdError as e:
+                raise ValueError(f"invalid preloaded context for {url!r}: {e}")
     src = spread_small_scan(df).select(
         F.col("conv_id").alias("src_conv_id"),
         F.col("turn_idx").alias("src_turn_idx"),
@@ -1611,7 +1766,12 @@ def extract_jsonld(
             ):
                 if not text:
                     continue
-                parsed = _parse_jsonld(text, f"{conv}_{idx}", base_ctx=base_ctx)
+                parsed = _parse_jsonld(
+                    text,
+                    f"{conv}_{idx}",
+                    base_ctx=base_ctx,
+                    remote=remote_contexts,
+                )
                 if parsed is None:
                     continue  # quarantined document
                 for s, p, o, lit, lang, dt, g in parsed:
@@ -1756,6 +1916,8 @@ def extract_all(
     transcripts: DataFrame,
     rules: list[PatternRule] | None = None,
     with_annotations: bool = False,
+    jsonld_context: dict | None = None,
+    jsonld_remote_contexts: dict | None = None,
 ) -> DataFrame:
     """Route each turn to the right extractor by its ``tool`` tag and union.
 
@@ -1770,6 +1932,10 @@ def extract_all(
     through the serialized-RDF parsers (Turtle, N-Triples, JSON-LD); the
     RDF/XML walker and the free-text pattern rules have no annotation
     source, so their rows carry NULL ``obj_lang``/``obj_dt``.
+
+    ``jsonld_context`` / ``jsonld_remote_contexts`` pass through to
+    ``extract_jsonld`` (caller vocabulary + hermetic offline preload map
+    for URL @contexts); the other branches ignore them.
     """
     xml_turns = transcripts.filter(F.col("tool") == "rdfxml")
     nt_turns = transcripts.filter(F.col("tool") == "ntriples")
@@ -1784,7 +1950,12 @@ def extract_all(
         ann(extract_rdfxml(xml_turns)),
         extract_ntriples(nt_turns, with_annotations=with_annotations),
         extract_turtle(ttl_turns, with_annotations=with_annotations),
-        extract_jsonld(jl_turns, with_annotations=with_annotations),
+        extract_jsonld(
+            jl_turns,
+            with_annotations=with_annotations,
+            context=jsonld_context,
+            remote_contexts=jsonld_remote_contexts,
+        ),
         ann(extract_patterns(text_turns, rules)),
     ]
     out = parts[0]

@@ -468,6 +468,22 @@ def _var_service_join(spark, out, out_null, silent, var, text, pmap):
 _ANNOT: contextvars.ContextVar = contextvars.ContextVar(
     "graphforge_sparql_annot", default=False
 )
+# NOW() is pinned ONCE per query/update request (SPARQL 1.1 §17.4.5.1:
+# every NOW() in a query returns the SAME xsd:dateTime). The entry
+# points capture one driver timestamp before compiling; _bind_col only
+# reads it. None outside an entry point — a direct _bind_col caller
+# hitting NOW() without a pin gets a loud error, never a per-call clock.
+_NOW: contextvars.ContextVar = contextvars.ContextVar(
+    "graphforge_sparql_now", default=None
+)
+
+
+def _utcnow_lexical() -> str:
+    """The pinned NOW() literal: UTC, millisecond precision, 'Z' suffix
+    (an xsd:dateTime lexical form; TZ()/timestamp casts both read it)."""
+    from datetime import datetime, timezone
+
+    return datetime.now(timezone.utc).strftime("%Y-%m-%dT%H:%M:%S.%f")[:-3] + "Z"
 # Column names known to hold COMPUTED values (BIND / aggregate / GROUP BY
 # expression aliases) rather than encoded terms: a ?var reference to one
 # must NOT decode (and must keep its native numeric type for ORDER BY).
@@ -856,13 +872,38 @@ def _apply_base(q: str, inherited: str | None = None, return_base: bool = False)
         # character / ')' and whose content carries operators — a
         # charset check alone would "resolve" it into a bogus IRI term.
         prev = masked[m.start() - 1] if m.start() > 0 else " "
-        if prev.isalnum() or prev in "_)" or _EXPR_SPAN_RE.search(val):
+        if prev.isalnum() or prev in "_)":
+            # the '<' abuts an operand. If the span's content carries
+            # expression characters or is purely numeric it really is a
+            # comparison — skip it. Otherwise it is legal-but-spaceless
+            # SPARQL like ``?s ?p<rel>`` whose relative IRI we would
+            # silently leave unresolved (matching nothing): refuse
+            # loudly instead, like the whitespace post-check below
+            # (review finding — the post-check cannot catch this span
+            # because it holds no whitespace).
+            if not _EXPR_SPAN_RE.search(val) and not re.fullmatch(
+                r"[\d.]*", val
+            ):
+                raise ValueError(
+                    f"<{val}> follows {prev!r} with no whitespace — "
+                    "ambiguous between a comparison and a relative "
+                    "IRIREF under BASE; insert a space before '<' or "
+                    "write the IRI as absolute"
+                )
+            continue
+        if _EXPR_SPAN_RE.search(val):
             continue
         out.append(q[last : m.start()])
         try:
             resolved = urljoin(base, val)
         except ValueError as e:  # urllib: e.g. "Invalid IPv6 URL"
             raise ValueError(f"cannot resolve <{val}> against BASE <{base}>: {e}")
+        if val.endswith("#") and not resolved.endswith("#"):
+            # RFC 3986 §5.3: a reference with a defined-but-empty
+            # fragment keeps its '#'; urllib's urljoin drops it, which
+            # would silently bend every CURIE minted from a
+            # ``PREFIX v: <vocab#>`` declaration (review finding).
+            resolved += "#"
         if not _SCHEME_RE.match(resolved):
             raise ValueError(f"cannot resolve relative IRI <{val}> against BASE")
         out.append("<" + resolved + ">")

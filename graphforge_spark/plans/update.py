@@ -262,7 +262,13 @@ def _instantiate(sol: DataFrame, templates: list[tuple], what: str) -> DataFrame
 
 
 _QUAD_GRAPH_RE = re.compile(
-    r"GRAPH\s+(?:<([^>]*)>|\?(\w+)|([\w.-]*:[\w./#-]+))\s*\{", re.IGNORECASE
+    # the left-context guard keeps a template token that merely ENDS in
+    # "GRAPH" (an IRI tail, a prefixed local name) from being consumed
+    # as a block head — today unreachable only because '{' is otherwise
+    # illegal in templates; the lookbehind makes the invariant explicit
+    # rather than incidental (review finding)
+    r"(?<![\w:/#.-])GRAPH\s+(?:<([^>]*)>|\?(\w+)|([\w.-]*:[\w./#-]+))\s*\{",
+    re.IGNORECASE,
 )
 
 

@@ -2093,3 +2093,37 @@ def test_base_allows_spaceless_declaration():
 
     p = parse_sparql("BASE<http://e/>SELECT * WHERE { <x> <p> <o> }")[0]
     assert p.patterns == [("http://e/x", "http://e/p", "http://e/o")]
+
+
+def test_base_preserves_empty_fragment_in_prefix_decl(graph):
+    # review finding (RFC 3986 §5.3): PREFIX v: <vocab#> under BASE must
+    # resolve to http://…/vocab# — urljoin drops the empty fragment,
+    # silently bending every v:name CURIE
+    from graphforge_spark.plans.sparql import _apply_base
+
+    q = "BASE <http://e/> PREFIX v: <vocab#> SELECT * WHERE { ?s v:name ?o }"
+    assert "<http://e/vocab#>" in _apply_base(q)
+    # a bare trailing-# IRIREF in a pattern position too
+    q2 = "BASE <http://e/> SELECT * WHERE { <doc#> ?p ?o }"
+    assert "<http://e/doc#>" in _apply_base(q2)
+    # while a NON-empty fragment keeps resolving normally
+    q3 = "BASE <http://e/> SELECT * WHERE { <doc#frag> ?p ?o }"
+    assert "<http://e/doc#frag>" in _apply_base(q3)
+
+
+def test_base_refuses_spaceless_relative_iri_after_operand():
+    # review finding: '?s ?p<rel>' leaves <rel> unresolved and silently
+    # matching nothing — the whitespace post-check can't see it (the
+    # span has no whitespace), so the guard itself must refuse loudly
+    from graphforge_spark.plans.sparql import _apply_base, parse_sparql
+
+    with pytest.raises(ValueError, match="whitespace"):
+        parse_sparql("BASE <http://e/> SELECT * WHERE { ?s ?p<rel> }")
+    # spaceless comparison chains still pass (content carries operators)
+    q = (
+        "BASE <http://ex.org/> SELECT ?a WHERE { ?a <p> ?b . ?a <q> ?c . "
+        "?a <r> ?d . FILTER(?b<?c&&?c>?d) }"
+    )
+    assert "<http://ex.org/?c" not in _apply_base(q)
+    # and a purely numeric span is treated as a comparison operand
+    _apply_base("BASE <http://e/> SELECT * WHERE { ?s <p> ?o FILTER(?o<2020>?b) }")

@@ -546,3 +546,20 @@ def test_mixed_quad_template_keeps_unscoped_union_dedup(spark):
         (EX + "a", EX + "p", EX + "b", "g1"),  # NOT duplicated
         (EX + "x", EX + "y", EX + "z", "g9"),
     }
+
+
+def test_quad_graph_regex_requires_token_boundary():
+    # review finding: a template token merely ENDING in "GRAPH" (an IRI
+    # tail, a prefixed local name) must never be consumed as a block
+    # head — the lookbehind makes the invariant explicit
+    from graphforge_spark.plans.update import _QUAD_GRAPH_RE
+
+    assert _QUAD_GRAPH_RE.search("GRAPH <http://g> {") is not None
+    assert _QUAD_GRAPH_RE.search("x . GRAPH ?g {") is not None
+    for tail in [
+        "<http://e/myGRAPH ?x {",   # IRI-ish token ending in GRAPH
+        "ex:subGRAPH ?x {",          # prefixed local name
+        "p/GRAPH ?x {",              # path tail
+        "#GRAPH ?x {",
+    ]:
+        assert _QUAD_GRAPH_RE.search(tail) is None, tail
