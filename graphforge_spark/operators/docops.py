@@ -136,6 +136,7 @@ def dedup_substrings(
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 8,
+    emit_spans: bool = False,
 ) -> DataFrame:
     """Cross-document exact-substring deduplication (the Lee et al. 2022
     "Deduplicating Training Data Makes Language Models Better" operator,
@@ -154,15 +155,25 @@ def dedup_substrings(
     collapse into one excised span and a duplicated run of length
     m ≥ k disappears entirely (its m−k+1 windows tile the run).
 
-    Guarantees (stated exactly — the window formulation is not a suffix
-    array): every non-canonical duplicated window is removed; every
-    surviving token was never inside a non-canonical duplicated window;
-    canonical-copy text survives unless an OVERLAPPING window is itself
-    a non-canonical duplicate. Removal is token-level: output text is
-    the kept tokens joined by single spaces (original inter-token
-    whitespace is normalized, the standard trade of this operator).
+    Guarantees (stated exactly): the window formulation is TOKEN-LEVEL
+    EQUIVALENT to keep-first suffix-array deduplication, modulo the
+    2^-64 hash collisions — proven both directions and verified against
+    a pairwise-LCE oracle on adversarial corpora (periodic text with
+    period < k, chained block overlaps, nested within-document repeats)
+    in tests/test_recall.py. Engine ⊆ oracle: a flagged window pairs
+    with its canonical instance into a ≥ k common extension, so every
+    token it covers is oracle-marked. Oracle ⊆ engine: each k-window of
+    a marked run has an identical window at the correspondingly-earlier
+    (doc, pos), so no window instance inside the run is the global
+    minimum — all are flagged and their intervals tile the run. Removal
+    is token-level: output text is the kept tokens joined by single
+    spaces (original inter-token whitespace is normalized, the standard
+    trade of this operator).
 
-    Output: (id, text, n_tokens_in, n_tokens_removed, n_spans).
+    Output: (id, text, n_tokens_in, n_tokens_removed, n_spans);
+    ``emit_spans=True`` adds ``removed_spans`` — the merged excised
+    intervals as 1-based token ``[s, e)`` structs (provenance for audits
+    and for the suffix-array-oracle recall measurement in test_recall).
 
     Scale shape: ONE explode to (doc, pos, hash64) rows — 8 bytes of
     key per token, the minimum a global duplicate decision can carry;
@@ -258,7 +269,7 @@ def dedup_substrings(
             ).otherwise(F.array().cast("array<int>")),
         )
     )
-    return cut.select(
+    out_cols = [
         F.col("_id").alias(id_col),
         F.when(F.col("_n") == 0, F.lit("")).otherwise(
             F.concat_ws(
@@ -268,7 +279,14 @@ def dedup_substrings(
         F.col("_n").alias("n_tokens_in"),
         (F.col("_n") - F.size("_kept")).alias("n_tokens_removed"),
         F.coalesce(F.size("_spans"), F.lit(0)).alias("n_spans"),
-    )
+    ]
+    if emit_spans:
+        out_cols.append(
+            F.coalesce(
+                F.col("_spans"), F.array().cast("array<struct<s:int,e:int>>")
+            ).alias("removed_spans")
+        )
+    return cut.select(*out_cols)
 
 
 def repetition_ratios(

@@ -449,6 +449,19 @@ def sparql_update(
     anything outside the grammar; never a silently-wrong mutation."""
     if "subj" not in triples.columns:
         raise ValueError("sparql_update needs a triples store frame")
+    from graphforge_spark.plans.sparql import _NOW, _utcnow_lexical
+
+    if _NOW.get() is None:
+        # one NOW() per request, shared by every ';'-sequenced operation
+        # (SPARQL 1.1 §17.4.5.1 pins it per query; a multi-op update is
+        # one request, so one timestamp keeps the mutation replayable)
+        t_now = _NOW.set(_utcnow_lexical())
+        try:
+            return sparql_update(
+                triples, update, prefixes, insert_graph=insert_graph
+            )
+        finally:
+            _NOW.reset(t_now)
     pmap = dict(DEFAULT_PREFIXES)
     if prefixes:
         pmap.update(prefixes)

@@ -649,7 +649,10 @@ def test_bind_scalar_functions(graph):
         "SELECT (COUNT(?o) AS ?n) ?p WHERE { ?s ?p ?o } GROUP BY ?p HAVING (SUM(?o) > 1)",
         "SELECT ?s bogus WHERE { ?s ?p ?o }",
         "SELECT ?s WHERE { ?s ?p ?o garbage garbage }",
-        "SELECT ?s WHERE { ?s ?p ?o . BIND(NOW() AS ?t) }",
+        "SELECT ?s WHERE { ?s ?p ?o . BIND(NOW(?s) AS ?t) }",
+        "SELECT ?s WHERE { ?s ?p ?o . BIND(UUID() AS ?t) }",
+        "SELECT ?s WHERE { ?s ?p ?o . BIND(STRUUID() AS ?t) }",
+        "SELECT ?s WHERE { ?s ?p ?o . BIND(RAND() AS ?t) }",
         "SELECT ?missing WHERE { ?s ?p ?o }",
         "DESCRIBE ?x",
         "DESCRIBE garbage here",
@@ -808,8 +811,13 @@ def test_negated_property_set(graph):
         "SELECT ?s ?o WHERE { ?s !(rdfs:subClassOf|<http://ex.org/p/likes>) ?o }",
     )
     assert multi.count() == len(TRIPLES) - 4
-    with pytest.raises(ValueError, match="inverse members"):
-        sparql_query(graph, "SELECT ?s ?o WHERE { ?s !(^<http://ex.org/p/likes>) ?o }")
+    # inverse members graduated to supported in r5 (see
+    # test_negated_property_set_inverse_members); the pure-inverse set
+    # here is the reversed complement scan
+    inv = sparql_query(
+        graph, "SELECT ?s ?o WHERE { ?s !(^<http://ex.org/p/likes>) ?o }"
+    )
+    assert inv.count() == len(TRIPLES) - 2
 
 
 def test_optional_filter_scopes_to_group(graph):
@@ -1042,8 +1050,9 @@ def test_path_errors_still_loud(graph):
         sparql_query(graph, "SELECT ?o WHERE { ?s (<http://e/p>*+) ?o }")
     with pytest.raises(ValueError, match="predicate slot"):
         sparql_query(graph, "SELECT ?s WHERE { ?s <http://e/p> <http://e/q>* }")
-    with pytest.raises(ValueError, match="inverse members"):
-        sparql_query(graph, "SELECT ?s WHERE { ?s !(^<http://e/p>) ?o }")
+    # inverse members graduated to supported in r5; the empty set stays loud
+    with pytest.raises(ValueError, match="empty negated"):
+        sparql_query(graph, "SELECT ?s WHERE { ?s !() ?o }")
 
 
 def test_path_inside_optional(graph):
@@ -2127,3 +2136,168 @@ def test_base_refuses_spaceless_relative_iri_after_operand():
     assert "<http://ex.org/?c" not in _apply_base(q)
     # and a purely numeric span is treated as a comparison operand
     _apply_base("BASE <http://e/> SELECT * WHERE { ?s <p> ?o FILTER(?o<2020>?b) }")
+
+
+# --- NOW() and nondeterministic builtins (r5) -------------------------------
+
+
+def test_now_is_pinned_per_query(graph):
+    # SPARQL 1.1 §17.4.5.1: every NOW() in one query returns the SAME
+    # xsd:dateTime — pinned on the driver at compile, not a per-row clock
+    rows = sparql_query(
+        graph,
+        "SELECT ?s ?t ?t2 WHERE { ?s ?p ?o . "
+        "BIND(NOW() AS ?t) BIND(NOW() AS ?t2) }",
+    ).collect()
+    assert rows
+    vals = {(r.t, r.t2) for r in rows}
+    assert len(vals) == 1  # same across rows AND across the two binds
+    t, t2 = next(iter(vals))
+    assert t == t2
+    import re as _re
+
+    assert _re.fullmatch(r"\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}\.\d{3}Z", t)
+
+
+def test_now_components_and_comparison(graph):
+    # YEAR(NOW()) etc. work through the accessor chain; the store's ts
+    # comparisons against NOW() behave as string-ordered ISO (and as
+    # timestamps through the accessors)
+    rows = sparql_query(
+        graph,
+        "SELECT ?s (YEAR(NOW()) AS ?y) WHERE { ?s ?p ?o } LIMIT 1",
+    ).collect()
+    import datetime
+
+    assert rows[0].y == datetime.datetime.now(datetime.timezone.utc).year
+    # FILTER comparing a literal against NOW() — every stored date < now
+    got = sparql_query(
+        graph,
+        'SELECT ?s WHERE { ?s ?p ?o . FILTER("1999-01-01T00:00:00.000Z" < NOW()) }',
+    ).count()
+    assert got == sparql_query(graph, "SELECT ?s WHERE { ?s ?p ?o }").count()
+
+
+def test_now_annotation_mode_datatype(spark):
+    annotated = spark.createDataFrame(
+        [("http://ex.org/x", "http://ex.org/p", "v", True, None, None)],
+        "subj string, pred string, obj string, obj_is_literal boolean, "
+        "obj_lang string, obj_dt string",
+    )
+    rows = sparql_query(
+        annotated,
+        "SELECT ?t (DATATYPE(?t) AS ?dt) WHERE { ?s ?p ?o . BIND(NOW() AS ?t) } LIMIT 1",
+    ).collect()
+    assert rows[0].dt == "http://www.w3.org/2001/XMLSchema#dateTime"
+
+
+def test_nondeterministic_builtins_refuse_with_guidance(graph):
+    for fn in ("UUID", "STRUUID", "RAND"):
+        with pytest.raises(ValueError, match="nondeterministic"):
+            sparql_query(
+                graph, f"SELECT ?s WHERE {{ ?s ?p ?o . BIND({fn}() AS ?x) }}"
+            )
+
+
+def test_select_expression_sees_clause_bind_vars(spark):
+    # review finding: '(expr AS ?x)' projections were appended to binds
+    # during PROJECTION parse, running before clause BINDs — so
+    # (DATATYPE(?t) AS ?dt) could not resolve a clause-bound ?t
+    annotated = spark.createDataFrame(
+        [("http://ex.org/x", "http://ex.org/p", "v", True, None, None)],
+        "subj string, pred string, obj string, obj_is_literal boolean, "
+        "obj_lang string, obj_dt string",
+    )
+    rows = sparql_query(
+        annotated,
+        'SELECT ?t (DATATYPE(?t) AS ?dt) WHERE { ?s ?p ?o . '
+        'BIND(STRDT("5", <http://dt>) AS ?t) }',
+    ).collect()
+    assert [(r.t, r.dt) for r in rows] == [("5", "http://dt")]
+    # plain (non-annotation) store: arithmetic over a clause BIND
+    plain = annotated.drop("obj_lang", "obj_dt")
+    rows = sparql_query(
+        plain,
+        "SELECT (?n + 1 AS ?m) WHERE { ?s ?p ?o . BIND(2 * 3 AS ?n) }",
+    ).collect()
+    assert rows[0].m == 7.0
+
+
+# --- r5: last two grammar corners (verdict #4) ------------------------------
+
+
+def test_subquery_as_union_arm(graph):
+    # subquery arm + plain arm, both orders; the subquery's scope rule
+    # (only projected vars join) still applies inside the arm
+    q = """SELECT ?s WHERE {
+      { SELECT ?s WHERE { ?s <http://ex.org/p/likes> ?o } }
+      UNION
+      { ?s <http://example.org/optionalPredicate> ?n } }"""
+    got = sorted(r.s for r in sparql_query(graph, q).collect())
+    assert got == ["http://ex.org/x", "http://ex.org/x", "http://ex.org/y"]
+    q2 = """SELECT ?s WHERE {
+      { ?s <http://example.org/optionalPredicate> ?n }
+      UNION
+      { SELECT ?s WHERE { ?s <http://ex.org/p/likes> ?o } } }"""
+    assert sorted(r.s for r in sparql_query(graph, q2).collect()) == got
+
+
+def test_subquery_as_union_arm_inside_graph_var(spark):
+    quads = spark.createDataFrame(
+        [
+            ("http://e/a", "http://p/1", "http://e/b", False, "g1"),
+            ("http://e/b", "http://p/1", "http://e/c", False, "g1"),
+            ("http://e/a", "http://p/2", "va", True, "g2"),
+            ("http://e/c", "http://p/1", "http://e/a", False, "g2"),
+        ],
+        "subj string, pred string, obj string, obj_is_literal boolean, "
+        "graph string",
+    )
+    q = """SELECT ?g ?s WHERE { GRAPH ?g {
+      { SELECT ?s WHERE { ?s <http://p/1> ?o } }
+      UNION
+      { ?s <http://p/2> ?o2 } } }"""
+    got = sorted((r.g, r.s) for r in sparql_query(quads, q).collect())
+    assert got == [
+        ("g1", "http://e/a"),
+        ("g1", "http://e/b"),
+        ("g2", "http://e/a"),
+        ("g2", "http://e/c"),
+    ]
+    # aggregate subquery arms: per-graph counts, bag union
+    q2 = """SELECT ?g ?n WHERE { GRAPH ?g {
+      { SELECT (COUNT(?s) AS ?n) WHERE { ?s <http://p/1> ?o } }
+      UNION
+      { SELECT (COUNT(?s) AS ?n) WHERE { ?s <http://p/2> ?o } } } }"""
+    got2 = sorted((r.g, r.n) for r in sparql_query(quads, q2).collect())
+    assert got2 == [("g1", 2), ("g2", 1), ("g2", 1)]
+
+
+def test_negated_property_set_inverse_members(spark):
+    df = spark.createDataFrame(
+        [
+            ("http://e/a", "http://e/p", "http://e/b", False),
+            ("http://e/b", "http://e/q", "http://e/c", False),
+            ("http://e/c", "http://e/r", "http://e/a", False),
+            ("http://e/a", "http://e/q", "http://e/d", False),
+        ],
+        "subj string, pred string, obj string, obj_is_literal boolean",
+    )
+
+    def run(path):
+        q = f"SELECT ?s ?o WHERE {{ ?s {path} ?o }}"
+        return sorted(
+            (r.s.rsplit("/", 1)[1], r.o.rsplit("/", 1)[1])
+            for r in sparql_query(df, q).collect()
+        )
+
+    # pure inverse set: reversed edges whose pred is not p
+    assert run("!(^<http://e/p>)") == [("a", "c"), ("c", "b"), ("d", "a")]
+    # unparenthesized singleton (grammar PathOneInPropertySet '^' iri)
+    assert run("!^<http://e/q>") == [("a", "c"), ("b", "a")]
+    # mixed: forward-not-p UNION reversed-not-q (spec §9.1 alternative)
+    assert run("!(<http://e/p>|^<http://e/q>)") == [
+        ("a", "c"), ("a", "d"), ("b", "a"), ("b", "c"), ("c", "a"),
+    ]
+    # forward-only behavior unchanged
+    assert run("!(<http://e/p>)") == [("a", "d"), ("b", "c"), ("c", "a")]

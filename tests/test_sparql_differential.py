@@ -470,7 +470,8 @@ def graph_group_queries(draw):
     shape = draw(
         st.sampled_from(
             ["opt", "union", "minus", "not_exists", "filter",
-             "from_default", "from_named", "subselect", "slice"]
+             "from_default", "from_named", "subselect", "slice",
+             "union_subselect"]
         )
     )
     pats_a = draw(arm("a", ["oa", "x"]))
@@ -503,6 +504,32 @@ def graph_group_queries(draw):
                 f"SELECT g, s, CAST(COUNT(*) AS BIGINT) AS n "
                 f"FROM ({core_a}) GROUP BY g, s"
             )
+        return sparql, sql
+
+    if shape == "union_subselect":
+        # r5: a SUBQUERY as a UNION arm inside GRAPH ?g — the subquery
+        # arm evaluates per named graph (its projection gains ?g) and
+        # bag-unions with the plain arm. SQL: UNION ALL of the
+        # graph-correlated projection and the plain-arm scan.
+        plain_body, _pc, _pv = _render_arm(pats_a, "a")
+        p2 = draw(st.sampled_from(PREDS))
+        sub_arm = f"{{ SELECT ?s WHERE {{ {plain_body} }} }}"
+        plain_arm = f"{{ ?s <{p2}> ?zb }}"
+        sub_sql = f"SELECT g, s FROM ({core_a})"
+        plain_sql = (
+            f"SELECT graph AS g, subj AS s FROM t WHERE pred = '{p2}'"
+        )
+        if draw(st.booleans()):
+            arms_sparql = f"{sub_arm} UNION {plain_arm}"
+        else:
+            arms_sparql = f"{plain_arm} UNION {sub_arm}"
+        sparql = (
+            f"SELECT ?g ?s WHERE {{ GRAPH ?g {{ {arms_sparql} }} }}"
+        )
+        # the plain arm binds ?zb too, so solutions carry a null ?zb
+        # on the subquery side — project both arms to (g, s) only by
+        # keeping ?zb out of the SELECT
+        sql = f"{sub_sql} UNION ALL {plain_sql}"
         return sparql, sql
 
     if shape == "slice":
@@ -740,6 +767,122 @@ def test_graph_group_sparql_matches_duckdb(_shared, data, q):
         order = [cols.index(c) for c in sorted(cols)]
         want = sorted(
             (tuple(r[i] for i in order) for r in cur.fetchall()), key=_key
+        )
+    finally:
+        con.close()
+    assert sorted(got_cols) == sorted(cols), (sparql_text, sql_text)
+    assert got == want, (sparql_text, sql_text)
+
+
+# --- r5: date/time accessor differential (YEAR/MONTH/DAY/HOURS/MINUTES) ----
+# The accessors parse the literal as a zoneless timestamp and return the
+# components AS WRITTEN; DuckDB's try_cast + date_part over the same
+# lexical forms is the oracle. Malformed terms → NULL on both sides
+# (unbound BIND / NULL column), so the row-preserving behavior is
+# differentially pinned too.
+
+_DT_LEX = st.one_of(
+    st.tuples(
+        st.integers(1970, 2199),
+        st.integers(1, 12),
+        st.integers(1, 28),
+        st.integers(0, 23),
+        st.integers(0, 59),
+        st.integers(0, 59),
+    ).map(lambda t: "%04d-%02d-%02dT%02d:%02d:%02d" % t),
+    st.tuples(st.integers(1970, 2199), st.integers(1, 12), st.integers(1, 28)).map(
+        lambda t: "%04d-%02d-%02d" % t
+    ),
+    st.sampled_from(["not-a-date", "2023-13-99T99:99:99", "", "42"]),
+)
+
+_dt_store = st.lists(
+    st.tuples(st.sampled_from(SUBJECTS), st.just(PREDS[0]), _DT_LEX),
+    min_size=2,
+    max_size=10,
+    unique_by=lambda t: (t[0], t[2]),
+)
+
+_ACCESSORS = {
+    "YEAR": "year",
+    "MONTH": "month",
+    "DAY": "day",
+    "HOURS": "hour",
+    "MINUTES": "minute",
+}
+
+
+@st.composite
+def _dt_queries(draw):
+    fn = draw(st.sampled_from(sorted(_ACCESSORS)))
+    sqlf = _ACCESSORS[fn]
+    shape = draw(st.sampled_from(["bind", "filter"]))
+    if shape == "bind":
+        sparql = (
+            f"SELECT ?s ?o ({fn}(?o) AS ?c) "
+            f"WHERE {{ ?s <{PREDS[0]}> ?o }}"
+        )
+        sql = (
+            f"SELECT subj AS s, obj AS o, "
+            f"{sqlf}(try_cast(obj AS TIMESTAMP)) AS c "
+            f"FROM t WHERE pred = '{PREDS[0]}'"
+        )
+        return sparql, sql
+    n = draw(st.integers(1, 2100))
+    op, sqlop = draw(st.sampled_from([("<", "<"), (">=", ">=")]))
+    sparql = (
+        f"SELECT ?s ?o WHERE {{ ?s <{PREDS[0]}> ?o . "
+        f"FILTER({fn}(?o) {op} {n}) }}"
+    )
+    sql = (
+        f"SELECT subj AS s, obj AS o FROM t WHERE pred = '{PREDS[0]}' "
+        f"AND {sqlf}(try_cast(obj AS TIMESTAMP)) {sqlop} {n}"
+    )
+    return sparql, sql
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(data=_dt_store, q=_dt_queries())
+def test_datetime_accessors_match_duckdb(_shared, data, q):
+    spark = _shared
+    sparql_text, sql_text = q
+    sdf = spark.createDataFrame(data, "subj string, pred string, obj string")
+    got_df = sparql_query(sdf, sparql_text)
+
+    def _key(t):
+        return tuple((x is not None, str(x) if x is not None else "") for x in t)
+
+    got_cols = got_df.columns
+    got = sorted(
+        (
+            tuple(
+                float(row[c]) if isinstance(row[c], (int, float)) else row[c]
+                for c in sorted(got_cols)
+            )
+            for row in got_df.collect()
+        ),
+        key=_key,
+    )
+    con = duckdb.connect()
+    try:
+        con.execute("CREATE TABLE t(subj VARCHAR, pred VARCHAR, obj VARCHAR)")
+        con.executemany("INSERT INTO t VALUES (?, ?, ?)", data)
+        cur = con.execute(sql_text)
+        cols = [d[0] for d in cur.description]
+        order = [cols.index(c) for c in sorted(cols)]
+        want = sorted(
+            (
+                tuple(
+                    float(r[i]) if isinstance(r[i], (int, float)) else r[i]
+                    for i in order
+                )
+                for r in cur.fetchall()
+            ),
+            key=_key,
         )
     finally:
         con.close()

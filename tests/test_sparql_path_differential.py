@@ -125,6 +125,32 @@ SHAPES = {
         )
         """,
     ),
+    # --- r5: negated property sets with inverse members (spec §9.1) ---
+    "negset_inv": (
+        # !(^p1): reversed edges whose predicate is NOT p1
+        f"SELECT ?s ?o WHERE {{ ?s !(^<{P1}>) ?o }}",
+        f"SELECT obj AS s, subj AS o FROM t WHERE pred <> '{P1}'",
+    ),
+    "negset_mixed": (
+        # !(p1|^p2): bag union of the two pure forms
+        f"SELECT ?s ?o WHERE {{ ?s !(<{P1}>|^<{P2}>) ?o }}",
+        f"""SELECT subj AS s, obj AS o FROM t WHERE pred <> '{P1}'
+            UNION ALL
+            SELECT obj, subj FROM t WHERE pred <> '{P2}'""",
+    ),
+    "negset_inv_plus": (
+        # closure over the inverse-negset step (runs the fixpoint on a
+        # reversed-edge frame; with preds {p1,p2}, !^p2 ≡ ^p1)
+        f"SELECT ?s ?o WHERE {{ ?s (!(^<{P2}>))+ ?o }}",
+        f"""
+        WITH RECURSIVE r(s, o) AS (
+            SELECT obj, subj FROM t WHERE pred <> '{P2}'
+            UNION
+            SELECT r.s, t.subj FROM r JOIN t ON r.o = t.obj AND t.pred <> '{P2}'
+        )
+        SELECT DISTINCT s, o FROM r
+        """,
+    ),
 }
 
 
