@@ -722,3 +722,34 @@ def test_jsonld_base_preserves_empty_fragment():
     )
     rows = _parse_jsonld(doc, "k")
     assert [r[0] for r in rows] == ["http://e/doc#"]
+
+
+@settings(
+    max_examples=40,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(doc=_docs())
+def test_jsonld_alias_spelling_is_equivalent(doc):
+    """Property (r5): rewriting every keyword key to an alias and adding
+    the alias context yields EXACTLY the same rows as the keyword
+    spelling — alias handling can never change extraction semantics."""
+    aliases = {"@id": "id", "@type": "type", "@value": "value",
+               "@language": "language"}
+
+    def rewrite(node):
+        if isinstance(node, list):
+            return [rewrite(v) for v in node]
+        if isinstance(node, dict):
+            return {aliases.get(k, k): rewrite(v) for k, v in node.items()}
+        return node
+
+    parsed = json.loads(doc)
+    aliased = rewrite(parsed)
+    aliased["@context"] = {a: kw for kw, a in aliases.items()}
+    want = _parse_jsonld(doc, "k0")
+    got = _parse_jsonld(json.dumps(aliased), "k0")
+    assert want is not None and got is not None
+    from collections import Counter
+
+    assert Counter(tuple(r) for r in got) == Counter(tuple(r) for r in want)

@@ -15,11 +15,16 @@ deterministic, seed-free, fully described here:
   preserved per copy and copies never cross-join.
 - region and nation are fixed dimensions (TPC-H semantics: size does
   not scale them) — copied once, unchanged.
-- name-bearing columns gain a per-copy suffix ('-r<c>', c > 0) on
-  customer.c_name / supplier.s_name / part.p_name so the transcript
-  corpus derived from them mints DISTINCT entities per copy (otherwise
-  extraction dedup would collapse the 10 copies to one triple set and
-  the run would not actually be 10× for the graph path).
+- customer.c_name / supplier.s_name REGENERATE from the shifted key
+  ('Customer#' || lpad(key, 9, '0'), same for Supplier#): the driver's
+  names are exact closed forms of the keys, and several oracles DERIVE
+  entity IRIs from key arithmetic (e.g. cc_canonicalize's block-min
+  'Customer_' || lpad((k // 5) * 5, 9, '0')) — a suffix scheme broke
+  that invariant and 10×'d nothing for the graph path anyway (the
+  free-text grammar's [A-Za-z0-9_] charset truncated '-r1' mentions).
+  Regenerated names keep every name↔key closed form intact while
+  minting distinct entities per copy. part.p_name (dictionary words,
+  not key-derived) stays unchanged — oracles replay it verbatim.
 - documents.text gains a trailing ' zrepl<c>' token (c > 0) and
   n_chars is recomputed: copies are NEAR-duplicates (J ≈ 0.99), not
   exact ones — deliberately adversarial for the LSH/SimHash caps
@@ -60,22 +65,23 @@ def main(out_dir: str = "/tmp/sf1") -> None:
         n = con.sql(f"SELECT count(*) FROM '{out_dir}/{name}.parquet'").fetchone()[0]
         print(f"{name}: {n} rows")
 
-    sfx = "CASE WHEN c = 0 THEN '' ELSE '-r' || c END"
     emit("region", "*", replicate=False)
     emit("nation", "*", replicate=False)
     emit(
         "customer",
-        f"c_custkey + c*{OFF} AS c_custkey, c_name || {sfx} AS c_name, "
+        f"c_custkey + c*{OFF} AS c_custkey, "
+        f"'Customer#' || lpad(CAST(c_custkey + c*{OFF} AS VARCHAR), 9, '0') AS c_name, "
         "c_nationkey, c_acctbal, c_mktsegment",
     )
     emit(
         "supplier",
-        f"s_suppkey + c*{OFF} AS s_suppkey, s_name || {sfx} AS s_name, "
+        f"s_suppkey + c*{OFF} AS s_suppkey, "
+        f"'Supplier#' || lpad(CAST(s_suppkey + c*{OFF} AS VARCHAR), 9, '0') AS s_name, "
         "s_nationkey, s_acctbal",
     )
     emit(
         "part",
-        f"p_partkey + c*{OFF} AS p_partkey, p_name || {sfx} AS p_name, "
+        f"p_partkey + c*{OFF} AS p_partkey, p_name, "
         "p_brand, p_type, p_size, p_retailprice",
     )
     emit(
